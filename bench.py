@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is fully executed (results drained via a count over the final
+plan) but not collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ralf_spark.queries import QUERIES, headline_queries  # noqa: E402
+from ralf_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
+    spark = get_spark(app_name="ralf_spark_bench",
+                      extra_confs={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    targets = QUERIES if bench_all else headline_queries()
+    # Warm the JVM/readers once so per-query times measure the queries.
+    next(iter(targets.values())).fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name, q in targets.items():
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

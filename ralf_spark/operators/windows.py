@@ -1,0 +1,128 @@
+"""Count-based per-key windows — the reference's core feature.
+
+Ralf windows count ROWS per key, not time (``ralf/operators/window.py``):
+
+- ``TumblingWindow(size)``: buffer per key; when the buffer reaches ``size``
+  rows emit ``Record(key, window=[...])`` and reset (emit+reset
+  ``ralf/operators/window.py:44-51``). Only *full* windows are ever emitted.
+- ``SlidingWindow(window_size, slide_size)``: buffer per key; when
+  ``len == window_size`` emit the window then drop the oldest ``slide_size``
+  rows (``ralf/operators/window.py:107-120``). Supports a per-key slide size
+  loaded from a plan (``:88-100``).
+
+Batch re-expression (deterministic given the table's (ts, seq) order):
+
+- tumbling: ``wid = floor((row_number()-1)/size)`` then group by (key, wid),
+  keeping only groups with exactly ``size`` rows.
+- sliding: a rows-frame window ``ROWS BETWEEN size-1 PRECEDING AND CURRENT
+  ROW`` filtered to every ``slide``-th full window:
+  ``rn >= size AND (rn - size) % slide == 0``.
+
+Both are a single shuffle on the key (the sort is per-partition after hash
+exchange); at 100 TB the shuffle is unavoidable — the window content itself
+never leaves the executor. The window payload column is
+``ArrayType(StructType(...))`` mirroring ralf's ``window: List[Record]``
+schema (``ralf/operators/window.py:24-31``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ralf_spark.table import FeatureTable
+
+
+def _ranked(table: FeatureTable) -> tuple[DataFrame, Column]:
+    w = Window.partitionBy(table.key).orderBy(*table.order_cols())
+    return table.df, F.row_number().over(w)
+
+
+def tumbling_count_window(
+    table: FeatureTable,
+    size: int,
+    payload_cols: Sequence[str] | None = None,
+    aggs: Sequence[Column] | None = None,
+) -> FeatureTable:
+    """Per-key tumbling count window (``ralf/operators/window.py:14-51``).
+
+    With ``aggs`` the window contents are aggregated directly (one hash-agg,
+    map-side partial — preferred at scale); otherwise the full window payload
+    is materialized as ``window: array<struct>`` like the reference emits.
+    Output: one row per (key, window_id) for FULL windows only, with
+    ``window_id`` 0-based in (ts, seq) order.
+    """
+    if table.key is None:
+        raise ValueError("tumbling window requires a keyed table")
+    if size <= 0:
+        raise ValueError("size must be positive")
+    df, rn = _ranked(table)
+    df = df.withColumn("_rn", rn).withColumn(
+        "window_id", F.floor((F.col("_rn") - 1) / size)
+    )
+    grouped = df.groupBy(table.key, "window_id")
+    if aggs is not None:
+        out = grouped.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    else:
+        cols = payload_cols or [
+            c for c in table.df.columns if c != table.key
+        ]
+        payload = F.struct(*[F.col(c) for c in cols])
+        # sorted by the in-window rank so the array order is deterministic
+        out = grouped.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_rn").alias("_o"), payload.alias("p")))
+            ).alias("_w"),
+        ).withColumn("window", F.col("_w.p")).drop("_w")
+    return FeatureTable(
+        out.where(F.col("_n") == size).drop("_n"), key=table.key
+    )
+
+
+def sliding_count_window(
+    table: FeatureTable,
+    window_size: int,
+    slide_size: int = 1,
+    payload_cols: Sequence[str] | None = None,
+    per_key_slide: DataFrame | None = None,
+    slide_col: str = "slide_size",
+) -> FeatureTable:
+    """Per-key sliding count window (``ralf/operators/window.py:54-124``).
+
+    Emits the last ``window_size`` rows at every ``slide_size``-th row once
+    the first full window exists — exactly the reference's emit-then-trim
+    sequence (emit at ``len == window_size`` then drop oldest ``slide_size``,
+    ``:107-120``). ``per_key_slide`` reproduces the per-key slide plan
+    (``:88-100``): a small (key, slide_size) frame, broadcast-joined.
+
+    Output columns: key, ``pos`` (1-based rank of the window's last row —
+    deterministic window identity), ``window`` array<struct>.
+    """
+    if table.key is None:
+        raise ValueError("sliding window requires a keyed table")
+    if window_size <= 0 or slide_size <= 0:
+        raise ValueError("window_size and slide_size must be positive")
+    cols = payload_cols or [c for c in table.df.columns if c != table.key]
+    w = Window.partitionBy(table.key).orderBy(*table.order_cols())
+    frame = w.rowsBetween(-(window_size - 1), 0)
+    payload = F.struct(*[F.col(c) for c in cols])
+    df = (
+        table.df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("window", F.collect_list(payload).over(frame))
+    )
+    if per_key_slide is not None:
+        df = df.join(F.broadcast(per_key_slide), on=table.key, how="left")
+        slide = F.coalesce(F.col(slide_col), F.lit(slide_size))
+    else:
+        slide = F.lit(slide_size)
+    out = (
+        df.where(
+            (F.col("_rn") >= window_size)
+            & (((F.col("_rn") - window_size) % slide) == 0)
+        )
+        .select(table.key, F.col("_rn").alias("pos"), "window")
+    )
+    return FeatureTable(out, key=table.key)

@@ -1,0 +1,648 @@
+"""Declared query registry — the SURVEY.md §2 coverage surface.
+
+Each entry pairs a Spark implementation (``(spark, sf_dir) -> DataFrame``)
+with the equivalent ANSI SQL the DuckDB oracle runs on the same parquet
+tables. Column names/aliases MUST match between the two; float aggregates
+are rounded on both sides so independent summation orders hash-match.
+
+The registry is the single source of truth: ``__spark_entry__.py`` re-exports
+it, tests/test_oracle_parity.py replays the driver's comparison over it, and
+bench.py times the headline subset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ralf_spark.functions.arrays import cosine_similarity
+from ralf_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from ralf_spark.operators.joins import asof_join, enrichment_join
+from ralf_spark.operators.policies import change_detection_filter, sampling_shed
+from ralf_spark.operators.windows import (
+    sliding_count_window,
+    tumbling_count_window,
+)
+from ralf_spark.sources.fixtures import load_fixture
+from ralf_spark.table import FeatureTable
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    fn: QueryFn
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    headline: bool = False  # include in bench.py
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = Query(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> FeatureTable:
+    return load_fixture(spark, name, sf_dir)
+
+
+# =========================================================================
+# Relational core (TPC-H-style; exercises scan→filter→join→agg→sort)
+# =========================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                  AS avg_qty,
+           round(avg(l_extendedprice), 4)                             AS avg_price,
+           round(avg(l_discount), 4)                                  AS avg_disc,
+           count(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship scan→filter→agg query.
+
+    Plan properties: shipdate predicate pushed to the parquet scan, 6-column
+    ReadSchema (pruned), partial hash-agg before the single shuffle on the
+    2-value grouping key.
+    """
+    li = _t(spark, sf_dir, "lineitem").df
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_unshipped_orders",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → top-k.
+
+    customer is broadcast (dim ≪ fact); lineitem⋈orders shuffles on
+    orderkey. Deterministic top-k tie-break on l_orderkey.
+    """
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").df.where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").df.where(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").df.where(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    headline=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with region selectivity.
+
+    All dimensions broadcast; the only shuffles are fact-fact
+    (lineitem⋈orders) and the final 1-key aggregation.
+    """
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df
+    l = _t(spark, sf_dir, "lineitem").df
+    s = _t(spark, sf_dir, "supplier").df
+    n = _t(spark, sf_dir, "nation").df
+    r = _t(spark, sf_dir, "region").df.where(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# =========================================================================
+# Ralf parity: aggregations (SURVEY §2.4 A1-A4)
+# =========================================================================
+
+@query(
+    "per_key_avg",
+    """
+    SELECT user_id, round(avg(value), 4) AS avg_value, count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    headline=True,
+)
+def per_key_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key mean — ralf's tutorial AverageRating feature
+    (``ralf/tests/test_tutorial.py:80-100``, README Average)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.df.groupBy("user_id")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "per_key_sum",
+    """
+    SELECT user_id, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def per_key_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running-total final value — ralf's Sum transform
+    (``ralf/v2/examples/counter.py:56-65``)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.df.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key sum — every intermediate value the ralf Sum operator
+    would have emitted (``ralf/v2/examples/counter.py:56-65``), deterministic
+    in (ts, event_id) order."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.df.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "event_type_counts",
+    """
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality bookkeeping (A4) plus distinct aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =========================================================================
+# Ralf parity: latest-per-key state + point query (SURVEY §1.1, §2.2 P4)
+# =========================================================================
+
+@query(
+    "latest_per_key",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    headline=True,
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key state table — the reference's core upsert
+    semantics (``ralf/state/table_state.py:27-43``). Implemented as a single
+    max_by hash-agg (map-side partial), not a sort window."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.latest()
+        .df.select(
+            "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+        )
+        .orderBy("user_id")
+    )
+
+
+# =========================================================================
+# Ralf parity: count-based windows (SURVEY §2.5 W1-W2)
+# =========================================================================
+
+@query(
+    "tumbling_count_window",
+    """
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    )
+    SELECT user_id, CAST(floor(rn / 5) AS BIGINT) AS window_id,
+           round(sum(value), 4) AS w_sum, round(avg(value), 4) AS w_avg
+    FROM ranked
+    GROUP BY user_id, CAST(floor(rn / 5) AS BIGINT)
+    HAVING count(*) = 5
+    ORDER BY user_id, window_id
+    """,
+    headline=True,
+)
+def tumbling_count_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-key tumbling count window (size 5), full windows only
+    (``ralf/operators/window.py:14-51``)."""
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_count_window(
+        ev,
+        size=5,
+        aggs=[
+            F.round(F.sum("value"), 4).alias("w_sum"),
+            F.round(F.avg("value"), 4).alias("w_avg"),
+        ],
+    )
+    return out.df.select("user_id", "window_id", "w_sum", "w_avg").orderBy(
+        "user_id", "window_id"
+    )
+
+
+@query(
+    "sliding_count_window",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w_sum
+      FROM events
+    )
+    SELECT user_id, rn AS pos, round(w_sum, 4) AS w_sum
+    FROM ranked
+    WHERE rn >= 7 AND (rn - 7) % 2 = 0
+    ORDER BY user_id, pos
+    """,
+)
+def sliding_count_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-key sliding count window (size 7, slide 2) — emit at full
+    window then every slide (``ralf/operators/window.py:54-124``). The
+    window payload is reduced (sum) instead of materialized; payload
+    materialization is covered by unit tests."""
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_count_window(ev, window_size=7, slide_size=2,
+                               payload_cols=["value"])
+    return (
+        win.df.select(
+            "user_id",
+            "pos",
+            F.round(
+                F.aggregate("window", F.lit(0.0), lambda a, x: a + x["value"]), 4
+            ).alias("w_sum"),
+        )
+        .orderBy("user_id", "pos")
+    )
+
+
+@query(
+    "windowed_mean_feature",
+    """
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS w_mean
+      FROM events
+    )
+    SELECT user_id, rn AS pos, round(w_mean, 4) AS w_mean
+    FROM ranked WHERE rn >= 10
+    ORDER BY user_id, pos
+    """,
+)
+def windowed_mean_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: windowed feature function — mean over the trailing count window
+    (the simulation mapper's model-over-window,
+    ``ralf/simulation/mapper.py:95-111``), computed directly with a
+    rows-frame instead of materializing the list payload."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-9, 0)
+    return (
+        ev.df.select(
+            "user_id",
+            F.row_number().over(w).alias("pos"),
+            F.round(F.avg("value").over(frame), 4).alias("w_mean"),
+        )
+        .where(F.col("pos") >= 10)
+        .orderBy("user_id", "pos")
+    )
+
+
+# =========================================================================
+# Ralf parity: joins (SURVEY §2.3 J1)
+# =========================================================================
+
+@query(
+    "enrichment_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment, n.n_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def enrichment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 steady state: fact enriched with dimension state via broadcast
+    equi-join (``ralf/operators/join.py:41-50``)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = enrichment_join(
+        o, c, on=[o.df.o_custkey == c.df.c_custkey], broadcast_right=True
+    )
+    joined = enrichment_join(
+        joined, n,
+        on=[joined.df.c_nationkey == n.df.n_nationkey],
+        broadcast_right=True,
+    )
+    return joined.df.select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "n_name"
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "semi_join_active_customers",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "anti_join_inactive_customers",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "asof_join_latest_state",
+    """
+    SELECT l.event_id, l.user_id, st.state_value, st.state_event_id
+    FROM events l
+    LEFT JOIN LATERAL (
+      SELECT round(r.value, 4) AS state_value, r.event_id AS state_event_id
+      FROM events r
+      WHERE r.user_id = l.user_id AND r.event_type = 'view'
+        AND (r.ts < l.ts OR (r.ts = l.ts AND r.event_id <= l.event_id))
+      ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+    ) st ON true
+    ORDER BY l.event_id
+    """,
+)
+def asof_join_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 time-correct variant: every event sees the latest 'view'-stream
+    state for its key at its own event time — 'right state at left-arrival
+    time' of the streaming LeftJoin (``ralf/operators/join.py:34-45``),
+    deterministic via (ts, side, seq) ordering. Union + one rows-frame
+    window: single shuffle on the key, no range-join blowup."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev
+    right = FeatureTable(
+        ev.df.where(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id",
+            F.round("value", 4).alias("state_value"),
+            F.col("event_id").alias("state_event_id"),
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    out = asof_join(
+        left, right, right_payload=["state_value", "state_event_id"]
+    )
+    return out.df.select(
+        "event_id", "user_id", "state_value", "state_event_id"
+    ).orderBy("event_id")
+
+
+# =========================================================================
+# Ralf parity: policies as queries (SURVEY §2.2 P3-P5)
+# =========================================================================
+
+@query(
+    "sampling_shed",
+    f"""
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events
+    WHERE {stable_hash64_sql('event_id')} % 10000 < 2500
+    ORDER BY event_id
+    """,
+)
+def sampling_shed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: deterministic 25% load-shed via cross-engine content hash
+    (replaces ``random.random() < rate``, ``load_shedding_policy.py:53-57``)."""
+    ev = _t(spark, sf_dir, "events")
+    out = sampling_shed(ev, rate=0.25, on=F.col("event_id"))
+    return out.df.select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    ).orderBy("event_id")
+
+
+@query(
+    "change_detection",
+    """
+    WITH d AS (
+      SELECT event_id, user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM d
+    WHERE prev IS NULL OR abs(value - prev) >= 10.0
+    ORDER BY event_id
+    """,
+)
+def change_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: emit only updates that moved the feature >= 10.0 — the mean-drift
+    approximate-maintenance policy (``load_shedding_policy.py:14-22``)."""
+    ev = _t(spark, sf_dir, "events")
+    out = change_detection_filter(ev, "value", threshold=10.0)
+    return out.df.select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    ).orderBy("event_id")
+
+
+# =========================================================================
+# Sorts / top-k / set ops (SURVEY §2.6)
+# =========================================================================
+
+@query(
+    "topk_users_by_value",
+    """
+    SELECT user_id, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 20
+    """,
+)
+def topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.df.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "distinct_event_types",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+)
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.df.select("event_type").distinct().orderBy("event_type")
+
+
+# =========================================================================
+# Scalar functions: JSON / time (SURVEY §2.7)
+# =========================================================================
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+    ORDER BY event_id
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction at the edges (ralf parses JSON payloads in
+    sources, ``ralf/v2/kinesis_source.py:138-139``) + filter on the
+    extracted value."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.df.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        )
+        .where(F.col("prop_k") % 7 == 0)
+        .orderBy("event_id")
+    )
+
+
+def headline_queries() -> dict[str, Query]:
+    return {k: v for k, v in QUERIES.items() if v.headline}

@@ -1,0 +1,45 @@
+"""Loaders for the driver's TPC-H-ish parquet fixtures (TESTDATA.md).
+
+Centralizes per-table keyed-table metadata so every query/test builds the
+same FeatureTables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ralf_spark.table import FeatureTable
+
+#: table -> (key, ts, seq)
+FIXTURE_TABLES: dict[str, tuple[str | None, str | None, str | None]] = {
+    "region": ("r_regionkey", None, None),
+    "nation": ("n_nationkey", None, None),
+    "customer": ("c_custkey", None, None),
+    "supplier": ("s_suppkey", None, None),
+    "part": ("p_partkey", None, None),
+    "orders": ("o_orderkey", "o_orderdate", "o_orderkey"),
+    "lineitem": ("l_orderkey", "l_shipdate", "l_linenumber"),
+    "events": ("user_id", "ts", "event_id"),
+    "documents": ("doc_id", None, None),
+    "embeddings": ("vec_id", None, None),
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_fixture(
+    spark: SparkSession, name: str, sf_dir: str | None = None
+) -> FeatureTable:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    key, ts, seq = FIXTURE_TABLES[name]
+    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects by default; read nanos as long and convert (values are
+    # µs-precision, so the division is lossless).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if ts is not None and dict(df.dtypes).get(ts) == "bigint":
+        df = df.withColumn(ts, F.timestamp_micros((F.col(ts) / 1000).cast("long")))
+    return FeatureTable(df, key=key, ts=ts, seq=seq)

@@ -1,0 +1,233 @@
+"""FeatureTable: the engine's core abstraction.
+
+The reference models a feature table as a DAG node holding
+latest-value-per-key state maintained by per-record user transforms
+(``ralf/table.py:23-50``, ``ralf/v2/api.py:100-135``,
+``ralf/state/table_state.py:27-43``). Here a feature table is a thin,
+immutable wrapper over a Spark ``DataFrame`` plus keyed-table metadata
+Spark itself does not carry:
+
+- ``key``      — primary/shard key column (ralf's ``Schema.primary_key``,
+                 ``ralf/record.py:30-35``); may be None for un-keyed frames.
+- ``ts``       — event-time column used for "latest" semantics (ralf stamps
+                 ``processing_time`` at record creation, ``ralf/record.py:11``).
+- ``seq``      — unique monotone tie-breaker (ralf's ``Record.id_ = time_ns()``,
+                 ``ralf/v2/record.py:40-41``), giving every "latest per key" /
+                 window a deterministic answer.
+
+Every transformation returns a new FeatureTable; the wrapped DataFrame is
+lazy, so an un-materialized feature table *is* ralf's ``lazy=True`` table
+(``ralf/operator.py:257-259, 288-305``) with the recompute-on-read bug fixed
+by construction — Catalyst recomputes full lineage on action.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PY_TO_SPARK: dict[type, T.DataType] = {
+    int: T.LongType(),
+    float: T.DoubleType(),
+    str: T.StringType(),
+    bool: T.BooleanType(),
+    bytes: T.BinaryType(),
+}
+
+
+@dataclass(frozen=True)
+class Schema:
+    """Declared schema: primary key + column name→type mapping.
+
+    Mirrors ralf's ``Schema(primary_key, columns)`` (``ralf/record.py:30-56``,
+    ``ralf/v2/record.py:111-141``) but compiles to a Spark ``StructType`` and
+    is *enforced* (the reference only checks column-name sets in v1,
+    ``ralf/record.py:36-42``).
+    """
+
+    primary_key: str
+    columns: dict[str, Any] = field(default_factory=dict)
+
+    def to_struct_type(self) -> T.StructType:
+        fields = []
+        for name, tpe in self.columns.items():
+            if isinstance(tpe, T.DataType):
+                dt = tpe
+            elif tpe in _PY_TO_SPARK:
+                dt = _PY_TO_SPARK[tpe]
+            else:
+                raise TypeError(f"unsupported column type for {name!r}: {tpe!r}")
+            fields.append(T.StructField(name, dt))
+        return T.StructType(fields)
+
+    def validate(self, df: DataFrame) -> None:
+        if self.primary_key not in df.columns:
+            raise ValueError(
+                f"primary key {self.primary_key!r} not in {df.columns}"
+            )
+        missing = set(self.columns) - set(df.columns)
+        if missing:
+            raise ValueError(f"schema columns missing from frame: {missing}")
+
+
+class FeatureTable:
+    """A keyed (optionally time-ordered) DataFrame — one ralf feature table.
+
+    Operator surface mirrors the reference's table API shape
+    (``source → map/transform → window → join → aggregate → query``,
+    ``ralf/table.py:84-151``) while each method compiles to declarative
+    DataFrame expressions that Catalyst optimizes.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key: str | None = None,
+        ts: str | None = None,
+        seq: str | None = None,
+    ) -> None:
+        for col, what in ((key, "key"), (ts, "ts"), (seq, "seq")):
+            if col is not None and col not in df.columns:
+                raise ValueError(f"{what} column {col!r} not in {df.columns}")
+        self.df = df
+        self.key = key
+        self.ts = ts
+        self.seq = seq
+
+    # ------------------------------------------------------------------ util
+    def _with(self, df: DataFrame, **meta: str | None) -> "FeatureTable":
+        keep = {"key": self.key, "ts": self.ts, "seq": self.seq}
+        keep.update(meta)
+        # Drop metadata for columns that no longer exist after a projection.
+        for k, v in list(keep.items()):
+            if v is not None and v not in df.columns:
+                keep[k] = None
+        return FeatureTable(df, **keep)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.df.sparkSession
+
+    def order_cols(self) -> list[Column]:
+        """Deterministic event order: (ts, seq) — the engine's re-spec of
+        ralf's processing order (SURVEY.md §2.9 X2)."""
+        cols = []
+        if self.ts:
+            cols.append(F.col(self.ts))
+        if self.seq:
+            cols.append(F.col(self.seq))
+        if not cols:
+            raise ValueError("table has neither ts nor seq column for ordering")
+        return cols
+
+    # ------------------------------------------------ projections / filters
+    def select(self, *cols: str | Column) -> "FeatureTable":
+        return self._with(self.df.select(*cols))
+
+    def with_column(self, name: str, col: Column) -> "FeatureTable":
+        return self._with(self.df.withColumn(name, col))
+
+    def filter(self, cond: Column | str) -> "FeatureTable":
+        return self._with(self.df.filter(cond))
+
+    where = filter
+
+    def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "FeatureTable":
+        """Whole-frame transform (the declarative fast path for ralf's
+        ``Table.map`` / ``FeatureFrame.transform``, ``ralf/table.py:87-92``,
+        ``ralf/v2/api.py:125-135``): ``fn`` receives and returns a DataFrame,
+        expressed in native ``pyspark.sql.functions``."""
+        return self._with(fn(self.df))
+
+    def map_in_pandas(
+        self, fn: Callable, schema: T.StructType | str, key: str | None = None
+    ) -> "FeatureTable":
+        """Opaque per-batch Python transform (generalized flatMap: 0..n output
+        rows per input row — ralf ``on_record`` list fan-out,
+        ``ralf/operator.py:214-221``). Arrow-batched; the slow path, for user
+        logic native expressions can't express."""
+        return FeatureTable(
+            self.df.mapInPandas(fn, schema), key=key, ts=None, seq=None
+        )
+
+    def apply_in_pandas(
+        self, fn: Callable, schema: T.StructType | str, key: str | None = None
+    ) -> "FeatureTable":
+        """Stateful-per-key Python transform: ralf's keyed operator instance
+        state (one operator object per key shard, ``ralf/operator.py:44-50``)
+        in batch form — all rows of one key are presented together."""
+        if self.key is None:
+            raise ValueError("apply_in_pandas requires a keyed table")
+        grouped = self.df.groupBy(self.key).applyInPandas(fn, schema)
+        return FeatureTable(grouped, key=key or self.key, ts=None, seq=None)
+
+    # ------------------------------------------------------------ state view
+    def latest(self) -> "FeatureTable":
+        """Latest-record-per-key state view — the reference's core state table
+        semantics (upsert keeps newest per key: ``ralf/state/table_state.py:
+        27-43``, ``ralf/state/dict_connector.py:17-21``).
+
+        Implemented as ``max_by(struct(*cols), (ts, seq))`` per key: a single
+        hash aggregation with map-side partial aggregation — one shuffle of
+        pre-aggregated data, cheaper at scale than a row_number sort window.
+        """
+        if self.key is None:
+            raise ValueError("latest() requires a keyed table")
+        ord_expr = F.struct(*self.order_cols())
+        payload = F.struct(*[F.col(c) for c in self.df.columns])
+        out = (
+            self.df.groupBy(self.key)
+            .agg(F.max_by(payload, ord_expr).alias("_rec"))
+            .select("_rec.*")
+        )
+        return self._with(out)
+
+    # ------------------------------------------------------------- queries
+    def point_query(self, key_value: Any) -> list[Row]:
+        """Point lookup on the latest-per-key state (``ralf/table.py:179-191``,
+        ``ralf/client.py:8-11``). With key-partitioned storage this is a
+        partition-pruned scan."""
+        return self.latest().df.where(F.col(self.key) == F.lit(key_value)).collect()
+
+    def bulk_query(self) -> list[Row]:
+        """Full state scan (``ralf/table.py:193-206``)."""
+        return self.latest().df.collect()
+
+    # ------------------------------------------------------------ plumbing
+    def repartition_by_key(self, n: int | None = None) -> "FeatureTable":
+        """Explicit key co-location (ralf's SHA1 sharding,
+        ``ralf/operator.py:44-50``) — Spark hash partitioning."""
+        if self.key is None:
+            raise ValueError("repartition_by_key requires a keyed table")
+        df = (
+            self.df.repartition(n, self.key)
+            if n
+            else self.df.repartition(self.key)
+        )
+        return self._with(df)
+
+    def materialize(self, path: str, mode: str = "overwrite") -> "FeatureTable":
+        """Persist as Parquet partition-friendly state (the batch analog of
+        connector-backed state, ``ralf/state/sqlite_connector.py:19-72``)."""
+        self.df.write.mode(mode).parquet(path)
+        return FeatureTable(
+            self.spark.read.parquet(path), key=self.key, ts=self.ts, seq=self.seq
+        )
+
+    def cache(self) -> "FeatureTable":
+        return self._with(self.df.cache())
+
+    def count(self) -> int:
+        """Table cardinality (``ralf/state/dict_connector.py:37-39``)."""
+        return self.df.count()
+
+    def collect(self) -> list[Row]:
+        return self.df.collect()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)

@@ -1,0 +1,46 @@
+"""Replay of the driver's DuckDB-oracle gate over every declared query.
+
+Runs at sf0.001 by default (fast); set SPARK_GRAFT_ORACLE_SF_DIR=/root/
+testdata/sf0.01 to replicate the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ralf_spark.oracle import compare_query, duckdb_connection
+from ralf_spark.queries import QUERIES
+
+from tests.conftest import SF_DIR
+
+_ORACLE_QUERIES = [
+    (name, q) for name, q in QUERIES.items() if q.oracle is not None
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize(
+    "name,q", _ORACLE_QUERIES, ids=[n for n, _ in _ORACLE_QUERIES]
+)
+def test_oracle_parity(spark, con, name, q):
+    res = compare_query(spark, name, q.fn, q.oracle, SF_DIR, con)
+    assert res.spark_rows == res.oracle_rows, (
+        f"{name}: rows {res.spark_rows} != oracle {res.oracle_rows}"
+    )
+    assert res.cols_match, (
+        f"{name}: cols {res.spark_cols} != oracle {res.oracle_cols}"
+    )
+    assert res.hash_match, f"{name}: value hash mismatch vs oracle"
+
+
+def test_rows_only_queries_run(spark):
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            df = q.fn(spark, SF_DIR)
+            assert df.count() >= 0, name
