@@ -65,6 +65,7 @@ def asof_join(
     right_on: str | None = None,
     tolerance: Column | None = None,
     right_payload: Sequence[str] | None = None,
+    seq_comparable: bool | None = None,
 ) -> FeatureTable:
     """As-of join: for each left row, the latest right row at or before the
     left row's event time, per key — the deterministic batch spelling of the
@@ -73,18 +74,24 @@ def asof_join(
 
     Implementation: UNION the two sides tagged by origin, one rows-frame
     window ``last(right_payload, ignorenulls) OVER (PARTITION BY key ORDER BY
-    (ts, side, seq) ROWS UNBOUNDED PRECEDING)``, keep left rows. One shuffle
-    on the key, no join explosion, skew-safe under AQE — scales to fact-sized
-    BOTH sides, which a range-join (``l.ts >= r.ts``) would not.
+    arrival ROWS UNBOUNDED PRECEDING)``, keep left rows. One shuffle on the
+    key, no join explosion, skew-safe under AQE — scales to fact-sized BOTH
+    sides, which a range-join (``l.ts >= r.ts``) would not.
 
-    Right rows sort before left rows at equal ts (side 0 < 1), so a right
-    update with ts == left.ts IS visible — matching the reference, where the
-    state upsert happens before the left lookup.
+    Arrival order at equal ts: when both sides carry a comparable sequence
+    column (``seq_comparable``, auto-detected as both tables having a seq),
+    order is ``(ts, seq, side)`` — a right row is visible to a left row iff
+    ``(r.ts, r.seq) <= (l.ts, l.seq)``, the engine's deterministic arrival
+    order. Otherwise right sorts before left at equal ts (``(ts, side,
+    seq)``), matching the reference where the state upsert happens before
+    the left lookup.
     """
     lk = left_on or left.key
     rk = right_on or right.key
     if lk is None or rk is None or left.ts is None or right.ts is None:
         raise ValueError("asof_join needs keyed, time-stamped tables")
+    if seq_comparable is None:
+        seq_comparable = left.seq is not None and right.seq is not None
     rp = right_payload or [
         c for c in right.df.columns if c not in (rk, right.ts)
     ]
@@ -111,9 +118,10 @@ def asof_join(
         F.struct(*rp).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
+    order = ["_t", "_seq", "_side"] if seq_comparable else ["_t", "_side", "_seq"]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side", "_seq")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.withColumn(

@@ -18,8 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ralf_spark.functions.arrays import cosine_similarity
-from ralf_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from ralf_spark.functions.hashing import stable_hash64_sql
 from ralf_spark.operators.joins import asof_join, enrichment_join
 from ralf_spark.operators.policies import change_detection_filter, sampling_shed
 from ralf_spark.operators.windows import (

@@ -30,6 +30,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # Deterministic session timezone so timestamp round-trips match the
     # DuckDB oracle regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # The fixtures store TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects by default; read nanos as epoch-ns bigint (converted to
+    # timestamp by the loader). Session-wide so per-query code never
+    # mutates shared conf.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Don't let tiny local files create a single giant partition at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Keep shuffle partition count moderate locally; AQE coalesces down.

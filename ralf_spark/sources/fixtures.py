@@ -35,11 +35,11 @@ def load_fixture(
 ) -> FeatureTable:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     key, ts, seq = FIXTURE_TABLES[name]
-    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    # reader rejects by default; read nanos as long and convert (values are
-    # µs-precision, so the division is lossless).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if ts is not None and dict(df.dtypes).get(ts) == "bigint":
-        df = df.withColumn(ts, F.timestamp_micros((F.col(ts) / 1000).cast("long")))
+        # events.parquet stores ts as TIMESTAMP(NANOS), read as epoch-ns
+        # bigint (session.py sets spark.sql.legacy.parquet.nanosAsLong).
+        # Integer `div` keeps the value exact: epoch-ns ~1.7e18 exceeds a
+        # double's 2^53 integer range, so float division can be off by 1µs.
+        df = df.withColumn(ts, F.timestamp_micros(F.expr(f"`{ts}` div 1000")))
     return FeatureTable(df, key=key, ts=ts, seq=seq)
