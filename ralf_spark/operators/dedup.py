@@ -1,0 +1,263 @@
+"""Deduplication operators — exact and MinHash/LSH near-dedup (E1/E2).
+
+North-star LLM-pipeline operators (SURVEY.md §2.10): the reference engine
+has no dedup surface (its state tables are latest-per-key upserts,
+``ralf/state/table_state.py:27-43`` — a *keyed* dedup the engine already
+covers with ``FeatureTable.latest()``); these operators dedup by *content*,
+the shape a training-data pipeline needs.
+
+Scale design (100 TB):
+
+- Exact dedup is one hash aggregation on a digest of the content columns:
+  map-side partial agg, a single shuffle of (digest, winner, count) —
+  never of full payloads.
+- Near-dedup is banded MinHash LSH: signatures are computed scan-side with
+  native higher-order expressions (no Python), candidate pairs come from an
+  equi-join on (band, band_key) buckets — NEVER an all-pairs cross join —
+  and only candidates pay the exact-Jaccard verification. Plan contains no
+  CartesianProduct (asserted in tests).
+- All hashing is md5-derived (``functions/hashing.py``) so signatures are
+  bit-identical in any engine — the DuckDB oracle replays the exact same
+  pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ralf_spark.functions.hashing import HEX_CHARS, stable_hash64
+from ralf_spark.functions.text import distinct_shingles
+from ralf_spark.table import FeatureTable
+
+# ------------------------------------------------------------------ E1 exact
+
+
+def exact_dedup(
+    table: FeatureTable,
+    on: Column | None = None,
+    id_col: str | None = None,
+) -> FeatureTable:
+    """Exact content dedup: one surviving row id per distinct content group.
+
+    ``on`` is the content expression (defaults to the whole row minus the id
+    column is NOT the right default at scale — callers name the content
+    column, e.g. ``F.col("text")``). Winner = smallest id (deterministic).
+    Returns (keep_id, n_copies) per group, keyed by keep_id.
+
+    Plan: groupBy(md5(content)) with map-side partial ``min``/``count`` —
+    the only shuffled payload is the 32-char digest + two longs.
+    """
+    idc = id_col or table.key
+    if idc is None:
+        raise ValueError("exact_dedup needs an id column (table.key)")
+    if on is None:
+        raise ValueError("exact_dedup needs a content expression `on`")
+    out = (
+        table.df.groupBy(F.md5(on.cast("string")).alias("_digest"))
+        .agg(
+            F.min(idc).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_digest")
+    )
+    return FeatureTable(out, key="keep_id")
+
+
+# ------------------------------------------------------------ E2 MinHash/LSH
+
+
+def minhash_signature(
+    text_col: Column, num_perm: int = 16, shingle_n: int = 3
+) -> Column:
+    """MinHash signature: array of ``num_perm`` 60-bit min-hashes over the
+    document's distinct word shingles.
+
+    One md5 per (shingle, permutation) — JVM-side, codegen-friendly, and
+    reproducible in DuckDB (the oracle recomputes identical signatures).
+    Empty shingle sets (< shingle_n tokens) yield NULL signature entries;
+    such docs never collide into LSH buckets.
+    """
+    sh = distinct_shingles(text_col, shingle_n)
+    return F.array(
+        *[F.array_min(F.transform(sh, _perm_hash(p))) for p in range(num_perm)]
+    )
+
+
+def _perm_hash(p: int):
+    # Closure, NOT a defaulted lambda param: pyspark binds one lambda
+    # variable per signature parameter, so `lambda s, p=p` would receive the
+    # array index as `p` and hash with a garbage salt.
+    return lambda s: stable_hash64(s, salt=f"mh{p}")
+
+
+def minhash_signature_sql(
+    w: str = "w", num_perm: int = 16, shingle_n: int = 3
+) -> str:
+    """DuckDB spelling of :func:`minhash_signature` over a bound token-list
+    column ``w`` (inside a CTE)."""
+    from ralf_spark.functions.text import distinct_shingles_sql
+
+    sh = distinct_shingles_sql(w, shingle_n)
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> CAST(('0x' || substring("
+        f"md5('mh{p}' || '|' || s), 1, {HEX_CHARS})) AS BIGINT)))"
+        for p in range(num_perm)
+    )
+    return f"(SELECT [{mins}] FROM (SELECT {sh} AS sh))"
+
+
+def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a signature into ``bands`` bands of ``rows_per_band`` values;
+    each band hashes to a 32-char bucket key. Returns array<struct<band,key>>
+    ready to explode."""
+    entries = []
+    for b in range(bands):
+        cols = [
+            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("key"),
+            )
+        )
+    return F.array(*entries)
+
+
+def near_dup_pairs(
+    table: FeatureTable,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: shingle → MinHash(num_perm) → ``bands`` bands of
+    ``num_perm // bands`` rows → explode → equi-join on (band, key) with
+    id1 < id2 → distinct candidate pairs → exact Jaccard over shingle sets →
+    keep pairs with jaccard >= threshold.
+
+    Returns (id1, id2, jaccard). No cross join anywhere: candidate
+    generation is a bucket equi-join, so cost is Σ bucket² not n².
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    idc = table.key
+    if idc is None:
+        raise ValueError("near_dup_pairs needs a keyed table")
+
+    # Spread the (CPU-heavy) shingle+hash work across the cluster even when
+    # the source is a few big files: without this, a single-file corpus
+    # hashes on one core. Shuffles only (id, text)-width rows.
+    ids = table.df.select(
+        F.col(idc).alias("_id"), F.col(text_col).alias("_text")
+    ).repartition(table.df.sparkSession.sparkContext.defaultParallelism)
+    docs = ids.select(
+        "_id",
+        distinct_shingles(F.col("_text"), shingle_n).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    sig = docs.withColumn(
+        "_sig",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_sh"), _perm_hash(p)))
+                for p in range(num_perm)
+            ]
+        ),
+    )
+    buckets = sig.select(
+        "_id",
+        F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
+            "_b"
+        ),
+    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+
+    sh = docs.select(F.col("_id"), F.col("_sh"))
+    verified = (
+        cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
+        .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))
+        .select(
+            "id1",
+            "id2",
+            (
+                F.size(F.array_intersect("s1._sh", "s2._sh"))
+                / F.size(F.array_union("s1._sh", "s2._sh"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def near_dup_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """The DuckDB oracle for :func:`near_dup_pairs` — replays the identical
+    shingle/MinHash/band pipeline (same md5 hashing) in SQL."""
+    from ralf_spark.functions.text import distinct_shingles_sql, tokens_sql
+
+    rows_per_band = num_perm // bands
+    hash_expr = (
+        f"CAST(('0x' || substring(md5('mh{{p}}' || '|' || s), 1,"
+        f" {HEX_CHARS})) AS BIGINT)"
+    )
+    sig_items = ", ".join(
+        "list_min(list_transform(sh, s -> " + hash_expr.format(p=p) + "))"
+        for p in range(num_perm)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT _id, {b} AS _band, md5("
+        + " || ',' || ".join(
+            f"CAST(_sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS _key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+    ),
+    docs AS (
+      SELECT _id, {distinct_shingles_sql('w', shingle_n)} AS sh FROM toks
+    ),
+    docs_ne AS (SELECT * FROM docs WHERE len(sh) > 0),
+    sigs AS (SELECT _id, sh, [{sig_items}] AS _sig FROM docs_ne),
+    buckets AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a._id AS id1, b._id AS id2
+      FROM buckets a JOIN buckets b
+        ON a._band = b._band AND a._key = b._key AND a._id < b._id
+    )
+    SELECT id1, id2,
+           round(len(list_intersect(s1.sh, s2.sh)) /
+                 len(list_distinct(list_concat(s1.sh, s2.sh))), 4) AS jaccard
+    FROM cand JOIN docs_ne s1 ON id1 = s1._id
+              JOIN docs_ne s2 ON id2 = s2._id
+    WHERE len(list_intersect(s1.sh, s2.sh)) /
+          len(list_distinct(list_concat(s1.sh, s2.sh))) >= {threshold}
+    ORDER BY id1, id2
+    """

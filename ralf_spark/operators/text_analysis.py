@@ -1,0 +1,151 @@
+"""Text analysis operators (E4): stats, language ID, quality, fingerprints.
+
+North-star LLM-pipeline surface (SURVEY.md §2.10 E4; the reference has no
+text operators — its transform surface is opaque per-record Python,
+``ralf/operator.py:210-221``, which these replace with native expressions).
+
+Every operator here is pure ``pyspark.sql.functions`` — no UDFs — so the
+whole surface runs inside whole-stage codegen and is embarrassingly
+parallel over a 100 TB corpus: per-document expressions are scan-side
+(no shuffle at all), per-corpus profiles are a single partial-agg shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ralf_spark.functions.hashing import stable_hash64
+from ralf_spark.functions.text import distinct_shingles, tokens
+
+#: Tiny per-language stopword sets for the n-gram/lexicon language-ID
+#: heuristic. Deliberately small and engine-agnostic: the same lists are
+#: inlined into the DuckDB oracle.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "zu"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "que"),
+    "fr": ("le", "les", "et", "est", "une", "dans", "pour", "que"),
+}
+
+#: BPE-ish word/number split used by token_count_regex (letters runs,
+#: digit runs; everything else is a boundary).
+TOKEN_REGEX = "[a-z]+|[0-9]+"
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def stopword_count_sql(w: str, lang: str) -> str:
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return f"len(list_filter({w}, t -> t IN ({lst})))"
+
+
+def language_id(text: Column) -> Column:
+    """Lexicon language-ID heuristic: argmax of per-language stopword hits
+    with deterministic priority order (en, de, es, fr); 'und' when no list
+    matches at all. A real deployment swaps richer lexica / char-n-gram
+    scores into the same expression shape."""
+    scores = {lang: stopword_count(text, lang) for lang in STOPWORDS}
+    expr = F.lit("und")
+    # Build the CASE chain back-to-front so earlier languages win ties.
+    for lang in reversed(list(STOPWORDS)):
+        others = [scores[o] for o in STOPWORDS if o != lang]
+        cond = (scores[lang] > 0) & (
+            scores[lang] >= F.greatest(*others)
+            if len(others) > 1
+            else scores[lang] >= others[0]
+        )
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    # Reverse iteration builds WHEN(fr)...WHEN(en) nesting with en outermost.
+    return expr
+
+
+def language_id_sql(w: str) -> str:
+    score = {lang: stopword_count_sql(w, lang) for lang in STOPWORDS}
+    whens = "".join(
+        f" WHEN {score[lang]} > 0 AND {score[lang]} >= greatest("
+        + ", ".join(score[o] for o in STOPWORDS if o != lang)
+        + f") THEN '{lang}'"
+        for lang in STOPWORDS
+    )
+    return f"CASE{whens} ELSE 'und' END"
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: length saturation +
+    stopword ratio + lexical diversity. Mirrors the usual pretraining-data
+    quality filters (length/stopword/repetition) as one JVM expression."""
+    tok = tokens(text)
+    n = F.size(tok)
+    length_part = F.least(F.lit(1.0), n / F.lit(100.0)) * 0.5
+    stop_part = (stopword_count(text, "en") / n) * 0.3
+    diversity = (F.size(F.array_distinct(tok)) / n) * 0.2
+    return F.when(n > 0, length_part + stop_part + diversity).otherwise(0.0)
+
+
+def quality_score_sql(w: str) -> str:
+    stop = stopword_count_sql(w, "en")
+    return (
+        f"CASE WHEN len({w}) > 0 THEN"
+        f" least(1.0, len({w}) / 100.0) * 0.5"
+        f" + ({stop} / len({w})) * 0.3"
+        f" + (len(list_distinct({w})) / len({w})) * 0.2"
+        f" ELSE 0.0 END"
+    )
+
+
+def token_count_regex(text: Column, pattern: str = TOKEN_REGEX) -> Column:
+    """Regex token count (BPE-ish splitter) — `regexp_extract_all` stays
+    JVM-side; contrast with true BPE which would need a pandas UDF."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def token_count_regex_sql(expr: str, pattern: str = TOKEN_REGEX) -> str:
+    return f"len(regexp_extract_all({expr}, '{pattern}'))"
+
+
+def simhash_fingerprint(text: Column, bits: int = 16, shingle_n: int = 3) -> Column:
+    """SimHash document fingerprint over the distinct-shingle set.
+
+    bit b of the fingerprint is set iff Σ_shingles (±1 by bit b of the
+    shingle's stable hash) >= 0. Near-duplicate documents land at small
+    Hamming distance; used as a cheap corpus-level fingerprint column.
+    Cross-engine reproducible (md5-derived hashes, same as MinHash).
+    """
+    sh = distinct_shingles(text, shingle_n)
+    hs = F.transform(sh, lambda s: stable_hash64(s))
+
+    def _bit_vote(mask: int):
+        # Closure (not a default arg): pyspark binds one lambda variable per
+        # positional parameter, so extra defaulted params would become Columns.
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    total = F.lit(0)
+    for b in range(bits):
+        sgn_sum = F.aggregate(hs, F.lit(0).cast("long"), _bit_vote(1 << b))
+        total = total + F.when(sgn_sum >= 0, F.lit(1 << b)).otherwise(0)
+    # Empty shingle set => fingerprint 0 (matches the SQL spelling, where
+    # list_sum over an empty list is NULL).
+    return F.when(F.size(sh) > 0, total).otherwise(0).cast("long")
+
+
+def simhash_fingerprint_sql(
+    sh: str, bits: int = 16, hex_chars: int = 15
+) -> str:
+    """DuckDB spelling over a bound distinct-shingle list column ``sh``."""
+    h = f"CAST(('0x' || substring(md5(s), 1, {hex_chars})) AS BIGINT)"
+    parts = " + ".join(
+        f"CASE WHEN list_sum(list_transform({sh}, s -> CASE WHEN ({h} &"
+        f" {1 << b}) <> 0 THEN 1 ELSE -1 END)) >= 0 THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"CAST(CASE WHEN len({sh}) > 0 THEN {parts} ELSE 0 END AS BIGINT)"

@@ -19,7 +19,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ralf_spark.functions.hashing import stable_hash64_sql
+from ralf_spark.functions.text import distinct_shingles_sql, tokens, tokens_sql
+from ralf_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs,
+    near_dup_pairs_sql,
+)
 from ralf_spark.operators.joins import asof_join, enrichment_join
+from ralf_spark.operators.text_analysis import (
+    language_id,
+    language_id_sql,
+    quality_score,
+    quality_score_sql,
+    simhash_fingerprint,
+    simhash_fingerprint_sql,
+    token_count_regex,
+    token_count_regex_sql,
+)
 from ralf_spark.operators.policies import change_detection_filter, sampling_shed
 from ralf_spark.operators.windows import (
     sliding_count_window,
@@ -641,6 +657,189 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prop_k") % 7 == 0)
         .orderBy("event_id")
     )
+
+
+# =========================================================================
+# LLM-data-pipeline operators (SURVEY §2.10 E1/E2/E4) on `documents`
+# =========================================================================
+
+@query(
+    "exact_dedup",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: exact content dedup via md5 digest groups, deterministic
+    min-id winner. Map-side partial agg; only digests shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_dedup(docs, on=F.col("text"))
+    return out.df.orderBy("keep_id")
+
+
+@query(
+    "exact_dedup_prefix",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      FROM documents
+    )
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM toks GROUP BY md5(array_to_string(w[1:5], ' '))
+    ORDER BY keep_id
+    """,
+)
+def exact_dedup_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 variant: dedup on a normalized content key (first 5 tokens) —
+    exercises real multi-document groups in the fixture corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 5))
+    out = exact_dedup(docs, on=prefix)
+    return out.df.orderBy("keep_id")
+
+
+@query(
+    "text_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, {tokens_sql('text')} AS w FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_distinct_tokens,
+           round(list_sum(list_transform(w, t -> len(t))) / len(w), 4)
+             AS avg_token_len,
+           n_chars
+    FROM toks ORDER BY doc_id
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-document token statistics — scan-side expressions only,
+    zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return (
+        docs.df.select(
+            "doc_id",
+            F.size(tok).alias("n_tokens"),
+            F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+            F.round(
+                F.aggregate(
+                    F.transform(tok, F.length),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                )
+                / F.size(tok),
+                4,
+            ).alias("avg_token_len"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_profile",
+    f"""
+    WITH toks AS (
+      SELECT lang, source, n_chars, {tokens_sql('text')} AS w FROM documents
+    )
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           sum(len(w)) AS total_tokens
+    FROM toks GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: corpus profile per (lang, source) — one partial-agg shuffle on a
+    low-cardinality key."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.df.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(F.size(tokens(F.col("text")))).alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "language_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {tokens_sql('text')} AS w FROM documents
+    )
+    SELECT doc_id, lang, {language_id_sql('w')} AS lang_pred
+    FROM toks ORDER BY doc_id
+    """,
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: lexicon language-ID heuristic vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.df.select(
+        "doc_id", "lang", language_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {tokens_sql('text')} AS w FROM documents
+    )
+    SELECT doc_id,
+           round({quality_score_sql('w')}, 4) AS quality,
+           {token_count_regex_sql('text')} AS n_bpe_tokens
+    FROM toks ORDER BY doc_id
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: quality scoring (length/stopword/diversity heuristic) + regex
+    token counting — the pretraining-data quality-filter shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.df.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        token_count_regex(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {distinct_shingles_sql('w')} AS sh FROM toks
+    )
+    SELECT doc_id, {simhash_fingerprint_sql('sh')} AS simhash16
+    FROM sh ORDER BY doc_id
+    """,
+)
+def doc_fingerprint_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E2: 16-bit SimHash fingerprint over distinct 3-word shingles —
+    cross-engine-identical md5-derived hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.df.select(
+        "doc_id",
+        simhash_fingerprint(F.col("text")).alias("simhash16"),
+    ).orderBy("doc_id")
+
+
+@query("near_dup_minhash", near_dup_pairs_sql())
+def near_dup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: banded MinHash/LSH near-duplicate detection (16 perms, 8 bands
+    of 2) with exact-Jaccard verification at threshold 0.5. Candidate
+    pairs come from a bucket equi-join — no cross join in the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    out = near_dup_pairs(docs, num_perm=16, bands=8, threshold=0.5)
+    return out.select(
+        "id1", "id2", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id1", "id2")
 
 
 def headline_queries() -> dict[str, Query]:

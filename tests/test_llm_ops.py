@@ -1,0 +1,146 @@
+"""Unit tests for the LLM-data-pipeline operators (E1/E2/E4).
+
+Oracle parity over the fixture corpus lives in test_oracle_parity.py; these
+tests pin the operator *contracts* on handcrafted data and the scale
+properties of the plans (no cross join in LSH candidate generation).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ralf_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signature,
+    near_dup_pairs,
+)
+from ralf_spark.operators.text_analysis import (
+    language_id,
+    quality_score,
+    simhash_fingerprint,
+    token_count_regex,
+)
+from ralf_spark.plans.explain import explain_str
+from ralf_spark.table import FeatureTable
+
+
+def _docs(spark, rows):
+    return FeatureTable(
+        spark.createDataFrame(rows, "doc_id long, text string"), key="doc_id"
+    )
+
+
+def test_exact_dedup_groups_and_winners(spark):
+    t = _docs(
+        spark,
+        [(1, "a b c"), (2, "a b c"), (5, "x y"), (3, "a b c"), (4, "x y")],
+    )
+    out = {
+        r.keep_id: r.n_copies
+        for r in exact_dedup(t, on=F.col("text")).df.collect()
+    }
+    assert out == {1: 3, 4: 2}
+
+
+def test_near_dup_pairs_finds_overlap_not_disjoint(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"  # one extra token => high shingle overlap
+    other = "completely different words about spark catalyst plans here"
+    t = _docs(spark, [(1, base), (2, near), (3, other)])
+    pairs = near_dup_pairs(t, num_perm=16, bands=8, threshold=0.5).collect()
+    assert [(p.id1, p.id2) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.8
+
+
+def test_near_dup_plan_has_no_cartesian_product(spark):
+    t = _docs(spark, [(1, "a b c d e"), (2, "a b c d f")])
+    plan = explain_str(near_dup_pairs(t), mode="extended")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signature_shape_and_permutation_variety(spark):
+    t = _docs(spark, [(1, "w1 w2 w3 w4 w5 w6 w7 w8")])
+    sig = t.df.select(
+        minhash_signature(F.col("text"), num_perm=8).alias("s")
+    ).collect()[0][0]
+    assert len(sig) == 8
+    # Different salts => (near-certainly) different minima.
+    assert len(set(sig)) > 1
+
+
+def test_minhash_short_doc_yields_null_entries(spark):
+    t = _docs(spark, [(1, "only two")])  # < 3 tokens -> no shingles
+    sig = t.df.select(
+        minhash_signature(F.col("text"), num_perm=4).alias("s")
+    ).collect()[0][0]
+    assert sig == [None] * 4
+
+
+def test_language_id_heuristic(spark):
+    t = _docs(
+        spark,
+        [
+            (1, "the cat is on the mat and it is flat"),
+            (2, "der hund ist nicht zu haus und das ist gut"),
+            (3, "el perro es un animal y una mascota que ladra"),
+            (4, "zzz qqq www"),
+        ],
+    )
+    out = {
+        r.doc_id: r.p
+        for r in t.df.select(
+            "doc_id", language_id(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    rich = " ".join(f"tok{i} the of and is" for i in range(30))
+    poor = "x x x x"
+    t = _docs(spark, [(1, rich), (2, poor)])
+    out = {
+        r.doc_id: r.q
+        for r in t.df.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_token_count_regex(spark):
+    t = _docs(spark, [(1, "abc 123 def45")])
+    n = t.df.select(token_count_regex(F.col("text")).alias("n")).collect()[0].n
+    assert n == 4  # abc, 123, def, 45
+
+
+def test_simhash_near_dups_are_hamming_close(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    near = base.replace("twelve", "thirteen")
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t = _docs(spark, [(1, base), (2, near), (3, other)])
+    fp = {
+        r.doc_id: r.f
+        for r in t.df.select(
+            "doc_id", simhash_fingerprint(F.col("text")).alias("f")
+        ).collect()
+    }
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert hamming(fp[1], fp[2]) < hamming(fp[1], fp[3])
+
+
+def test_simhash_empty_shingles_is_zero(spark):
+    t = _docs(spark, [(1, "ab")])
+    fp = t.df.select(simhash_fingerprint(F.col("text")).alias("f")).collect()
+    assert fp[0].f == 0
+
+
+def test_exact_dedup_requires_content_expr(spark):
+    t = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        exact_dedup(t)
