@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ralf_spark.functions.hashing import HEX_CHARS, stable_hash64
 from ralf_spark.functions.text import distinct_shingles
+from ralf_spark.operators.util import ensure_parallelism
 from ralf_spark.table import FeatureTable
 
 # ------------------------------------------------------------------ E1 exact
@@ -153,10 +154,10 @@ def near_dup_pairs(
 
     # Spread the (CPU-heavy) shingle+hash work across the cluster even when
     # the source is a few big files: without this, a single-file corpus
-    # hashes on one core. Shuffles only (id, text)-width rows.
-    ids = table.df.select(
-        F.col(idc).alias("_id"), F.col(text_col).alias("_text")
-    ).repartition(table.df.sparkSession.sparkContext.defaultParallelism)
+    # hashes on one core. No-op when the scan already parallelizes.
+    ids = ensure_parallelism(
+        table.df.select(F.col(idc).alias("_id"), F.col(text_col).alias("_text"))
+    )
     docs = ids.select(
         "_id",
         distinct_shingles(F.col("_text"), shingle_n).alias("_sh"),

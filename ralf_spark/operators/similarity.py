@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (E3).
+
+North-star operator (SURVEY.md §2.10 E3): top-k nearest neighbors by cosine
+over an ``array<float>`` embedding column — the reference stores np.ndarray
+feature vectors (``ralf/table.py:160-166``) but has no search operator.
+
+Two strategies, both pure native expressions (zip_with/aggregate compile to
+codegen'd JVM loops — no Python in the hot path):
+
+- **Brute force** (the correctness baseline): broadcast the (small) query
+  set against the corpus — a broadcast nested-loop whose cost is
+  |queries| x |corpus| dot products, embarrassingly parallel, no shuffle of
+  the corpus. Right up to ~10^3 queries x 10^9 corpus rows at 100 TB.
+- **Sign-LSH (random-hyperplane) bucketing** (the scale path): each vector
+  hashes to a small bucket id from the signs of dot products with
+  ``nbits`` deterministic pseudo-random ±1 hyperplanes; candidates come
+  from an equi-join on the bucket id, so cost is Σ bucket² not n². This is
+  SimHash-for-vectors; recall is tunable via nbits. Hyperplane signs are
+  derived from md5 **in Python at plan-build time**, so the plan embeds
+  plain ±1 literals and the DuckDB oracle reuses the identical constants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ralf_spark.functions.arrays import cosine_similarity
+from ralf_spark.operators.util import ensure_parallelism
+from ralf_spark.table import FeatureTable
+
+
+def hyperplane_signs(nbits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign = parity of md5("p|i"). Computed
+    engine-independently so Spark plan and SQL oracle share the constants."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}|{i}".encode()).hexdigest(), 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(nbits)
+    ]
+
+
+def _signed_dot(vec: Column, signs: list[int]) -> Column:
+    plane = F.array(*[F.lit(float(s)) for s in signs])
+    return F.aggregate(
+        F.zip_with(vec, plane, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sign_lsh_bucket(vec: Column, nbits: int, dim: int) -> Column:
+    """Bucket id in [0, 2^nbits): bit p set iff dot(vec, plane_p) >= 0."""
+    planes = hyperplane_signs(nbits, dim)
+    total = F.lit(0)
+    for p, signs in enumerate(planes):
+        total = total + F.when(
+            _signed_dot(vec, signs) >= 0, F.lit(1 << p)
+        ).otherwise(0)
+    return total.cast("int")
+
+
+def sign_lsh_bucket_sql(vec_expr: str, nbits: int, dim: int) -> str:
+    """DuckDB spelling with the identical ±1 constants."""
+    planes = hyperplane_signs(nbits, dim)
+    parts = []
+    for p, signs in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(s)}" for s in signs) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0"
+            f" THEN {1 << p} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(parts) + " AS INTEGER)"
+
+
+def cosine_topk(
+    corpus: FeatureTable,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query vector against the full corpus.
+
+    ``queries`` must be small (it is broadcast); the corpus is scanned once
+    with no shuffle — the per-query ranking shuffles only |q| x k-ish rows.
+    Returns (query_id, neighbor_id, cos_sim, rank), self-matches excluded.
+    """
+    idc = corpus.key
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id))
+        .select(
+            query_id,
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ann_topk(
+    corpus: FeatureTable,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Bucket assignment is an equi-join key, so the corpus shuffles once on
+    bucket id (or broadcasts the bucketed query set, as here). Recall < 1
+    by design; rank/tie-break semantics match :func:`cosine_topk`.
+    """
+    idc = corpus.key
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    ).withColumn("_bucket", sign_lsh_bucket(F.col("_v"), nbits, dim))
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    ).withColumn("_bucket", sign_lsh_bucket(F.col("_qv"), nbits, dim))
+    scored = (
+        emb.join(F.broadcast(q), "_bucket")
+        .where(F.col("neighbor_id") != F.col(query_id))
+        .select(
+            query_id,
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup(
+    corpus: FeatureTable,
+    threshold: float = 0.4,
+    nbits: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket blocking.
+
+    Same-bucket pairs (id1 < id2) with cosine >= threshold. The pair
+    generation is a bucket self-equi-join — Σ bucket², never n². Note the
+    recall caveat of single-probe LSH: pairs straddling a bucket boundary
+    are missed; production would multi-probe or union several plane sets.
+    """
+    idc = corpus.key
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    ).withColumn("_bucket", sign_lsh_bucket(F.col("_v"), nbits, dim))
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -26,6 +26,12 @@ from ralf_spark.operators.dedup import (
     near_dup_pairs_sql,
 )
 from ralf_spark.operators.joins import asof_join, enrichment_join
+from ralf_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    embedding_near_dup,
+    sign_lsh_bucket_sql,
+)
 from ralf_spark.operators.text_analysis import (
     language_id,
     language_id_sql,
@@ -839,6 +845,130 @@ def near_dup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = near_dup_pairs(docs, num_perm=16, bands=8, threshold=0.5)
     return out.select(
         "id1", "id2", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id1", "id2")
+
+
+# =========================================================================
+# Similarity search over embeddings (SURVEY §2.10 E3)
+# =========================================================================
+
+_COS_SQL = (
+    "list_dot_product(qv, v) /"
+    " (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+)
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benchmark query set: the first 5 corpus vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+@query(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT query_id, e.vec_id AS neighbor_id, embedding::DOUBLE[] AS v, qv
+      FROM q, embeddings e WHERE e.vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY {_COS_SQL} DESC, neighbor_id
+             ) AS rnk
+      FROM c
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rnk
+    FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def similarity_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 baseline: exact cosine top-5 per query vector — broadcast query
+    set against a single corpus scan (no corpus shuffle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, _query_vectors(spark, sf_dir), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
+
+
+@query(
+    "similarity_topk_ann",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {sign_lsh_bucket_sql('embedding::DOUBLE[]', 6, 64)} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ),
+    e AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v,
+             {sign_lsh_bucket_sql('embedding::DOUBLE[]', 6, 64)} AS bucket
+      FROM embeddings
+    ),
+    c AS (
+      SELECT query_id, neighbor_id, v, qv FROM q JOIN e USING (bucket)
+      WHERE neighbor_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY {_COS_SQL} DESC, neighbor_id
+             ) AS rnk
+      FROM c
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rnk
+    FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def similarity_topk_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: sign-LSH (6-bit) bucket blocking before cosine —
+    candidates come from a bucket equi-join, Σ bucket² not n²."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_topk(emb, _query_vectors(spark, sf_dir), k=5, nbits=6, dim=64)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
+
+
+@query(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH e AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+             {sign_lsh_bucket_sql('embedding::DOUBLE[]', 6, 64)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.id AS id1, b.id AS id2,
+           round(list_dot_product(a.vec, b.vec) /
+                 (sqrt(list_dot_product(a.vec, a.vec)) *
+                  sqrt(list_dot_product(b.vec, b.vec))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE list_dot_product(a.vec, b.vec) /
+          (sqrt(list_dot_product(a.vec, a.vec)) *
+           sqrt(list_dot_product(b.vec, b.vec))) >= 0.4
+    ORDER BY id1, id2
+    """,
+)
+def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3: embedding-cosine near-duplicate pairs, LSH-bucket-blocked
+    (single-probe; recall caveat documented on the operator)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup(emb, threshold=0.4, nbits=6, dim=64)
+    return out.select(
+        "id1", "id2", F.round("cos_sim", 4).alias("cos_sim")
     ).orderBy("id1", "id2")
 
 

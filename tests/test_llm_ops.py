@@ -144,3 +144,92 @@ def test_exact_dedup_requires_content_expr(spark):
     t = _docs(spark, [(1, "a")])
     with pytest.raises(ValueError):
         exact_dedup(t)
+
+
+# ---------------------------------------------------------------- similarity
+
+from ralf_spark.operators.similarity import (  # noqa: E402
+    ann_topk,
+    cosine_topk,
+    embedding_near_dup,
+    hyperplane_signs,
+    sign_lsh_bucket,
+)
+
+
+def _emb(spark, rows):
+    return FeatureTable(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        key="vec_id",
+    )
+
+
+def test_cosine_topk_exact_ranking(spark):
+    corpus = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+    )
+    q = corpus.df.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk(corpus, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert out[0].cos_sim > 0.99
+    assert abs(out[1].cos_sim) < 1e-9
+    assert out[2].cos_sim < -0.99
+
+
+def test_sign_lsh_bucket_deterministic_and_bounded(spark):
+    corpus = _emb(spark, [(i, [float(i), 1.0, -2.0, 0.5]) for i in range(20)])
+    b1 = corpus.df.select(
+        sign_lsh_bucket(F.col("embedding").cast("array<double>"), 4, 4).alias("b")
+    ).collect()
+    b2 = corpus.df.select(
+        sign_lsh_bucket(F.col("embedding").cast("array<double>"), 4, 4).alias("b")
+    ).collect()
+    assert b1 == b2
+    assert all(0 <= r.b < 16 for r in b1)
+
+
+def test_hyperplane_signs_engine_independent():
+    p = hyperplane_signs(3, 5)
+    assert len(p) == 3 and all(len(row) == 5 for row in p)
+    assert all(s in (-1, 1) for row in p for s in row)
+    assert p == hyperplane_signs(3, 5)  # pure function of (nbits, dim)
+
+
+def test_ann_topk_scores_match_bruteforce_on_shared_pairs(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)]) for i in range(30)]
+    corpus = _emb(spark, rows)
+    q = corpus.df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(corpus, q, k=30).collect()
+    }
+    ann = ann_topk(corpus, q, k=30, nbits=3, dim=8).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_embedding_near_dup_pairs_ordered_and_thresholded(spark):
+    corpus = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0]),  # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),
+        ],
+    )
+    out = embedding_near_dup(corpus, threshold=0.9, nbits=2, dim=3).collect()
+    assert all(r.id1 < r.id2 for r in out)
+    assert {(r.id1, r.id2) for r in out} <= {(1, 2)}
