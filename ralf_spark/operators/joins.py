@@ -145,51 +145,95 @@ def one_shot_join(
     left: FeatureTable,
     right: FeatureTable,
     on: str | None = None,
+    right_payload: Sequence[str] | None = None,
+    seq_comparable: bool | None = None,
 ) -> FeatureTable:
-    """Reference LeftJoin's buffered-left semantics, batch-deterministic:
-    each left row matches at most once, and a buffered left row is consumed
-    by the FIRST right arrival after it (one-shot delete,
-    ``ralf/operators/join.py:47``). Left rows arriving when right state
-    exists join immediately (as-of); rows before any right state join the
-    first subsequent right row.
+    """Reference LeftJoin's buffered-left semantics, batch-deterministic
+    (``ralf/operators/join.py:34-50``):
 
-    = as-of join, falling back to the *next* right row when no prior state.
+    - A left row arriving when right state exists joins the *current* right
+      state (as-of, ``:36-40``).
+    - A left row with no prior right state is **buffered**; the buffer is a
+      latest-per-key upsert, so a later buffered left *overwrites* an
+      earlier one (``left_table.update``, ``:38``) — overwritten rows are
+      never emitted.
+    - The FIRST right arrival consumes the buffered left (one-shot delete,
+      ``:44-47``); a buffer no right arrival ever consumes is never emitted.
+
+    So: per key, left rows after the first right arrival get the as-of
+    match; of the left rows before it, only the latest joins (with that
+    first right row); everything else is dropped.
+
+    Plan: one union + rows-frame window (single shuffle on the key) for the
+    as-of part, plus two map-side-partial hash aggs (latest buffered left,
+    first right) and a key equi-join of those two tiny per-key tables.
     """
     key = on or left.key
-    fwd = asof_join(left, right, left_on=key, right_on=key)
-    # rows with no prior right state: match forward to first right row after
-    rp = [c for c in right.df.columns if c not in (key, right.ts)]
+    if key is None or left.ts is None or right.ts is None:
+        raise ValueError("one_shot_join needs a key and ts on both sides")
+    if seq_comparable is None:
+        seq_comparable = left.seq is not None and right.seq is not None
+    rp = right_payload or [
+        c for c in right.df.columns if c not in (key, right.ts)
+    ]
     lcols = left.df.columns
-    unmatched = fwd.df.where(F.col(rp[0]).isNull()).select(*lcols)
-    matched = fwd.df.where(F.col(rp[0]).isNotNull())
-    if left.ts is None or right.ts is None:
-        raise ValueError("one_shot_join needs ts on both sides")
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").desc(), F.col("_side").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    l_tag = unmatched.select(
-        F.col(key).alias("_k"), F.col(left.ts).alias("_t"),
+
+    l_tag = left.df.select(
+        F.col(key).alias("_k"),
+        F.col(left.ts).alias("_t"),
         F.lit(1).alias("_side"),
+        (F.col(left.seq) if left.seq else F.lit(0)).alias("_seq"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
         F.lit(None).cast(
             right.df.select(F.struct(*rp).alias("s")).schema["s"].dataType
         ).alias("_r"),
     )
     r_tag = right.df.select(
-        F.col(key).alias("_k"), F.col(right.ts).alias("_t"),
+        F.col(key).alias("_k"),
+        F.col(right.ts).alias("_t"),
         F.lit(0).alias("_side"),
+        (F.col(right.seq) if right.seq else F.lit(0)).alias("_seq"),
         F.lit(None).cast(
-            unmatched.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+            left.df.select(F.struct(*lcols).alias("s")).schema["s"].dataType
         ).alias("_l"),
         F.struct(*rp).alias("_r"),
     )
-    fwd_fill = (
+    order = ["_t", "_seq", "_side"] if seq_comparable else ["_t", "_side", "_seq"]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # _rstate is the right *struct*: NULL iff no prior right arrival — a
+    # right row whose payload fields are legitimately NULL still counts as
+    # state (the struct itself is non-null).
+    lefts = (
         l_tag.unionByName(r_tag)
         .withColumn("_rstate", F.last("_r", ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
-        .select("_l.*", *[F.col(f"_rstate.{c}").alias(c) for c in rp])
     )
-    out = matched.select(*lcols, *rp).unionByName(fwd_fill.select(*lcols, *rp))
-    return FeatureTable(out, key=key, ts=left.ts, seq=left.seq)
+    matched = lefts.where(F.col("_rstate").isNotNull()).select(
+        "_l.*", *[F.col(f"_rstate.{c}").alias(c) for c in rp]
+    )
+    # Buffered path: latest pre-first-right left per key joins the first
+    # right row; earlier buffered lefts were overwritten, keys with no
+    # right at all never emit.
+    arrival = F.struct("_t", "_seq")
+    last_buffered = (
+        lefts.where(F.col("_rstate").isNull())
+        .groupBy("_k")
+        .agg(F.max_by("_l", arrival).alias("_l"))
+    )
+    first_right = r_tag.groupBy("_k").agg(
+        F.min_by("_r", arrival).alias("_r")
+    )
+    buffered = last_buffered.join(first_right, "_k").select(
+        "_l.*", *[F.col(f"_r.{c}").alias(c) for c in rp]
+    )
+    out = matched.unionByName(buffered)
+    return FeatureTable(
+        out,
+        key=key if key in out.columns else None,
+        ts=left.ts if left.ts in out.columns else None,
+        seq=left.seq if left.seq and left.seq in out.columns else None,
+    )

@@ -25,7 +25,13 @@ from ralf_spark.operators.dedup import (
     near_dup_pairs,
     near_dup_pairs_sql,
 )
-from ralf_spark.operators.joins import asof_join, enrichment_join
+from ralf_spark.operators.joins import asof_join, enrichment_join, one_shot_join
+from ralf_spark.operators.multimodal import (
+    binary_stats,
+    decode_image_features,
+    frame_sample,
+    with_binary_payload,
+)
 from ralf_spark.operators.similarity import (
     ann_topk,
     cosine_topk,
@@ -558,6 +564,75 @@ def asof_join_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@query(
+    "one_shot_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events),
+    r AS (
+      SELECT user_id, ts, event_id AS r_seq, round(value, 4) AS r_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT l.event_id, l.user_id, st.r_value, st.r_event
+      FROM l JOIN LATERAL (
+        SELECT r.r_value, r.r_seq AS r_event FROM r
+        WHERE r.user_id = l.user_id
+          AND (r.ts < l.ts OR (r.ts = l.ts AND r.r_seq <= l.event_id))
+        ORDER BY r.ts DESC, r.r_seq DESC LIMIT 1
+      ) st ON true
+    ),
+    unmatched AS (
+      SELECT * FROM l WHERE NOT EXISTS (
+        SELECT 1 FROM r WHERE r.user_id = l.user_id
+          AND (r.ts < l.ts OR (r.ts = l.ts AND r.r_seq <= l.event_id))
+      )
+    ),
+    last_buffered AS (
+      SELECT event_id, user_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM unmatched
+      ) WHERE rn = 1
+    ),
+    first_right AS (
+      SELECT user_id, r_value, r_seq AS r_event FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, r_seq) AS rn
+        FROM r
+      ) WHERE rn = 1
+    )
+    SELECT event_id, user_id, r_value, r_event FROM matched
+    UNION ALL
+    SELECT b.event_id, b.user_id, f.r_value, f.r_event
+    FROM last_buffered b JOIN first_right f USING (user_id)
+    ORDER BY event_id
+    """,
+)
+def one_shot_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1c: the reference LeftJoin's one-shot buffered semantics — lefts
+    after the first 'purchase' state join as-of; of the lefts before it only
+    the latest joins (with the first purchase); the rest never emit
+    (``ralf/operators/join.py:34-50``)."""
+    ev = _t(spark, sf_dir, "events")
+    left = FeatureTable(
+        ev.df.select("event_id", "user_id", "ts"),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    right = FeatureTable(
+        ev.df.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts",
+            F.col("event_id").alias("r_seq"),
+            F.round("value", 4).alias("r_value"),
+            F.col("event_id").alias("r_event"),
+        ),
+        key="user_id", ts="ts", seq="r_seq",
+    )
+    out = one_shot_join(left, right, right_payload=["r_value", "r_event"])
+    return out.df.select(
+        "event_id", "user_id", "r_value", "r_event"
+    ).orderBy("event_id")
+
+
 # =========================================================================
 # Ralf parity: policies as queries (SURVEY §2.2 P3-P5)
 # =========================================================================
@@ -970,6 +1045,73 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id1", "id2", F.round("cos_sim", 4).alias("cos_sim")
     ).orderBy("id1", "id2")
+
+
+# =========================================================================
+# Multimodal binary columns (SURVEY §2.10 E5) + pandas-UDF surface (§2.8)
+# =========================================================================
+
+@query(
+    "multimodal_binary_stats",
+    """
+    SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_binary_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: JVM-side metadata over an opaque binary payload column — the
+    size/digest columns a pipeline stores beside the bytes so later stages
+    filter and dedup without decoding."""
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return docs.df.select("doc_id", *binary_stats(docs.df)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_image_features",
+    """
+    WITH d AS (
+      SELECT doc_id, md5(text) AS h,
+             octet_length(CAST(text AS BLOB)) AS byte_len
+      FROM documents
+    )
+    SELECT doc_id, byte_len,
+           CAST(1 + CAST(('0x' || substring(h, 1, 4)) AS BIGINT) % 2048
+                AS INTEGER) AS width,
+           CAST(1 + CAST(('0x' || substring(h, 5, 4)) AS BIGINT) % 2048
+                AS INTEGER) AS height,
+           CAST(1 + CAST(('0x' || substring(h, 9, 2)) AS BIGINT) % 4
+                AS INTEGER) AS n_channels,
+           round((CAST(('0x' || substring(h, 11, 4)) AS BIGINT) % 10000)
+                 / 10000.0, 4) AS mean_intensity
+    FROM d ORDER BY doc_id
+    """,
+)
+def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 + §2.8 pandas surface: Arrow-batched mapInPandas decode kernel
+    (stub mode — md5-derived pseudo-features; a real deployment swaps the
+    codec into the same iterator). The oracle replays the digest math in
+    SQL, so the whole Python batch path is hash-checked."""
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    out = decode_image_features(docs, mode="stub")
+    return out.df.orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           md5(text || '|frame' || CAST(i AS VARCHAR)) AS frame_md5
+    FROM documents, generate_series(0, 2) AS t(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: UDTF-shaped frame sampling — 3 output rows per payload through
+    the same mapInPandas fan-out a real video sampler would use."""
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    out = frame_sample(docs, n_frames=3)
+    return out.df.orderBy("doc_id", "frame_idx")
 
 
 def headline_queries() -> dict[str, Query]:
