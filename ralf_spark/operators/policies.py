@@ -53,34 +53,116 @@ def keep_latest(table: FeatureTable) -> FeatureTable:
 
 def change_detection_filter(
     table: FeatureTable,
-    value: Column | str,
+    value: str,
     threshold: float,
     metric: str = "abs",
+    semantics: str = "last_emitted",
 ) -> FeatureTable:
     """Approximate-maintenance filter: emit a key's update only when the
-    feature moved more than ``threshold`` since the last *emitted* value —
-    the batch spelling of ``make_mean_policy`` (emit iff
-    ``|new_mean - old_mean| >= thresh``, ``load_shedding_policy.py:14-22``).
+    feature moved more than ``threshold`` — the batch spelling of
+    ``make_mean_policy`` (``load_shedding_policy.py:41-49``).
 
-    Exact sequential semantics ("last emitted", not "previous row") need a
-    per-key scan: rows of one key are processed together via a rows-frame
-    comparison against the previous row's value — the reference's policies
-    also compare candidate vs most-recent state, which IS the previous
-    update in arrival order (``ralf/operator.py:199-208``), so previous-row
-    is the faithful batch equivalent. One shuffle on the key.
+    ``semantics`` picks the comparison baseline:
+
+    - ``"last_emitted"`` (default — the FAITHFUL reference semantics): a
+      shed record never updates the state table (``ralf/operator.py:
+      199-208`` skips ``event.process()``), so each candidate compares
+      against the last value that was actually emitted. Inherently a
+      per-key sequential scan → Arrow-batched ``applyInPandas``; one
+      shuffle on the key, per-key groups stream through pandas.
+      E.g. values [0, 9, 18] at threshold 10 emit 0 then 18.
+    - ``"previous_row"``: compare against the immediately preceding row,
+      emitted or not — a cheaper pure-window variant (``lag`` over one
+      sort), NOT the reference behavior: [0, 9, 18] emits only 0.
     """
     if table.key is None:
         raise ValueError("change_detection_filter requires a keyed table")
-    v = F.col(value) if isinstance(value, str) else value
-    w = Window.partitionBy(table.key).orderBy(*table.order_cols())
-    prev = F.lag(v).over(w)
-    if metric == "abs":
-        delta = F.abs(v - prev)
-    elif metric == "rel":
-        delta = F.abs(v - prev) / F.abs(prev)
-    else:
+    if metric not in ("abs", "rel"):
         raise ValueError(f"unknown metric {metric!r}")
-    keep = prev.isNull() | (delta >= threshold)
-    return table._with(
-        table.df.withColumn("_keep", keep).where("_keep").drop("_keep")
-    )
+    if semantics == "previous_row":
+        v = F.col(value)
+        w = Window.partitionBy(table.key).orderBy(*table.order_cols())
+        prev = F.lag(v).over(w)
+        delta = F.abs(v - prev) if metric == "abs" else F.abs(v - prev) / F.abs(prev)
+        keep = prev.isNull() | (delta >= threshold)
+        return table._with(
+            table.df.withColumn("_keep", keep).where("_keep").drop("_keep")
+        )
+    if semantics != "last_emitted":
+        raise ValueError(f"unknown semantics {semantics!r}")
+
+    order = [c for c in (table.ts, table.seq) if c is not None]
+    if not order:
+        raise ValueError("last_emitted semantics needs ts/seq ordering")
+    schema = table.df.schema
+
+    def scan(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        keep, last = [], None
+        for v in pdf[value]:
+            if last is None:
+                emit = True
+            elif metric == "abs":
+                emit = abs(v - last) >= threshold
+            else:
+                emit = abs(v - last) / abs(last) >= threshold
+            if emit:
+                last = v
+            keep.append(emit)
+        return pdf[keep]
+
+    out = table.df.groupBy(table.key).applyInPandas(scan, schema)
+    return table._with(out)
+
+
+def change_detection_window(
+    table: FeatureTable,
+    window_col: str,
+    order_col: str,
+    threshold: float,
+    metric: str = "mean_rel",
+) -> FeatureTable:
+    """Change detection over *window array* payloads vs the last emitted
+    window — the reference's ``make_mean_policy`` / ``make_cosine_policy``
+    shapes (``load_shedding_policy.py:14-50``; both reduce the
+    ``window: List[Record]`` payload and compare against current state).
+
+    - ``metric="mean_rel"``: relative change of the window sum (the
+      reference's "mean" policy sums the window and takes
+      ``|cand - curr| / |curr|``, ``:42-46``).
+    - ``metric="cosine"``: cosine *distance* (1 - cos) between candidate
+      and last-emitted window vectors. (The reference's cosine variant
+      additionally applies a seasonality rotation before the dot product,
+      ``:16-27`` — an application-specific twist not reproduced here.)
+
+    Per-key sequential scan via ``applyInPandas``: one shuffle on the key.
+    """
+    if table.key is None:
+        raise ValueError("change_detection_window requires a keyed table")
+    if metric not in ("mean_rel", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    schema = table.df.schema
+
+    def scan(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values([order_col], kind="mergesort")
+        keep, last = [], None
+        for win in pdf[window_col]:
+            cand = np.asarray(list(win), dtype="float64")
+            if last is None:
+                emit = True
+            elif metric == "mean_rel":
+                cur = last.sum()
+                emit = abs(cand.sum() - cur) / abs(cur) >= threshold
+            else:
+                denom = np.linalg.norm(cand) * np.linalg.norm(last)
+                cos = float(cand @ last) / denom if denom else 0.0
+                emit = (1.0 - cos) >= threshold
+            if emit:
+                last = cand
+            keep.append(emit)
+        return pdf[keep]
+
+    out = table.df.groupBy(table.key).applyInPandas(scan, schema)
+    return table._with(out)

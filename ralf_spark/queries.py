@@ -48,7 +48,11 @@ from ralf_spark.operators.text_analysis import (
     token_count_regex,
     token_count_regex_sql,
 )
-from ralf_spark.operators.policies import change_detection_filter, sampling_shed
+from ralf_spark.operators.policies import (
+    change_detection_filter,
+    change_detection_window,
+    sampling_shed,
+)
 from ralf_spark.operators.windows import (
     sliding_count_window,
     tumbling_count_window,
@@ -671,13 +675,122 @@ def sampling_shed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def change_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5: emit only updates that moved the feature >= 10.0 — the mean-drift
-    approximate-maintenance policy (``load_shedding_policy.py:14-22``)."""
+    """P5 (previous-row variant): emit only updates that moved >= 10.0 vs
+    the immediately preceding row — the cheap pure-window spelling. NOT the
+    reference's state-compare semantics; see change_detection_last_emitted
+    for the faithful one."""
     ev = _t(spark, sf_dir, "events")
-    out = change_detection_filter(ev, "value", threshold=10.0)
+    out = change_detection_filter(
+        ev, "value", threshold=10.0, semantics="previous_row"
+    )
     return out.df.select(
         "event_id", "user_id", F.round("value", 4).alias("value")
     ).orderBy("event_id")
+
+
+@query(
+    "change_detection_last_emitted",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT event_id, user_id, value, rn, value AS last_emitted,
+             true AS emitted
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_id, s.user_id, s.value, s.rn,
+             CASE WHEN abs(s.value - w.last_emitted) >= 10.0
+                  THEN s.value ELSE w.last_emitted END,
+             abs(s.value - w.last_emitted) >= 10.0
+      FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM walk WHERE emitted ORDER BY event_id
+    """,
+)
+def change_detection_last_emitted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (faithful reference semantics): emit only updates >= 10.0 away
+    from the last EMITTED value — shed records never update state
+    (``ralf/operator.py:199-208``). Per-key sequential scan via
+    applyInPandas; the oracle replays it with a recursive CTE."""
+    ev = _t(spark, sf_dir, "events")
+    out = change_detection_filter(
+        ev, "value", threshold=10.0, semantics="last_emitted"
+    )
+    return out.df.select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    ).orderBy("event_id")
+
+
+@query(
+    "change_detection_window_mean",
+    """
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 1 AS rn
+      FROM events
+    ),
+    wins AS (
+      SELECT user_id, CAST(floor(rn / 5) AS BIGINT) AS window_id,
+             sum(value) AS w_sum
+      FROM ranked GROUP BY user_id, CAST(floor(rn / 5) AS BIGINT)
+      HAVING count(*) = 5
+    ),
+    seq AS (
+      SELECT user_id, window_id, w_sum,
+             row_number() OVER (PARTITION BY user_id ORDER BY window_id)
+               AS rn
+      FROM wins
+    ),
+    walk AS (
+      SELECT user_id, window_id, w_sum, rn, w_sum AS last_emitted,
+             true AS emitted
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.window_id, s.w_sum, s.rn,
+             CASE WHEN abs(s.w_sum - w.last_emitted) / abs(w.last_emitted)
+                       >= 0.2
+                  THEN s.w_sum ELSE w.last_emitted END,
+             abs(s.w_sum - w.last_emitted) / abs(w.last_emitted) >= 0.2
+      FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, window_id, round(w_sum, 4) AS w_sum
+    FROM walk WHERE emitted ORDER BY user_id, window_id
+    """,
+)
+def change_detection_window_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 over window payloads: tumbling 5-windows per key; emit a window
+    only when its sum moved >= 20% relative to the last emitted window —
+    the reference's make_mean_policy reduces the window payload and takes
+    a relative diff vs current state (``load_shedding_policy.py:41-49``)."""
+    ev = _t(spark, sf_dir, "events")
+    wins = tumbling_count_window(
+        ev, size=5, payload_cols=["value"]
+    )
+    arrays = FeatureTable(
+        wins.df.select(
+            "user_id",
+            "window_id",
+            F.transform("window", lambda s: s["value"]).alias("values"),
+        ),
+        key="user_id",
+    )
+    out = change_detection_window(
+        arrays, window_col="values", order_col="window_id",
+        threshold=0.2, metric="mean_rel",
+    )
+    return out.df.select(
+        "user_id",
+        "window_id",
+        F.round(
+            F.aggregate("values", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("w_sum"),
+    ).orderBy("user_id", "window_id")
 
 
 # =========================================================================

@@ -1,0 +1,112 @@
+"""Policy operator contract tests (P3-P5), incl. the last-emitted vs
+previous-row change-detection divergence the reference semantics require."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ralf_spark.operators.policies import (
+    change_detection_filter,
+    change_detection_window,
+    keep_latest,
+    sampling_shed,
+)
+from ralf_spark.table import FeatureTable
+
+
+def _seq(spark, values):
+    rows = [("k", i, i, float(v)) for i, v in enumerate(values)]
+    return FeatureTable(
+        spark.createDataFrame(rows, "k string, ts long, seq long, value double"),
+        key="k", ts="ts", seq="seq",
+    )
+
+
+def test_last_emitted_vs_previous_row_divergence(spark):
+    # The ADVICE case: [0, 9, 18] at threshold 10.
+    # Reference (last emitted): 0 emits; 9 compares to 0 -> shed (state
+    # stays 0); 18 compares to 0 -> emits. Previous-row: 18 compares to 9
+    # -> shed.
+    t = _seq(spark, [0, 9, 18])
+    le = change_detection_filter(t, "value", 10.0, semantics="last_emitted")
+    pr = change_detection_filter(t, "value", 10.0, semantics="previous_row")
+    assert sorted(r.value for r in le.df.collect()) == [0.0, 18.0]
+    assert sorted(r.value for r in pr.df.collect()) == [0.0]
+
+
+def test_last_emitted_rel_metric(spark):
+    # rel threshold 0.5 vs last emitted: 100 emits; 120 (20%) shed;
+    # 160 (60% vs 100) emits; 200 (25% vs 160) shed.
+    t = _seq(spark, [100, 120, 160, 200])
+    out = change_detection_filter(
+        t, "value", 0.5, metric="rel", semantics="last_emitted"
+    )
+    assert sorted(r.value for r in out.df.collect()) == [100.0, 160.0]
+
+
+def test_change_detection_rejects_bad_args(spark):
+    t = _seq(spark, [1, 2])
+    with pytest.raises(ValueError):
+        change_detection_filter(t, "value", 1.0, metric="nope")
+    with pytest.raises(ValueError):
+        change_detection_filter(t, "value", 1.0, semantics="nope")
+
+
+def test_window_mean_rel_last_emitted(spark):
+    # windows sums: [10, 11, 14] with rel threshold 0.3:
+    # 10 emits; 11 (10%) shed; 14 (40% vs 10) emits.
+    rows = [
+        ("k", 0, [5.0, 5.0]),
+        ("k", 1, [5.0, 6.0]),
+        ("k", 2, [7.0, 7.0]),
+    ]
+    t = FeatureTable(
+        spark.createDataFrame(rows, "k string, wid long, vals array<double>"),
+        key="k",
+    )
+    out = change_detection_window(
+        t, window_col="vals", order_col="wid", threshold=0.3, metric="mean_rel"
+    )
+    assert sorted(r.wid for r in out.df.collect()) == [0, 2]
+
+
+def test_window_cosine_last_emitted(spark):
+    # same direction -> cos dist 0 -> shed; orthogonal -> dist 1 -> emit
+    rows = [
+        ("k", 0, [1.0, 0.0]),
+        ("k", 1, [2.0, 0.0]),   # parallel to window 0 -> shed
+        ("k", 2, [0.0, 1.0]),   # orthogonal to last emitted -> emit
+        ("k", 3, [0.0, 5.0]),   # parallel to window 2 -> shed
+    ]
+    t = FeatureTable(
+        spark.createDataFrame(rows, "k string, wid long, vals array<double>"),
+        key="k",
+    )
+    out = change_detection_window(
+        t, window_col="vals", order_col="wid", threshold=0.5, metric="cosine"
+    )
+    assert sorted(r.wid for r in out.df.collect()) == [0, 2]
+
+
+def test_sampling_shed_deterministic_and_ratioed(spark):
+    t = FeatureTable(
+        spark.range(0, 10_000).select(
+            F.col("id").alias("seq"), F.col("id").alias("k")
+        ),
+        key="k", seq="seq",
+    )
+    a = sampling_shed(t, 0.25, on=F.col("seq")).df.count()
+    b = sampling_shed(t, 0.25, on=F.col("seq")).df.count()
+    assert a == b
+    assert 0.2 < a / 10_000 < 0.3
+
+
+def test_keep_latest_is_latest_per_key(spark):
+    rows = [("a", 1, 1, 10.0), ("a", 2, 2, 20.0), ("b", 1, 3, 5.0)]
+    t = FeatureTable(
+        spark.createDataFrame(rows, "k string, ts long, seq long, value double"),
+        key="k", ts="ts", seq="seq",
+    )
+    out = {r.k: r.value for r in keep_latest(t).df.collect()}
+    assert out == {"a": 20.0, "b": 5.0}
