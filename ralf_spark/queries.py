@@ -1037,6 +1037,73 @@ def near_dup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Streaming parity (SURVEY §7.1 step 6): bounded availableNow replays
+# =========================================================================
+
+@query(
+    "streaming_tumbling_window",
+    """
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    )
+    SELECT user_id, CAST(floor(rn / 5) AS BIGINT) AS window_id,
+           round(sum(value), 4) AS w_sum, round(avg(value), 4) AS w_avg
+    FROM ranked
+    GROUP BY user_id, CAST(floor(rn / 5) AS BIGINT)
+    HAVING count(*) = 5
+    ORDER BY user_id, window_id
+    """,
+)
+def streaming_tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 as a STREAM: bounded availableNow replay of the events table
+    through the stateful count-window (applyInPandasWithState per-key
+    buffer). A single-batch replay applies rows in event_id order, which
+    equals the batch (ts, event_id) order on this data — so the streaming
+    result is oracle-checkable against the same SQL as the batch W1."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from ralf_spark.streaming import (
+        run_bounded,
+        streaming_tumbling_count_window,
+        write_memory,
+    )
+
+    # FileStreamSource wants a directory; expose the single fixture file
+    # through a symlinked temp dir.
+    src_dir = _tf.mkdtemp(prefix="stream_events_")
+    _os.symlink(
+        _os.path.abspath(f"{sf_dir}/events.parquet"),
+        f"{src_dir}/events.parquet",
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .parquet(src_dir)
+    )
+    win = streaming_tumbling_count_window(
+        stream, key_col="user_id", value_col="value",
+        order_col="event_id", size=5,
+    )
+    name = "stream_w1_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    run_bounded(
+        write_memory(win, name), checkpoint=_tf.mkdtemp(prefix="ck_w1_")
+    )
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "window_id",
+            F.round("w_sum", 4).alias("w_sum"),
+            F.round("w_avg", 4).alias("w_avg"),
+        )
+        .orderBy("user_id", "window_id")
+    )
+
+
+# =========================================================================
 # Similarity search over embeddings (SURVEY §2.10 E3)
 # =========================================================================
 

@@ -1,0 +1,36 @@
+"""Streaming parity layer (SURVEY.md §7.1 step 6).
+
+The reference is a push-based streaming dataflow; this package re-expresses
+its source/sink/stateful-window surface on Structured Streaming. Batch
+remains the engine's primary mode (the north star is batch feature
+computation); streaming uses the same FeatureTable semantics with bounded
+``availableNow`` runs for deterministic testing.
+"""
+
+from ralf_spark.streaming.sinks import (
+    foreach_batch_latest_upsert,
+    run_bounded,
+    write_console,
+    write_memory,
+    write_parquet,
+)
+from ralf_spark.streaming.sources import (
+    EVENT_SCHEMA,
+    file_events,
+    kafka_events,
+    rate_events,
+)
+from ralf_spark.streaming.windows import streaming_tumbling_count_window
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "file_events",
+    "kafka_events",
+    "rate_events",
+    "foreach_batch_latest_upsert",
+    "run_bounded",
+    "write_console",
+    "write_memory",
+    "write_parquet",
+    "streaming_tumbling_count_window",
+]

@@ -1,0 +1,97 @@
+"""Structured Streaming sinks — writers + the latest-per-key upsert state sink.
+
+The reference's operators each materialize latest-per-key state on every
+update (``ralf/state/table_state.py:29-46``) into dict/SQLite/Redis
+connectors; its ``Sink`` op is a pass-through writer
+(``ralf/operators/sink.py:5-11``). Spark spellings:
+
+- console/memory writers for debug + tests (``Print``,
+  ``ralf/operators/logging.py:10-24``)
+- ``foreach_batch_latest_upsert``: the state-table maintenance loop — each
+  micro-batch MERGEs into the persisted latest-per-key table. On a lakehouse
+  table format this is a real ``MERGE INTO``; the parquet spelling below is
+  read-union-recompute-overwrite, which is correct and idempotent for
+  bounded replays (exactly-once not concurrent-writer-safe — a production
+  deployment points this at Delta/Iceberg).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+from ralf_spark.table import FeatureTable
+
+
+def write_console(df: DataFrame, mode: str = "append") -> DataStreamWriter:
+    return df.writeStream.format("console").outputMode(mode)
+
+
+def write_memory(df: DataFrame, name: str, mode: str = "append") -> DataStreamWriter:
+    """Memory sink for tests: results land in a temp view called ``name``."""
+    return df.writeStream.format("memory").queryName(name).outputMode(mode)
+
+
+def write_parquet(
+    df: DataFrame, path: str, checkpoint: str
+) -> DataStreamWriter:
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def foreach_batch_latest_upsert(
+    df: DataFrame,
+    path: str,
+    key: str,
+    ts: str | None = None,
+    seq: str | None = None,
+) -> DataStreamWriter:
+    """Maintain a persisted latest-per-key state table from a stream.
+
+    Each micro-batch: reduce the batch to latest-per-key, union with the
+    current state, keep the per-key winner by (ts, seq), atomically replace
+    the state directory. The batch analog of the reference's per-record
+    upsert (``ralf/v2/table_state.py:29-46``).
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_latest = FeatureTable(batch_df, key=key, ts=ts, seq=seq).latest().df
+        final = path
+        if os.path.exists(final):
+            current = spark.read.parquet(final)
+            merged = (
+                FeatureTable(
+                    current.unionByName(batch_latest), key=key, ts=ts, seq=seq
+                )
+                .latest()
+                .df
+            )
+        else:
+            merged = batch_latest
+        tmp = f"{path}.__staging__"
+        merged.write.mode("overwrite").parquet(tmp)
+        out = spark.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(final)
+
+    return df.writeStream.foreachBatch(upsert)
+
+
+def run_bounded(
+    writer: DataStreamWriter, checkpoint: str | None = None
+) -> StreamingQuery:
+    """Drain all currently-available input then stop — the deterministic
+    bounded-run mode (the reference's ``StopIteration`` termination,
+    ``ralf/v2/operator.py:153-175``, as a trigger)."""
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.trigger(availableNow=True).start()
+    query.awaitTermination()
+    return query

