@@ -1,0 +1,277 @@
+"""State connectors (SURVEY.md §2.1 S8/S9): persist + query latest-per-key
+feature state.
+
+The reference ships Dict / SQLite / Redis connectors x2 generations with an
+update/point/bulk/delete/count contract (``ralf/state/connector.py:7-30``,
+``ralf/state/dict_connector.py:7-39``, ``ralf/state/sqlite_connector.py:
+19-72``, ``ralf/v2/connectors/*``). Batch-engine equivalents:
+
+- ``MemoryConnector`` — the DictConnector analog: a session temp view.
+- ``ParquetStateConnector`` — the scale path: key-bucketed parquet layout
+  (``bucket = pmod(xxhash64(key), n)`` directory partitioning) so a point
+  query prunes to 1/n of the files instead of scanning the state table.
+  At 100 TB of *state* this is the only connector that matters.
+- ``SqliteStateConnector`` — the SQLiteConnector analog. Deliberately
+  driver-side (python sqlite3 over ``toLocalIterator``): a latest-per-key
+  state table is bounded by key cardinality, and the reference's SQLite
+  connector is single-node by construction; a cluster deployment would
+  swap in the JDBC writer with a server database (same interface).
+
+All connectors store *state tables* (the output of ``FeatureTable.latest()``)
+— not raw event streams.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ralf_spark.table import FeatureTable
+
+
+class StateConnector(ABC):
+    """update/point/bulk/delete/count contract (``ralf/state/connector.py``)."""
+
+    @abstractmethod
+    def save(self, table: FeatureTable) -> None:
+        """Persist the latest-per-key state of ``table`` (full refresh —
+        the batch analog of the reference's per-record upsert loop)."""
+
+    @abstractmethod
+    def load(self, spark: SparkSession) -> FeatureTable:
+        ...
+
+    @abstractmethod
+    def delete(self, spark: SparkSession, keys: Sequence[Any]) -> None:
+        ...
+
+    def point_query(self, spark: SparkSession, key_value: Any) -> list[Row]:
+        t = self.load(spark)
+        return t.df.where(F.col(t.key) == F.lit(key_value)).collect()
+
+    def bulk_query(self, spark: SparkSession) -> list[Row]:
+        return self.load(spark).df.collect()
+
+    def count(self, spark: SparkSession) -> int:
+        return self.load(spark).df.count()
+
+
+class MemoryConnector(StateConnector):
+    """Session-catalog temp view — the DictConnector analog
+    (``ralf/state/dict_connector.py:7-39``)."""
+
+    def __init__(self, name: str, key: str):
+        self.name = name
+        self.key = key
+
+    def save(self, table: FeatureTable) -> None:
+        state = table.latest() if (table.ts or table.seq) else table
+        # Materialize into a local relation so the view survives source
+        # mutation (dict semantics, not a live query over the input).
+        df = state.df
+        rows = df.collect()
+        df.sparkSession.createDataFrame(rows, df.schema).createOrReplaceTempView(
+            self.name
+        )
+
+    def load(self, spark: SparkSession) -> FeatureTable:
+        return FeatureTable(spark.table(self.name), key=self.key)
+
+    def delete(self, spark: SparkSession, keys: Sequence[Any]) -> None:
+        remaining = spark.table(self.name).where(~F.col(self.key).isin(list(keys)))
+        rows = remaining.collect()
+        spark.createDataFrame(rows, remaining.schema).createOrReplaceTempView(
+            self.name
+        )
+
+
+class ParquetStateConnector(StateConnector):
+    """Key-bucketed parquet state — the at-scale connector.
+
+    Layout: ``path/bucket=<pmod(xxhash64(key), n)>/*.parquet``. Point
+    queries filter on the bucket value first, so the parquet reader prunes
+    all but 1/n of the directory tree before touching data (PartitionFilters
+    in the scan — asserted in tests), then pushes the key predicate into
+    that bucket's row groups.
+    """
+
+    def __init__(self, path: str, key: str, num_buckets: int = 64):
+        self.path = path
+        self.key = key
+        self.num_buckets = num_buckets
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets))
+
+    def save(self, table: FeatureTable) -> None:
+        state = table.latest() if (table.ts or table.seq) else table
+        (
+            state.df.withColumn("bucket", self._bucket())
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+
+    def load(self, spark: SparkSession) -> FeatureTable:
+        return FeatureTable(
+            spark.read.parquet(self.path).drop("bucket"), key=self.key
+        )
+
+    def point_query(self, spark: SparkSession, key_value: Any) -> list[Row]:
+        return self.pruned_point_plan(spark, key_value).drop("bucket").collect()
+
+    def pruned_point_plan(self, spark: SparkSession, key_value: Any) -> DataFrame:
+        """The point-query DataFrame (un-collected; also used for plan
+        assertions). The key literal is cast to the stored key type first:
+        xxhash64 is type-sensitive, so hashing an int literal against a
+        long column would land in the wrong bucket."""
+        df = spark.read.parquet(self.path)
+        lit = F.lit(key_value).cast(df.schema[self.key].dataType)
+        return df.where(
+            (F.col("bucket") == F.pmod(F.xxhash64(lit), F.lit(self.num_buckets)))
+            & (F.col(self.key) == lit)
+        )
+
+    def delete(self, spark: SparkSession, keys: Sequence[Any]) -> None:
+        df = spark.read.parquet(self.path)
+        remaining = df.where(~F.col(self.key).isin(list(keys)))
+        tmp = f"{self.path}.__staging__"
+        remaining.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(self.path)
+
+
+class SqliteStateConnector(StateConnector):
+    """SQLite state table — the reference's SQLiteConnector analog
+    (``ralf/state/sqlite_connector.py:19-72``; v2 ``sqlite3_connector.py``).
+
+    Driver-side by design: state is key-cardinality-bounded and the
+    reference's SQLite is single-node. Uses real typed columns (the
+    reference pickles the whole record into a blob, ``:36``); rows stream
+    via ``toLocalIterator`` so the driver never holds the full state.
+    """
+
+    _SQL_TYPES = {
+        "bigint": "INTEGER",
+        "int": "INTEGER",
+        "double": "REAL",
+        "float": "REAL",
+        "string": "TEXT",
+        "boolean": "INTEGER",
+        # stored as epoch microseconds; restored via the schema sidecar
+        "timestamp": "INTEGER",
+    }
+
+    def __init__(self, db_path: str, table_name: str, key: str):
+        self.db_path = db_path
+        self.table_name = table_name
+        self.key = key
+
+    def _connect(self):
+        import sqlite3
+
+        return sqlite3.connect(self.db_path)
+
+    def save(self, table: FeatureTable) -> None:
+        state = table.latest() if (table.ts or table.seq) else table
+        df = state.df
+        # Timestamps -> epoch micros (sqlite has no temporal type); the
+        # sidecar table records which columns to restore on load.
+        ts_cols = [c for c, t in df.dtypes if t == "timestamp"]
+        for c in ts_cols:
+            df = df.withColumn(c, F.unix_micros(F.col(c)))
+        cols = df.dtypes
+        for _, t in cols:
+            if t not in self._SQL_TYPES:
+                raise TypeError(
+                    f"unsupported sqlite column type {t!r} "
+                    f"(supported: {sorted(self._SQL_TYPES)})"
+                )
+        ddl_cols = ", ".join(
+            f'"{c}" {self._SQL_TYPES[t]}'
+            + (" PRIMARY KEY" if c == self.key else "")
+            for c, t in cols
+        )
+        placeholders = ", ".join("?" for _ in cols)
+        with self._connect() as con:
+            con.execute(f'DROP TABLE IF EXISTS "{self.table_name}"')
+            con.execute(f'CREATE TABLE "{self.table_name}" ({ddl_cols})')
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS _ralf_schema "
+                "(tbl TEXT, col TEXT, spark_type TEXT, PRIMARY KEY (tbl, col))"
+            )
+            con.execute(
+                "DELETE FROM _ralf_schema WHERE tbl = ?", (self.table_name,)
+            )
+            con.executemany(
+                "INSERT INTO _ralf_schema VALUES (?, ?, 'timestamp')",
+                [(self.table_name, c) for c in ts_cols],
+            )
+            batch: list[tuple] = []
+            for row in df.toLocalIterator():
+                batch.append(tuple(row))
+                if len(batch) >= 10_000:
+                    con.executemany(
+                        f'INSERT OR REPLACE INTO "{self.table_name}" '
+                        f"VALUES ({placeholders})",
+                        batch,
+                    )
+                    batch = []
+            if batch:
+                con.executemany(
+                    f'INSERT OR REPLACE INTO "{self.table_name}" '
+                    f"VALUES ({placeholders})",
+                    batch,
+                )
+
+    def load(self, spark: SparkSession) -> FeatureTable:
+        # Schema from sqlite's own catalog so empty tables round-trip too.
+        # (bools come back as INTEGER/long — sqlite has no boolean.)
+        inv = {"INTEGER": "long", "REAL": "double", "TEXT": "string"}
+        with self._connect() as con:
+            info = con.execute(
+                f'PRAGMA table_info("{self.table_name}")'
+            ).fetchall()
+            rows = con.execute(
+                f'SELECT * FROM "{self.table_name}"'
+            ).fetchall()
+            ts_cols = {
+                r[0]
+                for r in con.execute(
+                    "SELECT col FROM _ralf_schema WHERE tbl = ?",
+                    (self.table_name,),
+                ).fetchall()
+            }
+        schema = ", ".join(f"{name} {inv[sql_type]}" for _, name, sql_type, *_ in info)
+        df = spark.createDataFrame([tuple(r) for r in rows], schema=schema)
+        for c in ts_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.col(c)))
+        return FeatureTable(df, key=self.key)
+
+    def point_query(self, spark: SparkSession, key_value: Any) -> list[Row]:
+        # True point lookup: hits the sqlite PRIMARY KEY index, no scan.
+        with self._connect() as con:
+            cur = con.execute(
+                f'SELECT * FROM "{self.table_name}" WHERE "{self.key}" = ?',
+                (key_value,),
+            )
+            cols = [d[0] for d in cur.description]
+            return [Row(**dict(zip(cols, r))) for r in cur.fetchall()]
+
+    def delete(self, spark: SparkSession, keys: Sequence[Any]) -> None:
+        with self._connect() as con:
+            con.executemany(
+                f'DELETE FROM "{self.table_name}" WHERE "{self.key}" = ?',
+                [(k,) for k in keys],
+            )
+
+    def count(self, spark: SparkSession) -> int:
+        with self._connect() as con:
+            return con.execute(
+                f'SELECT count(*) FROM "{self.table_name}"'
+            ).fetchone()[0]

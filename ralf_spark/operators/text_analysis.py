@@ -111,6 +111,33 @@ def token_count_regex_sql(expr: str, pattern: str = TOKEN_REGEX) -> str:
     return f"len(regexp_extract_all({expr}, '{pattern}'))"
 
 
+def add_simhash(
+    df,
+    text_col: str = "text",
+    out_col: str = "simhash16",
+    bits: int = 16,
+    shingle_n: int = 3,
+):
+    """SimHash as a DataFrame transform — the form to use on real data.
+
+    Materializes the shingle-hash array in its OWN projection, then runs
+    the ``bits`` bit-vote aggregates over the precomputed longs. Expressing
+    everything as one column expression instead (``simhash_fingerprint``)
+    makes each of the 16 votes re-evaluate the md5 transform over every
+    shingle — measured 68x slower at sf0.1. md5 runs once per shingle here.
+    """
+    hs_df = df.withColumn(
+        "__hs",
+        F.transform(
+            distinct_shingles(F.col(text_col), shingle_n),
+            lambda s: stable_hash64(s),
+        ),
+    )
+    return hs_df.withColumn(
+        out_col, _simhash_votes(F.col("__hs"), bits)
+    ).drop("__hs")
+
+
 def simhash_fingerprint(text: Column, bits: int = 16, shingle_n: int = 3) -> Column:
     """SimHash document fingerprint over the distinct-shingle set.
 
@@ -118,24 +145,33 @@ def simhash_fingerprint(text: Column, bits: int = 16, shingle_n: int = 3) -> Col
     shingle's stable hash) >= 0. Near-duplicate documents land at small
     Hamming distance; used as a cheap corpus-level fingerprint column.
     Cross-engine reproducible (md5-derived hashes, same as MinHash).
+
+    NOTE: as a single column expression the hash transform is re-evaluated
+    per bit-vote — fine for small frames/tests; on real data use
+    :func:`add_simhash`, which hashes once.
     """
-    sh = distinct_shingles(text, shingle_n)
-    hs = F.transform(sh, lambda s: stable_hash64(s))
+    hs = F.transform(
+        distinct_shingles(text, shingle_n), lambda s: stable_hash64(s)
+    )
+    return _simhash_votes(hs, bits)
 
-    def _bit_vote(mask: int):
-        # Closure (not a default arg): pyspark binds one lambda variable per
-        # positional parameter, so extra defaulted params would become Columns.
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
 
+def _bit_vote(mask: int):
+    # Closure (not a default arg): pyspark binds one lambda variable per
+    # positional parameter, so extra defaulted params would become Columns.
+    return lambda acc, h: acc + F.when(
+        h.bitwiseAND(F.lit(mask)) != 0, 1
+    ).otherwise(-1)
+
+
+def _simhash_votes(hs: Column, bits: int) -> Column:
     total = F.lit(0)
     for b in range(bits):
         sgn_sum = F.aggregate(hs, F.lit(0).cast("long"), _bit_vote(1 << b))
         total = total + F.when(sgn_sum >= 0, F.lit(1 << b)).otherwise(0)
     # Empty shingle set => fingerprint 0 (matches the SQL spelling, where
     # list_sum over an empty list is NULL).
-    return F.when(F.size(sh) > 0, total).otherwise(0).cast("long")
+    return F.when(F.size(hs) > 0, total).otherwise(0).cast("long")
 
 
 def simhash_fingerprint_sql(

@@ -32,6 +32,7 @@ from ralf_spark.operators.multimodal import (
     frame_sample,
     with_binary_payload,
 )
+from ralf_spark.operators.util import ensure_parallelism
 from ralf_spark.operators.similarity import (
     ann_topk,
     cosine_topk,
@@ -39,6 +40,7 @@ from ralf_spark.operators.similarity import (
     sign_lsh_bucket_sql,
 )
 from ralf_spark.operators.text_analysis import (
+    add_simhash,
     language_id,
     language_id_sql,
     quality_score,
@@ -83,6 +85,14 @@ def query(name: str, oracle: str | None, headline: bool = False):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> FeatureTable:
     return load_fixture(spark, name, sf_dir)
+
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> FeatureTable:
+    """documents with the scan spread across cores — the fixture corpus is
+    one parquet file, which would serialize CPU-heavy text operators onto a
+    single task (no-op on inputs that already parallelize)."""
+    t = _t(spark, sf_dir, "documents")
+    return FeatureTable(ensure_parallelism(t.df), key=t.key)
 
 
 # =========================================================================
@@ -972,7 +982,7 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: lexicon language-ID heuristic vs the labeled lang column."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     return docs.df.select(
         "doc_id", "lang", language_id(F.col("text")).alias("lang_pred")
     ).orderBy("doc_id")
@@ -993,7 +1003,7 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: quality scoring (length/stopword/diversity heuristic) + regex
     token counting — the pretraining-data quality-filter shape."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     return docs.df.select(
         "doc_id",
         F.round(quality_score(F.col("text")), 4).alias("quality"),
@@ -1017,11 +1027,12 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4/E2: 16-bit SimHash fingerprint over distinct 3-word shingles —
     cross-engine-identical md5-derived hashing."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.df.select(
-        "doc_id",
-        simhash_fingerprint(F.col("text")).alias("simhash16"),
-    ).orderBy("doc_id")
+    docs = _docs_par(spark, sf_dir)
+    return (
+        add_simhash(docs.df.select("doc_id", "text"))
+        .select("doc_id", "simhash16")
+        .orderBy("doc_id")
+    )
 
 
 @query("near_dup_minhash", near_dup_pairs_sql())
@@ -1272,7 +1283,7 @@ def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stub mode — md5-derived pseudo-features; a real deployment swaps the
     codec into the same iterator). The oracle replays the digest math in
     SQL, so the whole Python batch path is hash-checked."""
-    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    docs = with_binary_payload(_docs_par(spark, sf_dir))
     out = decode_image_features(docs, mode="stub")
     return out.df.orderBy("doc_id")
 
@@ -1289,7 +1300,7 @@ def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: UDTF-shaped frame sampling — 3 output rows per payload through
     the same mapInPandas fan-out a real video sampler would use."""
-    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    docs = with_binary_payload(_docs_par(spark, sf_dir))
     out = frame_sample(docs, n_frames=3)
     return out.df.orderBy("doc_id", "frame_idx")
 

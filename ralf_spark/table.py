@@ -190,13 +190,18 @@ class FeatureTable:
     # ------------------------------------------------------------- queries
     def point_query(self, key_value: Any) -> list[Row]:
         """Point lookup on the latest-per-key state (``ralf/table.py:179-191``,
-        ``ralf/client.py:8-11``). With key-partitioned storage this is a
-        partition-pruned scan."""
+        ``ralf/client.py:8-11``). Convenience form — computes the state view
+        inline; for repeated serving-path lookups, persist the state with
+        ``ralf_spark.connectors.ParquetStateConnector`` (key-bucketed layout,
+        partition-pruned point reads) or ``SqliteStateConnector`` (indexed)."""
         return self.latest().df.where(F.col(self.key) == F.lit(key_value)).collect()
 
-    def bulk_query(self) -> list[Row]:
-        """Full state scan (``ralf/table.py:193-206``)."""
-        return self.latest().df.collect()
+    def bulk_query(self, collect: bool = False) -> DataFrame | list[Row]:
+        """Full state view (``ralf/table.py:193-206``). Returns the state
+        DataFrame; ``collect=True`` materializes to the driver — opt-in
+        because a 100 TB state table must never be driver-collected."""
+        df = self.latest().df
+        return df.collect() if collect else df
 
     # ------------------------------------------------------------ plumbing
     def repartition_by_key(self, n: int | None = None) -> "FeatureTable":

@@ -1,0 +1,120 @@
+"""State-connector CRUD contract, mirroring the reference's connector tests
+(``ralf/tests/test_state.py:35-73``: update -> point -> bulk -> overwrite ->
+delete -> count), parametrized over all connectors, plus the scale property
+that makes ParquetStateConnector the at-scale choice: partition-pruned
+point reads."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ralf_spark.connectors import (
+    MemoryConnector,
+    ParquetStateConnector,
+    SqliteStateConnector,
+)
+from ralf_spark.plans.explain import explain_str
+from ralf_spark.table import FeatureTable
+
+
+def _events(spark, rows):
+    return FeatureTable(
+        spark.createDataFrame(rows, "user_id long, ts long, seq long, value double"),
+        key="user_id", ts="ts", seq="seq",
+    )
+
+
+def _make(kind, tmp_path):
+    if kind == "memory":
+        return MemoryConnector(f"state_{tmp_path.name}", key="user_id")
+    if kind == "parquet":
+        return ParquetStateConnector(
+            str(tmp_path / "state"), key="user_id", num_buckets=8
+        )
+    return SqliteStateConnector(
+        str(tmp_path / "state.db"), "state", key="user_id"
+    )
+
+
+@pytest.mark.parametrize("kind", ["memory", "parquet", "sqlite"])
+def test_connector_crud_contract(spark, tmp_path, kind):
+    con = _make(kind, tmp_path)
+    t = _events(
+        spark,
+        [(1, 10, 1, 1.0), (1, 20, 2, 2.0), (2, 10, 3, 7.0), (3, 5, 4, 9.0)],
+    )
+    # update: saves latest-per-key state
+    con.save(t)
+    assert con.count(spark) == 3
+
+    # point query
+    [row] = con.point_query(spark, 1)
+    assert (row.ts, row.value) == (20, 2.0)
+    assert con.point_query(spark, 999) == []
+
+    # bulk query
+    bulk = {r.user_id: r.value for r in con.bulk_query(spark)}
+    assert bulk == {1: 2.0, 2: 7.0, 3: 9.0}
+
+    # overwrite with newer state
+    con.save(_events(spark, [(1, 30, 5, 5.0), (2, 30, 6, 6.0), (3, 30, 7, 8.0)]))
+    [row] = con.point_query(spark, 1)
+    assert (row.ts, row.value) == (30, 5.0)
+
+    # delete
+    con.delete(spark, [1, 3])
+    assert con.count(spark) == 1
+    assert con.point_query(spark, 1) == []
+    [row2] = con.point_query(spark, 2)
+    assert row2.value == 6.0
+
+
+def test_parquet_point_query_prunes_partitions(spark, tmp_path):
+    con = ParquetStateConnector(
+        str(tmp_path / "state"), key="user_id", num_buckets=8
+    )
+    con.save(
+        _events(spark, [(i, 1, i, float(i)) for i in range(100)])
+    )
+    plan = explain_str(con.pruned_point_plan(spark, 42))
+    assert "PartitionFilters: [isnotnull(bucket" in plan.replace("#", " #") or (
+        "PartitionFilters" in plan and "bucket" in plan
+    )
+    # and the read itself is correct
+    [row] = con.point_query(spark, 42)
+    assert row.value == 42.0
+
+
+def test_bulk_query_returns_dataframe_by_default(spark):
+    t = _events(spark, [(1, 10, 1, 1.0), (1, 20, 2, 2.0)])
+    df = t.bulk_query()
+    assert hasattr(df, "collect")  # a DataFrame, not a list
+    assert t.bulk_query(collect=True)[0].value == 2.0
+
+
+def test_sqlite_rejects_unsupported_types(spark, tmp_path):
+    con = SqliteStateConnector(str(tmp_path / "x.db"), "state", key="k")
+    t = FeatureTable(
+        spark.createDataFrame([(1, [1.0])], "k long, arr array<double>"),
+        key="k",
+    )
+    with pytest.raises(TypeError):
+        con.save(t)
+
+
+def test_sqlite_roundtrips_timestamp_state(spark, tmp_path):
+    """The engine's canonical event state carries a TimestampType ts column;
+    sqlite stores it as epoch micros and restores the type on load."""
+    import datetime as dt
+
+    con = SqliteStateConnector(str(tmp_path / "ts.db"), "state", key="k")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 5, 1, 12, 0, 0, 123456), 1.0)],
+        "k long, ts timestamp, v double",
+    )
+    con.save(FeatureTable(df, key="k"))
+    t = con.load(spark)
+    assert dict(t.df.dtypes)["ts"] == "timestamp"
+    [row] = t.df.collect()
+    assert row.ts == dt.datetime(2024, 5, 1, 12, 0, 0, 123456)

@@ -233,3 +233,18 @@ def test_embedding_near_dup_pairs_ordered_and_thresholded(spark):
     out = embedding_near_dup(corpus, threshold=0.9, nbits=2, dim=3).collect()
     assert all(r.id1 < r.id2 for r in out)
     assert {(r.id1, r.id2) for r in out} <= {(1, 2)}
+
+
+def test_add_simhash_equals_column_form(spark):
+    from ralf_spark.operators.text_analysis import add_simhash
+
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} common tail words here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r.doc_id: r.simhash16 for r in add_simhash(df).collect()}
+    slow = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", simhash_fingerprint(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert fast == slow
