@@ -72,5 +72,9 @@ class FeatureStore:
         8-11``): latest state for one key of a registered table."""
         return self._tables[name].point_query(key_value)
 
-    def bulk_query(self, name: str) -> list[Row]:
-        return self._tables[name].bulk_query()
+    def bulk_query(
+        self, name: str, collect: bool = False
+    ) -> DataFrame | list[Row]:
+        """Full state view of a registered table; ``collect=True`` for the
+        driver-side row list (RalfClient.bulk_query shape)."""
+        return self._tables[name].bulk_query(collect=collect)

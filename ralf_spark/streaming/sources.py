@@ -59,12 +59,15 @@ def file_events(
     schema: T.StructType | str | None = None,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    **options: str | bool | int,
 ) -> DataFrame:
     """File-replay source — the ``FileReader`` analog
     (``ralf/operators/source.py:138-198``): stream the files under ``path``
     in order. ``max_files_per_trigger`` bounds each micro-batch (replay
     pacing); with ``availableNow`` the stream drains and stops — the batch
-    replay of a recorded stream.
+    replay of a recorded stream. Extra ``options`` reach the reader
+    (CSV defaults ``header=True`` to match the batch CSV source — without
+    it the header line becomes a data row).
     """
     reader = spark.readStream
     if schema is not None:
@@ -73,6 +76,10 @@ def file_events(
         reader = reader.schema(EVENT_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "csv":
+        options.setdefault("header", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
     return reader.format(fmt).load(path)
 
 

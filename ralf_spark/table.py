@@ -224,6 +224,19 @@ class FeatureTable:
             self.spark.read.parquet(path), key=self.key, ts=self.ts, seq=self.seq
         )
 
+    def observed(self, observation, *exprs: Column) -> "FeatureTable":
+        """Attach metric observations computed during the next action —
+        the engine's mutation/cardinality counters (ralf's
+        ``num_updates/num_deletes/num_records``, ``ralf/state/table_state.py:
+        15-25``; v2 event metrics, ``ralf/v2/operator.py:97-135``) without a
+        second scan: ``df.observe`` aggregates ride along with the job.
+
+        >>> obs = Observation("state")
+        >>> t.observed(obs, F.count(F.lit(1)).alias("num_records")).collect()
+        >>> obs.get["num_records"]
+        """
+        return self._with(self.df.observe(observation, *exprs))
+
     def cache(self) -> "FeatureTable":
         return self._with(self.df.cache())
 

@@ -1,0 +1,78 @@
+"""FeatureStore surface tests: CSV source (S4 batch), registry +
+point/bulk query, SQL entry, and observe() counters (A4/X10)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Observation
+
+from ralf_spark.store import FeatureStore
+from ralf_spark.table import FeatureTable
+
+
+def test_read_csv_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "in_csv")
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, k string, v double"
+    ).write.option("header", True).mode("overwrite").csv(path)
+    store = FeatureStore(spark)
+    t = store.read_csv(path, key="k")
+    got = {r.k: (r.id, r.v) for r in t.df.collect()}
+    assert got == {"a": (1, 1.5), "b": (2, 2.5)}
+
+
+def test_csv_streaming_replay(spark, tmp_path):
+    """S4's streaming half: the same CSV replayed as a bounded stream."""
+    from ralf_spark.streaming import file_events, run_bounded, write_memory
+
+    path = str(tmp_path / "in_csv_s")
+    spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "event_id long, user_id long, value double",
+    ).write.option("header", True).mode("overwrite").csv(path)
+    stream = file_events(
+        spark, path, schema="event_id long, user_id long, value double",
+        fmt="csv",
+    )
+    run_bounded(
+        write_memory(stream, "csv_replay"),
+        checkpoint=str(tmp_path / "ck_csv"),
+    )
+    # exactly the 30 data rows — the header line must NOT appear as a row
+    assert spark.table("csv_replay").count() == 30
+    assert spark.table("csv_replay").where(F.col("event_id").isNull()).count() == 0
+
+
+def test_register_point_and_bulk(spark):
+    store = FeatureStore(spark)
+    t = FeatureTable(
+        spark.createDataFrame(
+            [(1, 1, 1.0), (1, 2, 9.0), (2, 1, 5.0)], "k long, seq long, v double"
+        ),
+        key="k", seq="seq",
+    )
+    store.register("feat", t)
+    [row] = store.point_query("feat", 1)
+    assert row.v == 9.0
+    bulk = store.bulk_query("feat")
+    assert hasattr(bulk, "collect")
+    assert len(store.bulk_query("feat", collect=True)) == 2
+    # registered name also usable from SQL
+    assert store.sql("SELECT count(*) AS n FROM feat").df.collect()[0].n == 3
+
+
+def test_observed_counters(spark):
+    t = FeatureTable(
+        spark.createDataFrame([(1, 1.0), (2, 2.0), (2, 3.0)], "k long, v double"),
+        key="k",
+    )
+    obs = Observation("state")
+    t.observed(
+        obs,
+        F.count(F.lit(1)).alias("num_records"),
+        # DISTINCT aggregates are not allowed in observed metrics; the
+        # sketch version is the metrics-safe spelling.
+        F.approx_count_distinct("k").alias("num_keys"),
+    ).collect()
+    assert obs.get["num_records"] == 3
+    assert obs.get["num_keys"] == 2
