@@ -237,6 +237,109 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — every predicate pushes to the
+    parquet scan, no shuffle at all (single global agg)."""
+    li = _t(spark, sf_dir, "lineitem").df
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — selective fact
+    filter, broadcast dims, top-k with deterministic tie-break."""
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df
+    l = _t(spark, sf_dir, "lineitem").df.where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation").df
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, round(t.sum_qty, 2) AS sum_qty
+    FROM orders o
+      JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+      ) t ON o.o_orderkey = t.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY sum_qty DESC, o.o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join against an aggregated subquery (HAVING) — the
+    agg shrinks lineitem to qualifying orderkeys BEFORE the join, so only
+    the small winner set shuffles into orders."""
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    l = _t(spark, sf_dir, "lineitem").df
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 180)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey", F.round("sum_qty", 2).alias("sum_qty")
+        )
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+    )
+
+
 # =========================================================================
 # Ralf parity: aggregations (SURVEY §2.4 A1-A4)
 # =========================================================================
@@ -465,6 +568,87 @@ def windowed_mean_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value").over(frame), 4).alias("w_mean"),
         )
         .where(F.col("pos") >= 10)
+        .orderBy("user_id", "pos")
+    )
+
+
+@query(
+    "tumbling_window_payload",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 1 AS rn
+      FROM events
+    )
+    SELECT user_id, CAST(floor(rn / 5) AS BIGINT) AS window_id,
+           list(round(value, 4) ORDER BY rn) AS window_values
+    FROM ranked
+    GROUP BY user_id, CAST(floor(rn / 5) AS BIGINT)
+    HAVING count(*) = 5
+    ORDER BY user_id, window_id
+    """,
+)
+def tumbling_window_payload_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 payload form: the full ordered window contents materialized as an
+    array — the reference's actual output shape (``window: List[Record]``,
+    ``ralf/operators/window.py:24-31``), hash-checked element-by-element."""
+    ev = _t(spark, sf_dir, "events")
+    rounded = FeatureTable(
+        ev.df.withColumn("value", F.round("value", 4)),
+        key=ev.key, ts=ev.ts, seq=ev.seq,
+    )
+    out = tumbling_count_window(rounded, size=5, payload_cols=["value"])
+    return out.df.select(
+        "user_id",
+        "window_id",
+        F.transform("window", lambda s: s["value"]).alias("window_values"),
+    ).orderBy("user_id", "window_id")
+
+
+@query(
+    "sliding_window_per_key_slide",
+    """
+    WITH plan AS (
+      SELECT DISTINCT user_id, 1 + user_id % 3 AS slide_size FROM events
+    ),
+    ranked AS (
+      SELECT e.user_id, e.value, p.slide_size,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             sum(e.value) OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS w_sum
+      FROM events e JOIN plan p USING (user_id)
+    )
+    SELECT user_id, rn AS pos, round(w_sum, 4) AS w_sum
+    FROM ranked
+    WHERE rn >= 7 AND (rn - 7) % slide_size = 0
+    ORDER BY user_id, pos
+    """,
+)
+def sliding_window_per_key_slide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 per-key slide plan: each key advances its window by its own slide
+    size from a broadcast plan table — the reference's per-key plan file
+    (``ralf/operators/window.py:88-100``)."""
+    ev = _t(spark, sf_dir, "events")
+    plan = ev.df.select("user_id").distinct().withColumn(
+        "slide_size", (1 + F.pmod(F.col("user_id"), F.lit(3))).cast("int")
+    )
+    win = sliding_count_window(
+        ev, window_size=7, slide_size=999_999,  # overridden per key
+        payload_cols=["value"], per_key_slide=plan,
+    )
+    return (
+        win.df.select(
+            "user_id",
+            "pos",
+            F.round(
+                F.aggregate("window", F.lit(0.0), lambda a, x: a + x["value"]),
+                4,
+            ).alias("w_sum"),
+        )
         .orderBy("user_id", "pos")
     )
 

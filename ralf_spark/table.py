@@ -237,6 +237,30 @@ class FeatureTable:
         """
         return self._with(self.df.observe(observation, *exprs))
 
+    def materialize_bucketed(
+        self, name: str, num_buckets: int = 64, mode: str = "overwrite"
+    ) -> "FeatureTable":
+        """Persist as a key-bucketed, key-sorted catalog table.
+
+        Two tables bucketed the same way join WITHOUT a shuffle (no Exchange
+        in the plan — asserted in tests): the co-location the reference gets
+        from consistent SHA1 sharding across operators
+        (``ralf/operator.py:44-50``), as a storage-layout property. The big
+        lever for repeated fact-fact joins at 100 TB — pay the shuffle once
+        at write time, never again per query.
+        """
+        if self.key is None:
+            raise ValueError("materialize_bucketed requires a keyed table")
+        (
+            self.df.write.mode(mode)
+            .bucketBy(num_buckets, self.key)
+            .sortBy(self.key)
+            .saveAsTable(name)
+        )
+        return FeatureTable(
+            self.spark.table(name), key=self.key, ts=self.ts, seq=self.seq
+        )
+
     def cache(self) -> "FeatureTable":
         return self._with(self.df.cache())
 

@@ -118,3 +118,37 @@ def test_sqlite_roundtrips_timestamp_state(spark, tmp_path):
     assert dict(t.df.dtypes)["ts"] == "timestamp"
     [row] = t.df.collect()
     assert row.ts == dt.datetime(2024, 5, 1, 12, 0, 0, 123456)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key join with no
+    Exchange in the plan — the pay-the-shuffle-once storage layout."""
+    import pyspark.sql.functions as F
+
+    from ralf_spark.plans.explain import explain_str
+
+    left = FeatureTable(
+        spark.range(0, 1000).select(
+            F.col("id").alias("user_id"), (F.col("id") * 2.0).alias("a")
+        ),
+        key="user_id",
+    )
+    right = FeatureTable(
+        spark.range(0, 1000).select(
+            F.col("id").alias("user_id"), (F.col("id") * 3.0).alias("b")
+        ),
+        key="user_id",
+    )
+    lb = left.materialize_bucketed("bk_left_t", num_buckets=8)
+    rb = right.materialize_bucketed("bk_right_t", num_buckets=8)
+    try:
+        joined = lb.df.hint("merge").join(rb.df, "user_id")
+        plan = explain_str(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        # contrast: the un-bucketed join of the same data does shuffle
+        plain = left.df.hint("merge").join(right.df, "user_id")
+        assert "Exchange" in explain_str(plain)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left_t")
+        spark.sql("DROP TABLE IF EXISTS bk_right_t")

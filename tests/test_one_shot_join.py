@@ -98,3 +98,28 @@ def test_each_left_emits_at_most_once(spark):
     # left@1 overwritten by left@2; left@2 consumed by first right R1;
     # left@6 as-of latest state R3. Exactly one row per surviving left.
     assert out == [("g", 2, 20, "R1"), ("g", 6, 60, "R3")]
+
+
+def test_asof_join_tolerance_masks_stale_state(spark):
+    """asof_join(tolerance=...): right state older than the tolerance at the
+    left row's time is returned as NULL rather than matched."""
+    import pyspark.sql.functions as F
+
+    from ralf_spark.operators.joins import asof_join
+
+    left = FeatureTable(
+        spark.createDataFrame(
+            [("a", 10, 1), ("a", 100, 2)], "k string, ts long, seq long"
+        ),
+        key="k", ts="ts", seq="seq",
+    )
+    right = FeatureTable(
+        spark.createDataFrame(
+            [("a", 5, 1, "fresh-at-10")], "k string, ts long, seq long, rv string"
+        ),
+        key="k", ts="ts", seq="seq",
+    )
+    out = asof_join(left, right, right_payload=["rv"], tolerance=F.lit(20))
+    got = {r.ts: r.rv for r in out.df.collect()}
+    # at ts=10 the state (ts=5) is 5 old -> within 20; at ts=100 it's 95 old
+    assert got == {10: "fresh-at-10", 100: None}
