@@ -33,6 +33,41 @@ from pyspark.sql import functions as F
 from ralf_spark.table import FeatureTable
 
 
+def upsert_into(
+    path: str,
+    batch: FeatureTable,
+) -> None:
+    """Batch incremental upsert: merge a new batch of events into the
+    persisted latest-per-key parquet state at ``path`` — the nightly/
+    incremental maintenance loop (the reference's per-record upsert,
+    ``ralf/v2/table_state.py:29-46``, amortized over a batch).
+
+    Reduce the batch to latest-per-key first (only per-key winners shuffle),
+    union with current state, keep per-key winners, atomically replace.
+    On a lakehouse table format this is MERGE INTO; idempotent for replays
+    (re-upserting the same batch is a no-op).
+    """
+    import os
+
+    spark = batch.df.sparkSession
+    batch_latest = batch.latest().df
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        merged = (
+            FeatureTable(
+                current.unionByName(batch_latest),
+                key=batch.key, ts=batch.ts, seq=batch.seq,
+            )
+            .latest()
+            .df
+        )
+    else:
+        merged = batch_latest
+    tmp = f"{path}.__staging__"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+
 class StateConnector(ABC):
     """update/point/bulk/delete/count contract (``ralf/state/connector.py``)."""
 

@@ -207,6 +207,103 @@ def near_dup_pairs(
     return verified
 
 
+def jaccard_pairs_inverted(
+    table: FeatureTable,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int = 5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """n-gram Jaccard near-dup via INVERTED-INDEX blocking — the classic
+    alternative to MinHash/LSH: candidate pairs share at least one *rare*
+    shingle (document frequency <= ``max_df``), then exact Jaccard filters.
+
+    Pruning hot shingles bounds the posting self-join at Σ df² <= max_df ×
+    postings — never n². Recall caveat (same class as single-probe LSH): a
+    pair whose every shared shingle is hot is missed; near-dups share many
+    shingles, so in practice some shared shingle is rare.
+    """
+    idc = table.key
+    if idc is None:
+        raise ValueError("jaccard_pairs_inverted needs a keyed table")
+    ids = ensure_parallelism(
+        table.df.select(F.col(idc).alias("_id"), F.col(text_col).alias("_text"))
+    )
+    docs = ids.select(
+        "_id", distinct_shingles(F.col("_text"), shingle_n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    posting = docs.select("_id", F.explode("_sh").alias("_s"))
+    rare = (
+        posting.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("_s")
+    )
+    posting_r = posting.join(rare, "_s")
+    a, b = posting_r.alias("a"), posting_r.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+    sh = docs.select(F.col("_id"), F.col("_sh"))
+    return (
+        cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
+        .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))
+        .select(
+            "id1",
+            "id2",
+            (
+                F.size(F.array_intersect("s1._sh", "s2._sh"))
+                / F.size(F.array_union("s1._sh", "s2._sh"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_inverted_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int = 5,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`jaccard_pairs_inverted`."""
+    from ralf_spark.functions.text import distinct_shingles_sql, tokens_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+    ),
+    docs AS (
+      SELECT _id, {distinct_shingles_sql('w', shingle_n)} AS sh FROM toks
+    ),
+    docs_ne AS (SELECT * FROM docs WHERE len(sh) > 0),
+    posting AS (SELECT _id, unnest(sh) AS s FROM docs_ne),
+    rare AS (SELECT s FROM posting GROUP BY s HAVING count(*) <= {max_df}),
+    posting_r AS (SELECT p._id, p.s FROM posting p JOIN rare USING (s)),
+    cand AS (
+      SELECT DISTINCT a._id AS id1, b._id AS id2
+      FROM posting_r a JOIN posting_r b
+        ON a.s = b.s AND a._id < b._id
+    )
+    SELECT id1, id2,
+           round(len(list_intersect(s1.sh, s2.sh)) /
+                 len(list_distinct(list_concat(s1.sh, s2.sh))), 4) AS jaccard
+    FROM cand JOIN docs_ne s1 ON id1 = s1._id
+              JOIN docs_ne s2 ON id2 = s2._id
+    WHERE len(list_intersect(s1.sh, s2.sh)) /
+          len(list_distinct(list_concat(s1.sh, s2.sh))) >= {threshold}
+    ORDER BY id1, id2
+    """
+
+
 def near_dup_pairs_sql(
     table: str = "documents",
     id_col: str = "doc_id",

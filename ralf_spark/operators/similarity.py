@@ -166,6 +166,84 @@ def ann_topk(
     )
 
 
+def ivf_topk(
+    corpus: FeatureTable,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """IVF-style approximate top-k: a small set of coarse-quantizer
+    ``centroids`` partitions the corpus into cells (each vector assigned to
+    its max-cosine centroid); a query searches only its ``nprobe`` nearest
+    cells.
+
+    The centroid set is caller-supplied (k-means in production; any small
+    deterministic representative set works — the engine only requires it to
+    be broadcastable). Cell assignment is a broadcast join + argmax — the
+    corpus shuffles once on cell id at most; with nprobe=1 the search is a
+    broadcast equi-join on the cell, Σ cell² not n².
+    """
+    idc = corpus.key
+    # Centroids are small by contract (a coarse quantizer); collect them at
+    # plan-build time and inline as literals, so CELL ASSIGNMENT is a pure
+    # row-local projection — no shuffle, no corpus x centroids join.
+    cen_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id, centroid_vec).collect()
+    ]
+    if not cen_rows:
+        raise ValueError("ivf_topk needs a non-empty centroid set")
+
+    def top_cells(vec: Column, n: int) -> Column:
+        """ids of the n max-cosine centroids (ties -> smallest id)."""
+        entries = [
+            F.struct(
+                cosine_similarity(
+                    vec, F.array(*[F.lit(x) for x in cv])
+                ).alias("s"),
+                F.lit(-cid).cast("double").alias("nc"),
+            )
+            for cid, cv in cen_rows
+        ]
+        # sort asc by (score, -id), reverse => desc score, asc id on ties
+        best = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, n)
+        return F.transform(best, lambda e: (-e["nc"]).cast("long"))
+
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    ).withColumn("_cell", top_cells(F.col("_v"), 1)[0])
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    ).withColumn("_cell", F.explode(top_cells(F.col("_qv"), nprobe)))
+    scored = (
+        emb.join(F.broadcast(q), "_cell")
+        .where(F.col("neighbor_id") != F.col(query_id))
+        .select(
+            query_id,
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+        )
+        .distinct()  # nprobe>1 can reach the same pair via two cells
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup(
     corpus: FeatureTable,
     threshold: float = 0.4,

@@ -1,0 +1,84 @@
+"""Skew-safe aggregation patterns (SURVEY §2.9 X3 fairness note; the brief's
+"salting for skew" lever).
+
+Plain algebraic aggs (sum/avg/min/max/count) are already skew-proof in Spark:
+map-side partial aggregation reduces each partition before the shuffle, so a
+hot key ships one partial row per input partition. Skew actually bites when
+the per-key REDUCTION STATE is large — exact distinct counts, collect_list,
+top-k heaps — because all of a hot key's state funnels through one task.
+
+The fix is salting: split each key's state across ``salt_buckets`` sub-keys
+chosen by hashing the VALUE (not random — value-hash makes buckets disjoint,
+so per-bucket results combine exactly), aggregate per (key, salt), then
+combine per key. Two shuffles, each with bounded per-task state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ralf_spark.table import FeatureTable
+
+
+def salted_distinct_count(
+    table: FeatureTable,
+    value: str | Column,
+    out_col: str = "n_distinct",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact per-key distinct count with the distinct state split
+    ``salt_buckets`` ways.
+
+    Value-hash salting partitions each key's distinct VALUES disjointly
+    across buckets, so Σ per-bucket distinct == exact distinct. A hot key's
+    distinct-hash-set is 1/n per task instead of one giant set.
+    """
+    if table.key is None:
+        raise ValueError("salted_distinct_count requires a keyed table")
+    v = F.col(value) if isinstance(value, str) else value
+    salt = F.pmod(F.xxhash64(v), F.lit(salt_buckets))
+    partial = (
+        table.df.withColumn("_salt", salt)
+        .groupBy(table.key, "_salt")
+        .agg(F.count_distinct(v).alias("_partial"))
+    )
+    return (
+        partial.groupBy(table.key)
+        .agg(F.sum("_partial").cast("long").alias(out_col))
+    )
+
+
+def salted_topk_by_count(
+    table: FeatureTable,
+    value: str | Column,
+    k: int = 10,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-key top-k most frequent values, skew-safe.
+
+    Counting per (key, value) already distributes (the pair key is fine-
+    grained); the salt guards the DEGENERATE case where one (key, value)
+    pair dominates: partial counts per (key, value, salt-of-partition)
+    combine associatively. Final per-key ranking only sees one row per
+    distinct value.
+    """
+    if table.key is None:
+        raise ValueError("salted_topk_by_count requires a keyed table")
+    from pyspark.sql import Window
+
+    v = F.col(value) if isinstance(value, str) else value
+    salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    partial = (
+        table.df.withColumn("_salt", salt)
+        .groupBy(table.key, v.alias("_v"), F.col("_salt"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(table.key, "_v")
+        .agg(F.sum("_c").alias("n"))
+    )
+    w = Window.partitionBy(table.key).orderBy(F.col("n").desc(), F.col("_v"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .withColumnRenamed("_v", "value")
+    )

@@ -22,9 +22,12 @@ from ralf_spark.functions.hashing import stable_hash64_sql
 from ralf_spark.functions.text import distinct_shingles_sql, tokens, tokens_sql
 from ralf_spark.operators.dedup import (
     exact_dedup,
+    jaccard_pairs_inverted,
+    jaccard_pairs_inverted_sql,
     near_dup_pairs,
     near_dup_pairs_sql,
 )
+from ralf_spark.operators.skew import salted_distinct_count
 from ralf_spark.operators.joins import asof_join, enrichment_join, one_shot_join
 from ralf_spark.operators.multimodal import (
     binary_stats,
@@ -37,6 +40,7 @@ from ralf_spark.operators.similarity import (
     ann_topk,
     cosine_topk,
     embedding_near_dup,
+    ivf_topk,
     sign_lsh_bucket_sql,
 )
 from ralf_spark.operators.text_analysis import (
@@ -1420,6 +1424,101 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id1", "id2", F.round("cos_sim", 4).alias("cos_sim")
     ).orderBy("id1", "id2")
+
+
+@query("near_dup_jaccard_index", jaccard_pairs_inverted_sql())
+def near_dup_jaccard_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 alternative blocking: n-gram Jaccard near-dup via inverted-index
+    candidate generation (rare-shingle posting self-join, hot shingles
+    pruned) — same exact-Jaccard verification as the MinHash path."""
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_pairs_inverted(docs, threshold=0.5, max_df=5)
+    return out.select(
+        "id1", "id2", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id1", "id2")
+
+
+@query(
+    "similarity_topk_ivf",
+    f"""
+    WITH cen AS (
+      SELECT label AS cid, arg_min(embedding, vec_id)::DOUBLE[] AS cv
+      FROM embeddings GROUP BY label
+    ),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ecell AS (
+      SELECT vec_id, v,
+             (SELECT cid FROM cen
+              ORDER BY list_dot_product(e.v, cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(cv, cv))) DESC, cid
+              LIMIT 1) AS cell
+      FROM e
+    ),
+    qcell AS (
+      SELECT vec_id AS query_id, v AS qv, cell FROM ecell WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT query_id, e.vec_id AS neighbor_id, qv, e.v
+      FROM qcell JOIN ecell e USING (cell)
+      WHERE e.vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY {_COS_SQL} DESC, neighbor_id
+             ) AS rnk
+      FROM c
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rnk
+    FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+)
+def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 IVF variant: coarse-quantizer cells (deterministic representative
+    per label: the min-vec_id embedding), search restricted to the query's
+    cell. Cell assignment is a row-local projection against plan-literal
+    centroids — no shuffle, no corpus x centroid join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.df.groupBy("label").agg(
+        F.min_by("embedding", "vec_id").alias("centroid_vec")
+    ).select(F.col("label").alias("centroid_id"), "centroid_vec")
+    out = ivf_topk(
+        emb, _query_vectors(spark, sf_dir), centroids, k=5, nprobe=1
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
+
+
+@query(
+    "skew_safe_distinct_count",
+    """
+    SELECT user_id,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 % 50) AS n_distinct
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def skew_safe_distinct_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count: the per-key distinct state is split
+    across value-hash salt buckets (disjoint, so Σ per-bucket distinct is
+    exact) — the two-phase spelling a hot key needs at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    derived = FeatureTable(
+        ev.df.withColumn(
+            "prop_bucket",
+            F.get_json_object("props", "$.k").cast("bigint") % 50,
+        ),
+        key=ev.key, ts=ev.ts, seq=ev.seq,
+    )
+    out = salted_distinct_count(derived, "prop_bucket", salt_buckets=16)
+    return out.orderBy("user_id")
 
 
 # =========================================================================

@@ -17,8 +17,6 @@ connectors; its ``Sink`` op is a pass-through writer
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
@@ -62,24 +60,9 @@ def foreach_batch_latest_upsert(
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_latest = FeatureTable(batch_df, key=key, ts=ts, seq=seq).latest().df
-        final = path
-        if os.path.exists(final):
-            current = spark.read.parquet(final)
-            merged = (
-                FeatureTable(
-                    current.unionByName(batch_latest), key=key, ts=ts, seq=seq
-                )
-                .latest()
-                .df
-            )
-        else:
-            merged = batch_latest
-        tmp = f"{path}.__staging__"
-        merged.write.mode("overwrite").parquet(tmp)
-        out = spark.read.parquet(tmp)
-        out.write.mode("overwrite").parquet(final)
+        from ralf_spark.connectors import upsert_into
+
+        upsert_into(path, FeatureTable(batch_df, key=key, ts=ts, seq=seq))
 
     return df.writeStream.foreachBatch(upsert)
 

@@ -1,0 +1,102 @@
+"""Tests for skew-safe aggregation, batch upsert maintenance, IVF search,
+and inverted-index Jaccard blocking."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ralf_spark.connectors import upsert_into
+from ralf_spark.operators.dedup import jaccard_pairs_inverted
+from ralf_spark.operators.similarity import cosine_topk, ivf_topk
+from ralf_spark.operators.skew import salted_distinct_count, salted_topk_by_count
+from ralf_spark.table import FeatureTable
+
+
+def test_salted_distinct_count_exact(spark):
+    # key "hot" has values 0..99 each 5x; key "cold" has 3 distinct
+    rows = [("hot", i % 100) for i in range(500)] + [("cold", i % 3) for i in range(30)]
+    t = FeatureTable(
+        spark.createDataFrame(rows, "k string, v long"), key="k"
+    )
+    got = {r.k: r.n_distinct for r in salted_distinct_count(t, "v").collect()}
+    assert got == {"hot": 100, "cold": 3}
+
+
+def test_salted_topk_by_count_matches_plain(spark):
+    rows = [("k", i % 7) for i in range(700)] + [("k", 99)] * 5
+    t = FeatureTable(spark.createDataFrame(rows, "k string, v long"), key="k")
+    got = salted_topk_by_count(t, "v", k=3).collect()
+    # 0..6 each appear 100x; 99 appears 5x -> top3 = values 0,1,2 (tie by value)
+    assert [(r.value, r.n) for r in sorted(got, key=lambda r: r.rnk)] == [
+        (0, 100), (1, 100), (2, 100)
+    ]
+
+
+def test_upsert_into_incremental_equals_full_latest(spark, tmp_path):
+    path = str(tmp_path / "state")
+    b1 = FeatureTable(
+        spark.createDataFrame(
+            [(1, 10, 1, 1.0), (2, 10, 2, 2.0)], "k long, ts long, seq long, v double"
+        ),
+        key="k", ts="ts", seq="seq",
+    )
+    b2 = FeatureTable(
+        spark.createDataFrame(
+            [(1, 20, 3, 9.0), (3, 5, 4, 7.0)], "k long, ts long, seq long, v double"
+        ),
+        key="k", ts="ts", seq="seq",
+    )
+    upsert_into(path, b1)
+    upsert_into(path, b2)
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 9.0, 2: 2.0, 3: 7.0}
+    # replay of b2 is a no-op (idempotent)
+    upsert_into(path, b2)
+    again = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_ivf_topk_within_cell_matches_bruteforce_scores(spark):
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.0, 0.0] if i < 10 else [0.0, 1.0 + 0.01 * i, 0.0])
+        for i in range(20)
+    ]
+    corpus = FeatureTable(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        key="vec_id",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    q = corpus.df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = ivf_topk(corpus, q, centroids, k=25).collect()
+    # query 0 lives in the x-axis cell: neighbors are exactly vec 1..9
+    assert sorted(r.neighbor_id for r in got) == list(range(1, 10))
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(corpus, q, k=25).collect()
+    }
+    for r in got:
+        assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_jaccard_inverted_finds_near_dup_and_prunes_hot(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = base + " iota"
+    # `other` shares no shingle with base/near
+    other = "one two three four five six seven eight"
+    t = FeatureTable(
+        spark.createDataFrame(
+            [(1, base), (2, near), (3, other)], "doc_id long, text string"
+        ),
+        key="doc_id",
+    )
+    pairs = jaccard_pairs_inverted(t, threshold=0.5, max_df=5).collect()
+    assert [(p.id1, p.id2) for p in pairs] == [(1, 2)]
+    # with max_df=1 every shared shingle (df=2) is "hot" -> no candidates
+    none = jaccard_pairs_inverted(t, threshold=0.5, max_df=1).collect()
+    assert none == []
