@@ -158,10 +158,19 @@ def near_dup_pairs(
     ids = ensure_parallelism(
         table.df.select(F.col(idc).alias("_id"), F.col(text_col).alias("_text"))
     )
-    docs = ids.select(
-        "_id",
-        distinct_shingles(F.col("_text"), shingle_n).alias("_sh"),
-    ).where(F.size("_sh") > 0)
+    # The shingle projection feeds three branches (signatures + both sides
+    # of the verification join); Spark does not CSE across DAG branches, so
+    # without a persist each branch re-tokenizes the corpus. At cluster
+    # scale the same multi-pass algorithm checkpoints this projection to
+    # parquet; persist() is the single-job spelling.
+    docs = (
+        ids.select(
+            "_id",
+            distinct_shingles(F.col("_text"), shingle_n).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
+        .persist()
+    )
     sig = docs.withColumn(
         "_sig",
         F.array(
@@ -171,12 +180,22 @@ def near_dup_pairs(
             ]
         ),
     )
-    buckets = sig.select(
-        "_id",
-        F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
-            "_b"
-        ),
-    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    # Both sides of the candidate self-join read the bucket table; persist
+    # so the num_perm MinHash transforms run once, not twice.
+    buckets = (
+        sig.select(
+            "_id",
+            F.explode(
+                lsh_band_keys(F.col("_sig"), bands, rows_per_band)
+            ).alias("_b"),
+        )
+        .select(
+            "_id",
+            F.col("_b.band").alias("_band"),
+            F.col("_b.key").alias("_key"),
+        )
+        .persist()
+    )
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -229,9 +248,18 @@ def jaccard_pairs_inverted(
     ids = ensure_parallelism(
         table.df.select(F.col(idc).alias("_id"), F.col(text_col).alias("_text"))
     )
-    docs = ids.select(
-        "_id", distinct_shingles(F.col("_text"), shingle_n).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    # Persist the two multiply-referenced intermediates (shingle projection:
+    # posting + both verification sides; rare posting: both self-join
+    # sides) — Spark does not CSE across DAG branches, so each reference
+    # would otherwise re-tokenize the corpus. Cluster-scale spelling of the
+    # same multi-pass algorithm: checkpoint these to parquet.
+    docs = (
+        ids.select(
+            "_id", distinct_shingles(F.col("_text"), shingle_n).alias("_sh")
+        )
+        .where(F.size("_sh") > 0)
+        .persist()
+    )
     posting = docs.select("_id", F.explode("_sh").alias("_s"))
     rare = (
         posting.groupBy("_s")
@@ -239,7 +267,7 @@ def jaccard_pairs_inverted(
         .where(F.col("_df") <= max_df)
         .select("_s")
     )
-    posting_r = posting.join(rare, "_s")
+    posting_r = posting.join(rare, "_s").persist()
     a, b = posting_r.alias("a"), posting_r.alias("b")
     cand = (
         a.join(

@@ -1287,9 +1287,19 @@ def streaming_tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="event_id", size=5,
     )
     name = "stream_w1_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    run_bounded(
-        write_memory(win, name), checkpoint=_tf.mkdtemp(prefix="ck_w1_")
-    )
+    # The stateful operator creates one state store per shuffle partition,
+    # fixed at first start (it's baked into the checkpoint). Size it to the
+    # bounded replay — 32 stores is pure per-store setup cost for a
+    # 150-key fixture (~5x slower end-to-end); a production job sizes this
+    # via --conf at submit against its real key cardinality.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_bounded(
+            write_memory(win, name), checkpoint=_tf.mkdtemp(prefix="ck_w1_")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .select(
