@@ -1139,7 +1139,7 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source, count(*) AS n_docs,
            round(avg(n_chars), 4) AS avg_chars,
-           sum(len(w)) AS total_tokens
+           CAST(sum(len(w)) AS BIGINT) AS total_tokens
     FROM toks GROUP BY lang, source ORDER BY lang, source
     """,
 )

@@ -35,6 +35,13 @@ def load_fixture(
 ) -> FeatureTable:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     key, ts, seq = FIXTURE_TABLES[name]
+    # events.parquet stores TIMESTAMP(NANOS), which Spark rejects unless this
+    # legacy conf is on. It MUST be set at runtime here (idempotent), not only
+    # in session.py DEFAULT_CONFS: external harnesses (the correctness driver)
+    # build their own SparkSession and never call get_spark(). Round-2
+    # regression: moving this into session defaults broke 20/46 driver queries
+    # with PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if ts is not None and dict(df.dtypes).get(ts) == "bigint":
         # events.parquet stores ts as TIMESTAMP(NANOS), read as epoch-ns
