@@ -169,8 +169,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact joins → top-k.
 
-    customer is broadcast (dim ≪ fact); lineitem⋈orders shuffles on
-    orderkey. Deterministic top-k tie-break on l_orderkey.
+    No explicit broadcast hint on customer: it scales with sf (150k×sf
+    rows), and a forced hint is never demoted by AQE, so at 100× scale it
+    would OOM executors. The autoBroadcastJoinThreshold + AQE dynamic join
+    selection still pick broadcast while the filtered side fits.
+    lineitem⋈orders shuffles on orderkey. Deterministic top-k tie-break on
+    l_orderkey.
     """
     cutoff = F.lit("1995-03-15").cast("timestamp")
     c = _t(spark, sf_dir, "customer").df.where(
@@ -180,7 +184,7 @@ def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").df.where(F.col("l_shipdate") > cutoff)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -213,8 +217,12 @@ def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join with region selectivity.
 
-    All dimensions broadcast; the only shuffles are fact-fact
-    (lineitem⋈orders) and the final 1-key aggregation.
+    Only the bounded dims (nation: 25 rows, region: 5) carry explicit
+    broadcast hints. customer and supplier scale with sf, so they get no
+    hint — the size threshold + AQE choose broadcast while they fit and
+    fall back to shuffle at scale (a forced hint is never AQE-demoted).
+    The unavoidable shuffles are fact-fact (lineitem⋈orders) and the final
+    1-key aggregation.
     """
     c = _t(spark, sf_dir, "customer").df
     o = _t(spark, sf_dir, "orders").df
@@ -224,9 +232,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").df.where(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -288,14 +296,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer — selective fact
-    filter, broadcast dims, top-k with deterministic tie-break."""
+    filter, top-k with deterministic tie-break. Only nation (25 rows) is
+    hint-broadcast; customer scales with sf and is left to the threshold/
+    AQE so the plan survives a 100× scale-up."""
     c = _t(spark, sf_dir, "customer").df
     o = _t(spark, sf_dir, "orders").df
     l = _t(spark, sf_dir, "lineitem").df.where(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation").df
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -325,7 +335,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: join against an aggregated subquery (HAVING) — the
     agg shrinks lineitem to qualifying orderkeys BEFORE the join, so only
-    the small winner set shuffles into orders."""
+    the small winner set shuffles into orders. customer carries no
+    broadcast hint (scales with sf; threshold/AQE decide)."""
     o = _t(spark, sf_dir, "orders").df
     c = _t(spark, sf_dir, "customer").df
     l = _t(spark, sf_dir, "lineitem").df
@@ -336,7 +347,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "o_orderkey", F.round("sum_qty", 2).alias("sum_qty")
         )
@@ -671,13 +682,18 @@ def sliding_window_per_key_slide_q(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def enrichment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 steady state: fact enriched with dimension state via broadcast
-    equi-join (``ralf/operators/join.py:41-50``)."""
+    """J1 steady state: fact enriched with dimension state via equi-join
+    (``ralf/operators/join.py:41-50``).
+
+    Only nation (25 rows, truly bounded) is hint-broadcast. customer scales
+    with sf, so it gets ``broadcast_right=None`` — threshold/AQE pick
+    broadcast while it fits and fall back to shuffle at 100× scale.
+    """
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     joined = enrichment_join(
-        o, c, on=[o.df.o_custkey == c.df.c_custkey], broadcast_right=True
+        o, c, on=[o.df.o_custkey == c.df.c_custkey]
     )
     joined = enrichment_join(
         joined, n,

@@ -170,6 +170,22 @@ def test_q3_q5_broadcast_dimensions(spark):
     assert has_broadcast_join(QUERIES["q5_local_supplier_volume"].fn(spark, SF_DIR))
 
 
+def test_dim_joins_broadcast_at_sf01_without_forced_hints(spark):
+    """After dropping explicit F.broadcast hints on sf-scaled tables
+    (customer/supplier — a forced hint is never AQE-demoted and OOMs at
+    100×), the threshold must still pick broadcast at sf0.1. Plan-only:
+    nothing executes."""
+    for name in [
+        "q3_unshipped_orders",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q18_large_orders",
+        "enrichment_join",
+    ]:
+        df = QUERIES[name].fn(spark, "/root/testdata/sf0.1")
+        assert has_broadcast_join(df), f"{name} lost its broadcast at sf0.1"
+
+
 # ------------------------------------------------- loader nanos round-trip
 
 def test_fixture_ts_nanos_exact_roundtrip(spark):
