@@ -55,5 +55,26 @@ def distinct_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(word_shingles(tokens(col), n))
 
 
+def hashed_shingles(col: Column, n: int = 3) -> Column:
+    """Production fast path: the distinct shingle set as BIGINTs — each
+    n-gram hashed directly via multi-arg ``xxhash64`` over its tokens,
+    never materialized as a concatenated string.
+
+    Everything downstream (MinHash perms, Jaccard intersect/union) becomes
+    fixed-width integer work. Hash collisions merge shingles at ~n²/2⁶⁴
+    probability — immaterial for dedup. No DuckDB twin on purpose: this
+    mode trades cross-engine replayability for speed (``hash_fn="md5"``
+    keeps the oracle-checked string pipeline).
+    """
+    tok = tokens(col)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(tok, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(tok) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def distinct_shingles_sql(w: str = "w", n: int = 3) -> str:
     return f"list_distinct({word_shingles_sql(w, n)})"

@@ -19,3 +19,23 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def attach_cached(df: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Record the persisted intermediates a result plan depends on, so the
+    caller can release them after its action (see :func:`unpersist_cached`).
+
+    Persisted blocks otherwise accumulate across repeated operator
+    invocations in a long-lived session (ADVICE r2)."""
+    df._ralf_cached = list(cached)  # type: ignore[attr-defined]
+    return df
+
+
+def unpersist_cached(df: DataFrame, blocking: bool = False) -> None:
+    """Release intermediates persisted by the operator that built ``df``.
+
+    Call AFTER the final action on ``df`` — the plan re-computes from
+    source if executed again afterwards. No-op for plans without attached
+    cache state."""
+    for cached in getattr(df, "_ralf_cached", []):
+        cached.unpersist(blocking)

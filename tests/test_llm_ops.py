@@ -60,6 +60,49 @@ def test_near_dup_plan_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_near_dup_xxhash64_fast_mode_matches_md5_pairs(spark):
+    """Production hash mode: same verified pairs as the oracle-checked md5
+    mode on a corpus with clear near-dups (candidate recall may differ on
+    borderline pairs; verification keeps precision exact), and identical
+    jaccard values — those come from exact shingle sets, not the hash."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "completely different words about spark catalyst plans here"),
+        (4, "sphinx of black quartz judge my vow said the typist slowly"),
+        (5, "sphinx of black quartz judge my vow said the typist quickly"),
+    ]
+    t = _docs(spark, rows)
+    md5_pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in near_dup_pairs(t, threshold=0.5).collect()
+    }
+    fast_pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in near_dup_pairs(t, threshold=0.5, hash_fn="xxhash64").collect()
+    }
+    assert md5_pairs == fast_pairs
+    assert set(md5_pairs) == {(1, 2), (4, 5)}
+
+
+def test_near_dup_unpersist_cached_releases_storage(spark):
+    from ralf_spark.operators.util import unpersist_cached
+
+    t = _docs(spark, [(1, "a b c d e"), (2, "a b c d f")])
+    out = near_dup_pairs(t)
+    out.collect()
+    assert len(out._ralf_cached) == 2
+    assert all(df.storageLevel.useMemory for df in out._ralf_cached)
+    unpersist_cached(out, blocking=True)
+    assert not any(df.storageLevel.useMemory for df in out._ralf_cached)
+
+
+def test_minhash_bad_hash_fn_raises():
+    with pytest.raises(ValueError):
+        minhash_signature(F.col("text"), hash_fn="sha999")
+
+
 def test_minhash_signature_shape_and_permutation_variety(spark):
     t = _docs(spark, [(1, "w1 w2 w3 w4 w5 w6 w7 w8")])
     sig = t.df.select(
