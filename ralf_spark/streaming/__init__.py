@@ -16,16 +16,24 @@ from ralf_spark.streaming.sinks import (
 )
 from ralf_spark.streaming.sources import (
     EVENT_SCHEMA,
+    KINESIS_WIRE_SCHEMA,
+    decode_kafka_records,
+    decode_kinesis_records,
     file_events,
     kafka_events,
+    kinesis_events,
     rate_events,
 )
 from ralf_spark.streaming.windows import streaming_tumbling_count_window
 
 __all__ = [
     "EVENT_SCHEMA",
+    "KINESIS_WIRE_SCHEMA",
+    "decode_kafka_records",
+    "decode_kinesis_records",
     "file_events",
     "kafka_events",
+    "kinesis_events",
     "rate_events",
     "foreach_batch_latest_upsert",
     "run_bounded",

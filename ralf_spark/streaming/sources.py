@@ -83,6 +83,18 @@ def file_events(
     return reader.format(fmt).load(path)
 
 
+def decode_kafka_records(
+    raw: DataFrame,
+    value_schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Decode a Kafka-wire DataFrame (binary ``value`` column) into event
+    columns. Pure transform — unit-testable without the connector jar."""
+    schema = value_schema or EVENT_SCHEMA
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e")
+    ).select("e.*")
+
+
 def kafka_events(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -94,9 +106,7 @@ def kafka_events(
 
     Requires the spark-sql-kafka connector on the classpath (not bundled in
     this environment, so this constructs the plan but can only run where
-    the connector jar is deployed — same for a Kinesis connector, the
-    ``ralf/v2/kinesis_source.py`` analog, whose shard->executor assignment
-    Spark handles natively).
+    the connector jar is deployed).
     """
     raw = (
         spark.readStream.format("kafka")
@@ -104,7 +114,88 @@ def kafka_events(
         .option("subscribe", topic)
         .load()
     )
+    return decode_kafka_records(raw, value_schema)
+
+
+#: Raw schema produced by the aws-kinesis Structured Streaming connector
+#: (per record: payload + shard/sequence metadata + arrival timestamp).
+KINESIS_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("streamName", T.StringType()),
+        T.StructField("partitionKey", T.StringType()),
+        T.StructField("shardId", T.StringType()),
+        T.StructField("sequenceNumber", T.StringType()),
+        T.StructField("approximateArrivalTimestamp", T.TimestampType()),
+    ]
+)
+
+
+def decode_kinesis_records(
+    raw: DataFrame,
+    value_schema: T.StructType | str | None = None,
+    shard_key: str | None = None,
+) -> DataFrame:
+    """Decode Kinesis wire records into event columns, Spark-shaped mirror
+    of the reference's per-record loop (``ralf/v2/kinesis_source.py:
+    115-162``): JSON-decode the ``data`` payload, stamp ``ingest_time``
+    from the record's approximate arrival timestamp, and (optionally) carry
+    a string ``shard_key`` column — the reference keys every record by
+    ``str(e[shard_key])``.
+
+    Pure transform over :data:`KINESIS_WIRE_SCHEMA` — unit-testable on a
+    handcrafted DataFrame without any AWS dependency.
+    """
     schema = value_schema or EVENT_SCHEMA
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("e")
-    ).select("e.*")
+    out = raw.select(
+        F.from_json(F.col("data").cast("string"), schema).alias("e"),
+        F.col("approximateArrivalTimestamp").alias("ingest_time"),
+    ).select("e.*", "ingest_time")
+    if shard_key is not None:
+        out = out.withColumn("shard_key", F.col(shard_key).cast("string"))
+    return out
+
+
+def kinesis_events(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    value_schema: T.StructType | str | None = None,
+    shard_key: str | None = None,
+    consumer_name: str | None = None,
+    starting_position: str = "TRIM_HORIZON",
+) -> DataFrame:
+    """Kinesis-shaped source — the ``KinesisDataSource`` analog
+    (``ralf/v2/kinesis_source.py:9-162``).
+
+    What the reference hand-rolls, Spark's connector owns natively:
+
+    - *consumer registration* (``prepare``, lines 58-101: deregister stale
+      consumer, register, poll until ACTIVE) → the connector's
+      enhanced-fan-out ``consumerName`` option; lifecycle is managed by the
+      source, not user code.
+    - *shard → replica round-robin* (lines 104-112: ``i % num_replicas ==
+      shard_idx``) → shard-to-task assignment by the streaming engine,
+      rebalanced on resharding (the reference asserts a FIXED shard count).
+    - *sequence-number checkpointing* (lines 119-144) → the query's
+      checkpoint location; exactly-once instead of the reference's
+      at-most-once in-memory ``seq_no``.
+    - *payload decode + ``ingest_time`` stamp* (lines 133-141) →
+      :func:`decode_kinesis_records`.
+
+    Requires the aws-kinesis Structured Streaming connector jar (not in
+    this environment: the plan builds, only ``.start()`` needs the jar).
+    """
+    reader = (
+        spark.readStream.format("aws-kinesis")
+        .option("kinesis.streamName", stream_name)
+        .option("kinesis.region", region)
+        .option("kinesis.startingposition", starting_position)
+    )
+    if consumer_name is not None:
+        reader = (
+            reader.option("kinesis.consumerType", "EFO")
+            .option("kinesis.consumerName", consumer_name)
+        )
+    raw = reader.load()
+    return decode_kinesis_records(raw, value_schema, shard_key)

@@ -132,3 +132,71 @@ def test_foreach_batch_latest_upsert_equals_batch_latest(spark, events_dir, tmp_
         for r in ev.latest().df.collect()
     }
     assert got == want
+
+
+# ------------------------------------------------ connector decode plumbing
+
+
+def test_decode_kinesis_records_stamps_ingest_time_and_shard_key(spark):
+    """The reference's per-record loop (ralf/v2/kinesis_source.py:133-162)
+    decodes the JSON payload, stamps ingest_time from the arrival
+    timestamp, and keys by str(shard_key). Same semantics, columnar —
+    exercised on a handcrafted wire DataFrame (no connector jar needed)."""
+    import datetime as dt
+    import json
+
+    from ralf_spark.streaming import (
+        KINESIS_WIRE_SCHEMA,
+        decode_kinesis_records,
+    )
+
+    arrive = dt.datetime(2024, 1, 2, 3, 4, 5)
+    rows = [
+        (
+            json.dumps(
+                {"event_id": i, "ts": "2024-01-01T00:00:0%d" % i,
+                 "user_id": i % 2, "value": float(i)}
+            ).encode(),
+            "events", str(i % 2), f"shardId-{i % 2:012d}", str(1000 + i),
+            arrive + dt.timedelta(seconds=i),
+        )
+        for i in range(4)
+    ]
+    raw = spark.createDataFrame(rows, KINESIS_WIRE_SCHEMA)
+    out = decode_kinesis_records(raw, shard_key="user_id")
+    got = {r.event_id: r for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[3].ingest_time == arrive + dt.timedelta(seconds=3)
+    assert got[3].shard_key == "1" and isinstance(got[3].shard_key, str)
+    assert got[2].value == 2.0
+
+
+def test_decode_kafka_records_parses_json_values(spark):
+    import json
+
+    from ralf_spark.streaming import decode_kafka_records
+
+    rows = [
+        (json.dumps({"event_id": 7, "ts": "2024-01-01T00:00:07",
+                     "user_id": 1, "value": 7.0}).encode(),),
+    ]
+    raw = spark.createDataFrame(rows, "value binary")
+    [r] = decode_kafka_records(raw).collect()
+    assert (r.event_id, r.user_id, r.value) == (7, 1, 7.0)
+
+
+def test_kinesis_events_builds_plan_without_jar(spark):
+    """Plan construction must not require the aws-kinesis connector jar
+    (absent in this environment — only .start() resolves the source)."""
+    from ralf_spark.streaming import kinesis_events
+
+    try:
+        df = kinesis_events(
+            spark, "events", "us-west-2",
+            shard_key="user_id", consumer_name="ralf-kinesis-consumer-0",
+        )
+        assert "ingest_time" in df.columns
+    except Exception as e:  # pragma: no cover - env-dependent
+        # Acceptable only if resolution fails for the MISSING JAR, at
+        # .load() time — anything else is a real bug.
+        assert "aws-kinesis" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e)
