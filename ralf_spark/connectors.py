@@ -33,6 +33,27 @@ from pyspark.sql import functions as F
 from ralf_spark.table import FeatureTable
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — works on any
+    configured filesystem (local, HDFS, S3A), unlike ``os.path``."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    )
+    return fs, jpath
+
+
+def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read parquet state if it exists on the table's (possibly remote)
+    filesystem, else None. os.path.exists would be a driver-local check
+    that silently discards remote state (ADVICE r2)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(path)
+
+
 def upsert_into(
     path: str,
     batch: FeatureTable,
@@ -43,16 +64,19 @@ def upsert_into(
     ``ralf/v2/table_state.py:29-46``, amortized over a batch).
 
     Reduce the batch to latest-per-key first (only per-key winners shuffle),
-    union with current state, keep per-key winners, atomically replace.
-    On a lakehouse table format this is MERGE INTO; idempotent for replays
-    (re-upserting the same batch is a no-op).
+    union with current state, keep per-key winners, replace. The replace is
+    staged (write to ``.__staging__``, rewrite ``path``, drop staging) so a
+    mid-write failure never corrupts *staging and current at once*, but the
+    final rewrite itself is NOT atomic on plain parquet — a concurrent
+    reader can observe a partial ``path``. The production spelling is MERGE
+    INTO on a lakehouse format (Delta/Iceberg), which is atomic; this is
+    the plain-parquet equivalent. Idempotent for replays (re-upserting the
+    same batch is a no-op).
     """
-    import os
-
     spark = batch.df.sparkSession
     batch_latest = batch.latest().df
-    if os.path.exists(path):
-        current = spark.read.parquet(path)
+    current = _try_read_parquet(spark, path)
+    if current is not None:
         merged = (
             FeatureTable(
                 current.unionByName(batch_latest),
@@ -63,9 +87,26 @@ def upsert_into(
         )
     else:
         merged = batch_latest
+    _staged_overwrite(spark, merged, path)
+
+
+def _staged_overwrite(
+    spark: SparkSession, df: DataFrame, path: str, partition_by: str | None = None
+) -> None:
+    """Write ``df`` over ``path`` via a staging directory (the output may
+    derive from ``path``'s current contents, so a direct overwrite would
+    read and clobber the same files), then remove the staging dir."""
     tmp = f"{path}.__staging__"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    reread = spark.read.parquet(tmp).write.mode("overwrite")
+    if partition_by:
+        reread = reread.partitionBy(partition_by)
+    reread.parquet(path)
+    fs, jtmp = _hadoop_fs(spark, tmp)
+    fs.delete(jtmp, True)
 
 
 class StateConnector(ABC):
@@ -174,11 +215,7 @@ class ParquetStateConnector(StateConnector):
     def delete(self, spark: SparkSession, keys: Sequence[Any]) -> None:
         df = spark.read.parquet(self.path)
         remaining = df.where(~F.col(self.key).isin(list(keys)))
-        tmp = f"{self.path}.__staging__"
-        remaining.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(self.path)
+        _staged_overwrite(spark, remaining, self.path, partition_by="bucket")
 
 
 class SqliteStateConnector(StateConnector):
@@ -310,3 +347,191 @@ class SqliteStateConnector(StateConnector):
             return con.execute(
                 f'SELECT count(*) FROM "{self.table_name}"'
             ).fetchone()[0]
+
+
+# ---------------------------------------------------------------- KV serving
+
+
+class KeyValueClient(ABC):
+    """Minimal hash-table client contract — the subset of the redis client
+    API the reference's connectors use (``ralf/state/redis_connector.py:
+    10-38``: hset/hget/hdel/hvals/hlen per state table). A real
+    ``redis.Redis`` instance satisfies it structurally; tests (and
+    redis-less deployments) use :class:`InMemoryKVClient`.
+    """
+
+    @abstractmethod
+    def hset(self, table: str, key: str, value: bytes) -> None: ...
+
+    @abstractmethod
+    def hget(self, table: str, key: str) -> bytes | None: ...
+
+    @abstractmethod
+    def hdel(self, table: str, *keys: str) -> None: ...
+
+    @abstractmethod
+    def hvals(self, table: str) -> list[bytes]: ...
+
+    @abstractmethod
+    def hlen(self, table: str) -> int: ...
+
+    @abstractmethod
+    def delete(self, *tables: str) -> None:
+        """Drop whole hashes (redis ``DEL``) — used by full-refresh save."""
+
+
+class InMemoryKVClient(KeyValueClient):
+    """Dict-of-dicts fake of the redis hash API — the test double, and the
+    DictConnector-over-KV analog."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, dict[str, bytes]] = {}
+
+    def hset(self, table: str, key: str, value: bytes) -> None:
+        self._tables.setdefault(table, {})[key] = value
+
+    def hget(self, table: str, key: str) -> bytes | None:
+        return self._tables.get(table, {}).get(key)
+
+    def hdel(self, table: str, *keys: str) -> None:
+        t = self._tables.get(table, {})
+        for k in keys:
+            t.pop(k, None)
+
+    def hvals(self, table: str) -> list[bytes]:
+        return list(self._tables.get(table, {}).values())
+
+    def hlen(self, table: str) -> int:
+        return len(self._tables.get(table, {}))
+
+    def delete(self, *tables: str) -> None:
+        for t in tables:
+            self._tables.pop(t, None)
+
+
+class KVStateConnector(StateConnector):
+    """External-KV serving connector — the RedisConnector analog
+    (``ralf/state/redis_connector.py:10-38``, v2
+    ``ralf/v2/connectors/redis_connector.py:9-48``): one hash per state
+    table, one field per key, the online-serving edge a feature store
+    hands to a model server.
+
+    Rows are stored as JSON objects (the reference pickles; JSON keeps the
+    store readable by non-Python consumers), timestamps as epoch micros
+    with a ``__schema__`` sidecar entry for exact round-trip. Writes stream
+    through ``toLocalIterator`` on the driver — latest-per-key state is
+    bounded by key cardinality, and this mirrors the reference's
+    single-connection writer. A cluster-parallel deployment moves the same
+    upsert loop into ``df.foreachPartition`` with one connection per
+    partition (the reference's v2 ``create_connection`` pattern); the
+    stored layout is identical.
+    """
+
+    _SIDECAR = "__ralf_schema__"
+
+    def __init__(self, client: KeyValueClient, table_name: str, key: str):
+        self.client = client
+        self.table_name = table_name
+        self.key = key
+
+    def save(self, table: FeatureTable) -> None:
+        """Full refresh: drop the hash, then write the latest-per-key
+        state (the StateConnector contract every connector shares)."""
+        self.client.delete(self.table_name)
+        self.upsert(table)
+
+    def upsert(self, table: FeatureTable) -> None:
+        """Incremental upsert: per-key winners of ``table`` claim their
+        hash fields IF they win by ``(ts, seq)`` against the stored row;
+        absent keys keep serving their previous value. The conditional
+        matters because micro-batches can replay out of event-time order
+        (file replay, failure recovery) — blind last-write-wins would let
+        an older record clobber newer state. Mirrors ``upsert_into``'s
+        winner-merge for parquet. (The reference's Redis path overwrites
+        unconditionally, ``ralf/state/table_state.py:29-46`` — correct only
+        for in-order streams.)"""
+        import json
+
+        state = table.latest() if (table.ts or table.seq) else table
+        df = state.df
+        ts_cols = [c for c, t in df.dtypes if t == "timestamp"]
+        for c in ts_cols:
+            df = df.withColumn(c, F.unix_micros(F.col(c)))
+        self.client.hset(
+            self._SIDECAR,
+            self.table_name,
+            json.dumps(
+                {"ddl": ", ".join(f"{c} {t}" for c, t in df.dtypes),
+                 "ts_cols": ts_cols}
+            ).encode(),
+        )
+        cols = df.columns
+        order = [c for c in (table.ts, table.seq) if c is not None]
+
+        def _wins(new: dict, cur: dict) -> bool:
+            if not order:
+                return True
+            neg = float("-inf")
+            new_k = tuple(new.get(c) if new.get(c) is not None else neg
+                          for c in order)
+            cur_k = tuple(cur.get(c) if cur.get(c) is not None else neg
+                          for c in order)
+            return new_k >= cur_k
+
+        for row in df.toLocalIterator():
+            d = dict(zip(cols, row))
+            field = str(d[self.key])
+            raw = self.client.hget(self.table_name, field)
+            if raw is None or _wins(d, json.loads(raw)):
+                self.client.hset(
+                    self.table_name, field, json.dumps(d).encode()
+                )
+
+    def _sidecar(self) -> dict:
+        import json
+
+        raw = self.client.hget(self._SIDECAR, self.table_name)
+        if raw is None:
+            raise KeyError(
+                f"no saved state for table {self.table_name!r} "
+                "(save() records the schema sidecar)"
+            )
+        return json.loads(raw)
+
+    def load(self, spark: SparkSession) -> FeatureTable:
+        import json
+
+        meta = self._sidecar()
+        names = [p.strip().split(" ")[0] for p in meta["ddl"].split(",")]
+        rows = [
+            tuple(json.loads(v)[n] for n in names)
+            for v in self.client.hvals(self.table_name)
+        ]
+        df = spark.createDataFrame(rows, schema=meta["ddl"])
+        for c in meta["ts_cols"]:
+            df = df.withColumn(c, F.timestamp_micros(F.col(c)))
+        return FeatureTable(df, key=self.key)
+
+    def point_query(self, spark: SparkSession, key_value: Any) -> list[Row]:
+        # True O(1) point lookup against the hash field — no scan, the
+        # whole point of the serving edge.
+        import json
+
+        raw = self.client.hget(self.table_name, str(key_value))
+        if raw is None:
+            return []
+        meta = self._sidecar()
+        d = json.loads(raw)
+        for c in meta["ts_cols"]:
+            import datetime as _dt
+
+            d[c] = _dt.datetime.fromtimestamp(
+                d[c] / 1_000_000, tz=_dt.timezone.utc
+            ).replace(tzinfo=None)
+        return [Row(**d)]
+
+    def delete(self, spark: SparkSession, keys: Sequence[Any]) -> None:
+        self.client.hdel(self.table_name, *[str(k) for k in keys])
+
+    def count(self, spark: SparkSession) -> int:
+        return self.client.hlen(self.table_name)

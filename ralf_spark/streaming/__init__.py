@@ -8,6 +8,7 @@ computation); streaming uses the same FeatureTable semantics with bounded
 """
 
 from ralf_spark.streaming.sinks import (
+    foreach_batch_kv_upsert,
     foreach_batch_latest_upsert,
     run_bounded,
     write_console,
@@ -35,6 +36,7 @@ __all__ = [
     "kafka_events",
     "kinesis_events",
     "rate_events",
+    "foreach_batch_kv_upsert",
     "foreach_batch_latest_upsert",
     "run_bounded",
     "write_console",

@@ -67,6 +67,32 @@ def foreach_batch_latest_upsert(
     return df.writeStream.foreachBatch(upsert)
 
 
+def foreach_batch_kv_upsert(
+    df: DataFrame,
+    connector,
+    ts: str | None = None,
+    seq: str | None = None,
+) -> DataStreamWriter:
+    """Serve a stream's latest-per-key state through an external KV store —
+    the online-serving edge (the reference pushes every update into Redis,
+    ``ralf/state/redis_connector.py:17-21``; here each micro-batch reduces
+    to its per-key winners first, so the KV store sees one write per key
+    per batch instead of one per record).
+
+    ``connector`` is a :class:`ralf_spark.connectors.KVStateConnector`;
+    every batch incrementally upserts its per-key winners (absent keys keep
+    serving their previous value). KV upserts are idempotent per key, so
+    micro-batch replays after failure converge to the same state.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        connector.upsert(
+            FeatureTable(batch_df, key=connector.key, ts=ts, seq=seq)
+        )
+
+    return df.writeStream.foreachBatch(upsert)
+
+
 def run_bounded(
     writer: DataStreamWriter, checkpoint: str | None = None
 ) -> StreamingQuery:

@@ -10,6 +10,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from ralf_spark.connectors import (
+    InMemoryKVClient,
+    KVStateConnector,
     MemoryConnector,
     ParquetStateConnector,
     SqliteStateConnector,
@@ -32,12 +34,14 @@ def _make(kind, tmp_path):
         return ParquetStateConnector(
             str(tmp_path / "state"), key="user_id", num_buckets=8
         )
+    if kind == "kv":
+        return KVStateConnector(InMemoryKVClient(), "state", key="user_id")
     return SqliteStateConnector(
         str(tmp_path / "state.db"), "state", key="user_id"
     )
 
 
-@pytest.mark.parametrize("kind", ["memory", "parquet", "sqlite"])
+@pytest.mark.parametrize("kind", ["memory", "parquet", "sqlite", "kv"])
 def test_connector_crud_contract(spark, tmp_path, kind):
     con = _make(kind, tmp_path)
     t = _events(
@@ -152,3 +156,58 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_left_t")
         spark.sql("DROP TABLE IF EXISTS bk_right_t")
+
+
+def test_kv_roundtrips_timestamp_state(spark):
+    import datetime as dt
+
+    con = KVStateConnector(InMemoryKVClient(), "ts_state", key="k")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 5, 1, 12, 0, 0, 123456), 1.0)],
+        "k long, ts timestamp, v double",
+    )
+    con.save(FeatureTable(df, key="k"))
+    t = con.load(spark)
+    assert dict(t.df.dtypes)["ts"] == "timestamp"
+    [row] = t.df.collect()
+    assert row.ts == dt.datetime(2024, 5, 1, 12, 0, 0, 123456)
+    [prow] = con.point_query(spark, 1)
+    assert prow.ts == dt.datetime(2024, 5, 1, 12, 0, 0, 123456)
+
+
+def test_kv_upsert_keeps_absent_keys_serving(spark):
+    """upsert (the streaming edge) must NOT evict keys missing from the
+    batch — unlike save, which is a full refresh."""
+    con = KVStateConnector(InMemoryKVClient(), "state", key="user_id")
+    con.save(_events(spark, [(1, 10, 1, 1.0), (2, 10, 2, 2.0)]))
+    con.upsert(_events(spark, [(1, 20, 3, 9.0)]))
+    assert con.count(spark) == 2
+    assert con.point_query(spark, 1)[0].value == 9.0
+    assert con.point_query(spark, 2)[0].value == 2.0
+    con.save(_events(spark, [(1, 30, 4, 5.0)]))  # full refresh evicts 2
+    assert con.count(spark) == 1
+
+
+def test_upsert_into_cleans_staging_dir(spark, tmp_path):
+    """ADVICE r2: the .__staging__ directory must not leak disk on every
+    upsert, and repeated upserts must merge with existing state."""
+    import os
+
+    from ralf_spark.connectors import upsert_into
+
+    path = str(tmp_path / "state")
+    upsert_into(path, _events(spark, [(1, 10, 1, 1.0)]))
+    upsert_into(path, _events(spark, [(2, 10, 2, 2.0)]))
+    assert not os.path.exists(path + ".__staging__")
+    got = {r.user_id: r.value for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+
+def test_parquet_delete_cleans_staging_dir(spark, tmp_path):
+    import os
+
+    con = ParquetStateConnector(str(tmp_path / "st"), key="user_id", num_buckets=4)
+    con.save(_events(spark, [(1, 10, 1, 1.0), (2, 10, 2, 2.0)]))
+    con.delete(spark, [1])
+    assert not os.path.exists(str(tmp_path / "st") + ".__staging__")
+    assert con.count(spark) == 1

@@ -200,3 +200,34 @@ def test_kinesis_events_builds_plan_without_jar(spark):
         # Acceptable only if resolution fails for the MISSING JAR, at
         # .load() time — anything else is a real bug.
         assert "aws-kinesis" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e)
+
+
+def test_foreach_batch_kv_upsert_serves_batch_latest(spark, events_dir, tmp_path):
+    """The KV serving edge: after draining the stream, the in-memory KV
+    store holds exactly the batch-computed latest-per-key state, point
+    lookups included (reference Redis path, ralf/state/redis_connector.py)."""
+    from ralf_spark.connectors import InMemoryKVClient, KVStateConnector
+    from ralf_spark.streaming import foreach_batch_kv_upsert
+
+    con = KVStateConnector(InMemoryKVClient(), "served", key="user_id")
+    stream = file_events(spark, events_dir, max_files_per_trigger=1)
+    run_bounded(
+        foreach_batch_kv_upsert(stream, con, ts="ts", seq="event_id"),
+        checkpoint=str(tmp_path / "ck_kv"),
+    )
+    ev = FeatureTable(
+        spark.read.parquet(events_dir), key="user_id", ts="ts", seq="event_id"
+    )
+    want = {
+        r.user_id: (r.event_id, round(r.value, 4))
+        for r in ev.latest().df.collect()
+    }
+    assert con.count(spark) == len(want)
+    for uid, (eid, val) in list(want.items())[:5]:
+        [row] = con.point_query(spark, uid)
+        assert (row.event_id, round(row.value, 4)) == (eid, val)
+    got = {
+        r.user_id: (r.event_id, round(r.value, 4))
+        for r in con.load(spark).df.collect()
+    }
+    assert got == want
