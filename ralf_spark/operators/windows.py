@@ -82,6 +82,11 @@ def tumbling_count_window(
     )
 
 
+#: ``payload_strategy="auto"`` switches from the rows-frame plan to the
+#: explode plan at this window size (see :func:`sliding_count_window`).
+LARGE_WINDOW_THRESHOLD = 64
+
+
 def sliding_count_window(
     table: FeatureTable,
     window_size: int,
@@ -89,6 +94,7 @@ def sliding_count_window(
     payload_cols: Sequence[str] | None = None,
     per_key_slide: DataFrame | None = None,
     slide_col: str = "slide_size",
+    payload_strategy: str = "auto",
 ) -> FeatureTable:
     """Per-key sliding count window (``ralf/operators/window.py:54-124``).
 
@@ -98,17 +104,83 @@ def sliding_count_window(
     ``:107-120``). ``per_key_slide`` reproduces the per-key slide plan
     (``:88-100``): a small (key, slide_size) frame, broadcast-joined.
 
+    Two physical strategies for materializing payloads:
+
+    - ``"frame"``: ``collect_list().over(ROWS window_size-1 PRECEDING)``.
+      One analytic pass, but the frame materializes a ``window_size`` array
+      for EVERY input row before the emit filter drops non-emitting rows —
+      amplification × ``window_size`` regardless of slide.
+    - ``"explode"``: each row fans out only to the windows that actually
+      emit it (``ceil(window_size / slide)`` copies — the true output
+      payload size), then one (key, pos) hash-agg rebuilds the windows.
+      At the reference's own simulation config (window=672, slide=12,
+      ``ralf/simulation/process.py:88-89``) this moves 672× → 56× — and
+      the agg is map-side partial, so the frame plan's full-sort window
+      is replaced by an ordinary shuffle.
+    - ``"auto"`` (default): ``"frame"`` below :data:`LARGE_WINDOW_THRESHOLD`
+      (one pass, no extra shuffle — cheapest for small windows), else
+      ``"explode"``.
+
     Output columns: key, ``pos`` (1-based rank of the window's last row —
-    deterministic window identity), ``window`` array<struct>.
+    deterministic window identity), ``window`` array<struct>. Identical
+    output for either strategy (asserted in tests).
     """
     if table.key is None:
         raise ValueError("sliding window requires a keyed table")
     if window_size <= 0 or slide_size <= 0:
         raise ValueError("window_size and slide_size must be positive")
+    if payload_strategy not in ("auto", "frame", "explode"):
+        raise ValueError(f"unknown payload_strategy: {payload_strategy!r}")
+    if payload_strategy == "auto":
+        payload_strategy = (
+            "explode" if window_size >= LARGE_WINDOW_THRESHOLD else "frame"
+        )
     cols = payload_cols or [c for c in table.df.columns if c != table.key]
     w = Window.partitionBy(table.key).orderBy(*table.order_cols())
-    frame = w.rowsBetween(-(window_size - 1), 0)
     payload = F.struct(*[F.col(c) for c in cols])
+
+    if payload_strategy == "explode":
+        df = table.df.withColumn("_rn", F.row_number().over(w))
+        if per_key_slide is not None:
+            df = df.join(F.broadcast(per_key_slide), on=table.key, how="left")
+            slide = F.coalesce(F.col(slide_col), F.lit(slide_size))
+        else:
+            slide = F.lit(slide_size)
+        # Emit positions are pos = window_size + j*slide (j >= 0); row _rn
+        # belongs to the window ending at pos iff pos-window_size < _rn <=
+        # pos. Integer `div` spells ceil/floor exactly (ANSI-safe).
+        df = df.withColumn("_slide", slide.cast("long"))
+        j0 = F.when(
+            F.col("_rn") <= window_size, F.lit(0).cast("long")
+        ).otherwise(F.expr(f"(_rn - {window_size} + _slide - 1) div _slide"))
+        j1 = F.expr("(_rn - 1) div _slide")
+        # slide > window_size gaps: a row between emits is in NO window;
+        # sequence(j0, j1) with j1 < j0 would count DOWN, so emit empty.
+        seq = F.when(j1 >= j0, F.sequence(j0, j1)).otherwise(
+            F.array().cast("array<long>")
+        )
+        df = df.withColumn("_j", F.explode(seq)).withColumn(
+            # int like the frame path's row_number-derived pos
+            "pos",
+            (F.lit(window_size) + F.col("_j") * F.col("_slide")).cast("int"),
+        )
+        out = (
+            df.groupBy(table.key, "pos")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_rn").alias("_o"), payload.alias("p"))
+                    )
+                ).alias("_w"),
+            )
+            # only FULL windows emit (tail positions never reach size)
+            .where(F.col("_n") == window_size)
+            .select(table.key, "pos", F.col("_w.p").alias("window"))
+        )
+        return FeatureTable(out, key=table.key)
+
+    frame = w.rowsBetween(-(window_size - 1), 0)
     df = (
         table.df.withColumn("_rn", F.row_number().over(w))
         .withColumn("window", F.collect_list(payload).over(frame))

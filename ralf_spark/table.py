@@ -166,6 +166,63 @@ class FeatureTable:
         grouped = self.df.groupBy(self.key).applyInPandas(fn, schema)
         return FeatureTable(grouped, key=key or self.key, ts=None, seq=None)
 
+    # ------------------------------------------------- event-time windows
+    def with_watermark(self, delay: str) -> "FeatureTable":
+        """Declare the table's ``ts`` column as event time with a lateness
+        bound (e.g. ``"10 minutes"``).
+
+        On a streaming DataFrame this is Spark's watermark: state for
+        windows older than ``max(event time) - delay`` is finalized and
+        dropped, and later-arriving rows are discarded — the engine-level
+        answer to the reference's unbounded per-key buffers (its windows
+        hold every key's buffer forever, ``ralf/operators/window.py:44-51``).
+        On a batch DataFrame it is accepted and ignored by Spark, so the
+        same pipeline definition runs in both modes.
+        """
+        if self.ts is None:
+            raise ValueError("with_watermark requires a ts column")
+        return self._with(self.df.withWatermark(self.ts, delay))
+
+    def time_window(
+        self,
+        duration: str,
+        slide: str | None = None,
+        aggs: Sequence[Column] | None = None,
+    ) -> "FeatureTable":
+        """Per-key event-TIME window aggregate — tumbling (``slide=None``)
+        or sliding (e.g. ``duration="1 hour", slide="15 minutes"``).
+
+        The window family Spark is natively good at: ``F.window(ts, ...)``
+        groups by (key, time bucket) in one map-side-partial hash agg; in
+        streaming mode, combined with :meth:`with_watermark`, it emits
+        finalized windows and bounds state. (The reference only has
+        count-based windows — SURVEY §2.5 marks time windows "free in
+        Spark"; this makes them reachable through the engine API.)
+
+        Output: key, ``window_start``, ``window_end``, plus one column per
+        aggregate in ``aggs`` (default: ``count(*) AS n``).
+        """
+        if self.key is None:
+            raise ValueError("time_window requires a keyed table")
+        if self.ts is None:
+            raise ValueError("time_window requires a ts column")
+        win = (
+            F.window(F.col(self.ts), duration, slide)
+            if slide is not None
+            else F.window(F.col(self.ts), duration)
+        )
+        grouped = self.df.groupBy(F.col(self.key), win.alias("_win")).agg(
+            *(aggs or [F.count(F.lit(1)).alias("n")])
+        )
+        agg_cols = [c for c in grouped.columns if c not in (self.key, "_win")]
+        out = grouped.select(
+            self.key,
+            F.col("_win.start").alias("window_start"),
+            F.col("_win.end").alias("window_end"),
+            *agg_cols,
+        )
+        return FeatureTable(out, key=self.key)
+
     # ------------------------------------------------------------ state view
     def latest(self) -> "FeatureTable":
         """Latest-record-per-key state view — the reference's core state table

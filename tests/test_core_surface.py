@@ -96,6 +96,60 @@ def test_per_key_slide_plan(spark):
     assert pos == {("a", 3), ("a", 4), ("a", 5), ("a", 6), ("b", 3), ("b", 5)}
 
 
+def test_sliding_window_strategies_identical(spark):
+    """The explode (large-window) plan must produce byte-identical output
+    to the rows-frame plan — same rows, same schema — including per-key
+    slide and slide > window_size gaps."""
+    rows = [(k, i, i, float(i)) for k in ("a", "b") for i in range(25)]
+    t = _keyed(spark, rows)
+    plan = spark.createDataFrame([("a", 3)], "k string, slide_size int")
+    for kwargs in [
+        dict(window_size=4, slide_size=2),
+        dict(window_size=4, slide_size=2, per_key_slide=plan),
+        dict(window_size=2, slide_size=7),  # gaps: rows in no window
+        dict(window_size=25, slide_size=1),  # exactly one full window
+    ]:
+        frame = sliding_count_window(
+            t, payload_cols=["v"], payload_strategy="frame", **kwargs
+        )
+        explode = sliding_count_window(
+            t, payload_cols=["v"], payload_strategy="explode", **kwargs
+        )
+        # nullability flags differ between agg paths; types/names must not
+        assert (
+            frame.df.schema.simpleString() == explode.df.schema.simpleString()
+        ), kwargs
+        f = {
+            (r.k, r.pos): [x["v"] for x in r.window]
+            for r in frame.df.collect()
+        }
+        e = {
+            (r.k, r.pos): [x["v"] for x in r.window]
+            for r in explode.df.collect()
+        }
+        assert f == e, kwargs
+
+
+def test_sliding_window_reference_simulation_config(spark):
+    """The reference's own simulation runs window=672, slide=12
+    (ralf/simulation/process.py:88-89) — the config where the rows-frame
+    plan amplifies 672× per input row. auto must route it to the explode
+    plan (56× — the true output size) and produce the right windows."""
+    from ralf_spark.operators.windows import LARGE_WINDOW_THRESHOLD
+
+    n, ws, slide = 1000, 672, 12
+    assert ws >= LARGE_WINDOW_THRESHOLD
+    t = _keyed(spark, [("a", i, i, float(i)) for i in range(n)])
+    out = sliding_count_window(t, window_size=ws, slide_size=slide)
+    rows = sorted(out.df.collect(), key=lambda r: r.pos)
+    want_pos = list(range(ws, n + 1, slide))
+    assert [r.pos for r in rows] == want_pos
+    first, last = rows[0], rows[-1]
+    assert [x["v"] for x in first.window] == [float(i) for i in range(ws)]
+    assert len(last.window) == ws
+    assert [x["v"] for x in last.window][-1] == float(last.pos - 1)
+
+
 # --------------------------------------------- pandas transforms (P1/§2.8)
 
 def test_map_in_pandas_flatmap_fanout(spark):

@@ -231,3 +231,122 @@ def test_foreach_batch_kv_upsert_serves_batch_latest(spark, events_dir, tmp_path
         for r in con.load(spark).df.collect()
     }
     assert got == want
+
+
+# ------------------------------------------- event-time windows / watermark
+
+
+def test_time_window_batch_tumbling_and_sliding(spark):
+    """FeatureTable.time_window: per-key event-time buckets via F.window —
+    one hash agg, correct bucket boundaries, tumbling and sliding."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", base + dt.timedelta(minutes=m), 1.0)
+        for m in [0, 5, 9, 10, 25]
+    ] + [("b", base + dt.timedelta(minutes=12), 2.0)]
+    t = FeatureTable(
+        spark.createDataFrame(rows, "k string, ts timestamp, v double"),
+        key="k", ts="ts",
+    )
+    got = {
+        (r.k, r.window_start.minute): r.n
+        for r in t.time_window("10 minutes").df.collect()
+    }
+    assert got == {("a", 0): 3, ("a", 10): 1, ("a", 20): 1, ("b", 10): 1}
+
+    sliding = t.time_window("10 minutes", slide="5 minutes").df.collect()
+    # [0,10) holds minutes {0,5,9}; [5,15) holds {5,9,10}
+    a_windows = {r.window_start.minute: r.n for r in sliding if r.k == "a"}
+    assert a_windows[0] == 3 and a_windows[5] == 3
+
+    agg = t.time_window(
+        "10 minutes", aggs=[F.sum("v").alias("sv")]
+    ).df.collect()
+    assert {r.sv for r in agg if r.k == "a"} == {3.0, 1.0, 1.0}
+
+
+def test_streaming_time_window_watermark_drops_late_data(spark, tmp_path):
+    """End-to-end streaming: with a watermark, a record arriving after its
+    window was finalized is DROPPED (append mode emits each window once,
+    the late row never appears); the same pipeline definition also runs in
+    batch, where the watermark is a no-op and the late row counts."""
+    import datetime as dt
+
+    from ralf_spark.streaming.sinks import run_bounded, write_memory
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "k string, ts timestamp, v double"
+
+    def write_file(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(in_dir / name))
+        # FileStreamSource orders batches by modification time; the two
+        # writes can land in the same clock tick, so pin distinct mtimes
+        # to make arrival order (on-time file, then late file) real.
+        import os
+
+        for p in (in_dir / name).rglob("*"):
+            os.utime(p, (mtime, mtime))
+
+    # batch 1: minutes 0..9 (window [0,10)) then minute 30 — advances the
+    # watermark to 30 - 10 = 20, finalizing window [0,10).
+    import time as _time
+
+    now = _time.time()
+    # Batch sequence (one file per micro-batch, ordered by pinned mtime):
+    # f1 fills window [0,10); f2 (minute 30) advances the watermark to
+    # 00:20; f3 gives the advance a batch to take effect — Spark filters
+    # each batch's input with the watermark as of the batch START, and the
+    # eviction that finalizes [0,10) runs at f3's batch end; f4 is the LATE
+    # row (minute 1), now behind the watermark -> dropped
+    # (numRowsDroppedByWatermark=1 in that batch's progress).
+    write_file("f1", [("a", base + dt.timedelta(minutes=m), 1.0)
+                      for m in [0, 5, 9]], mtime=now - 240)
+    write_file("f2", [("a", base + dt.timedelta(minutes=30), 1.0)],
+               mtime=now - 180)
+    write_file("f3", [("a", base + dt.timedelta(minutes=31), 1.0)],
+               mtime=now - 120)
+    write_file("f4", [("a", base + dt.timedelta(minutes=1), 100.0)],
+               mtime=now - 60)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "f*"))
+    )
+    windowed = (
+        FeatureTable(stream, key="k", ts="ts")
+        .with_watermark("10 minutes")
+        .time_window("10 minutes", aggs=[F.count(F.lit(1)).alias("n"),
+                                         F.sum("v").alias("sv")])
+    )
+    run_bounded(
+        write_memory(windowed.df, "wm_out", mode="append"),
+        checkpoint=str(tmp_path / "ck_wm"),
+    )
+    got = {
+        r.window_start.minute: (r.n, r.sv)
+        for r in spark.table("wm_out").collect()
+    }
+    # window [0,10) finalized with the 3 on-time rows; late v=100 absent
+    assert got.get(0) == (3, 3.0)
+    assert all(sv < 100 for (_, sv) in got.values())
+
+    # batch mode: same definition, watermark ignored, late row included
+    batch_df = spark.read.parquet(
+        str(in_dir / "f1"), str(in_dir / "f2"),
+        str(in_dir / "f3"), str(in_dir / "f4"),
+    )
+    bt = (
+        FeatureTable(batch_df, key="k", ts="ts")
+        .with_watermark("10 minutes")
+        .time_window("10 minutes", aggs=[F.count(F.lit(1)).alias("n"),
+                                         F.sum("v").alias("sv")])
+    )
+    bgot = {r.window_start.minute: (r.n, r.sv) for r in bt.df.collect()}
+    assert bgot[0] == (4, 103.0)
