@@ -1278,44 +1278,32 @@ def streaming_tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch (ts, event_id) order on this data — so the streaming
     result is oracle-checkable against the same SQL as the batch W1."""
     import hashlib as _hl
-    import os as _os
     import tempfile as _tf
 
     from ralf_spark.streaming import (
+        file_events,
         run_bounded,
         streaming_tumbling_count_window,
         write_memory,
     )
 
-    # FileStreamSource wants a directory; expose the single fixture file
-    # through a symlinked temp dir.
-    src_dir = _tf.mkdtemp(prefix="stream_events_")
-    _os.symlink(
-        _os.path.abspath(f"{sf_dir}/events.parquet"),
-        f"{src_dir}/events.parquet",
-    )
-    stream = (
-        spark.readStream.schema("event_id long, user_id long, value double")
-        .parquet(src_dir)
+    stream = file_events(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema="event_id long, user_id long, value double",
     )
     win = streaming_tumbling_count_window(
         stream, key_col="user_id", value_col="value",
         order_col="event_id", size=5,
     )
     name = "stream_w1_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    # The stateful operator creates one state store per shuffle partition,
-    # fixed at first start (it's baked into the checkpoint). Size it to the
-    # bounded replay — 32 stores is pure per-store setup cost for a
-    # 150-key fixture (~5x slower end-to-end); a production job sizes this
-    # via --conf at submit against its real key cardinality.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_bounded(
-            write_memory(win, name), checkpoint=_tf.mkdtemp(prefix="ck_w1_")
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    run_bounded(
+        write_memory(win, name),
+        checkpoint=_tf.mkdtemp(prefix="ck_w1_"),
+        # one state store per shuffle partition, fixed at first start —
+        # sized to the bounded replay (150-key fixture), see run_bounded
+        shuffle_partitions=8,
+    )
     return (
         spark.table(name)
         .select(

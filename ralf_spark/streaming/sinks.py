@@ -17,7 +17,7 @@ connectors; its ``Sink`` op is a pass-through writer
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
@@ -94,13 +94,37 @@ def foreach_batch_kv_upsert(
 
 
 def run_bounded(
-    writer: DataStreamWriter, checkpoint: str | None = None
+    writer: DataStreamWriter,
+    checkpoint: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> StreamingQuery:
     """Drain all currently-available input then stop — the deterministic
     bounded-run mode (the reference's ``StopIteration`` termination,
-    ``ralf/v2/operator.py:153-175``, as a trigger)."""
+    ``ralf/v2/operator.py:153-175``, as a trigger).
+
+    ``shuffle_partitions`` sizes the run's state-store count: a stateful
+    operator creates one store per shuffle partition, fixed at first start
+    (baked into the checkpoint), and per-store setup cost dominates small
+    bounded replays. Spark has no per-query conf, so the value is applied
+    to the session for the duration of the run and restored after —
+    queries *planned concurrently* in the same session would see it; a
+    production job instead sizes the conf at submit for its real key
+    cardinality.
+    """
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
-    query = writer.trigger(availableNow=True).start()
-    query.awaitTermination()
-    return query
+
+    def _start() -> StreamingQuery:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+
+    if shuffle_partitions is None:
+        return _start()
+    spark = SparkSession.getActiveSession()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

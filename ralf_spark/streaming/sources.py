@@ -80,7 +80,22 @@ def file_events(
         options.setdefault("header", True)
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.format(fmt).load(path)
+    return reader.format(fmt).load(_as_stream_dir(path))
+
+
+def _as_stream_dir(path: str) -> str:
+    """FileStreamSource accepts only directories ("basePath must be a
+    directory", even with an explicit basePath option). A single recorded
+    file — e.g. one parquet fixture — is exposed through a temp dir with a
+    symlink, so replaying a file needs no copy."""
+    import os
+    import tempfile
+
+    if not os.path.isfile(path):
+        return path
+    d = tempfile.mkdtemp(prefix="stream_file_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    return d
 
 
 def decode_kafka_records(
