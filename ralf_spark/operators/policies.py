@@ -121,6 +121,7 @@ def change_detection_window(
     order_col: str,
     threshold: float,
     metric: str = "mean_rel",
+    seasonality: int = 24 * 7,
 ) -> FeatureTable:
     """Change detection over *window array* payloads vs the last emitted
     window — the reference's ``make_mean_policy`` / ``make_cosine_policy``
@@ -131,15 +132,20 @@ def change_detection_window(
       reference's "mean" policy sums the window and takes
       ``|cand - curr| / |curr|``, ``:42-46``).
     - ``metric="cosine"``: cosine *distance* (1 - cos) between candidate
-      and last-emitted window vectors. (The reference's cosine variant
-      additionally applies a seasonality rotation before the dot product,
-      ``:16-27`` — an application-specific twist not reproduced here.)
+      and last-emitted window vectors.
+    - ``metric="cosine_seasonal"``: the reference's actual cosine policy
+      (``make_cosine_policy``, ``:14-38``): rotate the last-emitted window
+      by ``(Δorder*100) % seasonality + 1`` positions (aligning the same
+      phase of a 24×7-step weekly cycle), score
+      ``Σ|cand_i·rot_i| / (Σcand² · Σcurr²)``, and emit when the score
+      reaches ``threshold``. ``seasonality`` defaults to the reference's
+      ``24 * 7``.
 
     Per-key sequential scan via ``applyInPandas``: one shuffle on the key.
     """
     if table.key is None:
         raise ValueError("change_detection_window requires a keyed table")
-    if metric not in ("mean_rel", "cosine"):
+    if metric not in ("mean_rel", "cosine", "cosine_seasonal"):
         raise ValueError(f"unknown metric {metric!r}")
     schema = table.df.schema
 
@@ -147,20 +153,29 @@ def change_detection_window(
         import numpy as np
 
         pdf = pdf.sort_values([order_col], kind="mergesort")
-        keep, last = [], None
-        for win in pdf[window_col]:
+        keep, last, last_o = [], None, None
+        for win, o in zip(pdf[window_col], pdf[order_col]):
             cand = np.asarray(list(win), dtype="float64")
             if last is None:
                 emit = True
             elif metric == "mean_rel":
                 cur = last.sum()
                 emit = abs(cand.sum() - cur) / abs(cur) >= threshold
-            else:
+            elif metric == "cosine":
                 denom = np.linalg.norm(cand) * np.linalg.norm(last)
                 cos = float(cand @ last) / denom if denom else 0.0
                 emit = (1.0 - cos) >= threshold
+            else:  # cosine_seasonal — load_shedding_policy.py:16-38
+                t = int(float(o) * 100 - float(last_o) * 100)
+                off = t % seasonality + 1
+                rot = np.concatenate([last[off:], last[:off]])
+                a = float(np.abs(cand * rot).sum())
+                b = float((cand * cand).sum())
+                c = float((last * last).sum())
+                score = a / (b * c) if b and c else 0.0
+                emit = score >= threshold
             if emit:
-                last = cand
+                last, last_o = cand, o
             keep.append(emit)
         return pdf[keep]
 

@@ -668,6 +668,74 @@ def sliding_window_per_key_slide_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "sliding_window_large_explode",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS w_sum
+      FROM events
+    )
+    SELECT user_id, rn AS pos, round(w_sum, 4) AS w_sum
+    FROM ranked
+    WHERE rn >= 64 AND (rn - 64) % 4 = 0
+    ORDER BY user_id, pos
+    """,
+)
+def sliding_window_large_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 at a LARGE window (size 64, slide 4): auto-routes to the explode
+    payload strategy — each row fans out to exactly the windows that emit
+    it (16 copies) instead of the rows-frame plan's 64× amplification
+    (see ``operators/windows.py:sliding_count_window``). Oracle-checked
+    against the identical rows-frame SQL, proving the two physical plans
+    agree on real data."""
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_count_window(ev, window_size=64, slide_size=4,
+                               payload_cols=["value"])
+    return (
+        win.df.select(
+            "user_id",
+            "pos",
+            F.round(
+                F.aggregate("window", F.lit(0.0), lambda a, x: a + x["value"]),
+                4,
+            ).alias("w_sum"),
+        )
+        .orderBy("user_id", "pos")
+    )
+
+
+@query(
+    "time_window_hourly",
+    """
+    SELECT user_id,
+           date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n, round(sum(value), 4) AS sv
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    ORDER BY user_id, window_start
+    """,
+)
+def time_window_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME tumbling window per key via ``FeatureTable.time_window``
+    (``F.window`` under the hood — epoch-aligned 1-hour buckets equal
+    ``date_trunc``). One map-side-partial hash agg; in streaming mode the
+    same definition runs with a watermark (SURVEY §2.5 — the window family
+    the reference lacks, native in Spark)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.time_window(
+        "1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sv"),
+        ],
+    )
+    return out.df.orderBy("user_id", "window_start")
+
+
 # =========================================================================
 # Ralf parity: joins (SURVEY §2.3 J1)
 # =========================================================================
@@ -1003,6 +1071,101 @@ def change_detection_window_mean_q(spark: SparkSession, sf_dir: str) -> DataFram
         "window_id",
         F.round(
             F.aggregate("values", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("w_sum"),
+    ).orderBy("user_id", "window_id")
+
+
+#: DuckDB spelling of the reference's seasonality-rotated cosine score
+#: (``ralf/policies/load_shedding_policy.py:16-38``) between candidate
+#: window s.vals and last-emitted window w.last_vals; {S} = seasonality.
+_COS_SEASONAL_SCORE = (
+    "(list_sum(list_transform("
+    "  list_zip(s.vals,"
+    "           w.last_vals[(CAST((s.window_id - w.last_wid) * 100 AS INT)"
+    "                        % {S} + 1) + 1:]"
+    "           || w.last_vals[1:(CAST((s.window_id - w.last_wid) * 100 AS"
+    "                             INT) % {S} + 1)]),"
+    "  x -> abs(x[1] * x[2])))"
+    " / (list_sum(list_transform(s.vals, v -> v * v))"
+    "    * list_sum(list_transform(w.last_vals, v -> v * v))))"
+)
+
+
+@query(
+    "change_detection_cosine_seasonal",
+    f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, round(value, 4) AS value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 1 AS rn
+      FROM events
+    ),
+    wins AS (
+      SELECT user_id, CAST(floor(rn / 5) AS BIGINT) AS window_id,
+             list(value ORDER BY rn) AS vals
+      FROM ranked GROUP BY user_id, CAST(floor(rn / 5) AS BIGINT)
+      HAVING count(*) = 5
+    ),
+    seq AS (
+      SELECT user_id, window_id, vals,
+             row_number() OVER (PARTITION BY user_id ORDER BY window_id)
+               AS rn
+      FROM wins
+    ),
+    walk AS (
+      SELECT user_id, window_id, vals, rn, vals AS last_vals,
+             window_id AS last_wid, true AS emitted
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.window_id, s.vals, s.rn,
+             CASE WHEN {_COS_SEASONAL_SCORE.format(S=4)} >= 0.00005
+                  THEN s.vals ELSE w.last_vals END,
+             CASE WHEN {_COS_SEASONAL_SCORE.format(S=4)} >= 0.00005
+                  THEN s.window_id ELSE w.last_wid END,
+             {_COS_SEASONAL_SCORE.format(S=4)} >= 0.00005
+      FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, window_id, round(list_sum(vals), 4) AS w_sum
+    FROM walk WHERE emitted ORDER BY user_id, window_id
+    """,
+)
+def change_detection_cosine_seasonal_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """P5, the reference's ACTUAL cosine policy (``make_cosine_policy``,
+    ``load_shedding_policy.py:14-38``): tumbling 5-windows per key; the
+    last-emitted window is rotated by ``(Δwindow_id*100) % 4 + 1``
+    positions (seasonality alignment) before scoring
+    ``Σ|cand·rot| / (Σcand²·Σlast²)``; a window emits when the score
+    reaches 5e-5 (≈40% emit rate on this fixture). The oracle replays the
+    same rotate+score walk with a DuckDB recursive CTE carrying the
+    last-emitted list."""
+    ev = _t(spark, sf_dir, "events")
+    wins = tumbling_count_window(
+        FeatureTable(
+            ev.df.withColumn("value", F.round("value", 4)),
+            key=ev.key, ts=ev.ts, seq=ev.seq,
+        ),
+        size=5,
+        payload_cols=["value"],
+    )
+    arrays = FeatureTable(
+        wins.df.select(
+            "user_id",
+            "window_id",
+            F.transform("window", lambda s: s["value"]).alias("vals"),
+        ),
+        key="user_id",
+    )
+    out = change_detection_window(
+        arrays, window_col="vals", order_col="window_id",
+        threshold=0.00005, metric="cosine_seasonal", seasonality=4,
+    )
+    return out.df.select(
+        "user_id",
+        "window_id",
+        F.round(
+            F.aggregate("vals", F.lit(0.0), lambda a, x: a + x), 4
         ).alias("w_sum"),
     ).orderBy("user_id", "window_id")
 

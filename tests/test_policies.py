@@ -89,6 +89,51 @@ def test_window_cosine_last_emitted(spark):
     assert sorted(r.wid for r in out.df.collect()) == [0, 2]
 
 
+def test_window_cosine_seasonal_matches_reference_formula(spark):
+    """cosine_seasonal replays make_cosine_policy exactly
+    (ralf/policies/load_shedding_policy.py:14-38): rotate the last-emitted
+    window by (Δorder*100) % seasonality + 1, score Σ|c·rot|/(Σc²·Σcurr²),
+    emit at score >= threshold. Verified against a plain-Python replay of
+    the reference loop on the same data."""
+    import numpy as np
+
+    rng = [
+        ("k", i, [float((i * 7 + j * 3) % 5 + 1) for j in range(6)])
+        for i in range(8)
+    ]
+    seasonality, threshold = 4, 0.02
+
+    # plain-Python replay of the reference policy
+    want, last, last_o = [], None, None
+    for _, o, win in rng:
+        cand = np.asarray(win)
+        if last is None:
+            emit = True
+        else:
+            t = int(o * 100 - last_o * 100)
+            off = t % seasonality + 1
+            rot = np.concatenate([last[off:], last[:off]])
+            score = float(np.abs(cand * rot).sum()) / (
+                float((cand**2).sum()) * float((last**2).sum())
+            )
+            emit = score >= threshold
+        if emit:
+            last, last_o = cand, o
+            want.append(o)
+
+    t = FeatureTable(
+        spark.createDataFrame(rng, "k string, wid long, vals array<double>"),
+        key="k",
+    )
+    out = change_detection_window(
+        t, window_col="vals", order_col="wid", threshold=threshold,
+        metric="cosine_seasonal", seasonality=seasonality,
+    )
+    got = sorted(r.wid for r in out.df.collect())
+    assert got == want
+    assert 0 < len(got) < len(rng)  # the test must exercise both outcomes
+
+
 def test_sampling_shed_deterministic_and_ratioed(spark):
     t = FeatureTable(
         spark.range(0, 10_000).select(
