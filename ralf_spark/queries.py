@@ -736,6 +736,154 @@ def time_window_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.orderBy("user_id", "window_start")
 
 
+@query(
+    "session_window_gap",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n, round(sum(value), 4) AS sv
+    FROM islands
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows (30-minute inactivity gap) per key —
+    ``F.session_window``, native stateful session merging in streaming and
+    a single agg in batch. The oracle spells the same semantics as the
+    classic gaps-and-islands SQL (lag → new-session mark → running sum →
+    group), pinning Spark's session boundaries (end = last event + gap)
+    against an independent formulation."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("_w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sv"),
+        )
+        .select(
+            "user_id",
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n",
+            "sv",
+        )
+        .orderBy("user_id", "session_start")
+    )
+    return out
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (flag → flag+status → grand total) —
+    one pass, Spark expands grouping sets without re-scanning; the NULL
+    super-aggregate markers must agree with the oracle's."""
+    li = _t(spark, sf_dir, "lineitem").df
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "median_value_per_key",
+    """
+    SELECT user_id,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_value,
+           round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def median_value_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per key (``F.percentile`` — both
+    engines use the same linear-interpolation definition, so values hash-
+    match exactly). The approximate production spelling at 100 TB is
+    ``percentile_approx`` (t-digest sketch, mergeable map-side); the exact
+    form is the oracle-checkable contract."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.df.groupBy("user_id")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "event_lag_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 4) AS delta,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+             AS value_rank
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def event_lag_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic functions over the per-key event order (SURVEY §2.5's
+    "free in Spark" row): lag delta vs the previous event and dense
+    per-key value rank — one window sort, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        ev.df.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+            F.rank().over(wv).alias("value_rank"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # =========================================================================
 # Ralf parity: joins (SURVEY §2.3 J1)
 # =========================================================================
