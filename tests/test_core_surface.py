@@ -224,6 +224,16 @@ def test_q3_q5_broadcast_dimensions(spark):
     assert has_broadcast_join(QUERIES["q5_local_supplier_volume"].fn(spark, SF_DIR))
 
 
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """Catalyst must factor table-local implications out of the
+    OR-of-ANDs: the part scan gets the brand/size disjunction, the
+    lineitem scan the quantity bounds — neither side scans unfiltered."""
+    df = QUERIES["q19_disjunctive_pushdown"].fn(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed and "p_size" in pushed
+    assert "l_quantity" in pushed
+
+
 def test_dim_joins_broadcast_at_sf01_without_forced_hints(spark):
     """After dropping explicit F.broadcast hints on sf-scaled tables
     (customer/supplier — a forced hint is never AQE-demoted and OOMs at
