@@ -1168,6 +1168,162 @@ def asof_join_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_tolerance",
+    """
+    SELECT l.event_id, l.user_id,
+           CASE WHEN l.ts - st.r_ts <= INTERVAL 10 MINUTE
+                THEN st.state_value END AS state_value
+    FROM events l
+    LEFT JOIN LATERAL (
+      SELECT round(r.value, 4) AS state_value, r.ts AS r_ts
+      FROM events r
+      WHERE r.user_id = l.user_id AND r.event_type = 'view'
+        AND (r.ts < l.ts OR (r.ts = l.ts AND r.event_id <= l.event_id))
+      ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+    ) st ON true
+    ORDER BY l.event_id
+    """,
+)
+def asof_join_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas ``merge_asof(tolerance=)``
+    shape; the reference's per-record join serves whatever state exists,
+    however old — a feature store usually caps staleness): the latest
+    right state is matched first, then nulled when older than 10 minutes,
+    so a too-stale feature reads as missing rather than silently served."""
+    ev = _t(spark, sf_dir, "events")
+    right = FeatureTable(
+        ev.df.where(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id",
+            F.round("value", 4).alias("state_value"),
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    out = asof_join(
+        ev, right,
+        right_payload=["state_value"],
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+    )
+    return out.df.select("event_id", "user_id", "state_value").orderBy(
+        "event_id"
+    )
+
+
+@query(
+    "stream_static_enrichment",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           round(e.value, 4) AS value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+    """,
+)
+def stream_static_enrichment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the streaming enrichment edge — each micro-batch
+    of the event stream joins the static customer dimension (Spark plans
+    this per-batch; the static side is re-broadcast, no stream state).
+    Bounded availableNow drain makes it oracle-checkable against the plain
+    batch join."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.streaming import file_events, run_bounded, write_memory
+
+    stream = file_events(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema="event_id long, user_id long, value double",
+    )
+    cust = _t(spark, sf_dir, "customer").df.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    joined = (
+        stream.join(cust, stream.user_id == cust.c_custkey, "left")
+        .select("event_id", "user_id", "segment", F.round("value", 4).alias("value"))
+    )
+    name = "stream_enrich_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    run_bounded(
+        write_memory(joined, name),
+        checkpoint=_tf.mkdtemp(prefix="ck_enrich_"),
+        shuffle_partitions=8,
+    )
+    return spark.table(name).orderBy("event_id")
+
+
+@query(
+    "trailing_10min_count",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+             AS n_10min
+    FROM events ORDER BY event_id
+    """,
+)
+def trailing_10min_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame: per event, how many same-key events fell in
+    the trailing 10 minutes — the event-time counterpart of the reference's
+    count windows, as a RANGE frame over epoch micros (value-based bounds,
+    identical in both engines; no self-join, one shuffle on the key)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return (
+        ev.df.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_10min"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "embedding_centroid_per_label",
+    """
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, pos, avg(CAST(v AS DOUBLE)) AS av
+      FROM flat GROUP BY label, pos
+    )
+    SELECT label, count(*) AS dim,
+           round(sum(av * av), 4) AS centroid_sq_norm
+    FROM dims GROUP BY label ORDER BY label
+    """,
+)
+def embedding_centroid_per_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding CENTROID (the IVF/k-means building block,
+    ``operators/similarity.py`` uses plan-literal centroids; this is the
+    distributed computation of them): posexplode to (label, dim) cells,
+    one hash-agg mean per cell — never a whole-vector reduce on one node.
+    Output is the centroid's squared norm per label (a scalar per label
+    hashes stably; the full vector is the same agg without the final
+    reduce)."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("av")
+    )
+    return (
+        cells.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("dim"),
+            F.round(F.sum(F.col("av") * F.col("av")), 4).alias(
+                "centroid_sq_norm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "one_shot_join",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events),
