@@ -1852,6 +1852,69 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_clean_corpus",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, source, n_chars, {tokens_sql('text')} AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, source, n_chars,
+             {language_id_sql('w')} AS lang_pred,
+             {quality_score_sql('w')} AS q
+      FROM toks
+    ),
+    kept AS (
+      SELECT * FROM scored WHERE lang_pred = 'en' AND q >= 0.5
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id,
+             arg_min(source, doc_id) AS source,
+             arg_min(n_chars, doc_id) AS n_chars,
+             arg_min(q, doc_id) AS q
+      FROM kept GROUP BY text
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(q), 4) AS avg_quality
+    FROM deduped GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END cleaning pipeline — the composition a pretraining-data
+    job actually runs, as ONE declarative plan (language-ID filter →
+    quality gate → exact dedup keeping the lowest doc_id → per-source
+    stats). Catalyst fuses the scoring expressions into the scan
+    projection; the only shuffles are the dedup hash-agg (shuffling
+    winners, not texts' full payloads beyond the group key) and the final
+    low-cardinality rollup."""
+    docs = _docs_par(spark, sf_dir)
+    scored = docs.df.select(
+        "doc_id", "text", "source", "n_chars",
+        language_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    kept = scored.where(
+        (F.col("lang_pred") == "en") & (F.col("q") >= 0.5)
+    )
+    winner = F.struct("doc_id", "source", "n_chars", "q")
+    deduped = (
+        kept.groupBy("text")
+        .agg(F.min_by(winner, F.col("doc_id")).alias("_w"))
+        .select("_w.*")
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "doc_fingerprint_simhash",
     f"""
     WITH toks AS (
