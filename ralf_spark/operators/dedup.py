@@ -432,3 +432,75 @@ def near_dup_pairs_sql(
           len(list_distinct(list_concat(s1.sh, s2.sh))) >= {threshold}
     ORDER BY id1, id2
     """
+
+
+# ------------------------------------------------------- E2 cluster closure
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive near-dup CLUSTERS from a pair list: connected components
+    by iterative min-label propagation — A~B and B~C dedup to ONE
+    representative even though (A, C) was never a candidate pair. Pairwise
+    output alone under-dedups chains; every production near-dedup ends
+    with this closure step.
+
+    Each iteration is one join + one hash-agg over the PAIR graph (far
+    smaller than the corpus); labels converge in <= component-diameter
+    rounds — near-dup clusters are short chains/cliques, so a handful.
+    The driver-side loop holds only a changed-row COUNT per round (no data
+    collects). For adversarial long-chain graphs the same loop slots in
+    the large-star/small-star contraction (O(log n) rounds); the row
+    operators are identical.
+
+    Returns (id, cluster_rep) for every node in some pair; singletons
+    never enter and need no row. Reference has no dedup surface at all
+    (SURVEY §2.10); this completes E2 from pairs to usable clusters.
+    """
+    both = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = (
+        both.unionByName(
+            pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    cached = [edges, labels]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(
+                    labels.label, F.coalesce("nbr_min", labels.label)
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        cached[1] = labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
+    return attach_cached(out, cached)

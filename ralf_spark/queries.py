@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ralf_spark.functions.hashing import stable_hash64_sql
 from ralf_spark.functions.text import distinct_shingles_sql, tokens, tokens_sql
 from ralf_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     jaccard_pairs_inverted,
     jaccard_pairs_inverted_sql,
@@ -1948,6 +1949,41 @@ def near_dup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id1", "id2", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id1", "id2")
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id1, id2 FROM ({near_dup_pairs_sql()}) p
+    ),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_rep
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 closure: TRANSITIVE near-dup clusters — A~B and B~C collapse to
+    one representative even though (A, C) was never a candidate pair
+    (pairwise LSH output alone under-dedups chains). Spark runs iterative
+    min-label propagation over the pair graph (one join + hash-agg per
+    round, converges in <= component diameter); the oracle computes the
+    same components by recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, num_perm=16, bands=8, threshold=0.5)
+    out = dedup_clusters(pairs)
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_rep"
+    ).orderBy("doc_id")
 
 
 # =========================================================================

@@ -291,3 +291,18 @@ def test_add_simhash_equals_column_form(spark):
         ).collect()
     }
     assert fast == slow
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B, B~C, plus an unrelated pair D~E: the chain must collapse to one
+    cluster with rep=min(id) even though (A, C) is not an edge."""
+    from ralf_spark.operators.dedup import dedup_clusters
+    from ralf_spark.operators.util import unpersist_cached
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 7)], "id1 long, id2 long"
+    )
+    out = dedup_clusters(pairs)
+    got = {r.id: r.cluster_rep for r in out.collect()}
+    unpersist_cached(out, blocking=True)
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
