@@ -1952,6 +1952,34 @@ def near_dup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pivot_event_type_totals",
+    """
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 4) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 4) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 4) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 4) AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_event_type_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long event stream → one wide feature row per key (the
+    feature-vector assembly step every feature store ends with). The
+    explicit value list keeps it one pass — ``pivot()`` without values
+    needs an extra distinct scan to discover columns."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.df.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 4))
+        .orderBy("user_id")
+    )
+    return out
+
+
+@query(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS (
