@@ -82,3 +82,39 @@ def salted_topk_by_count(
         .where(F.col("rnk") <= k)
         .withColumnRenamed("_v", "value")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the LEFT side's hot keys split ``salt_buckets`` ways.
+
+    A hot join key funnels all its rows through one shuffle task; salting
+    sub-partitions it: each left row gets a deterministic salt from
+    ``salt_on`` (a unique-ish column — value-hash, so replays salt
+    identically), and the RIGHT side is replicated once per salt value, so
+    (key, salt) pairs co-locate. Right-side cost is ``salt_buckets`` ×
+    |right| — the technique fits fact⋈dim joins where the dim is modest.
+
+    Result is row-identical to the plain join (asserted in tests and by
+    the registry oracle). AQE's skew-split covers sort-merge joins
+    adaptively; explicit salting remains the tool for stateful/windowed
+    paths AQE won't touch and for engines without it.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets)).cast("int")
+    l_s = left.withColumn("_salt", salt)
+    r_s = right.withColumn(
+        # sequence of int literals yields int elements, matching the left
+        # salt's cast; explode cannot be nested inside another expression
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = l_s.join(r_s, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -28,7 +28,7 @@ from ralf_spark.operators.dedup import (
     near_dup_pairs,
     near_dup_pairs_sql,
 )
-from ralf_spark.operators.skew import salted_distinct_count
+from ralf_spark.operators.skew import salted_distinct_count, salted_join
 from ralf_spark.operators.joins import asof_join, enrichment_join, one_shot_join
 from ralf_spark.operators.multimodal import (
     binary_stats,
@@ -1949,6 +1949,78 @@ def near_dup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id1", "id2", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id1", "id2")
+
+
+@query(
+    "salted_enrichment_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           round(e.value, 4) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+    """,
+)
+def salted_enrichment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-SAFE enrichment join: the fact side's hot keys are value-hash
+    salted ``8`` ways and the dimension replicated per salt, so no single
+    shuffle task owns a hot key's full row set (``operators/skew.py:
+    salted_join``). The oracle is the PLAIN join — salting must be
+    result-invariant. AQE skew-split handles sort-merge joins adaptively;
+    explicit salting is the tool for paths AQE won't rewrite."""
+    ev = _t(spark, sf_dir, "events").df
+    cust = _t(spark, sf_dir, "customer").df.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out = salted_join(
+        ev, cust, key="user_id", salt_on="event_id", salt_buckets=8
+    )
+    return out.select(
+        "event_id", "user_id", "segment", F.round("value", 4).alias("value")
+    ).orderBy("event_id")
+
+
+@query(
+    "streaming_dedup_replay",
+    """
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events ORDER BY event_id
+    """,
+)
+def streaming_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exactly-once dedup: the event file is replayed TWICE (two
+    micro-batches of identical rows — an at-least-once source); streaming
+    ``dropDuplicates`` keeps cross-batch key state so the second delivery
+    of every event is suppressed. The oracle is simply the events table —
+    output must equal one clean copy. (Unbounded-state caveat: production
+    uses dropDuplicatesWithinWatermark so the key state expires; the
+    bounded replay here exercises the same state machinery.)"""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from ralf_spark.streaming import run_bounded, write_memory
+
+    src = _tf.mkdtemp(prefix="dup_events_")
+    for name in ("a.parquet", "b.parquet"):
+        _os.symlink(
+            _os.path.abspath(f"{sf_dir}/events.parquet"), f"{src}/{name}"
+        )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+    name = "stream_dedup_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    run_bounded(
+        write_memory(deduped, name),
+        checkpoint=_tf.mkdtemp(prefix="ck_dedup_"),
+        shuffle_partitions=8,
+    )
+    return spark.table(name).orderBy("event_id")
 
 
 @query(

@@ -100,3 +100,39 @@ def test_jaccard_inverted_finds_near_dup_and_prunes_hot(spark):
     # with max_df=1 every shared shingle (df=2) is "hot" -> no candidates
     none = jaccard_pairs_inverted(t, threshold=0.5, max_df=1).collect()
     assert none == []
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-invariant: inner and left joins match the
+    plain join exactly, including unmatched-left null rows."""
+    import pyspark.sql.functions as F
+
+    from ralf_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)] + [(1000, 99)],  # key 99 unmatched
+        "event_id long, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "user_id long, seg string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(
+                left, right, key="user_id", salt_on="event_id",
+                salt_buckets=4, how=how,
+            ).select("event_id", "user_id", "seg").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in left.join(right, "user_id", how)
+            .select("event_id", "user_id", "seg")
+            .collect()
+        )
+        assert got == want, how
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, key="user_id", salt_on="event_id", how="full")
