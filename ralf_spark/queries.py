@@ -1704,6 +1704,36 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_typed_parse",
+    """
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def json_typed_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED JSON parsing: ``from_json`` with an explicit schema
+    (JsonToStructs — one parse per row producing a typed struct, the right
+    shape when several fields are read; ``get_json_object`` re-parses per
+    field). Aggregated per key so the parse feeds a real downstream."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.df.select(
+        "user_id", F.from_json("props", "k bigint").alias("p")
+    )
+    return (
+        parsed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # =========================================================================
 # LLM-data-pipeline operators (SURVEY §2.10 E1/E2/E4) on `documents`
 # =========================================================================
