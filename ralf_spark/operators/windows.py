@@ -95,6 +95,7 @@ def sliding_count_window(
     per_key_slide: DataFrame | None = None,
     slide_col: str = "slide_size",
     payload_strategy: str = "auto",
+    clamp_slide: bool = True,
 ) -> FeatureTable:
     """Per-key sliding count window (``ralf/operators/window.py:54-124``).
 
@@ -103,6 +104,14 @@ def sliding_count_window(
     sequence (emit at ``len == window_size`` then drop oldest ``slide_size``,
     ``:107-120``). ``per_key_slide`` reproduces the per-key slide plan
     (``:88-100``): a small (key, slide_size) frame, broadcast-joined.
+
+    ``clamp_slide`` (default, reference parity): when ``slide_size >
+    window_size`` the effective slide is ``window_size`` — the reference's
+    ``buf = buf[slide:]`` can only drop what is buffered (Python slicing
+    clamps, ``:119``), so its emit period never exceeds the window; found
+    by property test against the reference buffer loop. ``False`` gives
+    Flink-style SAMPLING windows instead: emit every ``slide_size`` rows,
+    rows between windows never emitted.
 
     Two physical strategies for materializing payloads:
 
@@ -139,6 +148,9 @@ def sliding_count_window(
     w = Window.partitionBy(table.key).orderBy(*table.order_cols())
     payload = F.struct(*[F.col(c) for c in cols])
 
+    def _clamped(slide: Column) -> Column:
+        return F.least(slide, F.lit(window_size)) if clamp_slide else slide
+
     if payload_strategy == "explode":
         df = table.df.withColumn("_rn", F.row_number().over(w))
         if per_key_slide is not None:
@@ -146,6 +158,7 @@ def sliding_count_window(
             slide = F.coalesce(F.col(slide_col), F.lit(slide_size))
         else:
             slide = F.lit(slide_size)
+        slide = _clamped(slide)
         # Emit positions are pos = window_size + j*slide (j >= 0); row _rn
         # belongs to the window ending at pos iff pos-window_size < _rn <=
         # pos. Integer `div` spells ceil/floor exactly (ANSI-safe).
@@ -190,6 +203,7 @@ def sliding_count_window(
         slide = F.coalesce(F.col(slide_col), F.lit(slide_size))
     else:
         slide = F.lit(slide_size)
+    slide = _clamped(slide)
     out = (
         df.where(
             (F.col("_rn") >= window_size)

@@ -106,7 +106,9 @@ def test_sliding_window_strategies_identical(spark):
     for kwargs in [
         dict(window_size=4, slide_size=2),
         dict(window_size=4, slide_size=2, per_key_slide=plan),
-        dict(window_size=2, slide_size=7),  # gaps: rows in no window
+        dict(window_size=2, slide_size=7),  # slide clamps to window (ref)
+        # sampling mode: gaps — rows in no window (sequence guard path)
+        dict(window_size=2, slide_size=7, clamp_slide=False),
         dict(window_size=25, slide_size=1),  # exactly one full window
     ]:
         frame = sliding_count_window(

@@ -1,0 +1,164 @@
+"""Property-based semantics checks (hypothesis).
+
+The oracle gate checks fixed queries on fixed data; these tests pin the
+OPERATOR CONTRACTS against independent reference implementations on random
+inputs:
+
+- sliding/tumbling count windows vs a pure-Python replay of the reference's
+  emit-then-trim buffer loop (``ralf/operators/window.py:44-51, 107-120``);
+- the as-of join vs ``pandas.merge_asof`` (backward direction), the
+  community-standard as-of semantics.
+
+Examples are capped (Spark pays ~0.5 s per materialization) and sizes kept
+tiny — the value is in the random shapes, not the row counts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ralf_spark.operators.joins import asof_join
+from ralf_spark.operators.windows import (
+    sliding_count_window,
+    tumbling_count_window,
+)
+from ralf_spark.table import FeatureTable
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ref_sliding(values, window, slide):
+    """The reference's buffer loop: append; at len == window emit a copy,
+    then drop the oldest ``slide`` entries."""
+    buf, out = [], []
+    for pos, v in enumerate(values, start=1):
+        buf.append((pos, v))
+        if len(buf) == window:
+            out.append((pos, [x[1] for x in buf]))
+            del buf[:slide]
+    return out
+
+
+@given(
+    n=st.integers(0, 40),
+    window=st.integers(1, 10),
+    slide=st.integers(1, 12),
+    strategy=st.sampled_from(["frame", "explode"]),
+)
+@settings(**_SETTINGS)
+def test_sliding_window_matches_reference_buffer_loop(
+    spark, n, window, slide, strategy
+):
+    values = [float(i * 7 % 13) for i in range(n)]
+    rows = [("k", i, i, v) for i, v in enumerate(values)]
+    t = FeatureTable(
+        spark.createDataFrame(
+            rows, "k string, ts long, seq long, v double"
+        )
+        if rows
+        else spark.createDataFrame([], "k string, ts long, seq long, v double"),
+        key="k", ts="ts", seq="seq",
+    )
+    got = sorted(
+        (r.pos, [x["v"] for x in r.window])
+        for r in sliding_count_window(
+            t, window_size=window, slide_size=slide,
+            payload_cols=["v"], payload_strategy=strategy,
+        ).df.collect()
+    )
+    want = _ref_sliding(values, window, slide)
+    assert got == want
+
+
+def _ref_tumbling(values, size):
+    buf, out, wid = [], [], 0
+    for v in values:
+        buf.append(v)
+        if len(buf) == size:
+            out.append((wid, list(buf)))
+            buf, wid = [], wid + 1
+    return out
+
+
+@given(n=st.integers(0, 40), size=st.integers(1, 9))
+@settings(**_SETTINGS)
+def test_tumbling_window_matches_reference_buffer_loop(spark, n, size):
+    values = [float(i * 5 % 11) for i in range(n)]
+    rows = [("k", i, i, v) for i, v in enumerate(values)]
+    t = FeatureTable(
+        spark.createDataFrame(
+            rows, "k string, ts long, seq long, v double"
+        )
+        if rows
+        else spark.createDataFrame([], "k string, ts long, seq long, v double"),
+        key="k", ts="ts", seq="seq",
+    )
+    got = sorted(
+        (r.window_id, [x["v"] for x in r.window])
+        for r in tumbling_count_window(
+            t, size=size, payload_cols=["v"]
+        ).df.collect()
+    )
+    assert got == _ref_tumbling(values, size)
+
+
+@given(
+    left_ts=st.lists(st.integers(0, 30), min_size=0, max_size=15),
+    right_ts=st.lists(st.integers(0, 30), min_size=0, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    """Single key, unique strictly-increasing seq per side; right payload =
+    its ts. merge_asof(direction="backward") is the independent reference.
+    Ties: our arrival order is (ts, side) with right first — a right row at
+    t is visible to a left row at t, exactly merge_asof's <= semantics."""
+    left_rows = [
+        ("k", ts, i, float(i)) for i, ts in enumerate(sorted(left_ts))
+    ]
+    right_rows = [
+        ("k", ts, i, float(ts)) for i, ts in enumerate(sorted(right_ts))
+    ]
+    schema = "k string, ts long, seq long, payload double"
+    ldf = (
+        spark.createDataFrame(left_rows, schema)
+        if left_rows
+        else spark.createDataFrame([], schema)
+    )
+    rdf = (
+        spark.createDataFrame(right_rows, schema)
+        if right_rows
+        else spark.createDataFrame([], schema)
+    )
+    left = FeatureTable(ldf, key="k", ts="ts")
+    right = FeatureTable(
+        rdf.select("k", "ts", rdf.payload.alias("state")), key="k", ts="ts"
+    )
+    out = asof_join(left, right, right_payload=["state"])
+    got = {
+        r.seq: r.state for r in out.df.collect()
+    }
+
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "seq", "payload"])
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "seq", "state"])
+    if len(lpd) and not len(rpd):
+        want = {int(r.seq): None for r in lpd.itertuples()}
+    elif len(lpd):
+        merged = pd.merge_asof(
+            lpd.sort_values("ts", kind="mergesort"),
+            rpd.sort_values("ts", kind="mergesort")[["ts", "state"]],
+            on="ts",
+            direction="backward",
+        )
+        want = {
+            int(r.seq): (None if pd.isna(r.state) else float(r.state))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {}
+    assert got == want
