@@ -44,6 +44,75 @@ def sampling_shed(
     return table.filter(bucket < int(rate * 10_000))
 
 
+def stratified_sample(
+    table: FeatureTable,
+    strata_col: str | Column,
+    fractions: dict[str, float],
+    on: str | Column | None = None,
+    default_fraction: float = 0.0,
+) -> FeatureTable:
+    """Per-stratum deterministic sampling — the training-data rebalancing
+    op (down-weight over-represented sources/languages, up-weight rare
+    ones). ``fractions`` maps stratum value → keep rate.
+
+    Hash-based like :func:`sampling_shed` (and unlike ``df.sampleBy``,
+    whose seeded Bernoulli stream depends on partitioning): the same row
+    set survives on every run, every engine, every partition layout —
+    reproducible dataset builds are the point.
+    """
+    sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    col = on if on is not None else (table.seq or table.key)
+    if col is None:
+        raise ValueError("stratified_sample needs a column to hash")
+    if isinstance(col, str):
+        col = F.col(col)
+    for v, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {v!r} must be in [0, 1]")
+    bucket = stable_hash64(col.cast("string")) % 10_000
+    rate = F.lit(int(default_fraction * 10_000))
+    for v, f in fractions.items():
+        rate = F.when(sc == v, F.lit(int(f * 10_000))).otherwise(rate)
+    return table.filter(bucket < rate)
+
+
+def dataset_split(
+    table: FeatureTable,
+    weights: dict[str, float],
+    on: str | Column | None = None,
+    out_col: str = "split",
+) -> FeatureTable:
+    """Deterministic train/val/test assignment — every dataset build's
+    last step. ``weights`` maps split name → proportion (must sum to ~1);
+    a row's split is decided by its content hash, so the assignment is
+    stable across runs, engines, and re-partitions (a seeded
+    ``randomSplit`` is none of those), and adding rows never moves
+    existing rows between splits.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1 (got {total})")
+    col = on if on is not None else (table.seq or table.key)
+    if col is None:
+        raise ValueError("dataset_split needs a column to hash")
+    if isinstance(col, str):
+        col = F.col(col)
+    bucket = stable_hash64(col.cast("string")) % 10_000
+    expr = None
+    acc = 0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += int(weights[name] * 10_000)
+        case = F.when(bucket < acc, F.lit(name))
+        expr = case if expr is None else expr.when(bucket < acc, F.lit(name))
+    expr = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    return table.with_column(out_col, expr)
+
+
 def keep_latest(table: FeatureTable) -> FeatureTable:
     """Process-only-newer policy in batch = keep the latest record per key
     (``newer_processing_time``, ``load_shedding_policy.py:6-7``; enforcement

@@ -58,7 +58,9 @@ from ralf_spark.operators.text_analysis import (
 from ralf_spark.operators.policies import (
     change_detection_filter,
     change_detection_window,
+    dataset_split,
     sampling_shed,
+    stratified_sample,
 )
 from ralf_spark.operators.windows import (
     sliding_count_window,
@@ -1702,6 +1704,59 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prop_k") % 7 == 0)
         .orderBy("event_id")
     )
+
+
+@query(
+    "stratified_sample_sources",
+    f"""
+    SELECT source, count(*) AS n_kept
+    FROM documents
+    WHERE {stable_hash64_sql('doc_id')} % 10000 <
+          CASE WHEN source = 'src0' THEN 10000
+               WHEN source = 'src1' THEN 5000
+               WHEN source = 'src2' THEN 1000
+               ELSE 2500 END
+    GROUP BY source ORDER BY source
+    """,
+)
+def stratified_sample_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — rebalance a corpus by source
+    (keep all of src0, half of src1, 10% of src2, 25% elsewhere). Content-
+    hash based, so the same rows survive on every run/engine/partitioning —
+    ``df.sampleBy``'s seeded Bernoulli stream is none of those."""
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        on="doc_id", default_fraction=0.25,
+    )
+    return (
+        out.df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "dataset_split_assignment",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {stable_hash64_sql('doc_id')} % 10000 < 8000 THEN 'train'
+                WHEN {stable_hash64_sql('doc_id')} % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dataset_split_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content hash —
+    stable across runs, engines and re-partitions, and appending new rows
+    never moves existing rows between splits (seeded ``randomSplit`` gives
+    none of those guarantees)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dataset_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, on="doc_id"
+    )
+    return out.df.select("doc_id", "split").orderBy("doc_id")
 
 
 @query(
