@@ -2137,6 +2137,43 @@ def pivot_event_type_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_feature_rows",
+    """
+    WITH wide AS (
+      SELECT user_id,
+             round(sum(CASE WHEN event_type = 'click' THEN value END), 4)
+               AS click,
+             round(sum(CASE WHEN event_type = 'view' THEN value END), 4)
+               AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, feature, total
+    FROM wide UNPIVOT (total FOR feature IN (click, view))
+    ORDER BY user_id, feature
+    """,
+)
+def unpivot_feature_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of feature-vector assembly: wide per-key
+    feature columns back to long (feature, value) rows, the shape feature
+    registries and metric stores ingest. Native ``unpivot`` — a
+    row-generator projection, no shuffle beyond the source agg. NULL cells
+    are dropped by both engines (UNPIVOT semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.df.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return (
+        wide.unpivot(
+            ["user_id"], ["click", "view"], "feature", "total"
+        )
+        .where(F.col("total").isNotNull())
+        .orderBy("user_id", "feature")
+    )
+
+
+@query(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS (
@@ -2524,3 +2561,9 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def headline_queries() -> dict[str, Query]:
     return {k: v for k, v in QUERIES.items() if v.headline}
+
+
+# Registers the remaining TPC-H shapes (Q2/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
+# Q20/Q21/Q22) into QUERIES via the @query decorator. Bottom import so the
+# decorator and helpers above exist when the module body runs.
+from ralf_spark import queries_tpch  # noqa: E402,F401
