@@ -1,0 +1,235 @@
+"""Deterministic cardinality sketches and weighted sampling.
+
+At 100 TB, exact ``count(DISTINCT x)`` shuffles every distinct value;
+sketches shuffle O(k) or O(m) values per group instead. Spark's built-in
+``approx_count_distinct`` (HLL++) is deterministic but engine-specific —
+its registers can't be replayed by another engine, so it can't be
+oracle-checked. These sketches derive every random bit from the
+cross-engine ``stable_hash64`` (md5), making the whole estimate — not
+just the true count — bit-reproducible in any engine that can run SQL:
+
+- ``kmv_distinct``: k-minimum-values estimator. Keep the k smallest
+  distinct hash values per group; estimate = (k-1)·2^60 / h_(k)
+  (Bar-Yossef et al., "Counting distinct elements in a data stream",
+  RANDOM 2002). Exact below k. Spark executes the per-group k-smallest
+  as a rank-limit window, which the optimizer rewrites to
+  WindowGroupLimit — each map task pre-limits to k rows per group
+  before the shuffle, so the exchange carries O(groups·k), not the
+  distinct set.
+
+- ``hll_distinct``: classic HyperLogLog (Flajolet et al. 2007) with
+  m=2^b registers, built from first-principles SQL: bucket = top b bits,
+  rho = leading-zero rank of the remaining field, register = max(rho),
+  harmonic mean + linear-counting small-range correction. rho is capped
+  (default 40) so every 2^-rho term is a dyadic rational and the
+  harmonic sum is EXACTLY representable in a double (span 2^6..2^-40 <
+  53 bits of mantissa) — summation order cannot change the estimate,
+  which makes the estimate itself shuffle-order-independent and
+  cross-engine stable. The cap only biases groups beyond ~m·2^40 ≈ 7e13
+  distinct values. Shuffle cost: m register rows per group.
+
+- ``weighted_sample``: deterministic weighted sampling without
+  replacement (Efraimidis & Spirakis exponential-jumps form): key =
+  ln(u)/w with u = (stable_hash64(id)+1)/2^60 ∈ (0,1], take the k
+  largest keys. Equivalent to sampling ∝ weight; content-hash u makes
+  the sample identical across runs/engines/partitionings. Executed as
+  TakeOrdered (distributed partial top-k), never a global sort.
+
+Reference parity: the reference sheds load by sampling/priority policies
+(`ralf/policies/load_shedding_policy.py`); sketching is the analytics-side
+extension SURVEY §2.10 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ralf_spark.functions.hashing import stable_hash64, stable_hash64_sql
+
+#: hash range of stable_hash64 (60 bits)
+HASH_SPACE = float(2**60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Returns ``group_cols + [est_distinct: bigint]``. Exact when a group
+    has fewer than k distinct values (the sketch IS the distinct set).
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = (
+        df.select(*group_cols, stable_hash64(value).alias("h")).distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    topk = hashed.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+    # (k-1)*2^60 as an exact double literal; / and floor are IEEE-identical
+    # across engines, so the estimate replays bit-for-bit in the oracle.
+    numer = float(k - 1) * HASH_SPACE
+    return (
+        topk.groupBy(*group_cols)
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("nk"))
+        .select(
+            *group_cols,
+            F.when(F.col("nk") < k, F.col("nk"))
+            .otherwise(
+                F.floor(F.lit(numer) / F.col("kth").cast("double"))
+            )
+            .cast("bigint")
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_distinct_sql(
+    table: str, group_cols: list[str], value_expr: str, k: int = 32
+) -> str:
+    """DuckDB oracle replaying ``kmv_distinct`` bit-for-bit."""
+    g = ", ".join(group_cols)
+    numer = f"{float(k - 1) * HASH_SPACE!r}"
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {g}, {stable_hash64_sql(value_expr)} AS h FROM {table}
+    ), ranked AS (
+      SELECT {g}, h,
+             row_number() OVER (PARTITION BY {g} ORDER BY h) AS rk
+      FROM hashed
+    )
+    SELECT {g},
+           CAST(CASE WHEN count(*) < {k} THEN count(*)
+                     ELSE floor({numer} / CAST(max(h) AS DOUBLE))
+                END AS BIGINT) AS est_distinct
+    FROM ranked WHERE rk <= {k}
+    GROUP BY {g}
+    """
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    b: int = 6,
+    rho_cap: int = 40,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (m = 2^b registers).
+
+    Returns ``group_cols + [est_distinct: double]`` (rounded to 2dp).
+    alpha uses the HLL paper's constants (0.709 for m=64). The rho cap
+    keeps every harmonic-sum term dyadic so the double sum is exact and
+    order-independent — see module docstring.
+    """
+    if b != 6:
+        raise ValueError("only b=6 (m=64, alpha=0.709) is wired up")
+    m = 1 << b
+    alpha = 0.709
+    rest_bits = 60 - b
+    rest_space = 1 << rest_bits
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = stable_hash64(value)
+    bucket = (h / F.lit(rest_space)).cast("bigint")  # top b bits
+    rest = h % F.lit(rest_space)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(rest))
+    )
+    rho = F.least(rho, F.lit(rho_cap))
+    regs = (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_used"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    v_empty = F.lit(m) - F.col("n_used")  # empty registers (rho=0 → 2^0=1)
+    s_total = F.col("s_used") + v_empty.cast("double")
+    e_raw = F.lit(alpha * m * m) / s_total
+    # linear counting in the small range (Flajolet et al. §4)
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(
+        *group_cols, F.round(e, 2).alias("est_distinct")
+    )
+
+
+def hll_distinct_sql(
+    table: str,
+    group_cols: list[str],
+    value_expr: str,
+    b: int = 6,
+    rho_cap: int = 40,
+) -> str:
+    """DuckDB oracle replaying ``hll_distinct`` bit-for-bit."""
+    if b != 6:
+        raise ValueError("only b=6 (m=64, alpha=0.709) is wired up")
+    m = 1 << b
+    rest_bits = 60 - b
+    rest_space = 1 << rest_bits
+    g = ", ".join(group_cols)
+    h = stable_hash64_sql(value_expr)
+    return f"""
+    WITH regs AS (
+      SELECT {g}, h // {rest_space} AS bucket,
+             max(least(CASE WHEN h % {rest_space} = 0 THEN {rest_bits + 1}
+                            ELSE {rest_bits + 1}
+                                 - length(bin(h % {rest_space}))
+                       END, {rho_cap})) AS reg
+      FROM (SELECT {g}, {h} AS h FROM {table}) hashed
+      GROUP BY {g}, bucket
+    ), pg AS (
+      SELECT {g}, sum(pow(2.0, -reg)) AS s_used, count(*) AS n_used
+      FROM regs GROUP BY {g}
+    )
+    SELECT {g},
+           round(CASE WHEN {0.709 * m * m} / (s_used + ({m} - n_used))
+                           <= {2.5 * m}
+                       AND {m} - n_used > 0
+                      THEN {float(m)} * ln({float(m)}
+                                           / CAST({m} - n_used AS DOUBLE))
+                      ELSE {0.709 * m * m} / (s_used + ({m} - n_used))
+                 END, 2) AS est_distinct
+    FROM pg
+    """
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, on: str
+) -> DataFrame:
+    """Deterministic weight-proportional sample of k rows (no replacement).
+
+    ``on`` is the identity column hashed for the uniform draw; rows with
+    non-positive weight are excluded (canonical A-ES domain). Returns the
+    input columns of the k winners.
+    """
+    u = (stable_hash64(F.col(on)) + 1) / F.lit(HASH_SPACE)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__aes_key", key)
+        .orderBy(F.col("__aes_key").desc(), F.col(on))
+        .limit(k)
+        .drop("__aes_key")
+    )
+
+
+def weighted_sample_sql(
+    table: str, cols: list[str], weight_expr: str, k: int, on: str
+) -> str:
+    """DuckDB oracle replaying ``weighted_sample``."""
+    c = ", ".join(cols)
+    u = f"(({stable_hash64_sql(on)}) + 1) / {HASH_SPACE!r}"
+    return f"""
+    SELECT {c} FROM {table}
+    WHERE {weight_expr} > 0
+    ORDER BY ln({u}) / ({weight_expr}) DESC, {on}
+    LIMIT {k}
+    """

@@ -2564,6 +2564,7 @@ def headline_queries() -> dict[str, Query]:
 
 
 # Registers the remaining TPC-H shapes (Q2/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
-# Q20/Q21/Q22) into QUERIES via the @query decorator. Bottom import so the
-# decorator and helpers above exist when the module body runs.
-from ralf_spark import queries_tpch  # noqa: E402,F401
+# Q20/Q21/Q22) and the deterministic sketch queries into QUERIES via the
+# @query decorator. Bottom imports so the decorator and helpers above
+# exist when the module bodies run.
+from ralf_spark import queries_sketches, queries_tpch  # noqa: E402,F401
