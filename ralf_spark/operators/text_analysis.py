@@ -16,7 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ralf_spark.functions.hashing import stable_hash64
-from ralf_spark.functions.text import distinct_shingles, tokens
+from ralf_spark.functions.text import distinct_shingles, tokens, word_shingles
 
 #: Tiny per-language stopword sets for the n-gram/lexicon language-ID
 #: heuristic. Deliberately small and engine-agnostic: the same lists are
@@ -185,3 +185,32 @@ def simhash_fingerprint_sql(
         for b in range(bits)
     )
     return f"CAST(CASE WHEN len({sh}) > 0 THEN {parts} ELSE 0 END AS BIGINT)"
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS local fingerprinting scheme; the "rolling hash" document
+    fingerprint family).
+
+    Positional word k-gram hashes → every window of ``w`` consecutive
+    hashes contributes its minimum → the distinct minima are the
+    fingerprint set. Guarantees any shared run of ``w + k - 1`` tokens
+    between two documents yields at least one shared fingerprint, while
+    keeping ~2/(w+1) of the k-gram hashes. Pure higher-order expressions
+    (transform/slice/array_min) — scan-side, no shuffle, codegen-friendly.
+    Documents with at least one k-gram but fewer than ``w`` windows
+    fingerprint as the global minimum (the scheme's short-input rule).
+    """
+    sh = word_shingles(tokens(text), k)
+    # explicit 1-arg lambda: stable_hash64 has a defaulted second param,
+    # and pyspark binds one lambda variable per positional parameter.
+    hs = F.transform(sh, lambda s: stable_hash64(s))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - (w - 1)),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return (
+        F.when(F.size(hs) >= w, F.array_sort(F.array_distinct(wins)))
+        .when(F.size(hs) > 0, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )

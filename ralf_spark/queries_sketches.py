@@ -1,10 +1,11 @@
-"""Registry entries for the deterministic sketch operators.
+"""Registry entries for deterministic sketches and document fingerprints.
 
-See ``ralf_spark.operators.sketches`` for the algorithms and the
-cross-engine determinism argument; each query here replays bit-for-bit
-in DuckDB, estimator output included — which is the point: an
-*estimator* whose result is part of the correctness contract, not just
-"close to exact".
+See ``ralf_spark.operators.sketches`` for the cardinality/sampling
+algorithms and the cross-engine determinism argument; each query here
+replays bit-for-bit in DuckDB, estimator output included — which is the
+point: an *estimator* whose result is part of the correctness contract,
+not just "close to exact". The winnowing queries cover the rolling-hash
+local-fingerprint family (``operators.text_analysis.winnow_fingerprints``).
 """
 
 from __future__ import annotations
@@ -12,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ralf_spark.functions.hashing import stable_hash64_sql
+from ralf_spark.functions.text import tokens_sql, word_shingles_sql
 from ralf_spark.operators.sketches import (
     hll_distinct,
     hll_distinct_sql,
@@ -20,7 +23,26 @@ from ralf_spark.operators.sketches import (
     weighted_sample,
     weighted_sample_sql,
 )
-from ralf_spark.queries import _t, query
+from ralf_spark.operators.text_analysis import winnow_fingerprints
+from ralf_spark.queries import _docs_par, _t, query
+
+
+def _winnow_fp_cte(k: int = 3, win: int = 4) -> str:
+    """DuckDB CTE chain ``toks -> hs -> fp(doc_id, fingerprints)``
+    replaying :func:`winnow_fingerprints` bit-for-bit."""
+    return f"""
+    toks AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    hs AS (SELECT doc_id,
+           list_transform({word_shingles_sql('w', k)},
+                          s -> {stable_hash64_sql('s')}) AS h
+           FROM toks),
+    fp AS (SELECT doc_id,
+      CASE WHEN len(h) >= {win} THEN list_sort(list_distinct(
+             list_transform(generate_series(1, len(h) - {win - 1}),
+                            i -> list_min(h[i:i + {win - 1}]))))
+           WHEN len(h) > 0 THEN [list_min(h)]
+           ELSE CAST([] AS BIGINT[]) END AS fingerprints
+      FROM hs)"""
 
 
 @query(
@@ -74,3 +96,63 @@ def weighted_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.df.select("doc_id", "n_chars"), "n_chars", 20, on="doc_id"
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "winnow_fingerprints",
+    "WITH " + _winnow_fp_cte()
+    + " SELECT doc_id, fingerprints FROM fp ORDER BY doc_id",
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint sets (k=3-gram hashes, window
+    w=4): the rolling-hash local fingerprint — any shared 6-token run
+    between two documents is guaranteed a shared fingerprint. Scan-side
+    array expressions only; zero shuffles before the output sort."""
+    docs = _docs_par(spark, sf_dir)
+    return docs.df.select(
+        "doc_id", winnow_fingerprints(F.col("text")).alias("fingerprints")
+    ).orderBy("doc_id")
+
+
+@query(
+    "winnow_shared_pairs",
+    "WITH " + _winnow_fp_cte()
+    + """,
+    ex AS (SELECT doc_id, unnest(fingerprints) AS f FROM fp),
+    rare AS (SELECT f FROM ex GROUP BY f HAVING count(*) <= 10)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+    WHERE a.f IN (SELECT f FROM rare)
+    GROUP BY doc_a, doc_b HAVING count(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def winnow_shared_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism/overlap candidate pairs from shared winnowing
+    fingerprints — the MOSS match step as a bucket equi-join: explode
+    fingerprints, drop frequent ones (document frequency > 10, the same
+    Σdf² bound the inverted-index Jaccard uses), self-join on the
+    fingerprint value, keep pairs sharing >= 2. Never an all-pairs
+    comparison: work is Σ df² over rare fingerprints only."""
+    docs = _docs_par(spark, sf_dir)
+    fp = docs.df.select(
+        "doc_id", winnow_fingerprints(F.col("text")).alias("fingerprints")
+    )
+    ex = fp.select("doc_id", F.explode("fingerprints").alias("f"))
+    rare = (
+        ex.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 10)
+        .select("f")
+    )
+    exr = ex.join(rare, "f", "left_semi")
+    a = exr.select(F.col("doc_id").alias("doc_a"), "f")
+    b = exr.select(F.col("doc_id").alias("doc_b"), "f")
+    return (
+        a.join(b, ["f"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
