@@ -1,0 +1,154 @@
+"""Storage-layout operators: partitioned writes, compaction, clustering.
+
+The failure modes of a 100 TB parquet lake are layout problems, not query
+problems: millions of tiny files (every write's shuffle partitioning
+leaks into the file layout), partition directories nobody prunes, and
+row groups whose min/max stats span the whole key domain so nothing can
+be skipped. These operators make layout an explicit, testable part of
+the engine:
+
+- :func:`write_partitioned` — hive-style ``partitionBy`` directories
+  with a *deterministic* file-splitter (hash of the key, not
+  ``rand()``), so the same data always produces the same files and a
+  re-run is byte-stable.
+- :func:`cluster_by_range` — range-repartition + in-file sort so each
+  file owns a disjoint key range; parquet min/max stats then let any
+  reader (Spark row-group pruning, DuckDB zone maps) skip everything
+  but the matching file. The single-dimension analog of Z-ordering;
+  for two hot filter columns, cluster on the composite sort instead.
+- :func:`compact` — rewrite a table (or one partition directory) into
+  size-targeted files via AQE-free explicit file counts; the cure for
+  streaming/foreachBatch small-file accretion.
+- :func:`file_stats` — per-file row counts + bytes, the observability
+  view that tells you compaction is due.
+
+The reference persists state as whole tables per connector
+(`ralf/v2/connectors/parquet_connector.py`); layout management beyond
+one-file-per-table has no reference analog — it is part of the
+Spark-first 100 TB design (SCALE.md §storage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ralf_spark.connectors import _hadoop_fs
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    files_per_partition: int = 1,
+    split_on: str | None = None,
+    order_within: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write hive-style partition directories with a bounded, deterministic
+    file count per directory.
+
+    A plain ``df.write.partitionBy(...)`` emits one file per (shuffle
+    partition × directory) — up to ``shuffle.partitions`` files in EVERY
+    directory. Repartitioning on the partition columns plus a
+    deterministic hash-derived splitter caps it at ``files_per_partition``
+    and keeps re-runs byte-identical (``rand()``-salted writes are not).
+    """
+    cols = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        if split_on is None:
+            raise ValueError(
+                "files_per_partition > 1 needs split_on (a column whose "
+                "hash spreads rows across files)"
+            )
+        splitter = F.pmod(F.xxhash64(F.col(split_on)), F.lit(files_per_partition))
+        out = df.repartition(*cols, splitter)
+    else:
+        out = df.repartition(*cols)
+    if order_within:
+        out = out.sortWithinPartitions(*partition_by, *order_within)
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def cluster_by_range(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``num_files`` files, each owning a disjoint range of ``cols``.
+
+    ``repartitionByRange`` samples the key distribution and assigns
+    contiguous, balanced ranges (skew-resistant, unlike fixed-width
+    bucketing); the in-partition sort tightens every row group's min/max
+    to its slice. Readers that consult parquet statistics then skip all
+    non-matching files/row-groups for point or range predicates on
+    ``cols`` — verified from the file footers in tests.
+    """
+    key_cols = [F.col(c) for c in cols]
+    (
+        df.repartitionByRange(num_files, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Rewrite ``path`` (one table or one partition directory) into
+    size-targeted files; returns the new file count.
+
+    File count = ceil(current bytes / target), from the filesystem — not
+    a row-count guess, so wide and narrow schemas both land near the
+    target. Uses a staged write + swap (crash leaves the original).
+    """
+    fs, hpath = _hadoop_fs(spark, path)
+    summary = fs.getContentSummary(hpath)
+    n_files = max(min_files, -(-summary.getLength() // target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compact__"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    fs.delete(hpath, True)
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
+    return n_files
+
+
+@dataclass
+class FileStat:
+    file: str
+    rows: int
+    bytes: int
+
+
+def file_stats(spark: SparkSession, path: str) -> list[FileStat]:
+    """Per-data-file row count and size for a parquet table — the
+    'is compaction due?' observability view. Row counts come from one
+    metadata-only aggregation over ``input_file_name``; sizes from the
+    filesystem."""
+    rows = {
+        r["file"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fs, hpath = _hadoop_fs(spark, path)
+    out: list[FileStat] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        n = rows.get(p, rows.get(p.replace("file:/", "file:///"), 0))
+        out.append(FileStat(file=p, rows=n, bytes=st.getLen()))
+    return sorted(out, key=lambda s: s.file)
