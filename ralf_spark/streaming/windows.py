@@ -86,3 +86,68 @@ def streaming_tumbling_count_window(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+#: output schema of the streaming sliding count window (agg form)
+SLIDING_OUTPUT_SCHEMA = "user_id long, pos long, w_sum double, w_avg double"
+
+#: per-key state: rows seen + the rolling last-`size` values
+SLIDING_STATE_SCHEMA = "n long, buf array<double>"
+
+
+def streaming_sliding_count_window(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    size: int = 5,
+    slide: int = 2,
+) -> DataFrame:
+    """Per-key streaming sliding count window (agg form): once the first
+    full window exists, emit (w_sum, w_avg) over the last ``size`` values
+    at every ``slide``-th row — the reference's emit-then-trim sequence
+    (``ralf/operators/window.py:107-120``), including its slide clamp
+    (``buf = buf[slide:]`` can only drop what is buffered, so the
+    effective slide never exceeds the window — same contract as the batch
+    ``sliding_count_window(clamp_slide=True)``, whose emit positions
+    ``pos`` this operator reproduces exactly; asserted in tests).
+
+    State is O(size) per key regardless of stream length."""
+    slide_eff = min(slide, size)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            n, buf = state.get[0], list(state.get[1])
+        else:
+            n, buf = 0, []
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(order_col, kind="mergesort")
+
+        out = {"user_id": [], "pos": [], "w_sum": [], "w_avg": []}
+        for v in rows[value_col]:
+            n += 1
+            buf.append(float(v))
+            if len(buf) > size:
+                buf.pop(0)
+            if n >= size and (n - size) % slide_eff == 0:
+                s = float(sum(buf))
+                out["user_id"].append(key[0])
+                out["pos"].append(n)
+                out["w_sum"].append(s)
+                out["w_avg"].append(s / size)
+        state.update((n, buf))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        stream.select(key_col, value_col, order_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            SLIDING_OUTPUT_SCHEMA,
+            SLIDING_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

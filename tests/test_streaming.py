@@ -350,3 +350,38 @@ def test_streaming_time_window_watermark_drops_late_data(spark, tmp_path):
     )
     bgot = {r.window_start.minute: (r.n, r.sv) for r in bt.df.collect()}
     assert bgot[0] == (4, 103.0)
+
+
+def test_streaming_sliding_window_equals_batch(spark, events_dir, tmp_path):
+    """Single-batch replay of the streaming sliding window reproduces the
+    batch sliding_count_window's emit positions and window sums
+    (clamp_slide contract included)."""
+    from ralf_spark.operators.windows import sliding_count_window
+    from ralf_spark.streaming.windows import streaming_sliding_count_window
+
+    stream = file_events(spark, events_dir)
+    win = streaming_sliding_count_window(
+        stream, key_col="user_id", value_col="value",
+        order_col="event_id", size=5, slide=2,
+    )
+    run_bounded(
+        write_memory(win, "stream_slide"),
+        checkpoint=str(tmp_path / "ck_slide"),
+    )
+    got = {
+        (r.user_id, r.pos): round(r.w_sum, 4)
+        for r in spark.table("stream_slide").collect()
+    }
+
+    ev = FeatureTable(
+        spark.read.parquet(events_dir), key="user_id", ts="ts", seq="event_id"
+    )
+    batch = sliding_count_window(
+        ev, window_size=5, slide_size=2, payload_cols=["value"]
+    )
+    want = {
+        (r.user_id, r.pos): round(sum(x["value"] for x in r.window), 4)
+        for r in batch.df.collect()
+    }
+    assert got == want
+    assert len(got) > 0
