@@ -200,17 +200,58 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     (transform/slice/array_min) — scan-side, no shuffle, codegen-friendly.
     Documents with at least one k-gram but fewer than ``w`` windows
     fingerprint as the global minimum (the scheme's short-input rule).
+
+    NOTE: as a single column expression the shingle+md5 pipeline sits
+    inside the per-window lambda and is re-evaluated for EVERY window —
+    O(windows × shingles) md5 calls (measured ~40s for 500 docs). Fine
+    for small frames/tests; on real data use
+    :func:`add_winnow_fingerprints`, which hashes once per document.
     """
     sh = word_shingles(tokens(text), k)
     # explicit 1-arg lambda: stable_hash64 has a defaulted second param,
     # and pyspark binds one lambda variable per positional parameter.
     hs = F.transform(sh, lambda s: stable_hash64(s))
+    return winnow_select(hs, w)
+
+
+def winnow_select(hashes: Column, w: int = 4) -> Column:
+    """Window-minimum fingerprint selection over a k-gram hash array.
+
+    Pass a BOUND column (materialized by a prior projection) on real
+    data: a bound attribute is evaluated once per row, so the per-window
+    ``slice`` reads the stored array instead of recomputing the hash
+    pipeline per window."""
     wins = F.transform(
-        F.sequence(F.lit(1), F.size(hs) - (w - 1)),
-        lambda i: F.array_min(F.slice(hs, i, w)),
+        F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
     )
     return (
-        F.when(F.size(hs) >= w, F.array_sort(F.array_distinct(wins)))
-        .when(F.size(hs) > 0, F.array(F.array_min(hs)))
+        F.when(F.size(hashes) >= w, F.array_sort(F.array_distinct(wins)))
+        .when(F.size(hashes) > 0, F.array(F.array_min(hashes)))
         .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def add_winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    out_col: str = "fingerprints",
+    k: int = 3,
+    w: int = 4,
+):
+    """Winnowing as a DataFrame transform — the form to use on real data.
+
+    Materializes the k-gram hash array in its OWN projection (one md5 per
+    shingle), then runs the window-minimum selection over the stored
+    longs — same single-hash-pass discipline as :func:`add_simhash`
+    (measured ~50× faster than the inline expression at sf0.01)."""
+    hs_df = df.withColumn(
+        "__wh",
+        F.transform(
+            word_shingles(tokens(F.col(text_col)), k),
+            lambda s: stable_hash64(s),
+        ),
+    )
+    return hs_df.withColumn(out_col, winnow_select(F.col("__wh"), w)).drop(
+        "__wh"
     )

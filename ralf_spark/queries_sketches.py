@@ -23,7 +23,7 @@ from ralf_spark.operators.sketches import (
     weighted_sample,
     weighted_sample_sql,
 )
-from ralf_spark.operators.text_analysis import winnow_fingerprints
+from ralf_spark.operators.text_analysis import add_winnow_fingerprints
 from ralf_spark.queries import _docs_par, _t, query
 
 
@@ -109,9 +109,11 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     between two documents is guaranteed a shared fingerprint. Scan-side
     array expressions only; zero shuffles before the output sort."""
     docs = _docs_par(spark, sf_dir)
-    return docs.df.select(
-        "doc_id", winnow_fingerprints(F.col("text")).alias("fingerprints")
-    ).orderBy("doc_id")
+    return (
+        add_winnow_fingerprints(docs.df)
+        .select("doc_id", "fingerprints")
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -133,10 +135,22 @@ def winnow_shared_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints, drop frequent ones (document frequency > 10, the same
     Σdf² bound the inverted-index Jaccard uses), self-join on the
     fingerprint value, keep pairs sharing >= 2. Never an all-pairs
-    comparison: work is Σ df² over rare fingerprints only."""
+    comparison: work is Σ df² over rare fingerprints only.
+
+    persist() on the fingerprint table is load-bearing twice over: (a)
+    it is read by three branches (df filter + both self-join sides), and
+    (b) the InMemoryRelation is an optimizer barrier — without it
+    Catalyst inlines the winnow expression into the Generate (explode)
+    node, which puts the whole shingle+md5 pipeline back inside the
+    per-window lambda (measured 43s → 3s at sf0.01; the Project-collapse
+    expensive-expression check does not guard Generate inputs).
+    Cluster-scale spelling: checkpoint to parquet; release with
+    ``unpersist_cached`` after the action."""
     docs = _docs_par(spark, sf_dir)
-    fp = docs.df.select(
-        "doc_id", winnow_fingerprints(F.col("text")).alias("fingerprints")
+    fp = (
+        add_winnow_fingerprints(docs.df)
+        .select("doc_id", "fingerprints")
+        .persist()
     )
     ex = fp.select("doc_id", F.explode("fingerprints").alias("f"))
     rare = (

@@ -13,6 +13,7 @@ from pyspark.sql import types as T
 
 from ralf_spark.operators.windows import sliding_count_window, tumbling_count_window
 from ralf_spark.plans.explain import (
+    explain_str,
     has_broadcast_join,
     pushed_filters,
     scan_read_schema,
@@ -250,6 +251,43 @@ def test_dim_joins_broadcast_at_sf01_without_forced_hints(spark):
     ]:
         df = QUERIES[name].fn(spark, "/root/testdata/sf0.1")
         assert has_broadcast_join(df), f"{name} lost its broadcast at sf0.1"
+
+
+def test_tpch_r3_plans_no_nested_loop_joins(spark):
+    """The EXISTS/NOT-EXISTS pair (q21), correlated min (q2), and scalar
+    subqueries (q11/q15/q22) must decorrelate to hash/sort-merge
+    semi/anti joins — a BroadcastNestedLoopJoin or CartesianProduct in
+    any of them is the O(n·m) failure mode at scale. Plan-only."""
+    for name in [
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q21_waiting_suppliers",
+        "q22_global_sales_opportunity",
+    ]:
+        plan = explain_str(QUERIES[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        # the 1-row scalar-threshold broadcasts are nested-loop by
+        # construction (no join key) — allow those, forbid multi-row ones
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in (
+                "q11_important_parts",
+                "q15_top_supplier",
+                "q22_global_sales_opportunity",
+            ), f"{name}: unexpected nested-loop join"
+
+
+def test_rank_limit_pushdown_in_q2_and_kmv(spark):
+    """row_number()-then-filter top-k shapes must execute as
+    WindowGroupLimit (map-side per-group pre-limiting before the
+    shuffle) — the thing that keeps per-group k-smallest from shuffling
+    whole groups."""
+    assert "WindowGroupLimit" in explain_str(
+        QUERIES["q2_min_cost_supplier"].fn(spark, SF_DIR)
+    )
+    assert "WindowGroupLimit" in explain_str(
+        QUERIES["kmv_distinct_users"].fn(spark, SF_DIR)
+    )
 
 
 # ------------------------------------------------- loader nanos round-trip
