@@ -535,3 +535,38 @@ class KVStateConnector(StateConnector):
 
     def count(self, spark: SparkSession) -> int:
         return self.client.hlen(self.table_name)
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changelog: "FeatureTable",
+    op_col: str = "op",
+    delete_value: str = "delete",
+) -> DataFrame:
+    """Apply a CDC changelog (upserts + deletes) to a state snapshot —
+    the batch spelling of ``MERGE INTO ... WHEN MATCHED AND op='delete'
+    THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT`` on plain DataFrames.
+
+    Per key, the latest changelog row wins (same (ts, seq) contract as
+    ``FeatureTable.latest``): a delete removes the key, an upsert
+    replaces it; snapshot keys the changelog never touched pass through.
+    Extends ``upsert_into`` with the delete half of the reference's state
+    contract (``ralf/state/table_state.py`` upsert + connector
+    ``delete``, ``ralf/v2/connectors/dict_connector.py``).
+
+    Scale shape: one map-side-partial latest aggregation over the
+    changelog + one anti-join shuffle on the key; the snapshot is never
+    re-aggregated. The changelog must carry every ``snapshot`` column
+    (it may carry more — ordering columns, ``op_col`` — which are
+    projected away).
+    """
+    if changelog.key is None:
+        raise ValueError("apply_changelog needs a keyed changelog")
+    last = changelog.latest().df
+    survivors = last.where(F.col(op_col) != delete_value).select(
+        *snapshot.columns
+    )
+    touched = last.select(changelog.key)
+    untouched = snapshot.join(touched, changelog.key, "left_anti")
+    return untouched.unionByName(survivors)

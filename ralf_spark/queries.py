@@ -2567,4 +2567,8 @@ def headline_queries() -> dict[str, Query]:
 # Q20/Q21/Q22) and the deterministic sketch queries into QUERIES via the
 # @query decorator. Bottom imports so the decorator and helpers above
 # exist when the module bodies run.
-from ralf_spark import queries_sketches, queries_tpch  # noqa: E402,F401
+from ralf_spark import (  # noqa: E402,F401
+    queries_sketches,
+    queries_state,
+    queries_tpch,
+)
