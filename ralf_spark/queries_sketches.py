@@ -170,3 +170,70 @@ def winnow_shared_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("shared") >= 2)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "vocab_top_tokens",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS t FROM documents
+    )
+    SELECT t AS token, count(*) AS n_occ,
+           count(DISTINCT doc_id) AS n_docs
+    FROM toks GROUP BY t
+    ORDER BY n_occ DESC, token LIMIT 50
+    """,
+)
+def vocab_top_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary mining: occurrence + document frequency per
+    token, top-50 — the vocab-building / stopword-discovery step of a
+    pretraining pipeline. Explode → one partial-agg shuffle on the token
+    (the distinct-doc count piggybacks on the same exchange); the top-k
+    is a TakeOrdered, never a full sort."""
+    docs = _docs_par(spark, sf_dir)
+    from ralf_spark.functions.text import tokens
+
+    ex = docs.df.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    return (
+        ex.groupBy(F.col("t").alias("token"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "collocation_top_bigrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest({word_shingles_sql('w', 2)}) AS g FROM toks
+    )
+    SELECT g AS bigram, count(*) AS n_occ
+    FROM grams GROUP BY g
+    ORDER BY n_occ DESC, bigram LIMIT 30
+    """,
+)
+def collocation_top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top word bigrams across the corpus — the
+    n-gram statistics step (phrase vocabulary, boilerplate detection).
+    Same explode → partial-agg → TakeOrdered shape as the unigram
+    vocabulary."""
+    from ralf_spark.functions.text import tokens, word_shingles
+
+    docs = _docs_par(spark, sf_dir)
+    ex = docs.df.select(
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram")
+    )
+    return (
+        ex.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "bigram")
+        .limit(30)
+    )
