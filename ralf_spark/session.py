@@ -37,6 +37,9 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Don't let tiny local files create a single giant partition at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Python DataSource plugins (sources/datasource.py) declare pushFilters;
+    # Spark refuses to initialize them unless pushdown is explicitly on.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Keep shuffle partition count moderate locally; AQE coalesces down.
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
