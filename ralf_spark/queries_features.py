@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ralf_spark.functions.text import tokens_sql
 from ralf_spark.queries import _docs_par, _t, query
 
 #: blocklist for the redaction query (inlined into both engines)
@@ -103,4 +104,47 @@ def redact_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_SCRUB_PATTERN)).alias(
             "n_redacted"
         ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_entropy",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           round(-list_sum(list_transform(list_distinct(w),
+                 t -> (CAST(len(list_filter(w, x -> x = t)) AS DOUBLE)
+                       / len(w))
+                      * log2(CAST(len(list_filter(w, x -> x = t)) AS DOUBLE)
+                             / len(w)))), 4) AS entropy
+    FROM toks ORDER BY doc_id
+    """,
+)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (Shannon) entropy of each document's token distribution —
+    the repetitiveness/quality signal (boilerplate and keyword-stuffed
+    documents score low; a compression-ratio proxy computable natively).
+    Higher-order array expressions only, scan-side; O(distinct·n) per
+    document, bounded by document length."""
+    from ralf_spark.functions.text import tokens
+
+    docs = _docs_par(spark, sf_dir)
+    w = tokens(F.col("text"))
+    docs_df = docs.df.withColumn("w", w)
+    n = F.size("w")
+    p = lambda t: (
+        F.size(F.filter(F.col("w"), lambda x: x == t)).cast("double") / n
+    )
+    ent = -F.aggregate(
+        F.transform(F.array_distinct("w"), lambda t: p(t) * F.log2(p(t))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return docs_df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(ent, 4).alias("entropy"),
     ).orderBy("doc_id")
