@@ -148,3 +148,86 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         F.round(ent, 4).alias("entropy"),
     ).orderBy("doc_id")
+
+
+@query(
+    "kmeans_refine_step",
+    """
+    WITH init AS (
+      SELECT label AS cid, min_by(embedding, vec_id) AS cvec
+      FROM embeddings GROUP BY label
+    ), dists AS (
+      SELECT e.vec_id, i.cid, e.embedding,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               j -> (CAST(e.embedding[j] AS DOUBLE)
+                     - CAST(i.cvec[j] AS DOUBLE))
+                    * (CAST(e.embedding[j] AS DOUBLE)
+                       - CAST(i.cvec[j] AS DOUBLE)))) AS d
+      FROM embeddings e CROSS JOIN init i
+    ), assign AS (
+      SELECT vec_id, cid, embedding FROM (
+        SELECT vec_id, cid, embedding,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        FROM dists) WHERE rk = 1
+    ), flat AS (
+      SELECT cid, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM assign
+    ), dims AS (
+      SELECT cid, pos, avg(CAST(v AS DOUBLE)) AS av
+      FROM flat GROUP BY cid, pos
+    ), norms AS (
+      SELECT cid, round(sum(av * av), 4) AS new_sq_norm
+      FROM dims GROUP BY cid
+    ), counts AS (
+      SELECT cid, count(*) AS n_members FROM assign GROUP BY cid
+    )
+    SELECT n.cid, c.n_members, n.new_sq_norm
+    FROM norms n JOIN counts c ON c.cid = n.cid
+    ORDER BY n.cid
+    """,
+)
+def kmeans_refine_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) refinement iteration, fully distributed and
+    deterministic: seed centroids are the min-vec_id vector per label
+    (exact floats — no averaging, so distances are bit-identical in any
+    engine), assignment is nearest-centroid via a broadcast cross join
+    against the k=10 seed rows (k tiny by contract — this is the one
+    place a nested-loop join is the RIGHT plan), new centroids are
+    per-(cluster, dim) cell means via posexplode + hash-agg — never a
+    whole-vector reduce on one node. Iterating = re-running with the
+    output as the next seed (plan-literal centroids, as ivf_topk does).
+    Output: cluster size + new centroid squared norm."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    init = emb.groupBy(F.col("label").alias("cid")).agg(
+        F.min_by("embedding", "vec_id").alias("cvec")
+    )
+    diff_sq = lambda x, c: (x.cast("double") - c.cast("double")) * (
+        x.cast("double") - c.cast("double")
+    )
+    d = F.aggregate(
+        F.zip_with("embedding", "cvec", diff_sq),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = emb.crossJoin(F.broadcast(init)).withColumn("d", d)
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    assign = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    cells = (
+        assign.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("av"))
+    )
+    norms = cells.groupBy("cid").agg(
+        F.round(F.sum(F.col("av") * F.col("av")), 4).alias("new_sq_norm")
+    )
+    counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        norms.join(counts, "cid")
+        .select("cid", "n_members", "new_sq_norm")
+        .orderBy("cid")
+    )
