@@ -72,3 +72,72 @@ def apply_changelog_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "user_id", F.round("value", 4).alias("value"), "event_id"
     ).orderBy("user_id")
+
+
+@query(
+    "point_in_time_training_join",
+    """
+    WITH spine AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click'
+    ), vws AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'view'
+    )
+    SELECT s.event_id, s.user_id,
+           round(c.v, 4) AS click_value,
+           round(v.v, 4) AS view_value
+    FROM spine s
+    LEFT JOIN LATERAL (
+      SELECT value AS v FROM clicks c
+      WHERE c.user_id = s.user_id
+        AND (c.ts < s.ts OR (c.ts = s.ts AND c.event_id <= s.event_id))
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+    LEFT JOIN LATERAL (
+      SELECT value AS v FROM vws w
+      WHERE w.user_id = s.user_id
+        AND (w.ts < s.ts OR (w.ts = s.ts AND w.event_id <= s.event_id))
+      ORDER BY w.ts DESC, w.event_id DESC LIMIT 1) v ON true
+    ORDER BY s.event_id
+    """,
+)
+def point_in_time_training_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — THE feature-store
+    query: a label spine (purchases) picks up the latest value from
+    MULTIPLE feature tables (clicks, views) as of each label's event
+    time, with no future leakage, by chaining as-of joins. Each as-of is
+    the union+single-window plan (one shuffle per feature table, no
+    range-join explosion) — at 100 TB each feature table joins
+    independently, so tables can be added without re-shuffling the
+    others. The oracle spells the same visibility rule
+    ((r.ts, r.seq) <= (l.ts, l.seq)) as two LATERALs."""
+    from ralf_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = ["user_id", "ts", "event_id"]
+
+    def _ft(df):
+        return FeatureTable(df, key="user_id", ts="ts", seq="event_id")
+
+    spine = _ft(ev.df.where(F.col("event_type") == "purchase").select(*base))
+    clicks = _ft(
+        ev.df.where(F.col("event_type") == "click").select(
+            *base, F.col("value").alias("click_value")
+        )
+    )
+    vws = _ft(
+        ev.df.where(F.col("event_type") == "view").select(
+            *base, F.col("value").alias("view_value")
+        )
+    )
+    step1 = asof_join(spine, clicks, right_payload=["click_value"])
+    step2 = asof_join(step1, vws, right_payload=["view_value"])
+    return step2.df.select(
+        "event_id",
+        "user_id",
+        F.round("click_value", 4).alias("click_value"),
+        F.round("view_value", 4).alias("view_value"),
+    ).orderBy("event_id")
