@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ralf_spark.functions.hashing import stable_hash64_sql
 from ralf_spark.functions.text import tokens_sql
 from ralf_spark.queries import _docs_par, _t, query
 
@@ -230,4 +231,79 @@ def kmeans_refine_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms.join(counts, "cid")
         .select("cid", "n_members", "new_sq_norm")
         .orderBy("cid")
+    )
+
+
+@query(
+    "psi_split_drift",
+    f"""
+    WITH assigned AS (
+      SELECT least(CAST(n_chars // 100 AS INTEGER), 5) AS bucket,
+             CASE WHEN {stable_hash64_sql('doc_id')} % 10000 < 8000
+                  THEN 'train'
+                  WHEN {stable_hash64_sql('doc_id')} % 10000 >= 9000
+                  THEN 'test' END AS split
+      FROM documents
+    ), counts AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_test
+      FROM assigned WHERE split IS NOT NULL GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(sum(n_train) AS DOUBLE) AS tr,
+             CAST(sum(n_test) AS DOUBLE) AS te
+      FROM counts
+    )
+    SELECT bucket, n_train, n_test,
+           round(((n_train + 1.0) / (tr + 6) - (n_test + 1.0) / (te + 6))
+                 * ln(((n_train + 1.0) / (tr + 6))
+                      / ((n_test + 1.0) / (te + 6))), 6) AS psi_term
+    FROM counts CROSS JOIN tot ORDER BY bucket
+    """,
+)
+def psi_split_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the train and test splits of
+    the deterministic dataset_split, over the document-length
+    distribution — the standard "did my split/mix shift?" data-quality
+    check (PSI < 0.1 = stable). Fixed-width buckets keep the binning
+    deterministic cross-engine (quantile cuts would not be); +1 Laplace
+    smoothing keeps empty buckets finite identically in both engines.
+    Two tiny aggregations; the totals broadcast back."""
+    from ralf_spark.operators.policies import dataset_split
+    from ralf_spark.table import FeatureTable
+
+    docs = _t(spark, sf_dir, "documents")
+    assigned = dataset_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, on="doc_id"
+    ).df.where(F.col("split").isin("train", "test"))
+    bucket = F.least(F.expr("n_chars div 100").cast("int"), F.lit(5))
+    counts = (
+        assigned.select(bucket.alias("bucket"), "split")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_train").cast("double").alias("tr"),
+        F.sum("n_test").cast("double").alias("te"),
+    )
+    p = (F.col("n_train") + 1.0) / (F.col("tr") + 6)
+    q = (F.col("n_test") + 1.0) / (F.col("te") + 6)
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_train",
+            "n_test",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
     )
