@@ -223,6 +223,39 @@ class FeatureTable:
         )
         return FeatureTable(out, key=self.key)
 
+    def session_window(
+        self, gap: str, aggs: Sequence[Column] | None = None
+    ) -> "FeatureTable":
+        """Per-key event-time SESSION window aggregate: a session extends
+        while consecutive events are within ``gap`` of each other and
+        closes ``gap`` after the last event — the native
+        ``F.session_window`` (dynamic, data-driven window bounds; the
+        batch gaps-and-islands spelling in the query registry is the
+        SQL-portable twin). In streaming mode with
+        :meth:`with_watermark`, sessions merge across micro-batches and
+        finalize once the watermark passes their end — state per key is
+        bounded by open sessions only.
+
+        Output: key, ``session_start``, ``session_end``, plus one column
+        per aggregate in ``aggs`` (default ``count(*) AS n``).
+        """
+        if self.key is None:
+            raise ValueError("session_window requires a keyed table")
+        if self.ts is None:
+            raise ValueError("session_window requires a ts column")
+        grouped = self.df.groupBy(
+            F.col(self.key),
+            F.session_window(F.col(self.ts), gap).alias("_win"),
+        ).agg(*(aggs or [F.count(F.lit(1)).alias("n")]))
+        agg_cols = [c for c in grouped.columns if c not in (self.key, "_win")]
+        out = grouped.select(
+            self.key,
+            F.col("_win.start").alias("session_start"),
+            F.col("_win.end").alias("session_end"),
+            *agg_cols,
+        )
+        return FeatureTable(out, key=self.key)
+
     # ------------------------------------------------------------ state view
     def latest(self) -> "FeatureTable":
         """Latest-record-per-key state view — the reference's core state table

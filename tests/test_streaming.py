@@ -385,3 +385,71 @@ def test_streaming_sliding_window_equals_batch(spark, events_dir, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_session_window_batch_and_streaming(spark, tmp_path):
+    """FeatureTable.session_window: batch sessions match the expected
+    gaps-and-islands grouping; in streaming append mode with a watermark,
+    a finalized session is emitted once and merges rows across
+    micro-batches."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from ralf_spark.streaming.sinks import run_bounded, write_memory
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "k string, ts timestamp, v double"
+
+    def rows(*minutes):
+        return [("a", base + dt.timedelta(minutes=m), 1.0) for m in minutes]
+
+    # batch: events at minutes 0,5,9 | 30,31 with a 10-minute gap
+    t = FeatureTable(
+        spark.createDataFrame(rows(0, 5, 9, 30, 31), schema), key="k", ts="ts"
+    )
+    got = {
+        (r.session_start.minute, r.session_end.minute, r.n)
+        for r in t.session_window("10 minutes").df.collect()
+    }
+    # session 1: 0..(9+10)=19; session 2: 30..(31+10)=41
+    assert got == {(0, 19, 3), (30, 41, 2)}
+
+    # streaming: session rows split across micro-batches must merge;
+    # the session finalizes once the watermark passes its end
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+
+    def write_file(name, data, mtime):
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(in_dir / name))
+        for p in (in_dir / name).rglob("*"):
+            os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    write_file("f1", rows(0, 5), mtime=now - 240)         # open session
+    write_file("f2", rows(9), mtime=now - 180)            # extends it
+    write_file("f3", rows(60), mtime=now - 120)           # watermark -> 50
+    write_file("f4", rows(61), mtime=now - 60)            # eviction batch
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "f*"))
+    )
+    sess = (
+        FeatureTable(stream, key="k", ts="ts")
+        .with_watermark("10 minutes")
+        .session_window("10 minutes")
+    )
+    run_bounded(
+        write_memory(sess.df, "sess_out", mode="append"),
+        checkpoint=str(tmp_path / "ck_sess"),
+    )
+    emitted = {
+        (r.session_start.minute, r.session_end.minute, r.n)
+        for r in spark.table("sess_out").collect()
+    }
+    # the three rows from two different micro-batches merged into ONE
+    # session [0, 19) and were emitted exactly once when finalized
+    assert (0, 19, 3) in emitted
