@@ -162,3 +162,75 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
     else:
         want = {}
     assert got == want
+
+
+# ------------------------------------------------------- sketches (E6)
+
+def _hash60(v) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+@given(values=st.lists(st.integers(0, 10_000), min_size=0, max_size=60))
+@settings(**_SETTINGS)
+def test_kmv_matches_pure_python_replay(spark, values):
+    """KMV contract on arbitrary inputs: exact below k, and above k the
+    estimate equals the closed-form (k-1)*2^60/h_(k) computed from an
+    independent pure-Python md5 replay."""
+    from ralf_spark.operators.sketches import kmv_distinct
+
+    k = 8
+    df = spark.createDataFrame(
+        [("g", v) for v in values] or [("g", None)], "g string, v long"
+    ).where("v IS NOT NULL")
+    got = {
+        r.g: r.est_distinct
+        for r in kmv_distinct(df, ["g"], "v", k=k).collect()
+    }
+    distinct_hashes = sorted({_hash60(v) for v in values})
+    if not distinct_hashes:
+        assert got == {}
+    elif len(distinct_hashes) < k:
+        assert got == {"g": len(distinct_hashes)}
+    else:
+        import math
+
+        want = math.floor(
+            float(k - 1) * float(2**60) / float(distinct_hashes[k - 1])
+        )
+        assert got == {"g": want}
+
+
+@given(values=st.lists(st.integers(0, 10_000), min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_hll_matches_pure_python_replay(spark, values):
+    """HLL registers/estimate replay exactly in pure Python — the
+    order-independence argument (exact dyadic sums) means ANY grouping
+    of the input must give the same registers, hence the same number."""
+    from ralf_spark.operators.sketches import hll_distinct
+
+    got = [
+        r.est_distinct
+        for r in hll_distinct(
+            spark.createDataFrame([("g", v) for v in values], "g string, v long"),
+            ["g"], "v",
+        ).collect()
+    ]
+
+    m, rest_bits = 64, 54
+    regs: dict[int, int] = {}
+    for v in values:
+        h = _hash60(v)
+        bucket, rest = h >> rest_bits, h % (1 << rest_bits)
+        rho = (rest_bits + 1 - rest.bit_length()) if rest else rest_bits + 1
+        rho = min(rho, 40)
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s = sum(2.0**-r for r in regs.values()) + (m - len(regs))
+    e = 0.709 * m * m / s
+    v_empty = m - len(regs)
+    import math
+
+    if e <= 2.5 * m and v_empty > 0:
+        e = float(m) * math.log(float(m) / v_empty)
+    assert got == [round(e, 2)]
