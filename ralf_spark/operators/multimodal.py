@@ -153,3 +153,79 @@ def frame_sample(
             )
 
     return FeatureTable(src.mapInPandas(kernel, schema), key="doc_id")
+
+
+#: Output schema of the stub audio-feature kernel.
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, duration_s double, chunk_energy array<double>"
+)
+
+
+def decode_audio_features(
+    table: FeatureTable,
+    payload_col: str = "payload",
+    id_col: str | None = None,
+    mode: str = "stub",
+    n_chunks: int = 4,
+    sample_rate: int = 16000,
+) -> FeatureTable:
+    """Arrow-batched audio decode + chunked energy profile over
+    ``mapInPandas`` — the audio sibling of :func:`decode_image_features`.
+
+    ``mode="real"`` would decode PCM (ffmpeg/soundfile) and compute true
+    per-chunk RMS inside the same iterator; not available in this
+    container, so it raises. ``mode="stub"`` treats the payload as raw
+    8-bit mono PCM at ``sample_rate`` (duration = bytes / rate) and
+    derives a deterministic per-chunk pseudo-energy from each byte
+    range's digest — the batch shape, chunking arithmetic, and schema are
+    the real plumbing. Chunks are byte ranges: ``n_chunks - 1`` equal
+    floors plus the remainder tail, so every byte lands in exactly one
+    chunk."""
+    if mode == "real":
+        raise NotImplementedError(
+            "audio codecs are not available in this environment; the "
+            "production kernel would decode PCM inside the same "
+            "mapInPandas iterator"
+        )
+    if mode != "stub":
+        raise ValueError(f"unknown decode mode: {mode!r}")
+    idc = id_col or table.key
+    if idc is None:
+        raise ValueError("decode_audio_features needs an id column")
+
+    src = table.df.select(F.col(idc).alias("doc_id"), F.col(payload_col))
+
+    def kernel(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        def energies(data: bytes) -> list[float]:
+            n = len(data)
+            base = n // n_chunks
+            out = []
+            for i in range(n_chunks):
+                if i < n_chunks - 1:
+                    chunk = data[i * base : (i + 1) * base]
+                else:
+                    chunk = data[(n_chunks - 1) * base :]
+                h = hashlib.md5(chunk).hexdigest()
+                out.append(round((int(h[:4], 16) % 10000) / 10000.0, 4))
+            return out
+
+        for pdf in batches:
+            data = [bytes(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # exact IEEE quotient, NOT rounded: byte counts /
+                    # 16000 land exactly on half-way decimals, where
+                    # Python rounds ties-to-even but SQL engines round
+                    # half-away — the raw double is identical everywhere
+                    "duration_s": [
+                        len(d) / float(sample_rate) for d in data
+                    ],
+                    "chunk_energy": [energies(d) for d in data],
+                }
+            )
+
+    out = src.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+    return FeatureTable(out, key="doc_id")

@@ -307,3 +307,42 @@ def psi_split_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n, length(text) // 4 AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           n / 16000.0 AS duration_s,
+           [round((CAST(('0x' || substring(md5(substring(text, 1, b)), 1, 4))
+                   AS BIGINT) % 10000) / 10000.0, 4),
+            round((CAST(('0x' || substring(md5(substring(text, 1 + b, b)),
+                   1, 4)) AS BIGINT) % 10000) / 10000.0, 4),
+            round((CAST(('0x' || substring(md5(substring(text, 1 + 2 * b, b)),
+                   1, 4)) AS BIGINT) % 10000) / 10000.0, 4),
+            round((CAST(('0x' || substring(md5(substring(text, 1 + 3 * b,
+                   n - 3 * b)), 1, 4)) AS BIGINT) % 10000) / 10000.0, 4)]
+             AS chunk_energy
+    FROM d ORDER BY doc_id
+    """,
+)
+def multimodal_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 audio: Arrow-batched mapInPandas kernel treating the binary
+    payload as PCM — duration from byte length, per-byte-range chunk
+    pseudo-energies (stub codec; real RMS swaps into the same iterator).
+    The oracle replays the byte-chunking + digest math in SQL (payload is
+    UTF-8 of ASCII text, so byte slices == char slices), hash-checking
+    the whole Python batch path including the chunk boundary
+    arithmetic."""
+    from ralf_spark.operators.multimodal import (
+        decode_audio_features,
+        with_binary_payload,
+    )
+
+    docs = with_binary_payload(_docs_par(spark, sf_dir))
+    out = decode_audio_features(docs, mode="stub")
+    return out.df.orderBy("doc_id")
