@@ -45,6 +45,27 @@ class FeatureStore:
         df = self.spark.read.options(**options).csv(path)
         return FeatureTable(df, key=key, ts=ts, seq=seq)
 
+    def read_jsonl(
+        self,
+        path: str,
+        schema: str | None = None,
+        key: str | None = None,
+        ts: str | None = None,
+        seq: str | None = None,
+        **options: Any,
+    ) -> FeatureTable:
+        """JSON-lines source (one JSON object per line — the other
+        ubiquitous raw-event interchange format besides CSV).
+
+        Pass ``schema`` (DDL string) in production: schema inference
+        costs a full extra pass over the data, and a 100 TB scan should
+        never pay it. Corrupt lines land in ``_corrupt_record`` under the
+        default PERMISSIVE mode instead of failing the job."""
+        reader = self.spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return FeatureTable(reader.json(path), key=key, ts=ts, seq=seq)
+
     def from_dataframe(
         self,
         df: DataFrame,

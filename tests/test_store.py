@@ -76,3 +76,21 @@ def test_observed_counters(spark):
     ).collect()
     assert obs.get["num_records"] == 3
     assert obs.get["num_keys"] == 2
+
+
+def test_read_jsonl_with_schema_and_corrupt_records(spark, tmp_path):
+    from ralf_spark.store import FeatureStore
+
+    path = str(tmp_path / "events.jsonl")
+    with open(path, "w") as f:
+        f.write('{"k": "a", "v": 1.5}\n')
+        f.write('{"k": "b", "v": 2.5}\n')
+        f.write("not json at all\n")
+    store = FeatureStore(spark)
+    t = store.read_jsonl(
+        path, schema="k string, v double, _corrupt_record string", key="k"
+    )
+    rows = {r.k: r.v for r in t.df.where("_corrupt_record IS NULL").collect()}
+    assert rows == {"a": 1.5, "b": 2.5}
+    bad = t.df.where("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
