@@ -346,3 +346,45 @@ def multimodal_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(_docs_par(spark, sf_dir))
     out = decode_audio_features(docs, mode="stub")
     return out.df.orderBy("doc_id")
+
+
+@query(
+    "debounce_per_key_hourly",
+    """
+    SELECT user_id, bucket_start, event_id, round(value, 4) AS value
+    FROM (
+      SELECT user_id,
+             CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP)
+               AS bucket_start,
+             event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+    WHERE rk = 1
+    ORDER BY user_id, bucket_start
+    """,
+)
+def debounce_per_key_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / rate-limit policy: at most one emitted row per key per
+    hour (the latest), the time-based cousin of the reference's
+    load-shedding policies (``ralf/policies/load_shedding_policy.py`` —
+    sample/threshold variants) for downstream consumers that can't absorb
+    every update. max_by per (key, hour bucket) — map-side-partial hash
+    agg, one shuffle, no sort window."""
+    ev = _t(spark, sf_dir, "events").df
+    bucket = F.window(F.col("ts"), "1 hour").start.alias("bucket_start")
+    payload = F.struct("event_id", "value")
+    return (
+        ev.groupBy(F.col("user_id"), bucket)
+        .agg(
+            F.max_by(payload, F.struct("ts", "event_id")).alias("_w")
+        )
+        .select(
+            "user_id",
+            "bucket_start",
+            F.col("_w.event_id").alias("event_id"),
+            F.round("_w.value", 4).alias("value"),
+        )
+        .orderBy("user_id", "bucket_start")
+    )
