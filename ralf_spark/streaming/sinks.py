@@ -93,6 +93,65 @@ def foreach_batch_kv_upsert(
     return df.writeStream.foreachBatch(upsert)
 
 
+def foreach_batch_moments_upsert(
+    df: DataFrame,
+    path: str,
+    key: str,
+    value_col: str,
+) -> DataStreamWriter:
+    """Maintain a persisted per-key (n, mean, M2) moments state table from
+    a stream — incremental mean/variance features without reprocessing
+    history (``operators/moments.py``: each micro-batch reduces map-side
+    to one summary row per key, then one full-outer merge join against
+    the state; the staged overwrite is the same crash-safe pattern as
+    ``upsert_into``).
+
+    NOTE: unlike latest-per-key upserts, the moments merge is NOT
+    idempotent under replay (a re-applied batch double-counts);
+    exactly-once here relies on the checkpointed batch id — skip batches
+    whose id is not greater than the last applied (recorded next to the
+    state; driver-local file — on a real cluster record it in the state
+    store itself or use a transactional table format's (appId, version)
+    txn API, which is exactly what this marker emulates)."""
+
+    return df.writeStream.foreachBatch(
+        moments_upsert_batch(path, key, value_col)
+    )
+
+
+def moments_upsert_batch(path: str, key: str, value_col: str):
+    """The foreachBatch callback behind
+    :func:`foreach_batch_moments_upsert`, exposed for direct use/testing:
+    ``(batch_df, batch_id) -> None``, folding the batch into the state
+    unless ``batch_id`` was already applied."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+
+        from ralf_spark.connectors import _staged_overwrite, _try_read_parquet
+        from ralf_spark.operators.moments import batch_moments, merge_moments
+
+        marker = path.rstrip("/") + ".__last_batch__"
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return  # replayed batch — already folded in
+        spark = batch_df.sparkSession
+        summary = batch_moments(batch_df, key, value_col)
+        current = _try_read_parquet(spark, path)
+        merged = (
+            merge_moments(current, summary, key)
+            if current is not None
+            else summary
+        )
+        _staged_overwrite(spark, merged, path)
+        with open(marker, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+
+    return upsert
+
+
 def run_bounded(
     writer: DataStreamWriter,
     checkpoint: str | None = None,

@@ -453,3 +453,63 @@ def test_session_window_batch_and_streaming(spark, tmp_path):
     # the three rows from two different micro-batches merged into ONE
     # session [0, 19) and were emitted exactly once when finalized
     assert (0, 19, 3) in emitted
+
+
+def test_foreach_batch_moments_upsert_incremental(spark, tmp_path):
+    """Two micro-batches folded into the moments state equal a full
+    recompute over all rows; a replayed batch id is skipped (no double
+    counting)."""
+    import datetime as dt
+
+    from ralf_spark.operators.moments import moments_stats
+    from ralf_spark.streaming.sinks import (
+        foreach_batch_moments_upsert,
+        run_bounded,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "k string, ts timestamp, v double"
+    in_dir = tmp_path / "mom_in"
+    in_dir.mkdir()
+    rows1 = [("a", base, 1.0), ("a", base, 3.0), ("b", base, 5.0)]
+    rows2 = [("a", base, 5.0), ("b", base, 7.0), ("c", base, 2.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(in_dir / "f1")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(in_dir / "f2")
+    )
+    state_path = str(tmp_path / "moments_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "f*"))
+    )
+    run_bounded(
+        foreach_batch_moments_upsert(stream, state_path, "k", "v"),
+        checkpoint=str(tmp_path / "ck_mom"),
+    )
+    got = {
+        r.k: (r.n, r.mean, r.var_pop)
+        for r in moments_stats(
+            spark.read.parquet(state_path), "k"
+        ).collect()
+    }
+    # full recompute over all 6 rows
+    assert got["a"][0] == 3 and abs(got["a"][1] - 3.0) < 1e-9
+    assert abs(got["a"][2] - ((4 + 0 + 4) / 3.0)) < 1e-9
+    assert got["b"] == (2, 6.0, 1.0)
+    assert got["c"] == (1, 2.0, 0.0)
+
+    # replay protection: re-applying an already-seen batch id is a no-op
+    from ralf_spark.streaming.sinks import moments_upsert_batch
+
+    cb = moments_upsert_batch(state_path, "k", "v")
+    cb(spark.read.parquet(str(in_dir / "f1")), 0)  # batch 0 replay
+    got2 = {
+        r.k: r.n
+        for r in moments_stats(
+            spark.read.parquet(state_path), "k"
+        ).collect()
+    }
+    assert got2 == {k: v[0] for k, v in got.items()}
