@@ -44,6 +44,11 @@ def main() -> None:
         t0 = time.perf_counter()
         drain(q.fn(spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 4)
+        if bench_all:
+            # some queries persist() intermediates (winnow pairs, LSH
+            # dedup); release between queries so a 99-query sweep in one
+            # session doesn't accumulate cached blocks
+            spark.catalog.clearCache()
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
