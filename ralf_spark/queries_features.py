@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ralf_spark.functions.hashing import stable_hash64_sql
-from ralf_spark.functions.text import tokens_sql
+from ralf_spark.functions.text import tokens_sql, word_shingles_sql
 from ralf_spark.queries import _docs_par, _t, query
 
 #: blocklist for the redaction query (inlined into both engines)
@@ -387,4 +387,144 @@ def debounce_per_key_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_w.value", 4).alias("value"),
         )
         .orderBy("user_id", "bucket_start")
+    )
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021, table A1 shape —
+#: adapted to the whitespace-token fixture corpus; inlined into both engines)
+_GOPHER_TTR_MIN = 0.30
+_GOPHER_TOP_BIGRAM_MAX = 0.08
+_GOPHER_DUP_TRIGRAM_MAX = 0.20
+
+
+@query(
+    "gopher_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {tokens_sql('text')} AS w FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, length(text) AS n_chars_t, len(w) AS n_words,
+             CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT)
+               / len(w) AS mean_word_len,
+             len(list_distinct(w)) / len(w) AS ttr
+      FROM toks
+    ),
+    big AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest({word_shingles_sql('w', 2)}) AS g
+            FROM toks)
+      GROUP BY doc_id, g
+    ),
+    bigtop AS (
+      SELECT doc_id, max(struct_pack(c := c, g := g)) AS top
+      FROM big GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest({word_shingles_sql('w', 3)}) AS g
+            FROM toks)
+      GROUP BY doc_id, g
+    ),
+    tridup AS (
+      SELECT doc_id,
+             sum(CASE WHEN c > 1 THEN c * length(g) END) AS dup_chars
+      FROM tri GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_words,
+           round(s.mean_word_len, 4) AS mean_word_len,
+           round(s.ttr, 4) AS ttr,
+           round(coalesce(b.top.c * length(b.top.g), 0) / s.n_chars_t, 4)
+             AS top_bigram_frac,
+           round(coalesce(t.dup_chars, 0) / s.n_chars_t, 4)
+             AS dup_trigram_frac,
+           (s.ttr >= {_GOPHER_TTR_MIN}
+            AND coalesce(b.top.c * length(b.top.g), 0) / s.n_chars_t
+                <= {_GOPHER_TOP_BIGRAM_MAX}
+            AND coalesce(t.dup_chars, 0) / s.n_chars_t
+                <= {_GOPHER_DUP_TRIGRAM_MAX}) AS keep
+    FROM stats s
+    LEFT JOIN bigtop b ON b.doc_id = s.doc_id
+    LEFT JOIN tridup t ON t.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per
+    document, the fraction of characters covered by the most frequent
+    bigram, the fraction covered by duplicated trigrams, type-token
+    ratio, and mean word length — the standard pretraining corpus
+    repetition battery (the reference has no text surface; this extends
+    E4 per SURVEY §2.10).
+
+    Scale: n-gram counting is explode → groupBy(doc_id, gram) — a single
+    hash-partitioned shuffle whose key cardinality grows with the corpus
+    (never a per-doc Python loop); per-doc scalars stay in one scan-side
+    projection. The top-bigram argmax is `max(struct(count, gram))` —
+    map-side partial, deterministic tie-break by gram text."""
+    from ralf_spark.functions.text import tokens, word_shingles
+
+    docs = _docs_par(spark, sf_dir).df
+    base = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("w")
+    )
+    stats = base.select(
+        "doc_id",
+        F.length("text").alias("n_chars_t"),
+        F.size("w").alias("n_words"),
+        (
+            F.aggregate(
+                "w", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+            )
+            / F.size("w")
+        ).alias("mean_word_len"),
+        (F.size(F.array_distinct("w")) / F.size("w")).alias("ttr"),
+    )
+    bigtop = (
+        base.select(
+            "doc_id", F.explode(word_shingles(F.col("w"), 2)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("c", "g")).alias("top"))
+        .select(
+            "doc_id",
+            (F.col("top.c") * F.length("top.g")).alias("top_chars"),
+        )
+    )
+    tridup = (
+        base.select(
+            "doc_id", F.explode(word_shingles(F.col("w"), 3)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("g"))
+            ).alias("dup_chars")
+        )
+    )
+    top_frac = F.coalesce(F.col("top_chars"), F.lit(0)) / F.col("n_chars_t")
+    dup_frac = F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("n_chars_t")
+    return (
+        stats.join(bigtop, "doc_id", "left")
+        .join(tridup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round("mean_word_len", 4).alias("mean_word_len"),
+            F.round("ttr", 4).alias("ttr"),
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+            F.round(dup_frac, 4).alias("dup_trigram_frac"),
+            (
+                (F.col("ttr") >= _GOPHER_TTR_MIN)
+                & (top_frac <= _GOPHER_TOP_BIGRAM_MAX)
+                & (dup_frac <= _GOPHER_DUP_TRIGRAM_MAX)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
     )
