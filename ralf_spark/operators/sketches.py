@@ -233,3 +233,103 @@ def weighted_sample_sql(
     ORDER BY ln({u}) / ({weight_expr}) DESC, {on}
     LIMIT {k}
     """
+
+
+def cms_heavy_hitters(
+    df,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimates, deterministic and replayable cross-engine.
+
+    Each key is hashed by ``depth`` independent md5-derived functions into
+    ``width`` buckets; the counter matrix is ``groupBy(row, bucket).count``
+    — a mergeable sketch whose map-side partial aggregation IS the sketch
+    merge, so the shuffle moves at most ``depth * width`` counters per
+    partition regardless of input size (the entire point at 100 TB: a
+    4x256 matrix summarizes any stream). The estimate for a key is the
+    min over its ``depth`` counters, an upper bound on the true count
+    (one-sided error <= 2N/width with prob 1 - (1/2)^depth).
+
+    Returns (key, exact, cms_estimate, overestimate) for the ``top_k``
+    keys by exact count — pairing the sketch with ground truth is the
+    standard accuracy harness shape. The reference has no sketch surface
+    (SURVEY §2.6: no aggregates beyond user code); this extends the
+    engine's approximate-bookkeeping family (A4/KMV/HLL).
+    """
+    from pyspark.sql import functions as F
+
+    from ralf_spark.functions.hashing import stable_hash64
+
+    keyed = df.select(F.col(key_col).cast("string").alias("k"))
+    buckets = F.array(
+        *[
+            (stable_hash64(F.col("k"), salt=f"cms{r}") % width).alias(
+                f"b{r}"
+            )
+            for r in range(depth)
+        ]
+    )
+    hashed = keyed.select("k", F.posexplode(buckets).alias("r", "bucket"))
+    counters = hashed.groupBy("r", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    exact = keyed.groupBy("k").agg(F.count("*").alias("exact"))
+    key_buckets = exact.select(
+        "k", "exact", F.posexplode(buckets).alias("r", "bucket")
+    )
+    est = (
+        key_buckets.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("k", "exact")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            F.col("k").alias("key"),
+            "exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact"), "key")
+        .limit(top_k)
+    )
+
+
+def cms_heavy_hitters_sql(
+    key_expr: str,
+    from_clause: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+) -> str:
+    """DuckDB replay of :func:`cms_heavy_hitters` (bit-for-bit)."""
+    from ralf_spark.functions.hashing import stable_hash64_sql
+
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT k, {r} AS r,"
+        f" {stable_hash64_sql('k', salt=f'cms{r}')} % {width} AS bucket"
+        f" FROM keyed"
+        for r in range(depth)
+    )
+    return f"""
+    WITH keyed AS (SELECT CAST({key_expr} AS VARCHAR) AS k {from_clause}),
+    hashed AS ({bucket_rows}),
+    counters AS (SELECT r, bucket, count(*) AS c
+                 FROM hashed GROUP BY r, bucket),
+    exact AS (SELECT k, count(*) AS exact FROM keyed GROUP BY k),
+    est AS (
+      SELECT h.k, min(e.exact) AS exact, min(c.c) AS cms_estimate
+      FROM (SELECT DISTINCT k, r, bucket FROM hashed) h
+      JOIN counters c ON c.r = h.r AND c.bucket = h.bucket
+      JOIN exact e ON e.k = h.k
+      GROUP BY h.k
+    )
+    SELECT k AS key, exact, cms_estimate,
+           cms_estimate - exact AS overestimate
+    FROM est
+    ORDER BY exact DESC, key
+    LIMIT {top_k}
+    """

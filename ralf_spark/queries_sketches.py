@@ -237,3 +237,31 @@ def collocation_top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "bigram")
         .limit(30)
     )
+
+
+from ralf_spark.operators.sketches import (  # noqa: E402
+    cms_heavy_hitters,
+    cms_heavy_hitters_sql,
+)
+
+
+@query(
+    "cms_token_heavy_hitters",
+    cms_heavy_hitters_sql(
+        "tok",
+        f"FROM (SELECT unnest({tokens_sql('text')}) AS tok "
+        "FROM documents)",
+    ),
+)
+def cms_token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over the corpus token stream — the
+    fixed-size (4x256 counters) approximate frequency sketch paired with
+    ground truth, estimator output oracle-checked bit-for-bit (see
+    ``operators.sketches.cms_heavy_hitters`` for the merge argument)."""
+    from ralf_spark.functions.text import tokens
+
+    docs = _docs_par(spark, sf_dir).df
+    toks = docs.select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return cms_heavy_hitters(toks, "tok")
