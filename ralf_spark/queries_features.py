@@ -528,3 +528,140 @@ def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: decontamination shingle width (GPT-3 appendix C uses 13-gram exact
+#: match; the fixture corpus is short so 8 keeps overlap non-trivial)
+_DECON_N = 8
+#: eval-split rate, per-10000 buckets of the content hash
+_DECON_EVAL_PCT = 5
+
+
+@query(
+    "decontaminate_against_eval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {stable_hash64_sql('text', salt='decon')} % 100
+               < {_DECON_EVAL_PCT} AS is_eval,
+             {tokens_sql('text')} AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, is_eval,
+             unnest(list_distinct({word_shingles_sql('w', _DECON_N)})) AS g
+      FROM toks
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE is_eval)
+    SELECT doc_id, count(DISTINCT g) AS n_shared_grams
+    FROM grams JOIN eval_grams USING (g)
+    WHERE NOT is_eval
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_against_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Gopher §A2 shape):
+    flag training documents that share any {n}-gram with the held-out
+    eval split, so contaminated examples can be dropped before training.
+    The eval split is the deterministic content-hash split (same family
+    as ``dataset_split``), so train/eval membership is reproducible.
+
+    Scale: the eval n-gram set is small by contract (benchmarks are),
+    so it broadcasts and the train-side scan never shuffles its grams —
+    contamination checking over 100 TB is one map-side semi-join plus a
+    per-doc count. If the eval side ever outgrows broadcast, drop the
+    hint and the same plan shuffle-joins on the gram key.
+    """
+    from ralf_spark.functions.hashing import stable_hash64
+    from ralf_spark.functions.text import distinct_shingles
+
+    docs = _docs_par(spark, sf_dir).df
+    base = docs.select(
+        "doc_id",
+        (
+            stable_hash64(F.col("text"), salt="decon") % 100
+            < _DECON_EVAL_PCT
+        ).alias("is_eval"),
+        distinct_shingles(F.col("text"), _DECON_N).alias("grams"),
+    )
+    exploded = base.select(
+        "doc_id", "is_eval", F.explode("grams").alias("g")
+    )
+    eval_grams = (
+        exploded.filter("is_eval").select("g").distinct()
+    )
+    return (
+        exploded.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+#: training-sequence chunk length and stride, in tokens
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) > {_CHUNK_LEN}
+                  THEN (len(w) - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1)
+                       // {_CHUNK_STRIDE}
+                  ELSE 0 END AS n_extra
+      FROM toks
+    )
+    SELECT doc_id, k AS chunk_id,
+           len(w[1 + k * {_CHUNK_STRIDE} :
+                 k * {_CHUNK_STRIDE} + {_CHUNK_LEN}]) AS n_tokens,
+           array_to_string(w[1 + k * {_CHUNK_STRIDE} :
+                 k * {_CHUNK_STRIDE} + {_CHUNK_LEN}], ' ') AS chunk_text
+    FROM (SELECT doc_id, w, unnest(generate_series(0, n_extra)) AS k
+          FROM sized)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunking: split each document's token stream
+    into overlapping fixed-length windows (len {_CHUNK_LEN}, stride
+    {_CHUNK_STRIDE}) — the context-window packing step every pretraining
+    pipeline runs before tokenized examples hit the trainer. Pure
+    per-row fan-out (sequence → explode → slice), no shuffle until the
+    presentation sort; at 100 TB this is scan-shaped and embarrassingly
+    parallel."""
+    from ralf_spark.functions.text import tokens
+
+    C, S = _CHUNK_LEN, _CHUNK_STRIDE
+    docs = _docs_par(spark, sf_dir).df
+    base = docs.select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).withColumn(
+        "n_extra",
+        F.when(
+            F.size("w") > C,
+            F.expr(f"(size(w) - {C} + {S} - 1) div {S}"),
+        ).otherwise(F.lit(0)),
+    )
+    chunk = F.slice(F.col("w"), F.col("k") * S + 1, C)
+    return (
+        base.select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.col("n_extra"))).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").alias("chunk_id"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
