@@ -237,3 +237,49 @@ def one_shot_join(
         ts=left.ts if left.ts in out.columns else None,
         seq=left.seq if left.seq and left.seq in out.columns else None,
     )
+
+
+def interval_join(
+    left: FeatureTable,
+    right: FeatureTable,
+    lookback: str,
+    lookahead: str = "0 seconds",
+    rsuffix: str = "_r",
+) -> FeatureTable:
+    """Time-bounded equi-join: each left row matches right rows with the
+    same key whose timestamp lies in ``[left.ts - lookback,
+    left.ts + lookahead]`` (bounds inclusive) — the "events near each
+    other in time" join (clicks before a purchase, sensor readings
+    around an alarm). Complements :func:`asof_join` (which keeps only
+    the latest such match).
+
+    Works identically on batch and streaming inputs: in streaming, put a
+    watermark on BOTH sides (Spark then bounds the join state and ages
+    out rows outside the interval — the stream-stream join Spark
+    supports natively; the reference, one record at a time, cannot
+    express this at all). At scale the equi-key drives one hash
+    shuffle; the time predicate is a post-join filter on co-located
+    rows, never a cross product.
+
+    Right-side columns are suffixed with ``rsuffix``.
+    """
+    if left.key is None or right.key is None:
+        raise ValueError("interval_join requires keyed tables")
+    if left.ts is None or right.ts is None:
+        raise ValueError("interval_join requires ts columns")
+    ldf = left.df.alias("__l")
+    rdf = right.df.alias("__r")
+    lts, rts = F.col(f"__l.{left.ts}"), F.col(f"__r.{right.ts}")
+    cond = (
+        (F.col(f"__l.{left.key}") == F.col(f"__r.{right.key}"))
+        & (rts >= lts - F.expr(f"INTERVAL {lookback}"))
+        & (rts <= lts + F.expr(f"INTERVAL {lookahead}"))
+    )
+    out = ldf.join(rdf, cond, "inner").select(
+        *[F.col(f"__l.{c}") for c in left.df.columns],
+        *[
+            F.col(f"__r.{c}").alias(c + rsuffix)
+            for c in right.df.columns
+        ],
+    )
+    return FeatureTable(out, key=left.key, ts=left.ts, seq=left.seq)

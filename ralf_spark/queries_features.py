@@ -665,3 +665,38 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@query(
+    "interval_join_clicks_before_purchase",
+    """
+    SELECT l.event_id, count(*) AS n_prior_clicks,
+           round(sum(r.value), 4) AS sum_click_value
+    FROM events l JOIN events r
+      ON r.user_id = l.user_id
+     AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+    GROUP BY l.event_id
+    ORDER BY l.event_id
+    """,
+)
+def interval_join_clicks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-bounded stream-stream) join: for each purchase,
+    the clicks by the same user in the preceding hour — attribution the
+    reference's latest-state join cannot express (it keeps ONE right
+    row per key; this keeps all within the bound). See
+    ``operators.joins.interval_join`` for streaming/watermark behavior."""
+    from ralf_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = interval_join(purchases, clicks, lookback="1 hour")
+    return (
+        joined.df.groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_prior_clicks"),
+            F.round(F.sum("value_r"), 4).alias("sum_click_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -513,3 +513,69 @@ def test_foreach_batch_moments_upsert_incremental(spark, tmp_path):
         ).collect()
     }
     assert got2 == {k: v[0] for k, v in got.items()}
+
+
+def test_streaming_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarks on BOTH sides) drained with
+    availableNow equals the same interval_join run in batch — the join
+    family the reference's one-latest-right-row operator cannot express."""
+    import datetime as dt
+
+    from ralf_spark.operators.joins import interval_join
+    from ralf_spark.streaming.sinks import run_bounded, write_memory
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "k string, ts timestamp, v double"
+    purchases = [
+        ("a", base + dt.timedelta(minutes=40), 10.0),
+        ("a", base + dt.timedelta(minutes=90), 20.0),
+        ("b", base + dt.timedelta(minutes=45), 30.0),
+    ]
+    clicks = [
+        ("a", base + dt.timedelta(minutes=15), 1.0),   # 25min before p1
+        ("a", base + dt.timedelta(minutes=39), 2.0),   # 1min before p1
+        ("a", base + dt.timedelta(minutes=80), 3.0),   # 10min before p2
+        ("b", base + dt.timedelta(minutes=5), 4.0),    # 40min before -> out
+        ("c", base + dt.timedelta(minutes=44), 5.0),   # key mismatch
+    ]
+    for name, rows in [("l", purchases), ("r", clicks)]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+
+    def table(path):
+        stream = spark.readStream.schema(schema).parquet(str(path))
+        return FeatureTable(stream, key="k", ts="ts").with_watermark(
+            "1 hour"
+        )
+
+    joined = interval_join(
+        table(tmp_path / "l"), table(tmp_path / "r"),
+        lookback="30 minutes",
+    )
+    run_bounded(
+        write_memory(joined.df, "ssj_out", mode="append"),
+        checkpoint=str(tmp_path / "ck_ssj"),
+        shuffle_partitions=4,
+    )
+    got = {
+        (r.k, r.ts, r.v, r.ts_r, r.v_r)
+        for r in spark.table("ssj_out").collect()
+    }
+
+    batch = interval_join(
+        FeatureTable(
+            spark.createDataFrame(purchases, schema), key="k", ts="ts"
+        ),
+        FeatureTable(
+            spark.createDataFrame(clicks, schema), key="k", ts="ts"
+        ),
+        lookback="30 minutes",
+    )
+    want = {
+        (r.k, r.ts, r.v, r.ts_r, r.v_r) for r in batch.df.collect()
+    }
+    assert got == want
+    assert {(k, v, vr) for k, _, v, _, vr in want} == {
+        ("a", 10.0, 1.0), ("a", 10.0, 2.0), ("a", 20.0, 3.0)
+    }
