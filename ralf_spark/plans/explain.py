@@ -35,3 +35,14 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", explain_str(df)):
         cols.extend(p.split(":")[0].strip() for p in m.group(1).split(",") if p)
     return cols
+
+
+def has_runtime_bloom_filter(df: DataFrame) -> bool:
+    """True if Catalyst injected a runtime bloom filter (a
+    ``might_contain(...)`` pre-shuffle prune of the fact side from the
+    filtered build side — ``spark.sql.optimizer.runtime.bloomFilter.*``).
+    At 100 TB this is the difference between shuffling every fact row and
+    shuffling only rows that can possibly join: the app-side scan
+    threshold (default 10 GB) engages it automatically at scale; tests
+    lower the threshold to prove the plan shape locally."""
+    return "might_contain" in explain_str(df)

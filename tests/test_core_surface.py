@@ -307,3 +307,45 @@ def test_fixture_ts_nanos_exact_roundtrip(spark):
     assert len(oracle) == len(spark_us)
     bad = [(i, spark_us[i], us) for i, us in oracle if spark_us[i] != us]
     assert bad == []
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """With broadcast off (two big sides), Catalyst injects a runtime
+    bloom filter built from the selective orders side that prunes
+    lineitem BEFORE its shuffle — and the result is unchanged."""
+    from ralf_spark.plans.explain import has_runtime_bloom_filter
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        li = load_fixture(spark, "lineitem", SF_DIR).df
+        orders = load_fixture(spark, "orders", SF_DIR).df.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pruned = build()
+        assert has_runtime_bloom_filter(pruned)
+        got = pruned.collect()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = build()
+    assert not has_runtime_bloom_filter(plain)
+    assert got == plain.collect()
