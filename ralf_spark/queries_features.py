@@ -700,3 +700,132 @@ def interval_join_clicks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+#: TextRank damping and iteration count (fixed, unrolled in the oracle)
+_TEXTRANK_D = 0.85
+_TEXTRANK_ITERS = 5
+
+
+def _textrank_oracle() -> str:
+    """Unrolled PageRank iterations as chained CTEs (DuckDB replays the
+    exact computation — same float ops, same iteration count)."""
+    d, iters = _TEXTRANK_D, _TEXTRANK_ITERS
+    steps = []
+    for k in range(iters):
+        steps.append(
+            f"""r{k + 1} AS (
+      SELECT n.node,
+             (1 - {d}) / (SELECT n FROM nn)
+             + {d} * coalesce(s.acc, 0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.pr * e.w / o.ow) AS acc
+        FROM edges e
+        JOIN r{k} r ON r.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst) s ON s.node = n.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+    ),
+    big AS (
+      SELECT unnest({word_shingles_sql('w', 2)}) AS g FROM toks
+    ),
+    pairs AS (
+      SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b,
+             count(*) AS c
+      FROM big GROUP BY a, b
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst, c AS w FROM pairs WHERE a <> b
+      UNION ALL
+      SELECT b AS src, a AS dst, c AS w FROM pairs WHERE a <> b
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+    {chain}
+    SELECT node AS token, round(pr * 1000, 4) AS textrank_x1000
+    FROM r{iters}
+    ORDER BY pr DESC, token
+    LIMIT 20
+    """
+
+
+@query("textrank_tokens", _textrank_oracle())
+def textrank_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004): PageRank over the token
+    co-occurrence (bigram) graph — keyword importance scoring, and the
+    engine's iterative-algorithm pattern: each of the {iters} fixed
+    iterations is one join-aggregate round trip, expressed declaratively
+    so Catalyst plans every round (the reference has no iterative
+    surface at all).
+
+    Scale: the rank state is one row per vocabulary token — tiny next to
+    the corpus — so each iteration is a broadcast-joinable aggregate; the
+    corpus-sized work (bigram counting) happens once up front. The
+    oracle unrolls the same {iters} iterations as chained CTEs, so the
+    estimator output itself is cross-engine-checked."""
+    from ralf_spark.functions.text import tokens, word_shingles
+
+    d, iters = _TEXTRANK_D, _TEXTRANK_ITERS
+    docs = _docs_par(spark, sf_dir).df
+    grams = docs.select(
+        F.explode(
+            word_shingles(tokens(F.col("text")), 2)
+        ).alias("g")
+    )
+    pairs = (
+        grams.select(
+            F.split("g", " ").getItem(0).alias("a"),
+            F.split("g", " ").getItem(1).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = pairs.selectExpr("a AS src", "b AS dst", "c AS w").unionAll(
+        pairs.selectExpr("b AS src", "a AS dst", "c AS w")
+    )
+    edges = edges.cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr")
+    )
+    contrib_edges = edges.join(outw, "src")
+    for _ in range(iters):
+        acc = (
+            contrib_edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.col("pr") * F.col("w") / F.col("ow")
+                ).alias("acc")
+            )
+        )
+        ranks = nodes.join(
+            acc.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - d) / n_nodes)
+                + F.lit(d) * F.coalesce(F.col("acc"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    out = (
+        ranks.select(
+            F.col("node").alias("token"),
+            F.round(F.col("pr") * 1000, 4).alias("textrank_x1000"),
+        )
+        .orderBy(F.desc("pr"), "token")
+        .limit(20)
+    )
+    return out
