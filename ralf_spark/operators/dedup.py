@@ -504,3 +504,52 @@ def dedup_clusters(
             break
     out = labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
     return attach_cached(out, cached)
+
+
+# --------------------------------------------- E2 span-level duplication
+def duplicated_spans(
+    docs: FeatureTable,
+    n: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) exact-substring signal at n-gram granularity: a span
+    of ``n`` consecutive tokens is *duplicated* if the identical span
+    occurs >= 2 times anywhere in the corpus (any document, any position).
+
+    Returns (doc_id, n_spans, dup_spans, dup_frac); documents shorter than
+    ``n`` tokens have no spans and are absent. ``dup_frac`` is the
+    memorization-risk proxy used to drop or trim repetitive documents.
+
+    Scale: spans are hashed scan-side to 60-bit ints (md5-derived for
+    oracle parity; swap ``stable_hash64`` for multi-arg ``xxhash64`` in
+    production — same plan, ~3x cheaper), so the occurrence count and the
+    span->count join shuffle fixed-width ints, never the span strings.
+    A true suffix-array dedup finds *maximal* duplicated substrings;
+    fixed-n spans are the bounded-memory streaming-friendly approximation
+    (same recall for duplicates >= n tokens).
+    """
+    from ralf_spark.functions.text import tokens, word_shingles
+
+    key = docs.key
+    spans = ensure_parallelism(docs.df).select(
+        F.col(key),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("_span"),
+    )
+    hashed = spans.select(
+        F.col(key), stable_hash64(F.col("_span")).alias("_h")
+    )
+    occ = hashed.groupBy("_h").agg(F.count(F.lit(1)).alias("_occ"))
+    return (
+        hashed.join(occ, "_h")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_occ") >= 2).cast("long")).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 4),
+        )
+    )

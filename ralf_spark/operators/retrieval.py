@@ -1,0 +1,243 @@
+"""Corpus retrieval / training-data scoring operators (north-star §2.10).
+
+The reference has no text-retrieval surface (its features are scalar
+per-key aggregates); these cover what an LLM-training-data pipeline needs
+on top of dedup/similarity: BM25 keyword retrieval, unigram-LM quality
+scoring, and hard-negative mining for embedding-model training.
+
+All three are pure relational compositions — the heavy input (corpus) is
+scanned once and the tiny derived state (corpus statistics, query terms,
+anchor vectors) is broadcast back over it, so no operator shuffles the
+corpus itself:
+
+- **BM25**: per-term tf columns are computed scan-side with native
+  higher-order functions; (N, avgdl, df_t) is a single-row aggregate
+  cross-joined back (broadcast). Cost at 100 TB = one corpus scan + a
+  1-row shuffle; adding query terms adds columns, not passes.
+- **Unigram NLL**: token counts are a vocabulary-sized aggregate; the
+  corpus-total is a 1-row aggregate over *that* (never over the corpus).
+  The token→count join is AQE-decided (vocabularies are Zipf-bounded:
+  even a 100 TB web corpus has ~10^8 distinct tokens ≈ executor-memory
+  scale; if not, the equi-join on token is still a well-partitioned
+  shuffle, never a cross product).
+- **Hard negatives**: identical plan shape to ``similarity.cosine_topk``
+  (broadcast anchors × corpus scan), with a label-mismatch predicate in
+  the join condition so the filter runs before any ranking state builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ralf_spark.functions.arrays import cosine_similarity
+from ralf_spark.functions.text import tokens
+from ralf_spark.operators.util import ensure_parallelism
+from ralf_spark.table import FeatureTable
+
+#: Okapi BM25 constants (standard defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tf(tok: Column, term: str) -> Column:
+    """Term frequency inside a token array — native filter+size, no UDF."""
+    return F.size(F.filter(tok, lambda t: t == F.lit(term)))
+
+
+def bm25_scores(
+    docs: FeatureTable,
+    terms: list[str],
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed term set.
+
+    Returns (doc_id, bm25) for documents matching >= 1 term. idf uses the
+    standard ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form (always >= 0).
+
+    Plan: scan-side tf/dl columns -> single-row stats aggregate ->
+    broadcast cross join -> arithmetic. The corpus is scanned once and
+    never shuffled.
+    """
+    key = docs.key
+    tok = tokens(F.col(text_col))
+    proj = docs.df.select(
+        F.col(key),
+        F.size(tok).alias("dl"),
+        *[_tf(tok, t).alias(f"tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = proj.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        score = score + F.when(
+            tf > 0, idf * tf * F.lit(k1 + 1.0) / norm
+        ).otherwise(F.lit(0.0))
+    matched = F.lit(False)
+    for i in range(len(terms)):
+        matched = matched | (F.col(f"tf{i}") > 0)
+    return scored.where(matched).select(
+        F.col(key), score.alias("bm25")
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    key: str = "doc_id",
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB spelling of :func:`bm25_scores` — identical arithmetic
+    structure so doubles match bit-for-bit before the final round."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(w, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"""CASE WHEN tf{i} > 0 THEN
+              ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))
+              * tf{i} * {k1 + 1.0} / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))
+            ELSE 0.0 END"""
+        for i in range(len(terms))
+    )
+    matched = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+    WITH toks AS (
+      SELECT {key}, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      FROM {table}
+    ),
+    d AS (
+      SELECT {key}, len(w) AS dl,
+             {tf_cols}
+      FROM toks
+    ),
+    s AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM d
+    )
+    SELECT {key}, round(0.0 + {score_terms}, 4) AS bm25
+    FROM d, s
+    WHERE {matched}
+    ORDER BY {key}
+    """
+
+
+def unigram_nll(
+    docs: FeatureTable, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram distribution (Laplace +1 smoothing) — the classic cheap
+    "perplexity-ish" quality signal when no external LM is available
+    (rare-token-heavy or boilerplate docs score high / low vs the corpus
+    norm).
+
+    Returns (doc_id, n_toks, avg_nll). p(t) = (count(t)+1) / (total+V).
+    """
+    key = docs.key
+    tok = docs.df.select(
+        F.col(key), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    nll = -F.log(
+        (F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("vocab"))
+    )
+    return (
+        tok.join(cnt, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.avg(nll).alias("avg_nll"),
+        )
+    )
+
+
+def unigram_nll_oracle_sql(
+    key: str = "doc_id", table: str = "documents"
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT {key}, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      FROM {table}
+    ),
+    tok AS (SELECT {key}, unnest(w) AS t FROM toks),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt)
+    SELECT {key}, CAST(count(*) AS BIGINT) AS n_toks,
+           round(avg(-ln((c + 1.0) / (total + vocab))), 4) AS avg_nll
+    FROM tok JOIN cnt USING (t), tot
+    GROUP BY {key}
+    ORDER BY {key}
+    """
+
+
+def hard_negatives(
+    corpus: FeatureTable,
+    anchors: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id: str = "anchor_id",
+    anchor_vec: str = "anchor_vec",
+    anchor_label: str = "anchor_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each anchor, the top-k most-cosine-similar corpus vectors whose
+    label DIFFERS from the anchor's (the "confusable" negatives worth
+    training against).
+
+    Same broadcast-anchors × corpus-scan shape as ``cosine_topk``; the
+    label-mismatch predicate sits in the join condition so mismatched rows
+    never reach the ranking window.
+    """
+    idc = corpus.key
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc).alias("neighbor_id"),
+            F.col(label_col).alias("_nl"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    )
+    a = anchors.select(
+        F.col(anchor_id),
+        F.col(anchor_label).alias("_al"),
+        F.col(anchor_vec).cast("array<double>").alias("_av"),
+    )
+    scored = emb.join(
+        F.broadcast(a), F.col("_nl") != F.col("_al")
+    ).select(
+        anchor_id,
+        "neighbor_id",
+        cosine_similarity(F.col("_av"), F.col("_v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(anchor_id).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -279,3 +279,94 @@ def embedding_near_dup(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def assign_to_seeds(
+    corpus: FeatureTable,
+    seeds: DataFrame,
+    vec_col: str = "embedding",
+    seed_id: str = "seed_id",
+    seed_vec: str = "seed_vec",
+) -> DataFrame:
+    """Assign every corpus vector to its max-cosine seed (ties -> lowest
+    seed id). Broadcast seeds x corpus scan + per-row argmax — the corpus
+    itself never shuffles; output is (vec_id, cluster, seed_cos)."""
+    idc = corpus.key
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    )
+    s = seeds.select(
+        F.col(seed_id).alias("_sid"),
+        F.col(seed_vec).cast("array<double>").alias("_sv"),
+    )
+    scored = emb.crossJoin(F.broadcast(s)).select(
+        idc,
+        "_v",
+        F.col("_sid"),
+        cosine_similarity(F.col("_v"), F.col("_sv")).alias("_cos"),
+    )
+    w = Window.partitionBy(idc).orderBy(
+        F.col("_cos").desc(), F.col("_sid")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col(idc),
+            F.col("_v"),
+            F.col("_sid").alias("cluster"),
+            F.col("_cos").alias("seed_cos"),
+        )
+    )
+
+
+def semdedup_prune(
+    corpus: FeatureTable,
+    seeds: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    seed_id: str = "seed_id",
+    seed_vec: str = "seed_vec",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    cluster by nearest seed, then inside each cluster drop any vector whose
+    cosine to an EARLIER (lower-id) cluster member reaches ``threshold`` —
+    keeping one representative per semantic-duplicate group.
+
+    Returns (vec_id, cluster, pruned). The within-cluster pair join is
+    Σ cluster², never n² — the 100 TB contract is that the seed count k
+    scales with the corpus (SemDeDup uses k ~ sqrt(n)·ish) so cluster
+    sizes stay bounded; the seed set must merely remain broadcastable.
+    Pruning against lower ids (not "any member") makes the kept set
+    deterministic and order-insensitive — exactly one survivor per dup
+    group, no tie-break races.
+    """
+    idc = corpus.key
+    assigned = assign_to_seeds(
+        corpus, seeds, vec_col=vec_col, seed_id=seed_id, seed_vec=seed_vec
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pruned_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{idc}") < F.col(f"b.{idc}")),
+        )
+        .where(
+            cosine_similarity(F.col("a._v"), F.col("b._v"))
+            >= F.lit(threshold)
+        )
+        .select(F.col(f"b.{idc}").alias(idc))
+        .distinct()
+    )
+    return (
+        assigned.join(pruned_ids.withColumn("_p", F.lit(True)), idc, "left")
+        .select(
+            F.col(idc),
+            F.col("cluster"),
+            F.coalesce(F.col("_p"), F.lit(False)).alias("pruned"),
+        )
+    )

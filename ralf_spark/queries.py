@@ -2569,6 +2569,7 @@ def headline_queries() -> dict[str, Query]:
 # exist when the module bodies run.
 from ralf_spark import (  # noqa: E402,F401
     queries_features,
+    queries_retrieval,
     queries_sketches,
     queries_state,
     queries_tpch,

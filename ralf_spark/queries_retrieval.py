@@ -1,0 +1,171 @@
+"""Registry entries: retrieval / training-data-curation operators.
+
+BM25 keyword retrieval, unigram-LM quality scoring, duplicated-span
+(memorization) statistics, SemDeDup semantic pruning, and hard-negative
+mining — the curation surface an LLM data pipeline layers on top of the
+dedup/similarity operators (SURVEY.md §2.10). Every query is paired with a
+DuckDB oracle that replays the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ralf_spark.functions.hashing import stable_hash64_sql
+from ralf_spark.functions.text import tokens_sql, word_shingles_sql
+from ralf_spark.operators.dedup import duplicated_spans
+from ralf_spark.operators.retrieval import (
+    bm25_oracle_sql,
+    bm25_scores,
+    hard_negatives,
+    unigram_nll,
+    unigram_nll_oracle_sql,
+)
+from ralf_spark.operators.similarity import semdedup_prune
+from ralf_spark.queries import _COS_SQL, _docs_par, _t, query
+
+#: fixed keyword set for the BM25 query (inlined into both engines)
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@query("bm25_keyword_search", bm25_oracle_sql(_BM25_TERMS))
+def bm25_keyword_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set —
+    one corpus scan + a broadcast single-row stats join; reference has no
+    retrieval surface (features are scalar aggregates, ``ralf/table.py``)."""
+    docs = _docs_par(spark, sf_dir)
+    out = bm25_scores(docs, _BM25_TERMS)
+    return out.select(
+        "doc_id", F.round("bm25", 4).alias("bm25")
+    ).orderBy("doc_id")
+
+
+@query("unigram_nll_quality", unigram_nll_oracle_sql())
+def unigram_nll_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus unigram
+    LM (Laplace smoothing) — the cheap perplexity-style quality signal."""
+    docs = _docs_par(spark, sf_dir)
+    out = unigram_nll(docs)
+    return out.select(
+        "doc_id",
+        "n_toks",
+        F.round("avg_nll", 4).alias("avg_nll"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "duplicate_ngram_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, unnest({word_shingles_sql('w', 10)}) AS span
+      FROM toks WHERE len(w) >= 10
+    ),
+    h AS (SELECT doc_id, {stable_hash64_sql('span')} AS hs FROM sp),
+    occ AS (SELECT hs, count(*) AS occ FROM h GROUP BY hs)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           round(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS dup_frac
+    FROM h JOIN occ USING (hs)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def duplicate_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style duplicated-span fraction per document (10-token
+    spans occurring >= 2x corpus-wide) — the memorization-risk filter."""
+    docs = _docs_par(spark, sf_dir)
+    return duplicated_spans(docs, n=10).orderBy("doc_id")
+
+
+@query(
+    "semdedup_prune",
+    f"""
+    WITH s AS (
+      SELECT vec_id AS sid, embedding::DOUBLE[] AS sv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, v, sid AS cluster FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.sid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], s.sv) /
+                          (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[])) *
+                           sqrt(list_dot_product(s.sv, s.sv))) DESC,
+                          s.sid
+               ) AS rk
+        FROM embeddings e, s
+      ) WHERE rk = 1
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    )
+    SELECT a.vec_id, a.cluster,
+           (a.vec_id IN (SELECT vec_id FROM pruned)) AS pruned
+    FROM assigned a ORDER BY a.vec_id
+    """,
+)
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): nearest-seed clustering then
+    within-cluster cosine pruning at the near-dup threshold; first 8
+    corpus vectors act as the (broadcastable) seed set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("seed_vec"),
+    )
+    return semdedup_prune(emb, seeds, threshold=0.4).orderBy("vec_id")
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS anchor_id, label AS al, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT anchor_id, e.vec_id AS neighbor_id,
+             e.embedding::DOUBLE[] AS v, qv
+      FROM q, embeddings e WHERE e.label <> q.al
+    ),
+    r AS (
+      SELECT anchor_id, neighbor_id, {_COS_SQL} AS cos,
+             row_number() OVER (
+               PARTITION BY anchor_id ORDER BY {_COS_SQL} DESC, neighbor_id
+             ) AS rnk
+      FROM c
+    )
+    SELECT anchor_id, neighbor_id, round(cos, 4) AS cos_sim, rnk
+    FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk
+    """,
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding-model training: per anchor, the
+    top-3 most-similar vectors with a DIFFERENT label (broadcast anchors x
+    one corpus scan, label predicate inside the join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    out = hard_negatives(emb, anchors, k=3)
+    return out.select(
+        "anchor_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("anchor_id", "rnk")

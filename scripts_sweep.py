@@ -1,0 +1,34 @@
+"""One-off driver replica: vanilla session, sf0.01, all queries vs oracles."""
+import json, time, traceback
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "100g")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+from ralf_spark.oracle import compare_query, duckdb_connection
+
+SF = "/root/testdata/sf0.01"
+qs, osql = e.queries(), e.oracle_sql()
+con = duckdb_connection(SF)
+out = {}
+for name, fn in qs.items():
+    t0 = time.time()
+    try:
+        if name in osql:
+            r = compare_query(spark, name, fn, osql[name], SF, con)
+            out[name] = {"ok": r.ok, "rows": r.spark_rows, "oracle_rows": r.oracle_rows,
+                         "cols": r.cols_match, "hash": r.hash_match, "sec": round(time.time()-t0,2)}
+        else:
+            n = fn(spark, SF).count()
+            out[name] = {"ok": n >= 0, "rows": n, "rows_only": True, "sec": round(time.time()-t0,2)}
+    except Exception as ex:
+        out[name] = {"ok": False, "error": repr(ex)[:300], "sec": round(time.time()-t0,2)}
+        traceback.print_exc()
+    print(("PASS " if out[name]["ok"] else "FAIL ") + name, out[name].get("sec"), flush=True)
+json.dump(out, open("/root/repo/sweep_r3.json","w"), indent=1)
+bad = [k for k,v in out.items() if not v["ok"]]
+print("TOTAL", len(out), "FAIL", len(bad), bad)
