@@ -553,3 +553,132 @@ def duplicated_spans(
             F.round(F.col("dup_spans") / F.col("n_spans"), 4),
         )
     )
+
+
+# ------------------------------------------- E2 asymmetric containment
+def containment_pairs(
+    table: FeatureTable,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int = 5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses the quote/excerpt case — a short document wholly
+    contained in a long one has tiny Jaccard but containment ≈ 1. Returns
+    (src_id, dst_id, containment) for every ordered pair with
+    containment >= threshold (both directions of a candidate pair are
+    scored; a symmetric near-dup simply yields two rows).
+
+    Candidate generation and the Σdf²-bounded cost model are identical to
+    :func:`jaccard_pairs_inverted` (rare-shingle inverted index, hot
+    shingles pruned); only the verification ratio differs — the denominator
+    is the SOURCE's shingle set, not the union.
+    """
+    idc = table.key
+    if idc is None:
+        raise ValueError("containment_pairs needs a keyed table")
+    ids = ensure_parallelism(
+        table.df.select(F.col(idc).alias("_id"), F.col(text_col).alias("_text"))
+    )
+    docs = (
+        ids.select(
+            "_id", distinct_shingles(F.col("_text"), shingle_n).alias("_sh")
+        )
+        .where(F.size("_sh") > 0)
+        .persist()
+    )
+    posting = docs.select("_id", F.explode("_sh").alias("_s"))
+    rare = (
+        posting.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("_s")
+    )
+    posting_r = posting.join(rare, "_s").persist()
+    cached = [docs, posting_r]
+    a, b = posting_r.alias("a"), posting_r.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+    sh = docs.select(F.col("_id"), F.col("_sh"))
+    scored = (
+        cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
+        .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("s1._sh", "s2._sh")).alias("_i"),
+            F.size("s1._sh").alias("_n1"),
+            F.size("s2._sh").alias("_n2"),
+        )
+    )
+    fwd = scored.select(
+        F.col("id1").alias("src_id"),
+        F.col("id2").alias("dst_id"),
+        (F.col("_i") / F.col("_n1")).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("id2").alias("src_id"),
+        F.col("id1").alias("dst_id"),
+        (F.col("_i") / F.col("_n2")).alias("containment"),
+    )
+    out = fwd.unionByName(rev).where(F.col("containment") >= threshold)
+    return attach_cached(out, cached)
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int = 5,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB replay of :func:`containment_pairs` (same blocking, same
+    ratio, rounded to 4 for the value-hash gate)."""
+    from ralf_spark.functions.text import distinct_shingles_sql, tokens_sql
+
+    return f"""
+    WITH docs AS (
+      SELECT {id_col} AS id, sh FROM (
+        SELECT {id_col},
+               {distinct_shingles_sql('w', shingle_n)} AS sh
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS w FROM {table})
+      ) WHERE len(sh) > 0
+    ),
+    posting AS (SELECT id, unnest(sh) AS s FROM docs),
+    rare AS (
+      SELECT s FROM posting GROUP BY s HAVING count(*) <= {max_df}
+    ),
+    pr AS (SELECT id, s FROM posting JOIN rare USING (s)),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM pr a JOIN pr b ON a.s = b.s AND a.id < b.id
+    ),
+    scored AS (
+      SELECT id1, id2,
+             len(list_intersect(d1.sh, d2.sh)) AS i,
+             len(d1.sh) AS n1, len(d2.sh) AS n2
+      FROM cand
+      JOIN docs d1 ON cand.id1 = d1.id
+      JOIN docs d2 ON cand.id2 = d2.id
+    ),
+    directed AS (
+      SELECT id1 AS src_id, id2 AS dst_id, i / CAST(n1 AS DOUBLE) AS c
+      FROM scored
+      UNION ALL
+      SELECT id2 AS src_id, id1 AS dst_id, i / CAST(n2 AS DOUBLE) AS c
+      FROM scored
+    )
+    SELECT src_id, dst_id, round(c, 4) AS containment
+    FROM directed WHERE c >= {threshold}
+    ORDER BY src_id, dst_id
+    """

@@ -241,3 +241,225 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def bigram_nll(
+    docs: FeatureTable, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean conditional NLL under the corpus's own bigram LM
+    with add-1 smoothing: p(cur | prev) = (c(prev,cur)+1) / (c(prev)+V).
+    The order-sensitive upgrade of :func:`unigram_nll` — boilerplate with
+    common words in unusual orders scores high where the unigram model
+    can't see it. Documents with < 2 tokens have no bigrams and are absent.
+
+    Plan: bigram instances are built scan-side (native shingle transform);
+    c(prev,cur) and c(prev) are Zipf-bounded aggregates; V is a one-row
+    aggregate over the vocabulary (never over the corpus). Instance→count
+    joins are key-partitioned equi-joins on token strings — at 100 TB these
+    shuffle the exploded token stream once each, the corpus rows never.
+    """
+    from ralf_spark.functions.text import word_shingles
+
+    key = docs.key
+    tok = tokens(F.col(text_col))
+    inst = docs.df.select(
+        F.col(key), F.explode(word_shingles(tok, 2)).alias("bg")
+    ).withColumn("prev", F.split(F.col("bg"), " ")[0])
+    c2 = inst.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = inst.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.df.select(F.explode(tok).alias("t"))
+        .agg(F.count_distinct("t").alias("vocab"))
+    )
+    nll = -F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab"))
+    )
+    return (
+        inst.join(c2, "bg")
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(nll).alias("avg_nll"),
+        )
+    )
+
+
+def bigram_nll_oracle_sql(
+    key: str = "doc_id", table: str = "documents"
+) -> str:
+    from ralf_spark.functions.text import tokens_sql, word_shingles_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT {key}, {tokens_sql('text')} AS w FROM {table}
+    ),
+    inst AS (
+      SELECT {key}, bg, string_split(bg, ' ')[1] AS prev
+      FROM (SELECT {key}, unnest({word_shingles_sql('w', 2)}) AS bg FROM toks)
+    ),
+    c2 AS (SELECT bg, count(*) AS c2 FROM inst GROUP BY bg),
+    c1 AS (SELECT prev, count(*) AS c1 FROM inst GROUP BY prev),
+    v AS (
+      SELECT count(DISTINCT t) AS vocab
+      FROM (SELECT unnest(w) AS t FROM toks)
+    )
+    SELECT {key}, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((c2 + 1.0) / (c1 + vocab))), 4) AS avg_nll
+    FROM inst JOIN c2 USING (bg) JOIN c1 USING (prev), v
+    GROUP BY {key}
+    ORDER BY {key}
+    """
+
+
+#: DSIR hashed-feature bucket count (power of two, matches the paper's
+#: hashed n-gram feature space; 1024 keeps the oracle CTEs readable)
+DSIR_BUCKETS = 1024
+
+
+def dsir_log_weights(
+    docs: FeatureTable,
+    target_pred: Column,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) importance weights for
+    data selection: score every document by how target-like its hashed
+    unigram distribution is,
+
+        log w(doc) = Σ_tokens [ ln p_target(bucket(t)) − ln p_raw(bucket(t)) ]
+
+    with add-1 smoothed bucket probabilities estimated from the corpus
+    itself (``target_pred`` rows vs the rest). Resampling raw data by
+    exp(log_w) shifts it toward the target distribution.
+
+    Plan: token instances are hashed scan-side into a fixed bucket space;
+    both distributions are ``buckets``-sized aggregates (broadcastable by
+    construction — the feature space is fixed, not corpus-sized); the
+    per-token lookup is a broadcast join, the per-doc sum a single
+    partial-agg shuffle. Nothing scales with corpus size except the one
+    token-stream scan.
+    """
+    from ralf_spark.functions.hashing import stable_hash64
+
+    key = docs.key
+    inst = docs.df.select(
+        F.col(key),
+        target_pred.alias("is_t"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).withColumn("b", stable_hash64(F.col("t")) % buckets)
+    bc = inst.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lw = F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(buckets))) - F.log(
+        (F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(buckets))
+    )
+    return (
+        inst.join(F.broadcast(bc), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(lw).alias("log_weight"),
+        )
+    )
+
+
+def dsir_log_weights_oracle_sql(
+    target_where: str,
+    key: str = "doc_id",
+    table: str = "documents",
+    buckets: int = DSIR_BUCKETS,
+) -> str:
+    from ralf_spark.functions.hashing import stable_hash64_sql
+    from ralf_spark.functions.text import tokens_sql
+
+    return f"""
+    WITH inst AS (
+      SELECT {key}, ({target_where}) AS is_t,
+             {stable_hash64_sql('t')} % {buckets} AS b
+      FROM (
+        SELECT {key}, source, unnest({tokens_sql('text')}) AS t FROM {table}
+      )
+    ),
+    bc AS (
+      SELECT b,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+      FROM inst GROUP BY b
+    ),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc)
+    SELECT {key}, CAST(count(*) AS BIGINT) AS n_toks,
+           round(sum(ln((ct + 1.0) / (tt + {buckets}))
+                     - ln((cr + 1.0) / (tr + {buckets}))), 4) AS log_weight
+    FROM inst JOIN bc USING (b), tot
+    GROUP BY {key}
+    ORDER BY {key}
+    """
+
+
+def mixture_weights(
+    docs: FeatureTable,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled data-mixture sampling weights per source:
+    p_sample(s) ∝ tokens(s)^alpha (alpha=1 → proportional, alpha→0 →
+    uniform) — the standard multilingual/multi-domain mixing rule
+    (e.g. mBERT/XLM-R exponential smoothing). Returns one row per source:
+    (source, n_docs, n_tokens, p_raw, p_sample).
+
+    Plan: one corpus scan → per-source partial-agg (the only shuffle,
+    keyed on the handful of sources) → broadcast one-row normalizer.
+    Output is dimension-sized, never corpus-sized.
+    """
+    per = docs.df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
+            "_tot_a"
+        ),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("_tot")).alias("p_raw"),
+        (
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+            / F.col("_tot_a")
+        ).alias("p_sample"),
+    )
+
+
+def mixture_weights_oracle_sql(
+    alpha: float = 0.5,
+    source_col: str = "source",
+    table: str = "documents",
+) -> str:
+    from ralf_spark.functions.text import tokens_sql
+
+    return f"""
+    WITH per AS (
+      SELECT {source_col}, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({tokens_sql('text')})) AS BIGINT) AS n_tokens
+      FROM {table} GROUP BY {source_col}
+    ),
+    tot AS (
+      SELECT sum(n_tokens) AS t, sum(pow(n_tokens, {alpha})) AS ta FROM per
+    )
+    SELECT {source_col}, n_docs, n_tokens,
+           round(n_tokens / CAST(t AS DOUBLE), 6) AS p_raw,
+           round(pow(n_tokens, {alpha}) / ta, 6) AS p_sample
+    FROM per, tot
+    ORDER BY {source_col}
+    """

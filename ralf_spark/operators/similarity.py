@@ -370,3 +370,48 @@ def semdedup_prune(
             F.coalesce(F.col("_p"), F.lit(False)).alias("pruned"),
         )
     )
+
+
+def knn_graph(
+    corpus: FeatureTable,
+    k: int = 3,
+    nbits: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus: for
+    every vector, its top-k max-cosine neighbors among vectors sharing its
+    sign-LSH bucket. The self-join building block for dedup clustering,
+    diversity analysis, and graph-based selection — distinct from
+    :func:`cosine_topk`, which ranks against a small query set.
+
+    Scale: the self-join is a bucket equi-join (Σ bucket², never n²) and
+    the ranking window partitions by vector id, so the shuffle keys are
+    (bucket) then (id) — both well-distributed by construction. Recall
+    caveat as everywhere with single-probe LSH: neighbors straddling a
+    bucket boundary are missed; production unions multiple plane sets.
+    """
+    idc = corpus.key
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    ).withColumn("_bucket", sign_lsh_bucket(F.col("_v"), nbits, dim))
+    a, b = emb.alias("a"), emb.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col("a._id") != F.col("b._id")),
+    ).select(
+        F.col("a._id").alias(idc),
+        F.col("b._id").alias("neighbor_id"),
+        cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(idc).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

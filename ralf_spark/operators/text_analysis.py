@@ -255,3 +255,45 @@ def add_winnow_fingerprints(
     return hs_df.withColumn(out_col, winnow_select(F.col("__wh"), w)).drop(
         "__wh"
     )
+
+
+# ------------------------------------------------------------ E4 PII scan
+#: Engine-portable PII regexes (identical leftmost-first semantics in
+#: Java regex and DuckDB's RE2; no lookaround, no capture groups). The
+#: patterns are deliberately conservative/recall-oriented — production
+#: swaps richer rules (or an NER model via mapInPandas) into the same
+#: expression shape.
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phones": r"\+\d{7,15}",
+    "id_numbers": r"\b\d{9,}\b",
+}
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII pattern (same order as PII_PATTERNS).
+    Pure `regexp_extract_all` + `size` — scan-side, codegen-friendly;
+    counts are independent per pattern (a +1415... phone also counts as
+    an id_number run — by design, redaction order disambiguates)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0))).alias(name)
+        for name, p in PII_PATTERNS.items()
+    ]
+
+
+def pii_counts_sql(expr: str) -> list[str]:
+    return [
+        f"len(regexp_extract_all({expr}, '{p}')) AS {name}"
+        for name, p in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder token. Applied in
+    PII_PATTERNS order (emails before ipv4/phones/ids) so nested digit
+    runs inside an already-redacted match are not double-redacted."""
+    out = text
+    for name, p in PII_PATTERNS.items():
+        out = F.regexp_replace(out, p, f"<{name.upper()}>")
+    return out
