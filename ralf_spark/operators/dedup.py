@@ -23,7 +23,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ralf_spark.functions.hashing import HEX_CHARS, stable_hash64
@@ -682,3 +682,43 @@ def containment_pairs_sql(
     FROM directed WHERE c >= {threshold}
     ORDER BY src_id, dst_id
     """
+
+
+def dedup_keep_best(
+    docs: FeatureTable,
+    pairs: DataFrame,
+    quality_col: str,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Cluster-aware dedup SELECTION: close the near-dup pair list into
+    connected components (:func:`dedup_clusters`), then inside every
+    cluster keep exactly the highest-``quality_col`` document (ties →
+    lowest id). Singleton documents (in no pair) are their own cluster
+    and always kept — so the output covers the WHOLE corpus:
+    (id, cluster_rep, quality, kept).
+
+    This is the policy step every production dedup ends with — "which
+    copy survives" — and the reason pairwise output alone is not a
+    dedup: keeping per-pair winners under-deletes chains and can keep
+    two transitive duplicates. Cost: the component closure runs on the
+    pair graph (tiny vs corpus); the final rank is one window over rows
+    that are in clusters, plus a broadcast-able join of cluster labels
+    back onto the corpus scan.
+    """
+    idc = docs.key
+    labels = dedup_clusters(pairs, id1=id1, id2=id2)
+    base = docs.df.select(
+        F.col(idc).alias("id"), F.col(quality_col).alias("quality")
+    )
+    joined = base.join(labels, "id", "left").withColumn(
+        "cluster_rep", F.coalesce(F.col("cluster_rep"), F.col("id"))
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality").desc(), F.col("id")
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .withColumn("kept", F.col("_rk") == 1)
+        .drop("_rk")
+    )

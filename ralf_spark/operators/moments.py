@@ -86,3 +86,42 @@ def moments_stats(state: DataFrame, key: str) -> DataFrame:
         (F.col("m2") / F.col("n")).alias("var_pop"),
         F.sqrt(F.col("m2") / F.col("n")).alias("std_pop"),
     )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per key over the event-time
+    sequence: s_1 = x_1, s_i = alpha*x_i + (1-alpha)*s_{i-1}; returns the
+    final smoothed value — the classic decayed feature the reference's
+    per-key actors maintain incrementally (``ralf/operators`` examples).
+
+    Spelling: one hash-agg collects the per-key sequence as a sorted
+    struct array (deterministic order: ts, then tiebreak), then a native
+    ``F.aggregate`` fold — no Python, no window-function row explosion.
+    The fold is inherently sequential PER KEY but keys are independent;
+    per-key history must fit in an array (bounded-key contract, same as
+    any per-key state store). For unbounded history use the mergeable
+    ``merge_moments`` state or a decayed upsert in ``foreachBatch`` —
+    EWMA folds incrementally by construction: new_state =
+    alpha-fold(new_batch, seed=old_state).
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    entry = F.struct(*order, F.col(value_col).alias("_x"))
+    arr = F.array_sort(F.collect_list(entry))
+    vals = F.transform(arr, lambda e: e["_x"])
+    fold = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_events"), fold.alias("ewma")
+    )

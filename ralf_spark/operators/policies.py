@@ -250,3 +250,48 @@ def change_detection_window(
 
     out = table.df.groupBy(table.key).applyInPandas(scan, schema)
     return table._with(out)
+
+
+# ------------------------------------------------------- robust outliers
+#: scale factor making MAD a consistent sigma estimator under normality
+MAD_SIGMA = 1.4826
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags: robust_z = (x - median) /
+    (1.4826 * MAD), flagged when |robust_z| > threshold. Median/MAD
+    resist the contamination that wrecks mean/stddev z-scores — the
+    anomaly gate for feature pipelines (bad sensors, log corruption).
+
+    Two exact-median passes over the group keys (Spark's ``median`` is a
+    partial-aggregating sort-based exact aggregate); group stats are
+    dimension-sized and broadcast back — rows shuffle only for the two
+    per-group aggregations. Groups where MAD = 0 (constant bulk) yield
+    NULL robust_z and are never flagged.
+    """
+    med = df.groupBy(group_col).agg(F.median(value_col).alias("_med"))
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(F.median("_adev").alias("_mad"))
+    z = F.when(
+        F.col("_mad") > 0,
+        (F.col(value_col) - F.col("_med"))
+        / (F.lit(MAD_SIGMA) * F.col("_mad")),
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("robust_z")) > z_threshold, F.lit(False)),
+        )
+        .drop("_adev")
+        .withColumnRenamed("_med", "group_median")
+        .withColumnRenamed("_mad", "group_mad")
+    )

@@ -463,3 +463,77 @@ def mixture_weights_oracle_sql(
     FROM per, tot
     ORDER BY {source_col}
     """
+
+
+def pack_sequences(
+    docs: FeatureTable,
+    seq_len: int = 2048,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic training-sequence PACKING map: concatenate each
+    source's documents (doc-id order) into one token stream and cut it
+    into fixed ``seq_len`` bins; every document is assigned the bin where
+    it starts plus its offset inside that bin. The complement of
+    chunking — chunking splits long docs, packing locates short docs so
+    downstream writers can fill sequences without padding waste.
+
+    Returns (doc_id, source, n_toks, start_offset, bin_id, bin_offset).
+
+    Plan: token counts are scan-side; the running offset is one window
+    cumsum partitioned by source — the only shuffle, keyed on the handful
+    of sources. At 100 TB the per-source window is the bound: shard the
+    stream key to (source, day) or similar so no single partition holds a
+    whole source (same contract as any ordered assignment).
+    """
+    from pyspark.sql import Window
+
+    key = docs.key
+    sized = docs.df.select(
+        F.col(key),
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn(
+            "start_offset", F.sum("n_toks").over(w) - F.col("n_toks")
+        )
+        .withColumn(
+            "bin_id", F.floor(F.col("start_offset") / F.lit(seq_len))
+        )
+        .withColumn("bin_offset", F.col("start_offset") % F.lit(seq_len))
+    )
+
+
+def pack_sequences_oracle_sql(
+    seq_len: int = 2048,
+    key: str = "doc_id",
+    source_col: str = "source",
+    table: str = "documents",
+) -> str:
+    from ralf_spark.functions.text import tokens_sql
+
+    return f"""
+    WITH sized AS (
+      SELECT {key}, {source_col},
+             CAST(len({tokens_sql('text')}) AS INTEGER) AS n_toks
+      FROM {table}
+    ),
+    run AS (
+      SELECT {key}, {source_col}, n_toks,
+             CAST(sum(n_toks) OVER (
+               PARTITION BY {source_col} ORDER BY {key}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_toks AS BIGINT) AS start_offset
+      FROM sized
+    )
+    SELECT {key}, {source_col}, n_toks, start_offset,
+           CAST(floor(start_offset / {seq_len}.0) AS BIGINT) AS bin_id,
+           CAST(start_offset % {seq_len} AS BIGINT) AS bin_offset
+    FROM run ORDER BY {key}
+    """

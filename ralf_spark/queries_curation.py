@@ -19,6 +19,8 @@ from ralf_spark.operators.retrieval import (
     dsir_log_weights_oracle_sql,
     mixture_weights,
     mixture_weights_oracle_sql,
+    pack_sequences,
+    pack_sequences_oracle_sql,
 )
 from ralf_spark.operators.similarity import knn_graph, sign_lsh_bucket_sql
 from ralf_spark.operators.text_analysis import (
@@ -27,6 +29,7 @@ from ralf_spark.operators.text_analysis import (
     pii_counts_sql,
 )
 from ralf_spark.queries import _docs_par, _t, query
+from ralf_spark.table import FeatureTable
 
 #: deterministic PII injection — the synthetic corpus contains no PII, so
 #: every 7th document gets a suffix with one email / ip / phone appended
@@ -180,3 +183,74 @@ def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 4).alias("cos_sim"),
         F.col("rank").alias("rnk"),
     ).orderBy("vec_id", "rnk")
+
+
+@query("pack_sequences", pack_sequences_oracle_sql(seq_len=256))
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing map: per-source token streams cut into
+    256-token bins; each doc gets its start bin + offset (padding-free
+    writer input). seq_len=256 keeps bins non-trivial at fixture scale."""
+    docs = _docs_par(spark, sf_dir)
+    return pack_sequences(docs, seq_len=256).orderBy("doc_id")
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT least(src_id, dst_id) AS id1,
+                      greatest(src_id, dst_id) AS id2
+      FROM ({containment_pairs_sql(threshold=0.5)})
+    ),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+    base AS (
+      SELECT d.doc_id AS id,
+             CAST(len(list_filter(string_split(d.text, ' '), t -> t <> ''))
+                  AS INTEGER) AS quality,
+             coalesce(l.rep, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    )
+    SELECT id, cluster_rep, quality,
+           row_number() OVER (
+             PARTITION BY cluster_rep ORDER BY quality DESC, id
+           ) = 1 AS kept
+    FROM base ORDER BY id
+    """,
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup SELECTION policy: containment pairs → connected
+    components → keep the longest (most tokens) document per cluster;
+    singletons always kept. Covers the whole corpus with a kept flag."""
+    from ralf_spark.functions.text import tokens
+    from ralf_spark.operators.dedup import dedup_keep_best
+
+    docs = _docs_par(spark, sf_dir)
+    pairs = (
+        containment_pairs(docs, threshold=0.5)
+        .select(
+            F.least("src_id", "dst_id").alias("id1"),
+            F.greatest("src_id", "dst_id").alias("id2"),
+        )
+        .distinct()
+    )
+    sized = FeatureTable(
+        docs.df.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("quality"),
+        ),
+        key="doc_id",
+    )
+    out = dedup_keep_best(sized, pairs, "quality")
+    return out.select(
+        F.col("id"), "cluster_rep", "quality", "kept"
+    ).orderBy("id")

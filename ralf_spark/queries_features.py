@@ -829,3 +829,74 @@ def textrank_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+@query(
+    "ewma_per_user",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+           round(list_reduce(xs,
+                 (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 4)
+             AS ewma
+    FROM seq ORDER BY user_id
+    """,
+)
+def ewma_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (alpha=0.2, event-time order) — the decayed per-key feature the
+    reference's actors maintain incrementally (``ralf/operators``
+    examples), spelled as one hash-agg + native array fold."""
+    from ralf_spark.operators.moments import ewma_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_per_key(
+        ev.df, "user_id", "ts", "value", alpha=0.2, tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id", "n_events", F.round("ewma", 4).alias("ewma")
+    ).orderBy("user_id")
+
+
+@query(
+    "mad_outliers_per_type",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - med.m)) AS d
+      FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(med.m, 4) AS group_median,
+           round(mad.d, 4) AS group_mad,
+           round(CASE WHEN mad.d > 0
+                 THEN (e.value - med.m) / (1.4826 * mad.d) END, 4)
+             AS robust_z,
+           coalesce(abs(CASE WHEN mad.d > 0
+                    THEN (e.value - med.m) / (1.4826 * mad.d) END) > 3.0,
+                    FALSE) AS is_outlier
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def mad_outliers_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier flags via median/MAD z-scores —
+    the contamination-resistant sibling of zscore_per_event_type."""
+    from ralf_spark.operators.policies import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_outliers(ev.df, "event_type", "value", z_threshold=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("group_median", 4).alias("group_median"),
+        F.round("group_mad", 4).alias("group_mad"),
+        F.round("robust_z", 4).alias("robust_z"),
+        "is_outlier",
+    ).orderBy("event_id")

@@ -168,3 +168,117 @@ def test_knn_graph_ranks_by_cosine_within_bucket(spark):
         assert all(r.neighbor_id != vid for r in rows)
     # nearest neighbor of 0 is 1 (smallest angle gap)
     assert per[0][0].neighbor_id == 1
+
+
+# ------------------------------------------------------------------ EWMA
+def test_ewma_matches_hand_fold(spark):
+    from ralf_spark.operators.moments import ewma_per_key
+
+    rows = [(1, i, float(x)) for i, x in enumerate([10.0, 20.0, 40.0])]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    out = ewma_per_key(df, "user_id", "ts", "value", alpha=0.5).collect()[0]
+    # s = 10 -> 0.5*20+0.5*10 = 15 -> 0.5*40+0.5*15 = 27.5
+    assert out.n_events == 3 and out.ewma == pytest.approx(27.5)
+
+
+def test_ewma_single_event_is_identity(spark):
+    from ralf_spark.operators.moments import ewma_per_key
+
+    df = spark.createDataFrame(
+        [(1, 0, 7.0)], "user_id long, ts long, value double"
+    )
+    out = ewma_per_key(df, "user_id", "ts", "value", alpha=0.2).collect()[0]
+    assert out.ewma == pytest.approx(7.0)
+
+
+def test_ewma_order_sensitivity(spark):
+    from ralf_spark.operators.moments import ewma_per_key
+
+    a = [(1, i, v) for i, v in enumerate([1.0, 1.0, 100.0])]
+    b = [(1, i, v) for i, v in enumerate([100.0, 1.0, 1.0])]
+    mk = lambda rows: ewma_per_key(
+        spark.createDataFrame(rows, "user_id long, ts long, value double"),
+        "user_id", "ts", "value", alpha=0.5,
+    ).collect()[0].ewma
+    assert mk(a) > mk(b)  # recent spike dominates under decay
+
+
+# ----------------------------------------------------------- MAD outliers
+def test_mad_outliers_flags_contaminated_point(spark):
+    from ralf_spark.operators.policies import mad_outliers
+
+    vals = [1.0, 1.1, 0.9, 1.05, 0.95, 1.0, 1.02, 50.0]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r.event_id: r for r in
+           mad_outliers(df, "event_type", "value").collect()}
+    assert out[7].is_outlier
+    assert not any(out[i].is_outlier for i in range(7))
+    # classical z-score would NOT flag 50.0 at 3 sigma this strongly;
+    # robust_z must be far beyond the threshold
+    assert abs(out[7].robust_z) > 100
+
+
+def test_mad_zero_gives_null_z_and_no_flags(spark):
+    from ralf_spark.operators.policies import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, "t", 5.0) for i in range(4)],
+        "event_id long, event_type string, value double",
+    )
+    rows = mad_outliers(df, "event_type", "value").collect()
+    assert all(r.robust_z is None and not r.is_outlier for r in rows)
+
+
+# --------------------------------------------------------- pack sequences
+def test_pack_sequences_offsets_and_bins(spark):
+    from ralf_spark.operators.retrieval import pack_sequences
+
+    rows = [
+        (1, "a b c", "s"),        # 3 toks, start 0, bin 0
+        (2, "d e f g", "s"),      # 4 toks, start 3, bin 0
+        (3, "h i", "s"),          # start 7 -> bin 1 (seq_len 5), offset 2
+        (4, "x", "other"),        # independent stream
+    ]
+    t = FeatureTable(
+        spark.createDataFrame(rows, "doc_id long, text string, source string"),
+        key="doc_id",
+    )
+    out = {r.doc_id: r for r in pack_sequences(t, seq_len=5).collect()}
+    assert (out[1].start_offset, out[1].bin_id, out[1].bin_offset) == (0, 0, 0)
+    assert (out[2].start_offset, out[2].bin_id, out[2].bin_offset) == (3, 0, 3)
+    assert (out[3].start_offset, out[3].bin_id, out[3].bin_offset) == (7, 1, 2)
+    assert (out[4].start_offset, out[4].bin_id) == (0, 0)
+
+
+# --------------------------------------------------------- dedup keep-best
+def test_dedup_keep_best_keeps_highest_quality_per_cluster(spark):
+    from ralf_spark.operators.dedup import dedup_keep_best
+
+    docs = FeatureTable(
+        spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 20), (4, 99)],
+            "doc_id long, quality int",
+        ),
+        key="doc_id",
+    )
+    # chain 1-2, 2-3 -> one cluster {1,2,3}; 4 is a singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    rows = {r.id: r for r in dedup_keep_best(docs, pairs, "quality").collect()}
+    assert rows[2].kept and not rows[1].kept and not rows[3].kept
+    assert rows[4].kept and rows[4].cluster_rep == 4
+    assert rows[1].cluster_rep == rows[2].cluster_rep == rows[3].cluster_rep == 1
+
+
+def test_dedup_keep_best_tie_breaks_to_lowest_id(spark):
+    from ralf_spark.operators.dedup import dedup_keep_best
+
+    docs = FeatureTable(
+        spark.createDataFrame([(5, 7), (6, 7)], "doc_id long, quality int"),
+        key="doc_id",
+    )
+    pairs = spark.createDataFrame([(5, 6)], "id1 long, id2 long")
+    rows = {r.id: r.kept for r in dedup_keep_best(docs, pairs, "quality").collect()}
+    assert rows == {5: True, 6: False}
