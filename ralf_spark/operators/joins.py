@@ -283,3 +283,34 @@ def interval_join(
         ],
     )
     return FeatureTable(out, key=left.key, ts=left.ts, seq=left.seq)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals from a change stream:
+    every record becomes a VERSION row valid from its own timestamp until
+    the key's next change (NULL = still current). The materialized-history
+    complement of :func:`asof_join` — an as-of lookup at time t is exactly
+    "the version whose [valid_from, valid_to) contains t", so downstream
+    engines (or plain BETWEEN predicates) get point-in-time correctness
+    without re-running the as-of machinery.
+
+    One window (lead over the key's time order) — a single shuffle keyed
+    on the entity key, same partitioning every per-key operator here uses.
+    Appends ``valid_from_us`` / ``valid_to_us`` (epoch micros, engine-
+    portable) and ``is_current``.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        df.withColumn("valid_from_us", F.unix_micros(F.col(ts_col)))
+        .withColumn("valid_to_us", F.unix_micros(nxt))
+        .withColumn("is_current", nxt.isNull())
+    )

@@ -141,3 +141,35 @@ def point_in_time_training_join_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("click_value", 4).alias("click_value"),
         F.round("view_value", 4).alias("view_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "scd2_user_value_history",
+    """
+    SELECT event_id, user_id, round(value, 4) AS value,
+           epoch_ns(ts) // 1000 AS valid_from_us,
+           epoch_ns(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) // 1000
+             AS valid_to_us,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL AS is_current
+    FROM events ORDER BY event_id
+    """,
+)
+def scd2_user_value_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 version intervals per user from the event stream — each
+    event valid until the user's next one; the materialized form of
+    point-in-time lookups (BETWEEN valid_from AND valid_to replaces the
+    as-of join downstream)."""
+    from ralf_spark.operators.joins import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_history(ev.df, "user_id", "ts", tiebreak_col="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        "valid_from_us",
+        "valid_to_us",
+        "is_current",
+    ).orderBy("event_id")

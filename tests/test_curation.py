@@ -282,3 +282,52 @@ def test_dedup_keep_best_tie_breaks_to_lowest_id(spark):
     pairs = spark.createDataFrame([(5, 6)], "id1 long, id2 long")
     rows = {r.id: r.kept for r in dedup_keep_best(docs, pairs, "quality").collect()}
     assert rows == {5: True, 6: False}
+
+
+# ------------------------------------------------------------------ SCD2
+def test_scd2_intervals_chain_and_current_flag(spark):
+    from ralf_spark.operators.joins import scd2_history
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, base, 1.0),
+        (2, 7, base + dt.timedelta(hours=1), 2.0),
+        (3, 7, base + dt.timedelta(hours=2), 3.0),
+        (4, 8, base, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r.event_id: r for r in
+           scd2_history(df, "user_id", "ts", "event_id").collect()}
+    # intervals chain: each version's valid_to = next version's valid_from
+    assert out[1].valid_to_us == out[2].valid_from_us
+    assert out[2].valid_to_us == out[3].valid_from_us
+    assert out[3].valid_to_us is None and out[3].is_current
+    assert not out[1].is_current and not out[2].is_current
+    assert out[4].is_current  # sole version for user 8
+
+
+def test_ewma_folds_incrementally_across_batches(spark):
+    """The streaming contract: folding batch 2 seeded with batch 1's
+    state equals one fold over the full history."""
+    from ralf_spark.operators.moments import ewma_per_key
+
+    alpha = 0.3
+    all_rows = [(1, i, float(v)) for i, v in enumerate([5, 9, 2, 7, 7, 1])]
+    full = ewma_per_key(
+        spark.createDataFrame(all_rows, "user_id long, ts long, value double"),
+        "user_id", "ts", "value", alpha=alpha,
+    ).collect()[0].ewma
+
+    b1 = ewma_per_key(
+        spark.createDataFrame(all_rows[:3], "user_id long, ts long, value double"),
+        "user_id", "ts", "value", alpha=alpha,
+    ).collect()[0].ewma
+    # replay batch 2 as a python fold seeded with b1 — the exact algebra a
+    # foreachBatch upsert would run with the state row as seed
+    s = b1
+    for _, _, x in all_rows[3:]:
+        s = alpha * x + (1 - alpha) * s
+    assert s == pytest.approx(full)
