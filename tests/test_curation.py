@@ -331,3 +331,55 @@ def test_ewma_folds_incrementally_across_batches(spark):
     for _, _, x in all_rows[3:]:
         s = alpha * x + (1 - alpha) * s
     assert s == pytest.approx(full)
+
+
+# ------------------------------------------------------- plan assertions
+def test_bm25_stats_join_is_broadcast_not_shuffled(spark):
+    """The corpus side of BM25 must not shuffle: the only join is the
+    1-row stats relation broadcast back over the scan."""
+    from ralf_spark.operators.retrieval import bm25_scores
+    from ralf_spark.plans.explain import explain_str
+
+    t = _docs(spark, [(1, "spark join"), (2, "window fast")])
+    plan = explain_str(bm25_scores(t, ["spark", "window"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_graph_has_no_cartesian_product(spark):
+    from ralf_spark.plans.explain import explain_str
+
+    t = FeatureTable(
+        spark.createDataFrame(
+            [(i, _unit(0.1 * i)) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        ),
+        key="vec_id",
+    )
+    plan = explain_str(knn_graph(t, k=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # bucket equi-join only
+
+
+def test_containment_pairs_no_cartesian_product(spark):
+    from ralf_spark.plans.explain import explain_str
+
+    t = _docs(spark, [(1, "a b c d e"), (2, "a b c d e f g")])
+    plan = explain_str(containment_pairs(t))
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_bucket_join_is_broadcast(spark):
+    """The token→bucket-count join must broadcast the fixed-size (1024
+    bucket) distribution, never shuffle the token stream for it."""
+    from ralf_spark.plans.explain import explain_str
+
+    t = FeatureTable(
+        spark.createDataFrame(
+            [(1, "a b", "x"), (2, "c d", "y")],
+            "doc_id long, text string, source string",
+        ),
+        key="doc_id",
+    )
+    plan = explain_str(dsir_log_weights(t, F.col("source") == "x"))
+    assert "BroadcastHashJoin" in plan
