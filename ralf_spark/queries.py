@@ -2568,6 +2568,7 @@ def headline_queries() -> dict[str, Query]:
 # @query decorator. Bottom imports so the decorator and helpers above
 # exist when the module bodies run.
 from ralf_spark import (  # noqa: E402,F401
+    queries_analytics,
     queries_curation,
     queries_features,
     queries_retrieval,
