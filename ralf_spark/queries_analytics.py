@@ -91,3 +91,69 @@ def cohort_weekly_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort_retention(ev.df, cohort_type="signup")
         .orderBy("cohort_day", "week_offset")
     )
+
+
+@query(
+    "cube_type_day_totals",
+    f"""
+    WITH ev AS (
+      SELECT event_type, epoch_ns(ts) // 1000 // {US_PER_DAY} AS d, value
+      FROM events
+    )
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(d, -1) AS day_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM ev GROUP BY CUBE(event_type, d)
+    ORDER BY event_type, day_idx
+    """,
+)
+def cube_type_day_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (event_type, day): every rollup combination in one
+    pass — Spark expands grouping sets map-side, so the shuffle carries
+    one partial row per (set, key), not one pass per set."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    d = ((us - us % US_PER_DAY) / US_PER_DAY).cast("long")
+    return (
+        ev.df.withColumn("d", d)
+        .cube("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("d"), F.lit(-1)).alias("day_idx"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "day_idx")
+    )
+
+
+@query(
+    "value_percentiles_per_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_percentiles_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 per event type (Spark `percentile`
+    == DuckDB `quantile_cont`, same linear interpolation). At extreme
+    group cardinality the drop-in scale path is `approx_percentile`
+    (t-digest-style mergeable sketch) with the same output shape."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.df.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
