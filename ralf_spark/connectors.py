@@ -570,3 +570,46 @@ def apply_changelog(
     touched = last.select(changelog.key)
     untouched = snapshot.join(touched, changelog.key, "left_anti")
     return untouched.unionByName(survivors)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Reconcile two state snapshots: one row per key present in either,
+    classified ``added`` / ``removed`` / ``changed`` / ``unchanged`` by a
+    full outer join on the key and column-wise null-safe comparison.
+
+    The backfill-validation primitive: after a pipeline change, diff the
+    recomputed snapshot against production state and alert on the
+    changed-set, instead of blindly overwriting. One co-partitioned
+    shuffle on the state key; output carries both sides' values for the
+    compared columns (old_*/new_*).
+    """
+    o = old.select(
+        F.col(key),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    ).alias("o")
+    n = new.select(
+        F.col(key),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    ).alias("n")
+    joined = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    # presence via marker columns, NOT value nullness — a key whose stored
+    # value is legitimately NULL must still count as present
+    in_old = F.coalesce(F.col("_in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("_in_new"), F.lit(False))
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.withColumn("status", status).drop("_in_old", "_in_new")

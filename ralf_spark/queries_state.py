@@ -173,3 +173,63 @@ def scd2_user_value_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to_us",
         "is_current",
     ).orderBy("event_id")
+
+
+@query(
+    "snapshot_diff_states",
+    f"""
+    WITH snap_old AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events WHERE ts < TIMESTAMP '{_CUTOFF}') WHERE rk = 1
+    ),
+    snap_new AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events) WHERE rk = 1
+    )
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           round(o.value, 4) AS old_value,
+           round(n.value, 4) AS new_value,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN o.value = n.value THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM snap_old o FULL OUTER JOIN snap_new n ON o.user_id = n.user_id
+    ORDER BY user_id
+    """,
+)
+def snapshot_diff_states_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill reconciliation: diff the latest-per-user state at the
+    changelog cutoff against the full-history recompute — added / removed
+    / changed / unchanged per key via one full-outer co-partitioned join."""
+    from ralf_spark.connectors import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+
+    def _latest(df):
+        w_df = (
+            df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("value"),
+                    F.struct(F.col("ts"), F.col("event_id")),
+                ).alias("_s")
+            )
+            .select("user_id", F.col("_s.value").alias("value"))
+        )
+        return w_df
+
+    old = _latest(ev.df.where(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")))
+    new = _latest(ev.df)
+    out = snapshot_diff(old, new, "user_id", ["value"])
+    return out.select(
+        "user_id",
+        F.round("old_value", 4).alias("old_value"),
+        F.round("new_value", 4).alias("new_value"),
+        "status",
+    ).orderBy("user_id")

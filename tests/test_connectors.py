@@ -211,3 +211,32 @@ def test_parquet_delete_cleans_staging_dir(spark, tmp_path):
     con.delete(spark, [1])
     assert not os.path.exists(str(tmp_path / "st") + ".__staging__")
     assert con.count(spark) == 1
+
+
+# ------------------------------------------------------------ snapshot diff
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    from ralf_spark.connectors import snapshot_diff
+    import pyspark.sql.functions as F
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0), (3, 99.0), (4, 40.0)], "k long, v double"
+    )
+    rows = {r.k: r for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert rows[1].status == "removed" and rows[1].new_v is None
+    assert rows[2].status == "unchanged"
+    assert rows[3].status == "changed" and (rows[3].old_v, rows[3].new_v) == (30.0, 99.0)
+    assert rows[4].status == "added" and rows[4].old_v is None
+
+
+def test_snapshot_diff_null_value_still_counts_as_present(spark):
+    from ralf_spark.connectors import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v double")
+    new = spark.createDataFrame([(1, None), (2, None)], "k long, v double")
+    rows = {r.k: r.status for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    # key 1 exists in both with NULL value -> unchanged (null-safe compare);
+    # key 2's NULL value must not mask its 'added' status
+    assert rows == {1: "unchanged", 2: "added"}
