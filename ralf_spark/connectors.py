@@ -30,6 +30,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
+from ralf_spark.functions.timeutil import epoch_us_expr, ntz_from_epoch_us
 from ralf_spark.table import FeatureTable
 
 
@@ -237,6 +238,7 @@ class SqliteStateConnector(StateConnector):
         "boolean": "INTEGER",
         # stored as epoch microseconds; restored via the schema sidecar
         "timestamp": "INTEGER",
+        "timestamp_ntz": "INTEGER",
     }
 
     def __init__(self, db_path: str, table_name: str, key: str):
@@ -253,10 +255,14 @@ class SqliteStateConnector(StateConnector):
         state = table.latest() if (table.ts or table.seq) else table
         df = state.df
         # Timestamps -> epoch micros (sqlite has no temporal type); the
-        # sidecar table records which columns to restore on load.
-        ts_cols = [c for c, t in df.dtypes if t == "timestamp"]
-        for c in ts_cols:
-            df = df.withColumn(c, F.unix_micros(F.col(c)))
+        # sidecar table records which columns (and which Spark timestamp
+        # type — LTZ or NTZ) to restore on load.
+        ts_cols = [
+            (c, t) for c, t in df.dtypes
+            if t in ("timestamp", "timestamp_ntz")
+        ]
+        for c, t in ts_cols:
+            df = df.withColumn(c, epoch_us_expr(F.col(c), t))
         cols = df.dtypes
         for _, t in cols:
             if t not in self._SQL_TYPES:
@@ -281,8 +287,8 @@ class SqliteStateConnector(StateConnector):
                 "DELETE FROM _ralf_schema WHERE tbl = ?", (self.table_name,)
             )
             con.executemany(
-                "INSERT INTO _ralf_schema VALUES (?, ?, 'timestamp')",
-                [(self.table_name, c) for c in ts_cols],
+                "INSERT INTO _ralf_schema VALUES (?, ?, ?)",
+                [(self.table_name, c, t) for c, t in ts_cols],
             )
             batch: list[tuple] = []
             for row in df.toLocalIterator():
@@ -313,16 +319,21 @@ class SqliteStateConnector(StateConnector):
                 f'SELECT * FROM "{self.table_name}"'
             ).fetchall()
             ts_cols = {
-                r[0]
+                r[0]: r[1]
                 for r in con.execute(
-                    "SELECT col FROM _ralf_schema WHERE tbl = ?",
+                    "SELECT col, spark_type FROM _ralf_schema WHERE tbl = ?",
                     (self.table_name,),
                 ).fetchall()
             }
         schema = ", ".join(f"{name} {inv[sql_type]}" for _, name, sql_type, *_ in info)
         df = spark.createDataFrame([tuple(r) for r in rows], schema=schema)
-        for c in ts_cols:
-            df = df.withColumn(c, F.timestamp_micros(F.col(c)))
+        for c, t in ts_cols.items():
+            df = df.withColumn(
+                c,
+                ntz_from_epoch_us(F.col(c))
+                if t == "timestamp_ntz"
+                else F.timestamp_micros(F.col(c)),
+            )
         return FeatureTable(df, key=self.key)
 
     def point_query(self, spark: SparkSession, key_value: Any) -> list[Row]:
@@ -454,15 +465,18 @@ class KVStateConnector(StateConnector):
 
         state = table.latest() if (table.ts or table.seq) else table
         df = state.df
-        ts_cols = [c for c, t in df.dtypes if t == "timestamp"]
-        for c in ts_cols:
-            df = df.withColumn(c, F.unix_micros(F.col(c)))
+        ts_cols = [
+            (c, t) for c, t in df.dtypes
+            if t in ("timestamp", "timestamp_ntz")
+        ]
+        for c, t in ts_cols:
+            df = df.withColumn(c, epoch_us_expr(F.col(c), t))
         self.client.hset(
             self._SIDECAR,
             self.table_name,
             json.dumps(
                 {"ddl": ", ".join(f"{c} {t}" for c, t in df.dtypes),
-                 "ts_cols": ts_cols}
+                 "ts_cols": [[c, t] for c, t in ts_cols]}
             ).encode(),
         )
         cols = df.columns
@@ -508,8 +522,13 @@ class KVStateConnector(StateConnector):
             for v in self.client.hvals(self.table_name)
         ]
         df = spark.createDataFrame(rows, schema=meta["ddl"])
-        for c in meta["ts_cols"]:
-            df = df.withColumn(c, F.timestamp_micros(F.col(c)))
+        for c, t in meta["ts_cols"]:
+            df = df.withColumn(
+                c,
+                ntz_from_epoch_us(F.col(c))
+                if t == "timestamp_ntz"
+                else F.timestamp_micros(F.col(c)),
+            )
         return FeatureTable(df, key=self.key)
 
     def point_query(self, spark: SparkSession, key_value: Any) -> list[Row]:
@@ -522,9 +541,11 @@ class KVStateConnector(StateConnector):
             return []
         meta = self._sidecar()
         d = json.loads(raw)
-        for c in meta["ts_cols"]:
+        for c, _t in meta["ts_cols"]:
             import datetime as _dt
 
+            # Epoch micros treated as UTC wall clock; naive datetime out —
+            # matches both the NTZ restore and the UTC-session LTZ restore.
             d[c] = _dt.datetime.fromtimestamp(
                 d[c] / 1_000_000, tz=_dt.timezone.utc
             ).replace(tzinfo=None)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ralf_spark.functions.timeutil import epoch_us
+
 #: microseconds per day (all day/week math is integer division on epochs)
 US_PER_DAY = 86_400_000_000
 
@@ -36,7 +38,7 @@ def funnel_stages(
     same user key so the exchanges reuse one partitioning. Never a
     window over the whole event stream, never a self-join on time.
     """
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(events, ts_col)
     prev: DataFrame | None = None
     for i, stage in enumerate(stages, start=1):
         col = f"t{i}_us"
@@ -81,7 +83,7 @@ def cohort_retention(
     (user, cohort, week) and the final cell count — shuffles keyed on
     user then on the grid key. The grid itself is tiny (cohorts × weeks).
     """
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(events, ts_col)
     # exact integer floor-division: subtract the remainder first so the
     # double division is of an exact multiple (no boundary rounding)
     d = ((us - us % US_PER_DAY) / US_PER_DAY).cast("long")

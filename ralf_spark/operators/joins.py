@@ -24,6 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ralf_spark.functions.timeutil import epoch_us, epoch_us_expr
 from ralf_spark.table import FeatureTable
 
 
@@ -309,8 +310,9 @@ def scd2_history(
         order.append(F.col(tiebreak_col))
     w = Window.partitionBy(key).orderBy(*order)
     nxt = F.lead(ts_col).over(w)
+    ts_dtype = dict(df.dtypes).get(ts_col, "")
     return (
-        df.withColumn("valid_from_us", F.unix_micros(F.col(ts_col)))
-        .withColumn("valid_to_us", F.unix_micros(nxt))
+        df.withColumn("valid_from_us", epoch_us(df, ts_col))
+        .withColumn("valid_to_us", epoch_us_expr(nxt, ts_dtype))
         .withColumn("is_current", nxt.isNull())
     )

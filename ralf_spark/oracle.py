@@ -64,6 +64,12 @@ class CompareResult:
     hash_match: bool
     spark_cols: list[str]
     oracle_cols: list[str]
+    #: False when the result contains array/map/struct cells. The driver's
+    #: harness sorts rows via pandas over every column, which raises
+    #: ``unhashable type: 'list'`` on such cells (round-3 failure on
+    #: tumbling_window_payload) — so a locally-green query with a nested
+    #: column would still be driver-red. Flag it here.
+    scalar_ok: bool = True
 
     @property
     def ok(self) -> bool:
@@ -71,6 +77,7 @@ class CompareResult:
             self.spark_rows == self.oracle_rows
             and self.cols_match
             and self.hash_match
+            and self.scalar_ok
         )
 
 
@@ -101,6 +108,12 @@ def compare_query(
         rel = con.execute(oracle)
         o_cols = [d[0] for d in rel.description]
         o_rows = rel.fetchall()
+        scalar_ok = not any(
+            isinstance(v, (list, tuple, dict, set))
+            for rows in (s_rows[:100], o_rows[:100])
+            for r in rows
+            for v in r
+        )
         return CompareResult(
             name=name,
             spark_rows=len(s_rows),
@@ -109,6 +122,7 @@ def compare_query(
             hash_match=_hash_rows(s_cols, s_rows) == _hash_rows(o_cols, o_rows),
             spark_cols=s_cols,
             oracle_cols=o_cols,
+            scalar_ok=scalar_ok,
         )
     finally:
         if own_con:

@@ -7,7 +7,7 @@ DuckDB oracles replay exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ralf_spark.operators.analytics import (
@@ -15,6 +15,7 @@ from ralf_spark.operators.analytics import (
     cohort_retention,
     funnel_stages,
 )
+from ralf_spark.functions.timeutil import epoch_us
 from ralf_spark.queries import _t, query
 
 #: the fixture's natural conversion funnel
@@ -113,7 +114,7 @@ def cube_type_day_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — Spark expands grouping sets map-side, so the shuffle carries
     one partial row per (set, key), not one pass per set."""
     ev = _t(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(ev.df, "ts")
     d = ((us - us % US_PER_DAY) / US_PER_DAY).cast("long")
     return (
         ev.df.withColumn("d", d)
@@ -156,4 +157,238 @@ def value_percentiles_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH m AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    p AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, a.attributed_event_id,
+           a.attributed_type, a.gap_us
+    FROM p
+    LEFT JOIN LATERAL (
+      SELECT m.event_id AS attributed_event_id,
+             m.event_type AS attributed_type,
+             epoch_ns(p.ts) // 1000 - epoch_ns(m.ts) // 1000 AS gap_us
+      FROM m
+      WHERE m.user_id = p.user_id
+        AND (m.ts < p.ts OR (m.ts = p.ts AND m.event_id <= p.event_id))
+      ORDER BY m.ts DESC, m.event_id DESC LIMIT 1
+    ) a ON true
+    ORDER BY event_id
+    """,
+)
+def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credits the LAST preceding
+    view/click by the same user — an as-of join with the purchase stream
+    as the left side (reuses :func:`~ralf_spark.operators.joins.asof_join`,
+    so it inherits the union + single-rows-frame-window plan: one shuffle
+    on the user key, no time-range self-join blowup). ``gap_us`` is the
+    click-to-purchase latency in epoch micros (type-polymorphic via
+    timestamp_diff — works on the fixtures' NTZ event time)."""
+    from ralf_spark.operators.joins import asof_join
+    from ralf_spark.table import FeatureTable
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = FeatureTable(
+        ev.df.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    marketing = FeatureTable(
+        ev.df.where(F.col("event_type").isin("view", "click")).select(
+            "user_id", "ts", "event_id",
+            F.col("event_id").alias("attributed_event_id"),
+            F.col("event_type").alias("attributed_type"),
+            F.col("ts").alias("m_ts"),
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    out = asof_join(
+        purchases, marketing,
+        right_payload=["attributed_event_id", "attributed_type", "m_ts"],
+    )
+    gap = epoch_us(out.df, "ts") - epoch_us(out.df, "m_ts")
+    return out.df.select(
+        "event_id", "user_id", "attributed_event_id", "attributed_type",
+        gap.alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@query(
+    "set_ops_user_cohorts",
+    """
+    SELECT 'view_only' AS cohort, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'view_and_purchase' AS cohort, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    ORDER BY cohort, user_id
+    """,
+)
+def set_ops_user_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY §2.6): EXCEPT (viewed but never purchased)
+    and INTERSECT (did both) as native DataFrame ``subtract``/``intersect``
+    — both plan as distinct hash-aggregations plus a left-anti/left-semi
+    hash join on the same key partitioning, never a sort-based set op."""
+    ev = _t(spark, sf_dir, "events")
+    viewers = (
+        ev.df.where(F.col("event_type") == "view").select("user_id").distinct()
+    )
+    buyers = (
+        ev.df.where(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+    )
+    view_only = viewers.subtract(buyers).select(
+        F.lit("view_only").alias("cohort"), "user_id"
+    )
+    both = viewers.intersect(buyers).select(
+        F.lit("view_and_purchase").alias("cohort"), "user_id"
+    )
+    return view_only.unionByName(both).orderBy("cohort", "user_id")
+
+
+@query(
+    "histogram_value_bins",
+    """
+    SELECT event_type,
+           CAST(floor(round(value, 4) / 10) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(floor(round(value, 4) / 10) AS BIGINT)
+    ORDER BY event_type, bin
+    """,
+)
+def histogram_value_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type — the profiling
+    primitive behind drift monitors and feature dashboards. Bin edges are
+    data-independent (width 10 on the 4-decimal-rounded value), so the
+    plan is ONE map-side-partial hash agg: no global min/max pre-pass, no
+    second scan — at 100 TB the histogram costs the same as a count."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.floor(F.round(F.col("value"), 4) / 10).cast("long")
+    return (
+        ev.df.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+@query(
+    "topk_users_per_type",
+    """
+    WITH tot AS (
+      SELECT event_type, user_id, round(sum(value), 4) AS total
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id, total,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY total DESC, user_id) AS rk
+      FROM tot
+    )
+    SELECT event_type, user_id, total, rk FROM r
+    WHERE rk <= 3 ORDER BY event_type, rk
+    """,
+)
+def topk_users_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (top 3 spenders per event type): hash-agg then
+    rank-filter window. The window partitions on event_type — acceptable
+    because the agg has already reduced cardinality to |types|×|users|;
+    at extreme fan-in the same query routes through the salted two-phase
+    top-k (each salt keeps its local top-3, then re-rank)."""
+    ev = _t(spark, sf_dir, "events")
+    tot = ev.df.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("user_id")
+    )
+    return (
+        tot.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .orderBy("event_type", "rk")
+    )
+
+
+@query(
+    "profile_columns",
+    """
+    SELECT 'event_id' AS col_name, count(*) AS n,
+           count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id) AS n_distinct,
+           round(min(event_id), 4) AS min_num,
+           round(max(event_id), 4) AS max_num
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           round(min(user_id), 4), round(max(user_id), 4)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value),
+           round(min(value), 4), round(max(value), 4)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type), NULL, NULL
+    FROM events
+    ORDER BY col_name
+    """,
+)
+def profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (ANALYZE-style): per-column row/null/distinct
+    counts and numeric ranges in ONE scan — all columns' statistics are
+    computed in a single aggregate, then pivoted to rows driver-side via
+    an inline array (4 rows), so profiling a 100 TB table costs one pass
+    regardless of column count (a UNION-ALL-per-column plan would scan
+    once per column, which is what the oracle does at toy scale)."""
+    ev = _t(spark, sf_dir, "events")
+    num_cols = ["event_id", "user_id", "value"]
+    str_cols = ["event_type"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c).cast("double"), 4).alias(f"mn_{c}"),
+            F.round(F.max(c).cast("double"), 4).alias(f"mx_{c}"),
+        ]
+    stats = ev.df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n").alias("n"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (F.col(f"mn_{c}") if c in num_cols else F.lit(None).cast("double")
+             ).alias("min_num"),
+            (F.col(f"mx_{c}") if c in num_cols else F.lit(None).cast("double")
+             ).alias("max_num"),
+        )
+        for c in num_cols + str_cols
+    ]
+    return (
+        stats.select(F.explode(F.array(*entries)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
     )

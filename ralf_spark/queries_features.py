@@ -318,15 +318,14 @@ def psi_split_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            n / 16000.0 AS duration_s,
-           [round((CAST(('0x' || substring(md5(substring(text, 1, b)), 1, 4))
-                   AS BIGINT) % 10000) / 10000.0, 4),
-            round((CAST(('0x' || substring(md5(substring(text, 1 + b, b)),
-                   1, 4)) AS BIGINT) % 10000) / 10000.0, 4),
-            round((CAST(('0x' || substring(md5(substring(text, 1 + 2 * b, b)),
-                   1, 4)) AS BIGINT) % 10000) / 10000.0, 4),
-            round((CAST(('0x' || substring(md5(substring(text, 1 + 3 * b,
-                   n - 3 * b)), 1, 4)) AS BIGINT) % 10000) / 10000.0, 4)]
-             AS chunk_energy
+           round((CAST(('0x' || substring(md5(substring(text, 1, b)), 1, 4))
+                  AS BIGINT) % 10000) / 10000.0, 4) AS e0,
+           round((CAST(('0x' || substring(md5(substring(text, 1 + b, b)),
+                  1, 4)) AS BIGINT) % 10000) / 10000.0, 4) AS e1,
+           round((CAST(('0x' || substring(md5(substring(text, 1 + 2 * b, b)),
+                  1, 4)) AS BIGINT) % 10000) / 10000.0, 4) AS e2,
+           round((CAST(('0x' || substring(md5(substring(text, 1 + 3 * b,
+                  n - 3 * b)), 1, 4)) AS BIGINT) % 10000) / 10000.0, 4) AS e3
     FROM d ORDER BY doc_id
     """,
 )
@@ -336,8 +335,9 @@ def multimodal_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-energies (stub codec; real RMS swaps into the same iterator).
     The oracle replays the byte-chunking + digest math in SQL (payload is
     UTF-8 of ASCII text, so byte slices == char slices), hash-checking
-    the whole Python batch path including the chunk boundary
-    arithmetic."""
+    the whole Python batch path including the chunk boundary arithmetic.
+    The 4-chunk energy array is projected to one scalar column per chunk:
+    the harness's row sort rejects array cells."""
     from ralf_spark.operators.multimodal import (
         decode_audio_features,
         with_binary_payload,
@@ -345,7 +345,15 @@ def multimodal_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_binary_payload(_docs_par(spark, sf_dir))
     out = decode_audio_features(docs, mode="stub")
-    return out.df.orderBy("doc_id")
+    e = F.col("chunk_energy")
+    return out.df.select(
+        "doc_id",
+        "duration_s",
+        e[0].alias("e0"),
+        e[1].alias("e1"),
+        e[2].alias("e2"),
+        e[3].alias("e3"),
+    ).orderBy("doc_id")
 
 
 @query(

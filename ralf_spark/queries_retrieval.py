@@ -9,11 +9,11 @@ DuckDB oracle that replays the identical arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ralf_spark.functions.hashing import stable_hash64_sql
-from ralf_spark.functions.text import tokens_sql, word_shingles_sql
+from ralf_spark.functions.text import tokens, tokens_sql, word_shingles_sql
 from ralf_spark.operators.dedup import duplicated_spans
 from ralf_spark.operators.retrieval import (
     bm25_oracle_sql,
@@ -169,3 +169,69 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 4).alias("cos_sim"),
         F.col("rank").alias("rnk"),
     ).orderBy("anchor_id", "rnk")
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rk FROM ranked
+    WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword-extraction complement
+    of BM25 (query-independent, so the whole corpus is scored in one
+    pass). Plan: explode tokens -> (doc, term) tf hash-agg -> term df
+    hash-agg -> equi-join tf⋈df on the term key (both sides already
+    partitioned by term from their aggs) -> broadcast single-row corpus
+    count -> per-doc rank filter. Σ|tokens| work, no all-pairs step."""
+    docs = _docs_par(spark, sf_dir)
+    tok = docs.df.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )

@@ -101,18 +101,30 @@ def weighted_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "winnow_fingerprints",
     "WITH " + _winnow_fp_cte()
-    + " SELECT doc_id, fingerprints FROM fp ORDER BY doc_id",
+    + """
+    SELECT doc_id,
+           CAST(generate_subscripts(fingerprints, 1) AS BIGINT) AS pos,
+           unnest(fingerprints) AS fingerprint
+    FROM fp ORDER BY doc_id, pos
+    """,
 )
 def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing fingerprint sets (k=3-gram hashes, window
     w=4): the rolling-hash local fingerprint — any shared 6-token run
     between two documents is guaranteed a shared fingerprint. Scan-side
-    array expressions only; zero shuffles before the output sort."""
+    array expressions only; zero shuffles before the output sort. The
+    fingerprint array is unnested to scalar (doc, pos, fingerprint) rows
+    for the hash check (array cells break the harness's row sort)."""
     docs = _docs_par(spark, sf_dir)
     return (
         add_winnow_fingerprints(docs.df)
-        .select("doc_id", "fingerprints")
-        .orderBy("doc_id")
+        .select("doc_id", F.posexplode("fingerprints").alias("pos0", "fingerprint"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "fingerprint",
+        )
+        .orderBy("doc_id", "pos")
     )
 
 

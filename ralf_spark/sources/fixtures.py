@@ -35,18 +35,37 @@ def load_fixture(
 ) -> FeatureTable:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     key, ts, seq = FIXTURE_TABLES[name]
-    # events.parquet stores TIMESTAMP(NANOS), which Spark rejects unless this
-    # legacy conf is on. It MUST be set at runtime here (idempotent), not only
-    # in session.py DEFAULT_CONFS: external harnesses (the correctness driver)
+    # Fixture generations have stored event time three ways; normalize all
+    # of them to TIMESTAMP_NTZ so every downstream plan sees one canonical
+    # type. NTZ is the right canon: it is what current fixtures
+    # (TIMESTAMP(MICROS, isAdjustedToUTC=false)) read as natively, it is
+    # session-timezone-free, and it matches the DuckDB oracle's naive
+    # timestamp semantics exactly.
+    #
+    # The legacy conf is set at runtime here (idempotent), not only in
+    # session.py DEFAULT_CONFS: external harnesses (the correctness driver)
     # build their own SparkSession and never call get_spark(). Round-2
-    # regression: moving this into session defaults broke 20/46 driver queries
-    # with PARQUET_TYPE_ILLEGAL.
+    # regression: relying on session defaults broke 20/46 driver queries
+    # with PARQUET_TYPE_ILLEGAL on nanos-encoded fixtures.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if ts is not None and dict(df.dtypes).get(ts) == "bigint":
-        # events.parquet stores ts as TIMESTAMP(NANOS), read as epoch-ns
-        # bigint (session.py sets spark.sql.legacy.parquet.nanosAsLong).
-        # Integer `div` keeps the value exact: epoch-ns ~1.7e18 exceeds a
-        # double's 2^53 integer range, so float division can be off by 1µs.
-        df = df.withColumn(ts, F.timestamp_micros(F.expr(f"`{ts}` div 1000")))
+    if ts is not None:
+        dt = dict(df.dtypes).get(ts)
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) read as epoch-ns bigint under nanosAsLong.
+            # Integer `div` keeps the value exact (epoch-ns ~1.7e18 exceeds
+            # a double's 2^53 integer range); timestamp_add against the
+            # epoch literal builds NTZ without touching the session tz.
+            df = df.withColumn(
+                ts,
+                F.timestamp_add(
+                    "MICROSECOND",
+                    F.expr(f"`{ts}` div 1000"),
+                    F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+                ),
+            )
+        elif dt == "timestamp":
+            # isAdjustedToUTC=true micros → LTZ; engine sessions pin UTC
+            # (session.py) so this cast is wall-clock-preserving.
+            df = df.withColumn(ts, F.col(ts).cast("timestamp_ntz"))
     return FeatureTable(df, key=key, ts=ts, seq=seq)

@@ -293,13 +293,17 @@ def test_rank_limit_pushdown_in_q2_and_kmv(spark):
 # ------------------------------------------------- loader nanos round-trip
 
 def test_fixture_ts_nanos_exact_roundtrip(spark):
-    """Spark-loaded event timestamps must equal DuckDB's exact ns//1000 —
-    the float-division bug this loader previously had was 1µs off on ~1.6%
-    of rows (ADVICE r1)."""
+    """Spark-loaded event timestamps must equal DuckDB's exact epoch-us —
+    across fixture encodings (nanos-as-bigint round-1 data, native NTZ
+    micros current data). The float-division bug this loader previously
+    had was 1µs off on ~1.6% of rows (ADVICE r1)."""
+    from ralf_spark.functions.timeutil import epoch_us
+
     ev = load_fixture(spark, "events", SF_DIR).df
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"  # canonical loader type
     spark_us = {
         r[0]: r[1]
-        for r in ev.select("event_id", F.unix_micros("ts")).collect()
+        for r in ev.select("event_id", epoch_us(ev, "ts")).collect()
     }
     oracle = duckdb.sql(
         f"SELECT event_id, epoch_ns(ts)//1000 FROM '{SF_DIR}/events.parquet'"

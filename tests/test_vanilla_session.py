@@ -44,7 +44,16 @@ qs = entry.queries()
 oracles = entry.oracle_sql()
 sf_dir = {sf_dir!r}
 out = {{}}
-for name in ["per_key_avg", "tumbling_count_window"]:
+# trailing_10min_count + tumbling_window_payload: the round-3 driver
+# failures (NTZ epoch extraction; array cells in the hash compare) —
+# both only reproduce on a session/fixture combination the conftest
+# session doesn't build, which is exactly what this subprocess is for.
+for name in [
+    "per_key_avg",
+    "tumbling_count_window",
+    "trailing_10min_count",
+    "tumbling_window_payload",
+]:
     res = compare_query(spark, name, qs[name], oracles[name], sf_dir)
     out[name] = dict(
         ok=res.ok,
@@ -52,6 +61,7 @@ for name in ["per_key_avg", "tumbling_count_window"]:
         oracle_rows=res.oracle_rows,
         cols_match=res.cols_match,
         hash_match=res.hash_match,
+        scalar_ok=res.scalar_ok,
     )
 spark.stop()
 print("RESULT:" + json.dumps(out))
