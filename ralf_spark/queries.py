@@ -641,10 +641,12 @@ def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-record-per-key state table — the reference's core upsert
     semantics (``ralf/state/table_state.py:27-43``). Implemented as a single
-    max_by hash-agg (map-side partial), not a sort window."""
+    max_by agg (map-side partial), not a sort window; the payload is pruned
+    to the output columns so the fat unused props JSON never enters the
+    partial-agg buffers or the shuffle."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.latest()
+        ev.latest(payload_cols=["event_id", "user_id", "event_type", "value"])
         .df.select(
             "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
         )

@@ -354,41 +354,41 @@ def topk_users_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling (ANALYZE-style): per-column row/null/distinct
-    counts and numeric ranges in ONE scan — all columns' statistics are
-    computed in a single aggregate, then pivoted to rows driver-side via
-    an inline array (4 rows), so profiling a 100 TB table costs one pass
-    regardless of column count (a UNION-ALL-per-column plan would scan
-    once per column, which is what the oracle does at toy scale)."""
+    counts and numeric ranges in ONE scan — each row fans out to one
+    (col_name, value-as-string, value-as-double) cell via an inline array
+    explode, then a single grouped aggregate per column computes count /
+    nulls / exact distinct / min / max. Profiling a 100 TB table costs one
+    pass regardless of column count (the oracle's UNION-ALL-per-column
+    spelling scans once per column, fine at toy scale). The string cast is
+    injective per type, so count(DISTINCT cast) == count(DISTINCT col);
+    asserted single-scan in tests/test_analytics.py."""
     ev = _t(spark, sf_dir, "events")
     num_cols = ["event_id", "user_id", "value"]
     str_cols = ["event_type"]
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for c in num_cols + str_cols:
-        aggs += [
-            F.count(c).alias(f"nn_{c}"),
-            F.count_distinct(c).alias(f"nd_{c}"),
-        ]
-    for c in num_cols:
-        aggs += [
-            F.round(F.min(c).cast("double"), 4).alias(f"mn_{c}"),
-            F.round(F.max(c).cast("double"), 4).alias(f"mx_{c}"),
-        ]
-    stats = ev.df.agg(*aggs)
-    entries = [
+    cells = [
         F.struct(
             F.lit(c).alias("col_name"),
-            F.col("n").alias("n"),
-            (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-            (F.col(f"mn_{c}") if c in num_cols else F.lit(None).cast("double")
-             ).alias("min_num"),
-            (F.col(f"mx_{c}") if c in num_cols else F.lit(None).cast("double")
-             ).alias("max_num"),
+            F.col(c).cast("string").alias("v_str"),
+            (F.col(c).cast("double") if c in num_cols
+             else F.lit(None).cast("double")).alias("v_num"),
         )
         for c in num_cols + str_cols
     ]
+    exploded = ev.df.select(F.explode(F.array(*cells)).alias("c")).select("c.*")
+    is_num = F.col("col_name").isin(num_cols)
     return (
-        stats.select(F.explode(F.array(*entries)).alias("p"))
-        .select("p.*")
+        exploded.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count("v_str")).alias("n_null"),
+            F.count_distinct("v_str").alias("n_distinct"),
+            F.round(F.min("v_num"), 4).alias("min_num"),
+            F.round(F.max("v_num"), 4).alias("max_num"),
+        )
+        .select(
+            "col_name", "n", "n_null", "n_distinct",
+            F.when(is_num, F.col("min_num")).alias("min_num"),
+            F.when(is_num, F.col("max_num")).alias("max_num"),
+        )
         .orderBy("col_name")
     )

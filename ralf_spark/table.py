@@ -257,19 +257,28 @@ class FeatureTable:
         return FeatureTable(out, key=self.key)
 
     # ------------------------------------------------------------ state view
-    def latest(self) -> "FeatureTable":
+    def latest(self, payload_cols: list[str] | None = None) -> "FeatureTable":
         """Latest-record-per-key state view — the reference's core state table
         semantics (upsert keeps newest per key: ``ralf/state/table_state.py:
         27-43``, ``ralf/state/dict_connector.py:17-21``).
 
         Implemented as ``max_by(struct(*cols), (ts, seq))`` per key: a single
-        hash aggregation with map-side partial aggregation — one shuffle of
-        pre-aggregated data, cheaper at scale than a row_number sort window.
+        aggregation with map-side partial reduction — one shuffle of
+        pre-aggregated per-key winners, cheaper at scale than a row_number
+        sort window.
+
+        ``payload_cols`` prunes the carried record to the named columns.
+        Catalyst cannot column-prune through the ``max_by`` payload struct
+        (a downstream select happens after the agg), so a caller that only
+        needs a few columns should name them — otherwise every partial
+        aggregate buffers and shuffles the full row (at 100 TB, the fat
+        text/JSON columns dominate that traffic).
         """
         if self.key is None:
             raise ValueError("latest() requires a keyed table")
+        cols = payload_cols if payload_cols is not None else self.df.columns
         ord_expr = F.struct(*self.order_cols())
-        payload = F.struct(*[F.col(c) for c in self.df.columns])
+        payload = F.struct(*[F.col(c) for c in cols])
         out = (
             self.df.groupBy(self.key)
             .agg(F.max_by(payload, ord_expr).alias("_rec"))
