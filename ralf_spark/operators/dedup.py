@@ -469,13 +469,21 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
+    # Per-iteration lineage must be SEVERED, not just cached: persist()
+    # nests each round's InMemoryRelation inside the next round's plan, so
+    # after k iterations the analyzed plan holds k nested copies of the
+    # whole build tree (measured: >2000 scan nodes in the explain at
+    # k≈8) and analyzer/optimizer time grows superlinearly with rounds.
+    # localCheckpoint (eager) makes each round's labels a leaf. On a
+    # cluster, flip to reliable checkpoint (spark.sparkContext.
+    # setCheckpointDir + .checkpoint()) for executor-loss tolerance —
+    # identical plan shape.
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
-    cached = [edges, labels]
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.b == labels.id)
@@ -490,7 +498,7 @@ def dedup_clusters(
                     labels.label, F.coalesce("nbr_min", labels.label)
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -498,12 +506,11 @@ def dedup_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
-        cached[1] = labels = new_labels
+        labels = new_labels
         if changed == 0:
             break
     out = labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
-    return attach_cached(out, cached)
+    return attach_cached(out, [edges])
 
 
 # --------------------------------------------- E2 span-level duplication

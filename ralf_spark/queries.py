@@ -2300,6 +2300,69 @@ def streaming_tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_sliding_window",
+    """
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn,
+             sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS s
+      FROM events
+    )
+    SELECT user_id, rn AS pos, round(s, 4) AS w_sum,
+           round(s / 5, 4) AS w_avg
+    FROM ranked
+    WHERE rn >= 5 AND (rn - 5) % 2 = 0
+    ORDER BY user_id, pos
+    """,
+)
+def streaming_sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 as a STREAM: bounded availableNow replay through the stateful
+    sliding count-window (applyInPandasWithState, O(window) state per key,
+    emit-then-trim slide exactly like the reference's buffer loop
+    ``ralf/operators/window.py:107-120``). Single-batch replay applies
+    rows in event_id order, so the emit positions and sums are
+    oracle-checkable against the batch rows-frame SQL."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_sliding_count_window,
+        write_memory,
+    )
+
+    stream = file_events(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema="event_id long, user_id long, value double",
+    )
+    win = streaming_sliding_count_window(
+        stream, key_col="user_id", value_col="value",
+        order_col="event_id", size=5, slide=2,
+    )
+    name = "stream_w2_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    run_bounded(
+        write_memory(win, name),
+        checkpoint=_tf.mkdtemp(prefix="ck_w2_"),
+        shuffle_partitions=8,
+    )
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "pos",
+            F.round("w_sum", 4).alias("w_sum"),
+            F.round("w_avg", 4).alias("w_avg"),
+        )
+        .orderBy("user_id", "pos")
+    )
+
+
 # =========================================================================
 # Similarity search over embeddings (SURVEY §2.10 E3)
 # =========================================================================

@@ -908,3 +908,122 @@ def mad_outliers_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("robust_z", 4).alias("robust_z"),
         "is_outlier",
     ).orderBy("event_id")
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     v -> abs(CAST(v AS DOUBLE)))) / 127
+               AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_sum(list_transform(embedding,
+                 v -> abs(floor(CAST(v AS DOUBLE) / scale + 0.5))))
+             AS BIGINT) AS q_l1,
+           round(list_sum(list_transform(embedding,
+                 v -> abs(floor(CAST(v AS DOUBLE) / scale + 0.5) * scale
+                          - CAST(v AS DOUBLE)))), 6) AS abs_err
+    FROM s
+    WHERE scale > 0
+    ORDER BY vec_id
+    """,
+)
+def embedding_int8_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the compression step a
+    100 TB ANN index applies before sharding (4× smaller vectors, SIMD
+    int8 dot products). Pure scan-side array expressions: per-vector
+    scale = max|v|/127, code = floor(v/scale + 0.5) (explicit half-up so
+    both engines round identically), plus the reconstruction-error L1 —
+    no shuffle at all before the output sort. Zero vectors are excluded
+    (scale 0 has no quantization)."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0)
+    )
+    df = emb.select("vec_id", F.col("embedding"), scale.alias("scale")).where(
+        F.col("scale") > 0
+    )
+    q_of = lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))
+    q_l1 = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(q_of(x))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ).cast("long")
+    abs_err = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(q_of(x) * F.col("scale") - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    # NB: quantize with the UNROUNDED scale, round only for display — and
+    # in a separate projection: `round(scale).alias("scale")` in the same
+    # select list would shadow the input column via Spark's lateral column
+    # alias resolution, silently quantizing with the 6-decimal scale.
+    staged = df.select("vec_id", q_l1.alias("q_l1"),
+                       F.round(abs_err, 6).alias("abs_err"), "scale")
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_l1",
+        "abs_err",
+    ).orderBy("vec_id")
+
+
+@query(
+    "winsorize_values_per_type",
+    """
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(sum(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           round(avg(greatest(p.p05, least(p.p95, e.value))), 4)
+             AS winsorized_mean
+    FROM events e JOIN pct p USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def winsorize_values_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clamping at p05/p95 per group) — the robust
+    alternative to z-score trimming for heavy-tailed features. Exact
+    interpolated percentiles per type (5 groups → tiny), broadcast back
+    onto the scan, clamp with greatest/least, re-aggregate. Two passes
+    over events but the first reduces to |types| rows — at 100 TB the
+    percentile pass is the only real cost, and `approx_percentile` is the
+    drop-in mergeable-sketch spelling."""
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.df.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clamped = ev.df.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        (F.col("value") < F.col("p05")).cast("long").alias("low"),
+        (F.col("value") > F.col("p95")).cast("long").alias("high"),
+        F.greatest("p05", F.least("p95", F.col("value"))).alias("w"),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.sum("low").alias("n_low"),
+            F.sum("high").alias("n_high"),
+            F.round(F.avg("w"), 4).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

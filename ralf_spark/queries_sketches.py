@@ -114,11 +114,22 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     between two documents is guaranteed a shared fingerprint. Scan-side
     array expressions only; zero shuffles before the output sort. The
     fingerprint array is unnested to scalar (doc, pos, fingerprint) rows
-    for the hash check (array cells break the harness's row sort)."""
+    for the hash check (array cells break the harness's row sort).
+
+    persist() before the explode is load-bearing: Catalyst inlines a
+    Project into its Generate child, so without the InMemoryRelation
+    barrier the whole shingle+md5 winnow pipeline is re-evaluated inside
+    the per-element explode loop (measured 1s → 80s+; same trap as
+    winnow_shared_pairs — the expensive-expression guard does not cover
+    Generate inputs)."""
     docs = _docs_par(spark, sf_dir)
+    fp = add_winnow_fingerprints(docs.df).select(
+        "doc_id", "fingerprints"
+    ).persist()
     return (
-        add_winnow_fingerprints(docs.df)
-        .select("doc_id", F.posexplode("fingerprints").alias("pos0", "fingerprint"))
+        fp.select(
+            "doc_id", F.posexplode("fingerprints").alias("pos0", "fingerprint")
+        )
         .select(
             "doc_id",
             (F.col("pos0") + 1).cast("long").alias("pos"),

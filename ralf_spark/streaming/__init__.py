@@ -25,7 +25,10 @@ from ralf_spark.streaming.sources import (
     kinesis_events,
     rate_events,
 )
-from ralf_spark.streaming.windows import streaming_tumbling_count_window
+from ralf_spark.streaming.windows import (
+    streaming_sliding_count_window,
+    streaming_tumbling_count_window,
+)
 
 __all__ = [
     "EVENT_SCHEMA",
@@ -42,5 +45,6 @@ __all__ = [
     "write_console",
     "write_memory",
     "write_parquet",
+    "streaming_sliding_count_window",
     "streaming_tumbling_count_window",
 ]

@@ -37,6 +37,10 @@ def test_oracle_parity(spark, con, name, q):
         f"{name}: cols {res.spark_cols} != oracle {res.oracle_cols}"
     )
     assert res.hash_match, f"{name}: value hash mismatch vs oracle"
+    assert res.scalar_ok, (
+        f"{name}: non-scalar cells in output — the driver's pandas row "
+        "sort raises on array/map/struct columns (round-3 failure mode)"
+    )
 
 
 def test_rows_only_queries_run(spark):
