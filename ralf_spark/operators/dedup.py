@@ -729,3 +729,248 @@ def dedup_keep_best(
         .withColumn("kept", F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+# ------------------------------------------- E2 incremental index maintenance
+
+
+class MinHashIndex:
+    """Persistent banded-LSH dedup index, maintained INCREMENTALLY — the
+    crawl-loop shape of production near-dedup: each new batch is checked
+    against everything indexed so far and then folded into the index,
+    without ever recomputing the corpus.
+
+    State at ``path`` (plain parquet; Delta/Iceberg appends on a lakehouse):
+
+    - ``buckets/`` ``(_id, _band, _key)`` — LSH bucket membership;
+    - ``sigs/``    ``(_id, _sig array<bigint>)`` — MinHash signatures.
+
+    ``add(batch)`` hashes ONLY the batch, equi-joins the batch's buckets
+    against stored ∪ batch buckets (Σ bucket², never corpus × batch), and
+    appends the batch to the store. Cost per crawl round is O(|batch|)
+    hashing + one bucket join — at 100 TB the stored bucket table is
+    bucketed-by-key on disk (``layout.materialize_bucketed``) so the join
+    needs no shuffle of the stored side.
+
+    Returned pairs carry the MinHash ESTIMATE of Jaccard (fraction of
+    agreeing signature positions): the index deliberately does not store
+    texts, so exact shingle verification is a caller-side join against the
+    corpus (what :func:`near_dup_pairs` does in its single-batch form).
+    The reference has no dedup surface (SURVEY §2.10); this extends E2 to
+    the incremental-maintenance regime its feature tables live in.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        num_perm: int = 16,
+        bands: int = 8,
+        shingle_n: int = 3,
+        hash_fn: str = "md5",
+    ):
+        if num_perm % bands:
+            raise ValueError("num_perm must be divisible by bands")
+        self.path = path
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_n = shingle_n
+        self.hash_fn = hash_fn
+
+    # ------------------------------------------------------------ internals
+    def _project(self, table: FeatureTable, text_col: str):
+        """(sigs, buckets) DataFrames for a batch — same pipeline as
+        near_dup_pairs (shared helpers, identical hashing)."""
+        idc = table.key
+        if idc is None:
+            raise ValueError("MinHashIndex needs a keyed table")
+        ids = ensure_parallelism(
+            table.df.select(
+                F.col(idc).alias("_id"), F.col(text_col).alias("_text")
+            )
+        )
+        sh_expr = (
+            hashed_shingles(F.col("_text"), self.shingle_n)
+            if self.hash_fn == "xxhash64"
+            else distinct_shingles(F.col("_text"), self.shingle_n)
+        )
+        perm = (
+            _int_perm_hash
+            if self.hash_fn == "xxhash64"
+            else (lambda p: _perm_hash(p, self.hash_fn))
+        )
+        sigs = (
+            ids.select("_id", sh_expr.alias("_sh"))
+            .where(F.size("_sh") > 0)
+            .select(
+                "_id",
+                F.array(
+                    *[
+                        F.array_min(F.transform(F.col("_sh"), perm(p)))
+                        for p in range(self.num_perm)
+                    ]
+                ).alias("_sig"),
+            )
+        )
+        buckets = sigs.select(
+            "_id",
+            F.explode(
+                lsh_band_keys(
+                    F.col("_sig"), self.bands, self.rows_per_band, self.hash_fn
+                )
+            ).alias("_b"),
+        ).select(
+            "_id",
+            F.col("_b.band").alias("_band"),
+            F.col("_b.key").cast("string").alias("_key"),
+        )
+        return sigs, buckets
+
+    def _read(self, spark, sub: str) -> DataFrame | None:
+        from ralf_spark.connectors import _try_read_parquet
+
+        return _try_read_parquet(spark, f"{self.path}/{sub}")
+
+    @staticmethod
+    def _est_jaccard(s1: Column, s2: Column, num_perm: int) -> Column:
+        agree = F.size(
+            F.filter(F.zip_with(s1, s2, lambda a, b: a == b), lambda x: x)
+        )
+        return F.round(agree / F.lit(float(num_perm)), 4)
+
+    # ------------------------------------------------------------- lifecycle
+    def build(self, table: FeatureTable, text_col: str = "text") -> None:
+        """Full (re)build: index every document of ``table``."""
+        sigs, buckets = self._project(table, text_col)
+        sigs.write.mode("overwrite").parquet(f"{self.path}/sigs")
+        buckets.write.mode("overwrite").parquet(f"{self.path}/buckets")
+
+    def add(
+        self,
+        table: FeatureTable,
+        text_col: str = "text",
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Dedup-check ``table`` against the index AND itself, then fold it
+        in. Returns (id1, id2, est_jaccard) with id1 < id2, covering every
+        near-dup pair that touches the new batch."""
+        spark = table.df.sparkSession
+        new_sigs, new_buckets = self._project(table, text_col)
+        new_sigs = new_sigs.persist()
+        new_buckets = new_buckets.persist()
+        stored_b = self._read(spark, "buckets")
+        stored_s = self._read(spark, "sigs")
+        all_b = (
+            stored_b.unionByName(new_buckets)
+            if stored_b is not None
+            else new_buckets
+        )
+        all_s = (
+            stored_s.unionByName(new_sigs)
+            if stored_s is not None
+            else new_sigs
+        )
+        cand = (
+            new_buckets.alias("n")
+            .join(
+                all_b.alias("o"),
+                (F.col("n._band") == F.col("o._band"))
+                & (F.col("n._key") == F.col("o._key"))
+                & (F.col("n._id") != F.col("o._id")),
+            )
+            .select(
+                F.least("n._id", "o._id").alias("id1"),
+                F.greatest("n._id", "o._id").alias("id2"),
+            )
+            .distinct()
+        )
+        s1 = all_s.select(
+            F.col("_id").alias("id1"), F.col("_sig").alias("_sig1")
+        )
+        s2 = all_s.select(
+            F.col("_id").alias("id2"), F.col("_sig").alias("_sig2")
+        )
+        pairs = (
+            cand.join(s1, "id1")
+            .join(s2, "id2")
+            .select(
+                "id1",
+                "id2",
+                self._est_jaccard(
+                    F.col("_sig1"), F.col("_sig2"), self.num_perm
+                ).alias("est_jaccard"),
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
+        out = attach_cached(pairs, [new_sigs, new_buckets])
+        # Append AFTER the candidate join is defined; the writes below
+        # execute eagerly, the returned plan reads the persisted batch
+        # projections (not the updated store), so results are stable.
+        new_sigs.write.mode("append").parquet(f"{self.path}/sigs")
+        new_buckets.write.mode("append").parquet(f"{self.path}/buckets")
+        return out
+
+
+def incremental_minhash_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    new_pred: str = "_id % 2 = 1",
+) -> str:
+    """DuckDB oracle for the :class:`MinHashIndex` build+add round: batch
+    LSH over the WHOLE corpus, restricted to candidate pairs touching the
+    "new" half (``new_pred``), scored by the signature-agreement Jaccard
+    estimate — exactly the pair set the incremental add() must produce,
+    because banding is deterministic and add() joins new buckets against
+    stored ∪ new buckets."""
+    from ralf_spark.functions.text import distinct_shingles_sql, tokens_sql
+
+    rows_per_band = num_perm // bands
+    hash_expr = (
+        f"CAST(('0x' || substring(md5('mh{{p}}' || '|' || s), 1,"
+        f" {HEX_CHARS})) AS BIGINT)"
+    )
+    sig_items = ", ".join(
+        "list_min(list_transform(sh, s -> " + hash_expr.format(p=p) + "))"
+        for p in range(num_perm)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT _id, {b} AS _band, md5("
+        + " || ',' || ".join(
+            f"CAST(_sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS _key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+    ),
+    docs AS (
+      SELECT _id, {distinct_shingles_sql('w', shingle_n)} AS sh FROM toks
+    ),
+    docs_ne AS (SELECT * FROM docs WHERE len(sh) > 0),
+    sigs AS (SELECT _id, sh, [{sig_items}] AS _sig FROM docs_ne),
+    buckets AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a._id AS id1, b._id AS id2
+      FROM buckets a JOIN buckets b
+        ON a._band = b._band AND a._key = b._key AND a._id < b._id
+      WHERE (a._id % 2 = 1) OR (b._id % 2 = 1)
+    )
+    SELECT id1, id2,
+           round(list_sum(list_transform(range(1, {num_perm + 1}),
+                 i -> CASE WHEN s1._sig[i] = s2._sig[i]
+                      THEN 1 ELSE 0 END)) / {num_perm}.0, 4) AS est_jaccard
+    FROM cand JOIN sigs s1 ON id1 = s1._id
+              JOIN sigs s2 ON id2 = s2._id
+    WHERE list_sum(list_transform(range(1, {num_perm + 1}),
+          i -> CASE WHEN s1._sig[i] = s2._sig[i] THEN 1 ELSE 0 END))
+          / {num_perm}.0 >= {threshold}
+    ORDER BY id1, id2
+    """

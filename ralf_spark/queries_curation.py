@@ -254,3 +254,37 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id"), "cluster_rep", "quality", "kept"
     ).orderBy("id")
+
+
+from ralf_spark.operators.dedup import (  # noqa: E402
+    MinHashIndex,
+    incremental_minhash_oracle_sql,
+)
+
+
+@query("incremental_minhash_index", incremental_minhash_oracle_sql())
+def incremental_minhash_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 incremental maintenance: build the persistent LSH index on the
+    even-doc_id half of the corpus, then ``add()`` the odd half — the
+    crawl-loop dedup round. The returned pairs (everything touching the
+    new batch, MinHash-estimated Jaccard) must equal the batch pipeline
+    over the full corpus restricted to pairs with an odd member, because
+    banding is deterministic and add() joins new buckets against
+    stored ∪ new. Only the new half is hashed in the add round — the
+    incremental-cost contract."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    docs = _docs_par(spark, sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _tf.mkdtemp(prefix=f"mh_index_{tag}_")
+    index = MinHashIndex(path, num_perm=16, bands=8, hash_fn="md5")
+    even = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 0), key="doc_id"
+    )
+    odd = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 1), key="doc_id"
+    )
+    index.build(even)
+    pairs = index.add(odd, threshold=0.5)
+    return pairs.orderBy("id1", "id2")

@@ -306,3 +306,38 @@ def test_dedup_clusters_transitive_chain(spark):
     got = {r.id: r.cluster_rep for r in out.collect()}
     unpersist_cached(out, blocking=True)
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_minhash_index_incremental_rounds(spark, tmp_path):
+    """The index must accumulate: a doc added in round 1 is found as a
+    near-dup of a doc added in round 2, and round 2 never re-hashes or
+    re-pairs old-vs-old docs (pairs all touch the new batch)."""
+    from ralf_spark.operators.dedup import MinHashIndex
+    from ralf_spark.table import FeatureTable
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),                          # round 0 (build)
+        (2, "completely different text about spark shuffles and joins ok"),
+        (3, base + " tail"),                # round 1: near-dup of 1
+        (4, "another unrelated document mentioning windows and watermarks"),
+        (5, base + " tail"),                # round 2: dup of 3 AND 1
+    ]
+
+    def ft(ids):
+        return FeatureTable(
+            spark.createDataFrame(
+                [r for r in rows if r[0] in ids], "doc_id long, text string"
+            ),
+            key="doc_id",
+        )
+
+    idx = MinHashIndex(str(tmp_path / "idx"), num_perm=16, bands=8,
+                       hash_fn="xxhash64")
+    idx.build(ft({1, 2}))
+    p1 = {(r.id1, r.id2) for r in idx.add(ft({3, 4}), threshold=0.5).collect()}
+    assert (1, 3) in p1            # new vs stored
+    assert all(3 in p or 4 in p for p in p1)  # every pair touches round 1
+    p2 = {(r.id1, r.id2) for r in idx.add(ft({5}), threshold=0.5).collect()}
+    assert (1, 5) in p2 and (3, 5) in p2      # sees BOTH earlier rounds
+    assert (1, 3) not in p2        # old-vs-old never re-emitted
