@@ -67,11 +67,17 @@ def asof_join(
     tolerance: Column | None = None,
     right_payload: Sequence[str] | None = None,
     seq_comparable: bool | None = None,
+    direction: str = "backward",
 ) -> FeatureTable:
     """As-of join: for each left row, the latest right row at or before the
     left row's event time, per key — the deterministic batch spelling of the
     reference's "left record meets current right state" semantics
     (``ralf/operators/join.py:34-45``).
+
+    ``direction="forward"`` flips the lookup to the EARLIEST right row at
+    or after the left time (label joins, next-reading imputation) — the
+    identical single-shuffle plan with the window order reversed;
+    ``tolerance`` then bounds ``r.ts - l.ts``.
 
     Implementation: UNION the two sides tagged by origin, one rows-frame
     window ``last(right_payload, ignorenulls) OVER (PARTITION BY key ORDER BY
@@ -87,6 +93,9 @@ def asof_join(
     seq)``), matching the reference where the state upsert happens before
     the left lookup.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    fwd = direction == "forward"
     lk = left_on or left.key
     rk = right_on or right.key
     if lk is None or rk is None or left.ts is None or right.ts is None:
@@ -119,7 +128,14 @@ def asof_join(
         F.struct(*rp).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
-    order = ["_t", "_seq", "_side"] if seq_comparable else ["_t", "_side", "_seq"]
+    names = ["_t", "_seq", "_side"] if seq_comparable else ["_t", "_side", "_seq"]
+    # forward: scan time DESCENDING so "last right so far" = nearest right
+    # at-or-after; _side stays ASCENDING in both modes (right=0 before
+    # left=1), which makes an equal-(ts, seq) right row visible either way.
+    order = [
+        F.col(c).desc() if fwd and c != "_side" else F.col(c).asc()
+        for c in names
+    ]
     w = (
         Window.partitionBy("_k")
         .orderBy(*order)
@@ -132,9 +148,12 @@ def asof_join(
     )
     out = filled.where(F.col("_side") == 1)
     if tolerance is not None:
+        gap = (
+            F.col("_rts") - F.col("_t") if fwd
+            else F.col("_t") - F.col("_rts")
+        )
         out = out.withColumn(
-            "_rstate",
-            F.when(F.col("_t") - F.col("_rts") <= tolerance, F.col("_rstate")),
+            "_rstate", F.when(gap <= tolerance, F.col("_rstate"))
         )
     out = out.select("_l.*", *[F.col(f"_rstate.{c}").alias(c) for c in rp])
     return FeatureTable(out, key=lk if lk in out.columns else None,

@@ -233,3 +233,45 @@ def snapshot_diff_states_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("new_value", 4).alias("new_value"),
         "status",
     ).orderBy("user_id")
+
+
+@query(
+    "asof_join_forward",
+    """
+    SELECT l.event_id, l.user_id, st.next_value, st.next_event_id
+    FROM events l
+    LEFT JOIN LATERAL (
+      SELECT round(r.value, 4) AS next_value, r.event_id AS next_event_id
+      FROM events r
+      WHERE r.user_id = l.user_id AND r.event_type = 'view'
+        AND (r.ts > l.ts OR (r.ts = l.ts AND r.event_id >= l.event_id))
+      ORDER BY r.ts ASC, r.event_id ASC LIMIT 1
+    ) st ON true
+    ORDER BY event_id
+    """,
+)
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1b forward direction: each event sees the EARLIEST 'view' at or
+    after its own time — label joins and next-reading imputation (the
+    lookup shape merge_asof(direction='forward') provides; property-tested
+    against it). Identical single-shuffle union+window plan as backward,
+    with the scan order reversed."""
+    from ralf_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    right = FeatureTable(
+        ev.df.where(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id",
+            F.round("value", 4).alias("next_value"),
+            F.col("event_id").alias("next_event_id"),
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    out = asof_join(
+        ev, right,
+        right_payload=["next_value", "next_event_id"],
+        direction="forward",
+    )
+    return out.df.select(
+        "event_id", "user_id", "next_value", "next_event_id"
+    ).orderBy("event_id")

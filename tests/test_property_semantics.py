@@ -164,6 +164,59 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
     assert got == want
 
 
+@given(
+    left_ts=st.lists(st.integers(0, 30), min_size=0, max_size=15),
+    right_ts=st.lists(st.integers(0, 30), min_size=0, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_asof_join_forward_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    """direction="forward": earliest right at-or-after each left row —
+    merge_asof(direction="forward") is the independent reference (also
+    inclusive at equal ts)."""
+    left_rows = [
+        ("k", ts, i, float(i)) for i, ts in enumerate(sorted(left_ts))
+    ]
+    right_rows = [
+        ("k", ts, i, float(ts)) for i, ts in enumerate(sorted(right_ts))
+    ]
+    schema = "k string, ts long, seq long, payload double"
+    ldf = (
+        spark.createDataFrame(left_rows, schema)
+        if left_rows
+        else spark.createDataFrame([], schema)
+    )
+    rdf = (
+        spark.createDataFrame(right_rows, schema)
+        if right_rows
+        else spark.createDataFrame([], schema)
+    )
+    left = FeatureTable(ldf, key="k", ts="ts")
+    right = FeatureTable(
+        rdf.select("k", "ts", rdf.payload.alias("state")), key="k", ts="ts"
+    )
+    out = asof_join(left, right, right_payload=["state"], direction="forward")
+    got = {r.seq: r.state for r in out.df.collect()}
+
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "seq", "payload"])
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "seq", "state"])
+    if len(lpd) and not len(rpd):
+        want = {int(r.seq): None for r in lpd.itertuples()}
+    elif len(lpd):
+        merged = pd.merge_asof(
+            lpd.sort_values("ts", kind="mergesort"),
+            rpd.sort_values("ts", kind="mergesort")[["ts", "state"]],
+            on="ts",
+            direction="forward",
+        )
+        want = {
+            int(r.seq): (None if pd.isna(r.state) else float(r.state))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {}
+    assert got == want
+
+
 # ------------------------------------------------------- sketches (E6)
 
 def _hash60(v) -> int:
