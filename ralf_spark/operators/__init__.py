@@ -1,4 +1,6 @@
 from ralf_spark.operators.dedup import (
+    MinHashIndex,
+    dedup_clusters,
     exact_dedup,
     minhash_signature,
     near_dup_pairs,
@@ -39,6 +41,7 @@ from ralf_spark.operators.windows import (
 )
 
 __all__ = [
+    "MinHashIndex",
     "add_simhash",
     "ann_topk",
     "asof_join",
@@ -47,6 +50,7 @@ __all__ = [
     "change_detection_window",
     "cosine_topk",
     "decode_image_features",
+    "dedup_clusters",
     "embedding_near_dup",
     "enrichment_join",
     "exact_dedup",
