@@ -1,0 +1,75 @@
+"""Shuffle/scan/python budgets for representative driver-checked queries.
+
+The plan audit (scripts_plan_audit.py / PLANS.md) is a committed artifact;
+these tests make the key rows a regression gate: an extra Exchange on a
+per-key aggregate, a lost single-scan property, or a Python eval node
+sneaking into a JVM-only pipeline fails CI rather than silently shipping
+a 100 TB slowdown.
+
+Budgets are written as '<=' against the AQE-off static plan (the same mode
+the audit uses): AQE can only coalesce/convert at runtime, never add
+exchanges beyond the static plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scripts_plan_audit import audit
+
+#: query -> (max scans, max shuffles, max python nodes)
+BUDGETS = {
+    # single-pass per-key aggregates: 1 scan, agg shuffle + output sort
+    "per_key_avg": (1, 2, 0),
+    "latest_per_key": (1, 2, 0),
+    "event_type_counts": (1, 3, 0),
+    # count windows: one key shuffle + output sort (agg reuses partitioning)
+    "tumbling_count_window": (1, 2, 0),
+    "sliding_count_window": (1, 2, 0),
+    "trailing_10min_count": (1, 2, 0),
+    # single-scan profiling is the whole point of the operator
+    # (3 = explode-distinct partial + final agg + output sort)
+    "profile_columns": (1, 3, 0),
+    # as-of: union + ONE window shuffle + output sort, zero joins
+    "asof_join_latest_state": (2, 2, 0),
+    # text analysis is scan-side JVM work: no shuffle before the sort,
+    # and NEVER a Python node
+    "text_stats": (1, 1, 0),
+    "language_id": (1, 1, 0),
+    "text_quality": (1, 1, 0),
+    "doc_fingerprint_simhash": (1, 1, 0),
+    # multimodal decode is exactly one Arrow-batched python op
+    "multimodal_image_features": (1, 1, 1),
+}
+
+
+@pytest.fixture(scope="module")
+def static_spark():
+    from ralf_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="plan_budget_test",
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    yield spark
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_within_budget(static_spark, name):
+    from ralf_spark.queries import QUERIES
+
+    df = QUERIES[name].fn(static_spark, "/root/testdata/sf0.001")
+    # physical plan ONLY — queryExecution().toString() concatenates the
+    # parsed/analyzed/optimized/physical stages and overcounts every node
+    jvm = static_spark._jvm  # type: ignore[attr-defined]
+    ex = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    m = audit(ex)
+    max_scans, max_shuffles, max_python = BUDGETS[name]
+    assert m["scans"] <= max_scans, (name, m)
+    assert m["shuffles"] <= max_shuffles, (name, m)
+    assert m["python"] <= max_python, (name, m)
