@@ -23,6 +23,7 @@ from ralf_spark.operators.policies import (
     sampling_shed,
 )
 from ralf_spark.operators.similarity import (
+    IvfIndex,
     ann_topk,
     cosine_topk,
     embedding_near_dup,
@@ -41,6 +42,7 @@ from ralf_spark.operators.windows import (
 )
 
 __all__ = [
+    "IvfIndex",
     "MinHashIndex",
     "add_simhash",
     "ann_topk",

@@ -166,6 +166,26 @@ def ann_topk(
     )
 
 
+def nearest_cells(
+    cen_rows: list[tuple[int, list[float]]], vec: Column, n: int
+) -> Column:
+    """ids of the ``n`` max-cosine centroids for ``vec`` against the
+    plan-literal centroid set (ties -> smallest id) — a pure row-local
+    expression, no shuffle, no corpus × centroid join."""
+    entries = [
+        F.struct(
+            cosine_similarity(
+                vec, F.array(*[F.lit(x) for x in cv])
+            ).alias("s"),
+            F.lit(-cid).cast("double").alias("nc"),
+        )
+        for cid, cv in cen_rows
+    ]
+    # sort asc by (score, -id), reverse => desc score, asc id on ties
+    best = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, n)
+    return F.transform(best, lambda e: (-e["nc"]).cast("long"))
+
+
 def ivf_topk(
     corpus: FeatureTable,
     queries: DataFrame,
@@ -201,19 +221,7 @@ def ivf_topk(
         raise ValueError("ivf_topk needs a non-empty centroid set")
 
     def top_cells(vec: Column, n: int) -> Column:
-        """ids of the n max-cosine centroids (ties -> smallest id)."""
-        entries = [
-            F.struct(
-                cosine_similarity(
-                    vec, F.array(*[F.lit(x) for x in cv])
-                ).alias("s"),
-                F.lit(-cid).cast("double").alias("nc"),
-            )
-            for cid, cv in cen_rows
-        ]
-        # sort asc by (score, -id), reverse => desc score, asc id on ties
-        best = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, n)
-        return F.transform(best, lambda e: (-e["nc"]).cast("long"))
+        return nearest_cells(cen_rows, vec, n)
 
     emb = ensure_parallelism(
         corpus.df.select(
@@ -415,3 +423,116 @@ def knn_graph(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------ E3 persistent partitioned index
+
+
+class IvfIndex:
+    """Persistent IVF ANN index: the corpus is stored partitioned BY CELL
+    on disk (``cells/cell=<id>/*.parquet``), so a query's probe reads only
+    its ``nprobe`` cell directories via partition pruning — at 100 TB a
+    nprobe=1 search touches ~1/k of the corpus files and the scan's
+    PartitionFilters prove it (asserted in tests).
+
+    The coarse quantizer (small centroid set, k-means in production) is
+    frozen at ``build()`` and stored alongside; ``add(batch)`` assigns new
+    vectors with the STORED centroids and appends to their cell
+    directories — the same incremental-maintenance regime as
+    :class:`~ralf_spark.operators.dedup.MinHashIndex`, with cell files as
+    the unit of growth (periodic re-clustering = rebuild, the standard IVF
+    trade-off).
+
+    Complements :func:`ivf_topk` (one-shot, in-memory cell assignment):
+    same cell/probe semantics, so the one-shot oracle gates this index's
+    query path bit-for-bit.
+    """
+
+    def __init__(self, path: str, vec_col: str = "embedding"):
+        self.path = path
+        self.vec_col = vec_col
+
+    def _cen_rows(self, spark) -> list[tuple[int, list[float]]]:
+        rows = spark.read.parquet(f"{self.path}/centroids").collect()
+        return sorted(
+            (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+            for r in rows
+        )
+
+    def _assign(self, table: FeatureTable, cen_rows) -> DataFrame:
+        idc = table.key
+        if idc is None:
+            raise ValueError("IvfIndex needs a keyed table")
+        return ensure_parallelism(
+            table.df.select(
+                F.col(idc).alias("_id"),
+                F.col(self.vec_col).cast("array<double>").alias("_v"),
+            )
+        ).withColumn("cell", nearest_cells(cen_rows, F.col("_v"), 1)[0])
+
+    def build(self, table: FeatureTable, centroids: DataFrame) -> None:
+        """Freeze the quantizer and write the corpus partitioned by cell.
+        ``centroids``: (centroid_id, centroid_vec) — small by contract."""
+        centroids.select(
+            F.col("centroid_id").cast("long"),
+            F.col("centroid_vec").cast("array<double>"),
+        ).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        spark = table.df.sparkSession
+        cen_rows = self._cen_rows(spark)
+        self._assign(table, cen_rows).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{self.path}/cells")
+
+    def add(self, table: FeatureTable) -> None:
+        """Assign a new batch with the stored quantizer and append it to
+        the cell layout — only the batch is hashed and written."""
+        spark = table.df.sparkSession
+        cen_rows = self._cen_rows(spark)
+        self._assign(table, cen_rows).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{self.path}/cells")
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 1,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+    ) -> DataFrame:
+        """Top-k cosine neighbors reading ONLY the probed cells. The probe
+        set is resolved at plan-build time (queries are small by the same
+        broadcast contract as ivf_topk), so the cell filter is a literal
+        IN over the partition column and the parquet scan prunes to those
+        directories."""
+        spark = queries.sparkSession
+        cen_rows = self._cen_rows(spark)
+        q = queries.select(
+            F.col(query_id),
+            F.col(query_vec).cast("array<double>").alias("_qv"),
+        ).withColumn(
+            "_cell", F.explode(nearest_cells(cen_rows, F.col("_qv"), nprobe))
+        )
+        probed = sorted(
+            {int(r["_cell"]) for r in q.select("_cell").distinct().collect()}
+        )
+        emb = spark.read.parquet(f"{self.path}/cells").where(
+            F.col("cell").isin(probed)
+        )
+        scored = (
+            emb.join(F.broadcast(q), emb.cell == q._cell)
+            .where(F.col("_id") != F.col(query_id))
+            .select(
+                query_id,
+                F.col("_id").alias("neighbor_id"),
+                cosine_similarity(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+            )
+            .distinct()  # nprobe>1 can reach the same pair via two cells
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )

@@ -235,3 +235,36 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("doc_id", "rk")
     )
+
+
+from ralf_spark.operators.similarity import IvfIndex  # noqa: E402
+from ralf_spark.queries import QUERIES as _Q  # noqa: E402
+
+
+@query("ivf_index_query", _Q["similarity_topk_ivf"].oracle)
+def ivf_index_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 persistent form: build the cell-partitioned IVF index on disk,
+    then answer the benchmark query set reading ONLY the probed cell
+    directories (partition pruning — asserted in tests). Same quantizer
+    and probe semantics as the one-shot ivf_topk, so the SAME oracle gates
+    both paths."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.queries import _query_vectors
+    from ralf_spark.table import FeatureTable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.df.groupBy("label").agg(
+        F.min_by("embedding", "vec_id").alias("centroid_vec")
+    ).select(F.col("label").alias("centroid_id"), "centroid_vec")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = IvfIndex(_tf.mkdtemp(prefix=f"ivf_{tag}_"))
+    idx.build(emb, centroids)
+    out = idx.query(_query_vectors(spark, sf_dir), k=5, nprobe=1)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")

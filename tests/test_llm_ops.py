@@ -341,3 +341,46 @@ def test_minhash_index_incremental_rounds(spark, tmp_path):
     p2 = {(r.id1, r.id2) for r in idx.add(ft({5}), threshold=0.5).collect()}
     assert (1, 5) in p2 and (3, 5) in p2      # sees BOTH earlier rounds
     assert (1, 3) not in p2        # old-vs-old never re-emitted
+
+
+def test_ivf_index_partition_prunes_and_accumulates(spark, tmp_path):
+    """query() must read ONLY the probed cell directories (PartitionFilters
+    on the cell column in the scan), and add() must fold new vectors into
+    the same layout using the FROZEN quantizer."""
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.plans.explain import explain_str
+    from ralf_spark.table import FeatureTable
+
+    # two well-separated cells on the unit circle
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    corpus = FeatureTable(
+        spark.createDataFrame(
+            [(1, [0.9, 0.1]), (2, [0.8, 0.2]), (3, [0.1, 0.9])],
+            "vec_id long, embedding array<double>",
+        ),
+        key="vec_id",
+    )
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(corpus, cen)
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "query_id long, query_vec array<double>"
+    )
+    out = idx.query(q, k=2, nprobe=1)
+    plan = explain_str(out)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    got = [(r.neighbor_id, r.rank) for r in out.collect()]
+    assert got == [(1, 1), (2, 2)]  # cell-0 members only, cosine order
+
+    # incremental add: new vector lands in cell 0 and is found next query
+    idx.add(FeatureTable(
+        spark.createDataFrame(
+            [(4, [0.95, 0.05])], "vec_id long, embedding array<double>"
+        ),
+        key="vec_id",
+    ))
+    got2 = {r.neighbor_id for r in idx.query(q, k=3, nprobe=1).collect()}
+    assert got2 == {1, 2, 4}
