@@ -25,6 +25,7 @@ from ralf_spark.operators.policies import (
 from ralf_spark.operators.similarity import (
     IvfIndex,
     ann_topk,
+    kmeans_fit,
     cosine_topk,
     embedding_near_dup,
     sign_lsh_bucket,
@@ -58,6 +59,7 @@ __all__ = [
     "exact_dedup",
     "frame_sample",
     "keep_latest",
+    "kmeans_fit",
     "language_id",
     "minhash_signature",
     "near_dup_pairs",

@@ -536,3 +536,92 @@ class IvfIndex:
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
         )
+
+
+def kmeans_fit(
+    corpus: FeatureTable,
+    init_centroids: DataFrame,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means to convergence — the production builder
+    of the IVF coarse quantizer (``IvfIndex``/``ivf_topk`` consume its
+    output directly).
+
+    Per iteration: row-local nearest-centroid assignment against the
+    plan-literal centroid set (no corpus × centroid join), then new
+    centroids as per-(cell, dim) cell means via posexplode + ONE hash-agg
+    — never a whole-vector reduce on one node. k is small by the coarse-
+    quantizer contract, so centroids collect to the driver between rounds
+    (k × dim doubles); the corpus is scanned once per iteration and never
+    shuffled on anything but the (cell, dim) agg key.
+
+    Convergence = max centroid movement (squared L2) <= ``tol``. Only the
+    small centroid table crosses the driver boundary; no per-iteration
+    lineage accumulates (each round's plan starts from literals, the
+    dedup_clusters checkpoint concern does not arise).
+
+    Cross-engine caveat (why this ships with a numpy-reference unit test
+    rather than a DuckDB oracle): from the second iteration on, centroids
+    are float MEANS, and summation order differs between engines —
+    borderline assignments can legitimately flip. The one-step
+    ``kmeans_refine_step`` query is the oracle-gated form.
+    """
+    idc = corpus.key
+    if idc is None:
+        raise ValueError("kmeans_fit needs a keyed table")
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    ).persist()
+    cen_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in init_centroids.select("centroid_id", "centroid_vec").collect()
+    )
+    if not cen_rows:
+        raise ValueError("kmeans_fit needs a non-empty init centroid set")
+    spark = corpus.df.sparkSession
+    for _ in range(max_iter):
+        assigned = emb.withColumn(
+            "_cell", nearest_cells(cen_rows, F.col("_v"), 1)[0]
+        )
+        dims = (
+            assigned.select("_cell", F.posexplode("_v").alias("_p", "_x"))
+            .groupBy("_cell", "_p")
+            .agg(F.avg("_x").alias("_m"))
+        )
+        new_rows = {
+            int(r["_cell"]): [
+                float(x) for x in r["_mv"]
+            ]
+            for r in dims.groupBy("_cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_p", "_m"))
+                ).alias("_s")
+            )
+            .select(
+                "_cell",
+                F.transform("_s", lambda e: e["_m"]).alias("_mv"),
+            )
+            .collect()
+        }
+        moved = 0.0
+        next_rows = []
+        for cid, old in cen_rows:
+            new = new_rows.get(cid, old)  # empty cell keeps its centroid
+            moved = max(
+                moved, sum((a - b) ** 2 for a, b in zip(old, new))
+            )
+            next_rows.append((cid, new))
+        cen_rows = next_rows
+        if moved <= tol:
+            break
+    emb.unpersist()
+    return spark.createDataFrame(
+        [(cid, cv) for cid, cv in cen_rows],
+        "centroid_id long, centroid_vec array<double>",
+    )

@@ -268,3 +268,29 @@ def ivf_index_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 4).alias("cos_sim"),
         F.col("rank").alias("rnk"),
     ).orderBy("query_id", "rnk")
+
+
+@query("kmeans_fit_centroids", None)  # numpy-verified; see kmeans_fit docstring
+def kmeans_fit_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 quantizer training: full Lloyd loop to convergence (label-seeded,
+    k=10) — the production builder of the IVF coarse quantizer. No DuckDB
+    oracle BY DESIGN: from iteration 2 the centroids are float means and
+    cross-engine summation order can legitimately flip borderline
+    assignments; the loop is instead verified against an independent numpy
+    Lloyd implementation (tests/test_llm_ops.py) and its one-step body is
+    the oracle-gated kmeans_refine_step query. Output: squared norm per
+    converged centroid (stable scalar summary)."""
+    from ralf_spark.operators.similarity import kmeans_fit
+    from ralf_spark.functions.arrays import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.df.groupBy("label").agg(
+        F.min_by("embedding", "vec_id").alias("centroid_vec")
+    ).select(F.col("label").alias("centroid_id"), "centroid_vec")
+    out = kmeans_fit(emb, seeds, max_iter=5)
+    return out.select(
+        "centroid_id",
+        F.round(dot(F.col("centroid_vec"), F.col("centroid_vec")), 4).alias(
+            "sq_norm"
+        ),
+    ).orderBy("centroid_id")

@@ -384,3 +384,51 @@ def test_ivf_index_partition_prunes_and_accumulates(spark, tmp_path):
     ))
     got2 = {r.neighbor_id for r in idx.query(q, k=3, nprobe=1).collect()}
     assert got2 == {1, 2, 4}
+
+
+def test_kmeans_fit_matches_numpy_lloyd(spark):
+    """Full Lloyd loop vs an independent numpy implementation: same seeds,
+    same nearest-by-cosine assignment with smallest-id ties, same means —
+    identical centroids after convergence on a well-separated dataset."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import kmeans_fit
+    from ralf_spark.table import FeatureTable
+
+    rng = [
+        [1.0, 0.1], [0.9, 0.2], [0.8, 0.0],     # cluster A
+        [0.1, 1.0], [0.0, 0.9], [0.2, 0.8],     # cluster B
+    ]
+    corpus = FeatureTable(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rng)],
+            "vec_id long, embedding array<double>",
+        ),
+        key="vec_id",
+    )
+    seeds = [(0, rng[0]), (1, rng[3])]
+    cen = spark.createDataFrame(
+        seeds, "centroid_id long, centroid_vec array<double>"
+    )
+    got = {
+        r.centroid_id: list(r.centroid_vec)
+        for r in kmeans_fit(corpus, cen, max_iter=10).collect()
+    }
+
+    X = np.array(rng)
+    C = np.array([s[1] for s in seeds])
+    for _ in range(10):
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)
+        )
+        assign = sims.argmax(axis=1)  # argmax takes first (smallest id) tie
+        newC = np.array(
+            [X[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+             for j in range(len(C))]
+        )
+        if ((newC - C) ** 2).sum(axis=1).max() <= 1e-6:
+            C = newC
+            break
+        C = newC
+    for j in range(2):
+        assert got[j] == list(C[j]), (j, got[j], C[j])
