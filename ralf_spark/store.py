@@ -14,6 +14,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, Row, SparkSession
 
+from ralf_spark.connectors import StateConnector
 from ralf_spark.table import FeatureTable
 
 
@@ -21,6 +22,7 @@ class FeatureStore:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self._tables: dict[str, FeatureTable] = {}
+        self._connectors: dict[str, StateConnector] = {}
 
     # ------------------------------------------------------------- sources
     def read_parquet(
@@ -99,3 +101,43 @@ class FeatureStore:
         """Full state view of a registered table; ``collect=True`` for the
         driver-side row list (RalfClient.bulk_query shape)."""
         return self._tables[name].bulk_query(collect=collect)
+
+    # ------------------------------------------------------- deploy / run
+    def deploy(
+        self,
+        name: str,
+        table: FeatureTable,
+        connector: StateConnector | None = None,
+    ) -> FeatureTable:
+        """Register ``table`` and (optionally) attach the state connector
+        its latest-per-key state materializes into — the reference's
+        ``Ralf.deploy(table, name)`` (``ralf/core.py:94-96``) plus the
+        per-table connector its operators carry
+        (``ralf/v2/api.py:100-135``)."""
+        self.register(name, table)
+        if connector is not None:
+            self._connectors[name] = connector
+        return table
+
+    def materialize(self, name: str) -> None:
+        """Persist one deployed table's state through its connector."""
+        self._connectors[name].save(self._tables[name])
+
+    def run(self) -> None:
+        """Materialize every deployed table with a connector — the batch
+        analog of the reference's graph deploy + source pump
+        (``ralf/core.py:85-92``: v1 ``run`` broadcasts ``_next`` to
+        sources; ``ralf/v2/api.py:177-180``: v2 walks the frame graph and
+        deploys it). In Spark the DAG is each DataFrame's lineage, so
+        "running the graph" is just an action per deployed sink; order
+        between tables is irrelevant for correctness — each save computes
+        its own full lineage, and shared upstream scans are amortized by
+        persisting the shared frame (caller's choice, same trade-off the
+        dedup operators document)."""
+        for name in self._connectors:
+            self.materialize(name)
+
+    def load_state(self, name: str) -> FeatureTable:
+        """Read a deployed table's materialized state back from its
+        connector (the serving-side view, without recomputing lineage)."""
+        return self._connectors[name].load(self.spark)

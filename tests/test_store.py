@@ -94,3 +94,36 @@ def test_read_jsonl_with_schema_and_corrupt_records(spark, tmp_path):
     assert rows == {"a": 1.5, "b": 2.5}
     bad = t.df.where("_corrupt_record IS NOT NULL").collect()
     assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+
+def test_deploy_run_and_load_state_roundtrip(spark, tmp_path):
+    """Reference deploy/run parity: deploy two tables (one derived) with
+    connectors, run() materializes both states, load_state serves them
+    back without recomputing lineage."""
+    from ralf_spark.connectors import MemoryConnector, ParquetStateConnector
+    from ralf_spark.store import FeatureStore
+    from ralf_spark.table import FeatureTable
+
+    store = FeatureStore(spark)
+    events = FeatureTable(
+        spark.createDataFrame(
+            [(1, 1, 10.0), (1, 2, 20.0), (2, 1, 5.0)],
+            "user_id long, seq long, value double",
+        ),
+        key="user_id", seq="seq",
+    )
+    totals = events.transform(
+        lambda df: df.groupBy("user_id").sum("value")
+    )
+    store.deploy("events", events,
+                 ParquetStateConnector(str(tmp_path / "ev"), key="user_id"))
+    store.deploy("totals", FeatureTable(totals.df, key="user_id"),
+                 MemoryConnector("totals_state", key="user_id"))
+    store.run()
+
+    ev_state = store.load_state("events")
+    assert {r.user_id: r.value for r in ev_state.df.collect()} == {
+        1: 20.0, 2: 5.0  # latest-per-key upsert semantics
+    }
+    tot = store.load_state("totals")
+    assert {r[0]: r[1] for r in tot.df.collect()} == {1: 30.0, 2: 5.0}
