@@ -14,6 +14,7 @@ from ralf_spark.operators.multimodal import (
     binary_stats,
     decode_image_features,
     frame_sample,
+    resize_images,
     with_binary_payload,
 )
 from ralf_spark.operators.policies import (
@@ -65,6 +66,7 @@ __all__ = [
     "near_dup_pairs",
     "one_shot_join",
     "quality_score",
+    "resize_images",
     "sampling_shed",
     "sign_lsh_bucket",
     "simhash_fingerprint",

@@ -229,3 +229,80 @@ def decode_audio_features(
 
     out = src.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
     return FeatureTable(out, key="doc_id")
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "resized_md5 string"
+)
+
+
+def resize_images(
+    table: FeatureTable,
+    max_w: int = 256,
+    max_h: int = 256,
+    payload_col: str = "payload",
+    id_col: str | None = None,
+    mode: str = "stub",
+) -> FeatureTable:
+    """Aspect-preserving image resize over ``mapInPandas`` — the
+    thumbnail/normalization step of a multimodal training pipeline.
+
+    ``mode="real"`` is the production path (PIL ``Image.thumbnail`` inside
+    the same Arrow-batched iterator) — codecs are absent in this
+    container, so it raises; ``mode="stub"`` derives source dimensions
+    from the content digest (same fake decode as
+    :func:`decode_image_features`) and applies the REAL fit-within-box
+    arithmetic in pure integers (binding-side comparison + integer
+    rescale — no float rounding, so any engine reproduces it exactly).
+    ``resized_md5`` digests (payload ‖ "|WxH"), standing in for the
+    resized pixel buffer. One scan, no shuffle; output is metadata plus
+    the digest, never decoded pixels.
+    """
+    if mode == "real":
+        raise NotImplementedError(
+            "image codecs are not available in this environment; the "
+            "production kernel resizes with PIL inside the same "
+            "mapInPandas iterator"
+        )
+    if mode != "stub":
+        raise ValueError(f"unknown resize mode: {mode!r}")
+    idc = id_col or table.key
+    if idc is None:
+        raise ValueError("resize_images needs an id column")
+
+    src = table.df.select(F.col(idc).alias("doc_id"), F.col(payload_col))
+
+    def kernel(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                     "resized_md5")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                digest = hashlib.md5(raw).hexdigest()
+                src_w, src_h, _, _ = _stub_features_from_digest(digest)
+                if src_w <= max_w and src_h <= max_h:
+                    dst_w, dst_h = src_w, src_h
+                elif src_w * max_h >= src_h * max_w:  # width is binding
+                    dst_w = max_w
+                    dst_h = max(1, src_h * max_w // src_w)
+                else:
+                    dst_h = max_h
+                    dst_w = max(1, src_w * max_h // src_h)
+                rows["doc_id"].append(doc_id)
+                rows["src_w"].append(src_w)
+                rows["src_h"].append(src_h)
+                rows["dst_w"].append(dst_w)
+                rows["dst_h"].append(dst_h)
+                rows["resized_md5"].append(
+                    hashlib.md5(
+                        raw + f"|{dst_w}x{dst_h}".encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    out = src.mapInPandas(kernel, RESIZE_SCHEMA)
+    return FeatureTable(out, key="doc_id")

@@ -1027,3 +1027,53 @@ def winsorize_values_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH d AS (
+      SELECT doc_id, text, md5(text) AS h FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, text,
+             CAST(1 + CAST(('0x' || substring(h, 1, 4)) AS BIGINT) % 2048
+                  AS BIGINT) AS src_w,
+             CAST(1 + CAST(('0x' || substring(h, 5, 4)) AS BIGINT) % 2048
+                  AS BIGINT) AS src_h
+      FROM d
+    ),
+    fit AS (
+      SELECT doc_id, text, src_w, src_h,
+             CASE
+               WHEN src_w <= 256 AND src_h <= 256 THEN src_w
+               WHEN src_w * 256 >= src_h * 256
+                 THEN 256
+               ELSE greatest(1, src_w * 256 // src_h)
+             END AS dst_w,
+             CASE
+               WHEN src_w <= 256 AND src_h <= 256 THEN src_h
+               WHEN src_w * 256 >= src_h * 256
+                 THEN greatest(1, src_h * 256 // src_w)
+               ELSE 256
+             END AS dst_h
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(src_w AS INTEGER) AS src_w, CAST(src_h AS INTEGER) AS src_h,
+           CAST(dst_w AS INTEGER) AS dst_w, CAST(dst_h AS INTEGER) AS dst_h,
+           md5(text || '|' || dst_w || 'x' || dst_h) AS resized_md5
+    FROM fit ORDER BY doc_id
+    """,
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 resize: aspect-preserving fit into a 256×256 box through the
+    Arrow-batched stub kernel — pure-integer rescale arithmetic so the
+    oracle replays every dimension and the resized-buffer digest
+    bit-for-bit (payload is UTF-8 of text, so byte concat == text
+    concat)."""
+    from ralf_spark.operators.multimodal import resize_images, with_binary_payload
+
+    docs = with_binary_payload(_docs_par(spark, sf_dir))
+    out = resize_images(docs, max_w=256, max_h=256, mode="stub")
+    return out.df.orderBy("doc_id")
