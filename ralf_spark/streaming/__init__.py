@@ -8,6 +8,7 @@ computation); streaming uses the same FeatureTable semantics with bounded
 """
 
 from ralf_spark.streaming.sinks import (
+    foreach_batch_index_add,
     foreach_batch_kv_upsert,
     foreach_batch_latest_upsert,
     run_bounded,
@@ -39,6 +40,7 @@ __all__ = [
     "kafka_events",
     "kinesis_events",
     "rate_events",
+    "foreach_batch_index_add",
     "foreach_batch_kv_upsert",
     "foreach_batch_latest_upsert",
     "run_bounded",

@@ -187,3 +187,40 @@ def run_bounded(
         return _start()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def foreach_batch_index_add(
+    df: DataFrame,
+    index,
+    pairs_path: str,
+    key: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Streaming incremental near-dedup: fold each micro-batch of
+    documents into a persistent :class:`~ralf_spark.operators.dedup.
+    MinHashIndex` and append the batch's near-dup pairs (vs everything
+    indexed so far AND within the batch) to ``pairs_path`` — the streaming
+    spelling of the crawl-loop dedup round.
+
+    Each batch pays O(|batch|) hashing plus one bucket equi-join against
+    the stored index; because banding is deterministic and every pair is
+    emitted exactly when its LATER member arrives, the union of all
+    batches' pairs equals the one-shot ``index.add(everything)`` pair set
+    regardless of how the stream is micro-batched (asserted in tests).
+    Batch replays after failure re-emit (idempotent for consumers that
+    key on the pair) — exactly-once needs a transactional sink
+    (Delta/Iceberg) for the pair appends.
+    """
+
+    def add(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        pairs = index.add(
+            FeatureTable(batch_df, key=key),
+            text_col=text_col,
+            threshold=threshold,
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+
+    return df.writeStream.foreachBatch(add)

@@ -579,3 +579,57 @@ def test_streaming_interval_join_equals_batch(spark, tmp_path):
     assert {(k, v, vr) for k, _, v, _, vr in want} == {
         ("a", 10.0, 1.0), ("a", 10.0, 2.0), ("a", 20.0, 3.0)
     }
+
+
+def test_streaming_index_add_equals_one_shot_add(spark, tmp_path):
+    """Micro-batched incremental dedup must be batching-invariant: the
+    union of every micro-batch's pair output equals one add() of the whole
+    corpus to an empty index (each pair is emitted exactly when its later
+    member arrives; banding is deterministic)."""
+    from ralf_spark.operators.dedup import MinHashIndex
+    from ralf_spark.streaming import foreach_batch_index_add, run_bounded
+    from ralf_spark.table import FeatureTable
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (2, "completely different text about spark shuffles and joins ok"),
+        (3, base + " tail"),
+        (4, "another unrelated document mentioning windows and watermarks"),
+        (5, base + " tail extra"),
+    ]
+    src = str(tmp_path / "docs")
+    # one file per doc -> maxFilesPerTrigger=2 forces multiple micro-batches
+    for i, (doc_id, text) in enumerate(docs):
+        spark.createDataFrame(
+            [(doc_id, text)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    idx_s = MinHashIndex(str(tmp_path / "idx_s"), hash_fn="xxhash64")
+    pairs_path = str(tmp_path / "pairs")
+    run_bounded(
+        foreach_batch_index_add(
+            stream, idx_s, pairs_path, key="doc_id", threshold=0.5
+        ),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    streamed = {
+        (r.id1, r.id2, r.est_jaccard)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+
+    idx_b = MinHashIndex(str(tmp_path / "idx_b"), hash_fn="xxhash64")
+    table = FeatureTable(
+        spark.createDataFrame(docs, "doc_id long, text string"), key="doc_id"
+    )
+    batch = {
+        (r.id1, r.id2, r.est_jaccard)
+        for r in idx_b.add(table, threshold=0.5).collect()
+    }
+    assert streamed == batch
+    assert any(p[:2] == (1, 3) for p in streamed)  # cross-batch pair found
