@@ -55,6 +55,25 @@ def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    """Recursive listing of the parquet data files under ``path`` (empty if
+    the directory is missing). Reading an EXPLICIT file list instead of the
+    directory freezes the snapshot at list time: a subsequent append/
+    overwrite of the directory can never be re-resolved into the plan
+    (directory reads snapshot only as long as Spark's InMemoryFileIndex
+    listing cache survives — an undocumented invariant; ADVICE r4)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out: list[str] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().endswith(".parquet"):
+            out.append(p.toString())
+    return out
+
+
 def upsert_into(
     path: str,
     batch: FeatureTable,

@@ -742,12 +742,23 @@ class MinHashIndex:
 
     State at ``path`` (plain parquet; Delta/Iceberg appends on a lakehouse):
 
-    - ``buckets/`` ``(_id, _band, _key)`` — LSH bucket membership;
-    - ``sigs/``    ``(_id, _sig array<bigint>)`` — MinHash signatures.
+    - ``buckets/_batch=<tag>/`` ``(_id, _band, _key)`` — LSH bucket
+      membership;
+    - ``sigs/_batch=<tag>/``    ``(_id, _sig array<bigint>)`` — MinHash
+      signatures.
+
+    Every write lands in its own ``_batch`` partition directory via DYNAMIC
+    partition overwrite, so re-running a batch with the same ``batch_tag``
+    REPLACES its partition instead of appending a duplicate — the index
+    fold is idempotent under micro-batch replay without any side-channel
+    marker (ADVICE r4). Reads list the data files explicitly first
+    (``_list_parquet_files``), so the returned pair plan is pinned to the
+    pre-add snapshot regardless of listing-cache behavior, REFRESH, or a
+    catalog-table re-resolution.
 
     ``add(batch)`` hashes ONLY the batch, equi-joins the batch's buckets
     against stored ∪ batch buckets (Σ bucket², never corpus × batch), and
-    appends the batch to the store. Cost per crawl round is O(|batch|)
+    folds the batch into the store. Cost per crawl round is O(|batch|)
     hashing + one bucket join — at 100 TB the stored bucket table is
     bucketed-by-key on disk (``layout.materialize_bucketed``) so the join
     needs no shuffle of the stored side.
@@ -826,10 +837,39 @@ class MinHashIndex:
         )
         return sigs, buckets
 
-    def _read(self, spark, sub: str) -> DataFrame | None:
-        from ralf_spark.connectors import _try_read_parquet
+    def _read(
+        self, spark, sub: str, exclude_tag: str | None = None
+    ) -> DataFrame | None:
+        """Frozen snapshot of a stored projection: explicit file list, so
+        the plan cannot pick up files written after this call. The
+        ``_batch`` partition value lives only in directory names, never in
+        the data files, so the schema is the bare projection.
 
-        return _try_read_parquet(spark, f"{self.path}/{sub}")
+        ``exclude_tag`` drops that batch's partition from the snapshot —
+        on a replay, the tag's stored rows are the FAILED previous attempt
+        of the very batch being re-added (and its files are about to be
+        overwritten), so they must not count as "stored"."""
+        from ralf_spark.connectors import _list_parquet_files
+
+        files = _list_parquet_files(spark, f"{self.path}/{sub}")
+        if exclude_tag is not None:
+            files = [f for f in files if f"/_batch={exclude_tag}/" not in f]
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+    def _write(self, df: DataFrame, sub: str, tag: str) -> None:
+        """Fold a projection into its ``_batch=<tag>`` partition. Dynamic
+        overwrite touches ONLY the partitions present in ``df`` — replaying
+        the same tag rewrites that directory in place (idempotent); other
+        batches' partitions are untouched."""
+        (
+            df.withColumn("_batch", F.lit(tag))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(f"{self.path}/{sub}")
+        )
 
     @staticmethod
     def _est_jaccard(s1: Column, s2: Column, num_perm: int) -> Column:
@@ -841,25 +881,41 @@ class MinHashIndex:
     # ------------------------------------------------------------- lifecycle
     def build(self, table: FeatureTable, text_col: str = "text") -> None:
         """Full (re)build: index every document of ``table``."""
+        from ralf_spark.connectors import _hadoop_fs
+
         sigs, buckets = self._project(table, text_col)
-        sigs.write.mode("overwrite").parquet(f"{self.path}/sigs")
-        buckets.write.mode("overwrite").parquet(f"{self.path}/buckets")
+        # a rebuild must not inherit stale batch partitions
+        spark = table.df.sparkSession
+        fs, jpath = _hadoop_fs(spark, self.path)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        self._write(sigs, "sigs", "base")
+        self._write(buckets, "buckets", "base")
 
     def add(
         self,
         table: FeatureTable,
         text_col: str = "text",
         threshold: float = 0.5,
+        batch_tag: str | None = None,
     ) -> DataFrame:
         """Dedup-check ``table`` against the index AND itself, then fold it
         in. Returns (id1, id2, est_jaccard) with id1 < id2, covering every
-        near-dup pair that touches the new batch."""
+        near-dup pair that touches the new batch.
+
+        ``batch_tag`` names the batch's partition in the store: re-running
+        ``add`` with the same tag (a micro-batch replay after failure)
+        REPLACES the batch's rows instead of duplicating them. Unnamed
+        batches get a unique tag (plain append semantics)."""
+        import uuid
+
         spark = table.df.sparkSession
+        tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
         new_sigs, new_buckets = self._project(table, text_col)
         new_sigs = new_sigs.persist()
         new_buckets = new_buckets.persist()
-        stored_b = self._read(spark, "buckets")
-        stored_s = self._read(spark, "sigs")
+        stored_b = self._read(spark, "buckets", exclude_tag=tag)
+        stored_s = self._read(spark, "sigs", exclude_tag=tag)
         all_b = (
             stored_b.unionByName(new_buckets)
             if stored_b is not None
@@ -903,11 +959,12 @@ class MinHashIndex:
             .where(F.col("est_jaccard") >= threshold)
         )
         out = attach_cached(pairs, [new_sigs, new_buckets])
-        # Append AFTER the candidate join is defined; the writes below
-        # execute eagerly, the returned plan reads the persisted batch
-        # projections (not the updated store), so results are stable.
-        new_sigs.write.mode("append").parquet(f"{self.path}/sigs")
-        new_buckets.write.mode("append").parquet(f"{self.path}/buckets")
+        # Fold the batch in AFTER the candidate join is defined: the writes
+        # below execute eagerly, but the returned plan reads the persisted
+        # batch projections plus an explicit pre-add file snapshot of the
+        # store (_read), so it can never observe its own append.
+        self._write(new_sigs, "sigs", tag)
+        self._write(new_buckets, "buckets", tag)
         return out
 
 
@@ -926,7 +983,11 @@ def incremental_minhash_oracle_sql(
     "new" half (``new_pred``), scored by the signature-agreement Jaccard
     estimate — exactly the pair set the incremental add() must produce,
     because banding is deterministic and add() joins new buckets against
-    stored ∪ new buckets."""
+    stored ∪ new buckets.
+
+    ``new_pred`` must reference the document id as ``_id``; it is
+    interpolated twice, qualified against each side of the candidate
+    self-join (a pair is "new" when EITHER member satisfies it)."""
     from ralf_spark.functions.text import distinct_shingles_sql, tokens_sql
 
     rows_per_band = num_perm // bands
@@ -961,7 +1022,8 @@ def incremental_minhash_oracle_sql(
       SELECT DISTINCT a._id AS id1, b._id AS id2
       FROM buckets a JOIN buckets b
         ON a._band = b._band AND a._key = b._key AND a._id < b._id
-      WHERE (a._id % 2 = 1) OR (b._id % 2 = 1)
+      WHERE ({new_pred.replace('_id', 'a._id')})
+         OR ({new_pred.replace('_id', 'b._id')})
     )
     SELECT id1, id2,
            round(list_sum(list_transform(range(1, {num_perm + 1}),

@@ -65,7 +65,18 @@ def load_fixture(
                 ),
             )
         elif dt == "timestamp":
-            # isAdjustedToUTC=true micros → LTZ; engine sessions pin UTC
-            # (session.py) so this cast is wall-clock-preserving.
-            df = df.withColumn(ts, F.col(ts).cast("timestamp_ntz"))
+            # isAdjustedToUTC=true micros → LTZ. Rebuild NTZ from the
+            # absolute instant (unix_micros) against the NTZ epoch literal:
+            # session-timezone-FREE, so an external driver session that
+            # doesn't pin UTC still gets the UTC wall clock the oracle
+            # sees. (A cast('timestamp_ntz') would route through the
+            # session timezone — ADVICE r4.)
+            df = df.withColumn(
+                ts,
+                F.timestamp_add(
+                    "MICROSECOND",
+                    F.unix_micros(F.col(ts)),
+                    F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+                ),
+            )
     return FeatureTable(df, key=key, ts=ts, seq=seq)

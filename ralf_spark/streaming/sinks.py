@@ -208,19 +208,35 @@ def foreach_batch_index_add(
     emitted exactly when its LATER member arrives, the union of all
     batches' pairs equals the one-shot ``index.add(everything)`` pair set
     regardless of how the stream is micro-batched (asserted in tests).
-    Batch replays after failure re-emit (idempotent for consumers that
-    key on the pair) — exactly-once needs a transactional sink
-    (Delta/Iceberg) for the pair appends.
+
+    Exactly-once under replay WITHOUT a transactional table format: both
+    the index fold and the pair append are keyed by the checkpointed
+    ``batch_id`` as a ``_batch`` partition and written with DYNAMIC
+    partition overwrite, so a replayed micro-batch rewrites its own
+    partitions in place — never duplicate signature/bucket rows in the
+    index, never duplicate pair rows at ``pairs_path`` (ADVICE r4). The
+    per-batch cached projections are released after the pair write.
     """
 
     def add(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.operators.util import unpersist_cached
+
         if not batch_df.take(1):
             return
+        tag = f"b{batch_id}"
         pairs = index.add(
             FeatureTable(batch_df, key=key),
             text_col=text_col,
             threshold=threshold,
+            batch_tag=tag,
         )
-        pairs.write.mode("append").parquet(pairs_path)
+        (
+            pairs.withColumn("_batch", F.lit(tag))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(pairs_path)
+        )
+        unpersist_cached(pairs)
 
     return df.writeStream.foreachBatch(add)

@@ -343,6 +343,48 @@ def test_minhash_index_incremental_rounds(spark, tmp_path):
     assert (1, 3) not in p2        # old-vs-old never re-emitted
 
 
+def test_minhash_index_add_replay_is_idempotent(spark, tmp_path):
+    """Re-running add() with the same batch_tag (a micro-batch replay
+    after failure) must REPLACE the batch's partition, not duplicate it:
+    the stored index keeps one signature row per doc and a later add still
+    emits each pair once."""
+    from ralf_spark.operators.dedup import MinHashIndex
+    from ralf_spark.table import FeatureTable
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def ft(rows):
+        return FeatureTable(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            key="doc_id",
+        )
+
+    idx = MinHashIndex(str(tmp_path / "idx"), hash_fn="xxhash64")
+    idx.build(ft([(1, base)]))
+    batch = ft([(3, base + " tail")])
+    first = {tuple(r) for r in idx.add(batch, batch_tag="b7").collect()}
+    replay = {tuple(r) for r in idx.add(batch, batch_tag="b7").collect()}
+    assert first == replay and any(p[:2] == (1, 3) for p in first)
+    sigs = spark.read.parquet(str(tmp_path / "idx" / "sigs"))
+    assert sigs.count() == 2  # one row per doc — the replay did not append
+    # and a later batch sees each stored doc exactly once per pair
+    p2 = [
+        tuple(r[:2])
+        for r in idx.add(ft([(5, base + " tail x")]), batch_tag="b8").collect()
+    ]
+    assert sorted(p2) == sorted(set(p2))
+
+
+def test_incremental_minhash_oracle_sql_interpolates_new_pred():
+    """ADVICE r4: the oracle must honor a non-default new_pred, qualified
+    against both sides of the candidate self-join."""
+    from ralf_spark.operators.dedup import incremental_minhash_oracle_sql
+
+    sql = incremental_minhash_oracle_sql(new_pred="_id % 3 = 0")
+    assert "(a._id % 3 = 0)" in sql and "(b._id % 3 = 0)" in sql
+    assert "_id % 2 = 1" not in sql
+
+
 def test_ivf_index_partition_prunes_and_accumulates(spark, tmp_path):
     """query() must read ONLY the probed cell directories (PartitionFilters
     on the cell column in the scan), and add() must fold new vectors into
