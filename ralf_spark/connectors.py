@@ -77,22 +77,39 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
 def upsert_into(
     path: str,
     batch: FeatureTable,
+    table_format: str = "parquet",
 ) -> None:
     """Batch incremental upsert: merge a new batch of events into the
-    persisted latest-per-key parquet state at ``path`` — the nightly/
-    incremental maintenance loop (the reference's per-record upsert,
-    ``ralf/v2/table_state.py:29-46``, amortized over a batch).
+    persisted latest-per-key state at ``path`` — the nightly/incremental
+    maintenance loop (the reference's per-record upsert,
+    ``ralf/v2/table_state.py:29-46``, amortized over a batch). Idempotent
+    for replays (re-upserting the same batch is a no-op).
 
-    Reduce the batch to latest-per-key first (only per-key winners shuffle),
-    union with current state, keep per-key winners, replace. The replace is
-    staged (write to ``.__staging__``, rewrite ``path``, drop staging) so a
-    mid-write failure never corrupts *staging and current at once*, but the
-    final rewrite itself is NOT atomic on plain parquet — a concurrent
-    reader can observe a partial ``path``. The production spelling is MERGE
-    INTO on a lakehouse format (Delta/Iceberg), which is atomic; this is
-    the plain-parquet equivalent. Idempotent for replays (re-upserting the
-    same batch is a no-op).
+    ``table_format="parquet"`` (default): reduce the batch to
+    latest-per-key first (only per-key winners shuffle), union with
+    current state, keep per-key winners, replace. The replace is staged
+    (write to ``.__staging__``, rewrite ``path``, drop staging) so a
+    mid-write failure never corrupts *staging and current at once*, but
+    the final rewrite itself is NOT atomic on plain parquet — a concurrent
+    reader can observe a partial ``path``, and the WHOLE state rewrites
+    every batch, which at 100 TB of state is the dominant cost.
+
+    ``table_format="delta"``: the production spelling — a real
+    ``MERGE INTO`` against a Delta table at ``path``. Atomic (readers see
+    pre- or post-merge snapshots, never partial), and the transaction
+    rewrites only the files containing matched keys instead of the whole
+    table. Requires the ``delta-spark`` package + Delta-enabled session;
+    both branches implement the same relational spec
+    (:func:`merge_upsert_plan` — contract-tested against each other).
     """
+    if table_format == "delta":
+        _delta_merge_upsert(path, batch)
+        return
+    if table_format != "parquet":
+        raise ValueError(
+            f"unsupported table_format {table_format!r} "
+            "(supported: 'parquet', 'delta')"
+        )
     spark = batch.df.sparkSession
     batch_latest = batch.latest().df
     current = _try_read_parquet(spark, path)
@@ -108,6 +125,102 @@ def upsert_into(
     else:
         merged = batch_latest
     _staged_overwrite(spark, merged, path)
+
+
+def merge_upsert_condition(
+    order_cols: Sequence[str], src: str = "s", tgt: str = "t"
+) -> str:
+    """SQL condition under which the source (batch) row beats the stored
+    target row — the WHEN MATCHED guard of the upsert MERGE, and the exact
+    ordering contract of ``FeatureTable.latest``: lexicographic >= on the
+    ordering columns with NULL ordered below every value (struct
+    comparison semantics of the ``max_by`` spelling). ``>=`` (not ``>``)
+    so a replayed batch re-applies its own winners — a no-op write, which
+    keeps the MERGE idempotent."""
+    if not order_cols:
+        return "true"
+
+    def gt(c: str) -> str:
+        return (
+            f"({src}.{c} > {tgt}.{c} "
+            f"OR ({src}.{c} IS NOT NULL AND {tgt}.{c} IS NULL))"
+        )
+
+    def eq(c: str) -> str:
+        return f"{src}.{c} <=> {tgt}.{c}"
+
+    terms = []
+    for i, c in enumerate(order_cols):
+        prefix = " AND ".join(eq(x) for x in order_cols[:i])
+        terms.append(f"({prefix} AND {gt(c)})" if prefix else gt(c))
+    terms.append("(" + " AND ".join(eq(x) for x in order_cols) + ")")
+    return " OR ".join(terms)
+
+
+def merge_upsert_plan(
+    current: DataFrame,
+    batch_latest: DataFrame,
+    key: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """The relational semantics of ``MERGE INTO current t USING batch s ON
+    t.key <=> s.key WHEN MATCHED AND <winner> THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *`` as a plain DataFrame plan — the single spec
+    both ``upsert_into`` branches implement. The contract tests pin the
+    parquet branch to THIS plan; the delta branch emits the statement
+    itself, with :func:`merge_upsert_condition` as the matched guard.
+
+    One full-outer co-partitioned join on the key; per column the winner
+    side is chosen by the same condition string the MERGE uses (parsed
+    with ``F.expr``, so the spec and the statement cannot drift).
+    """
+    cols = current.columns
+    t = current.withColumn("_in_t", F.lit(True)).alias("t")
+    s = batch_latest.withColumn("_in_s", F.lit(True)).alias("s")
+    joined = t.join(s, F.expr(f"t.{key} <=> s.{key}"), "full_outer")
+    take_src = F.coalesce(F.col("_in_s"), F.lit(False)) & (
+        ~F.coalesce(F.col("_in_t"), F.lit(False))
+        | F.expr(merge_upsert_condition(order_cols))
+    )
+    return joined.select(
+        *[
+            F.when(take_src, F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in cols
+        ]
+    )
+
+
+def _delta_merge_upsert(path: str, batch: FeatureTable) -> None:
+    """``MERGE INTO`` the Delta table at ``path`` (created on first
+    upsert). Import-guarded: this environment has no delta-spark, so the
+    branch raises with the dependency named; the statement itself is
+    pinned by the shared :func:`merge_upsert_plan` spec + the condition
+    string tests, which run everywhere."""
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as exc:  # pragma: no cover - env has no delta-spark
+        raise RuntimeError(
+            "upsert_into(table_format='delta') requires the delta-spark "
+            "package and a Delta-enabled SparkSession; install delta-spark "
+            "or use the default parquet branch"
+        ) from exc
+    spark = batch.df.sparkSession
+    src = batch.latest().df
+    if not DeltaTable.isDeltaTable(spark, path):
+        src.write.format("delta").mode("errorifexists").save(path)
+        return
+    key = batch.key
+    order_cols = [c for c in (batch.ts, batch.seq) if c is not None]
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(src.alias("s"), f"t.{key} <=> s.{key}")
+        .whenMatchedUpdateAll(condition=merge_upsert_condition(order_cols))
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
 
 
 def _staged_overwrite(

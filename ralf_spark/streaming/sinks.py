@@ -50,6 +50,7 @@ def foreach_batch_latest_upsert(
     key: str,
     ts: str | None = None,
     seq: str | None = None,
+    table_format: str = "parquet",
 ) -> DataStreamWriter:
     """Maintain a persisted latest-per-key state table from a stream.
 
@@ -57,12 +58,21 @@ def foreach_batch_latest_upsert(
     current state, keep the per-key winner by (ts, seq), atomically replace
     the state directory. The batch analog of the reference's per-record
     upsert (``ralf/v2/table_state.py:29-46``).
+
+    ``table_format="delta"`` routes each micro-batch through a real
+    ``MERGE INTO`` (atomic, touched-files-only) instead of the parquet
+    full-rewrite — the production deployment shape; see
+    ``connectors.upsert_into``.
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         from ralf_spark.connectors import upsert_into
 
-        upsert_into(path, FeatureTable(batch_df, key=key, ts=ts, seq=seq))
+        upsert_into(
+            path,
+            FeatureTable(batch_df, key=key, ts=ts, seq=seq),
+            table_format=table_format,
+        )
 
     return df.writeStream.foreachBatch(upsert)
 

@@ -136,3 +136,80 @@ def test_salted_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(left, right, key="user_id", salt_on="event_id", how="full")
+
+
+def test_merge_plan_matches_parquet_upsert_branch(spark, tmp_path):
+    """Both upsert_into branches implement merge_upsert_plan: folding the
+    same batch sequence through the parquet branch and through the MERGE
+    relational spec must land on the same state — including out-of-order
+    replays (older record must NOT clobber newer state) and NULL ordering
+    columns (ordered below every value)."""
+    from ralf_spark.connectors import merge_upsert_plan
+
+    schema = "k long, ts long, seq long, v double"
+    batches = [
+        [(1, 10, 1, 1.0), (2, 10, 2, 2.0), (4, None, 1, 0.5)],
+        [(1, 20, 3, 9.0), (3, 5, 4, 7.0), (4, 5, 1, 4.5)],
+        [(1, 15, 9, 3.0), (2, 10, 1, 8.0)],   # late/out-of-order: both lose
+        [(1, 20, 3, 9.0), (3, 5, 4, 7.0), (4, 5, 1, 4.5)],  # replayed batch
+    ]
+    path = str(tmp_path / "state")
+    merged = None
+    for rows in batches:
+        b = FeatureTable(
+            spark.createDataFrame(rows, schema), key="k", ts="ts", seq="seq"
+        )
+        upsert_into(path, b)
+        latest = b.latest().df
+        merged = (
+            latest
+            if merged is None
+            else merge_upsert_plan(merged, latest, "k", ["ts", "seq"])
+        )
+    via_parquet = {tuple(r) for r in spark.read.parquet(path).collect()}
+    via_merge = {tuple(r) for r in merged.collect()}
+    assert via_parquet == via_merge
+    assert {r[0]: r[3] for r in via_merge} == {1: 9.0, 2: 2.0, 3: 7.0, 4: 4.5}
+
+
+def test_merge_upsert_condition_contract():
+    """The WHEN MATCHED guard: lexicographic >= with NULL below values,
+    'true' when there is no ordering (pure last-write-wins)."""
+    from ralf_spark.connectors import merge_upsert_condition
+
+    assert merge_upsert_condition([]) == "true"
+    cond = merge_upsert_condition(["ts", "seq"])
+    # ties re-apply (idempotent replays)
+    assert "(s.ts <=> t.ts AND s.seq <=> t.seq)" in cond
+    # NULL target loses to a non-NULL source
+    assert "s.ts IS NOT NULL AND t.ts IS NULL" in cond
+    # seq is compared only within a ts tie
+    assert "(s.ts <=> t.ts AND (s.seq > t.seq" in cond
+
+
+def test_delta_branch_requires_delta_or_merges(spark, tmp_path):
+    """Without delta-spark the delta branch must fail loudly (never fall
+    back silently to a different storage format); with it, the MERGE must
+    reproduce the parquet branch's state."""
+    import pytest
+
+    schema = "k long, ts long, seq long, v double"
+    b = FeatureTable(
+        spark.createDataFrame([(1, 10, 1, 1.0)], schema),
+        key="k", ts="ts", seq="seq",
+    )
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="delta-spark"):
+            upsert_into(str(tmp_path / "d"), b, table_format="delta")
+        return
+    path = str(tmp_path / "d")  # pragma: no cover - needs delta-spark env
+    upsert_into(path, b, table_format="delta")
+    b2 = FeatureTable(
+        spark.createDataFrame([(1, 20, 2, 9.0), (2, 5, 1, 2.0)], schema),
+        key="k", ts="ts", seq="seq",
+    )
+    upsert_into(path, b2, table_format="delta")
+    got = {r.k: r.v for r in spark.read.format("delta").load(path).collect()}
+    assert got == {1: 9.0, 2: 2.0}
