@@ -552,6 +552,60 @@ class InMemoryKVClient(KeyValueClient):
             self._tables.pop(t, None)
 
 
+class RedisKVClient(KeyValueClient):
+    """Redis-backed :class:`KeyValueClient` — completes parity with the
+    reference's Redis connectors (``ralf/state/redis_connector.py:10-38``
+    and ``ralf/v2/connectors/redis_connector.py:9-48``: one redis hash per
+    state table, one field per key — the identical layout this adapter
+    drives through :class:`KVStateConnector`).
+
+    Import-guarded: constructing without an injected ``client`` requires
+    the ``redis`` package (and a reachable server). ``client`` accepts any
+    object with the redis hash API (``redis.Redis``, ``fakeredis``, a
+    cluster client) — which is also how the contract tests exercise the
+    adapter in a server-less environment.
+    """
+
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 6379,
+        db: int = 0,
+        client: Any | None = None,
+    ):
+        if client is None:
+            try:
+                import redis
+            except ImportError as exc:
+                raise RuntimeError(
+                    "RedisKVClient requires the redis package (or pass "
+                    "client=...); install redis or use InMemoryKVClient"
+                ) from exc
+            client = redis.Redis(host=host, port=port, db=db)
+        self._r = client
+
+    def hset(self, table: str, key: str, value: bytes) -> None:
+        self._r.hset(table, key, value)
+
+    def hget(self, table: str, key: str) -> bytes | None:
+        raw = self._r.hget(table, key)
+        return None if raw is None else bytes(raw)
+
+    def hdel(self, table: str, *keys: str) -> None:
+        if keys:
+            self._r.hdel(table, *keys)
+
+    def hvals(self, table: str) -> list[bytes]:
+        return [bytes(v) for v in self._r.hvals(table)]
+
+    def hlen(self, table: str) -> int:
+        return int(self._r.hlen(table))
+
+    def delete(self, *tables: str) -> None:
+        if tables:
+            self._r.delete(*tables)
+
+
 class KVStateConnector(StateConnector):
     """External-KV serving connector — the RedisConnector analog
     (``ralf/state/redis_connector.py:10-38``, v2

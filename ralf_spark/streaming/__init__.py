@@ -18,6 +18,7 @@ from ralf_spark.streaming.sinks import (
 )
 from ralf_spark.streaming.sources import (
     EVENT_SCHEMA,
+    KAFKA_MSGPACK_SCHEMA,
     KINESIS_WIRE_SCHEMA,
     decode_kafka_records,
     decode_kinesis_records,
@@ -33,6 +34,7 @@ from ralf_spark.streaming.windows import (
 
 __all__ = [
     "EVENT_SCHEMA",
+    "KAFKA_MSGPACK_SCHEMA",
     "KINESIS_WIRE_SCHEMA",
     "decode_kafka_records",
     "decode_kinesis_records",

@@ -98,16 +98,89 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
+#: The reference's msgpack wire record (``ralf/operators/source.py:61-70``:
+#: ``{"key": str, "value": float, "timestamp": int, "send_time": float}``;
+#: ``create_time`` is stamped receiver-side, not carried on the wire).
+KAFKA_MSGPACK_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("send_time", T.DoubleType()),
+    ]
+)
+
+#: Spark type -> the coercion the reference applies per field at decode
+#: (``source.py:80-86``: ``str(...)``, ``int(...)``, floats passed through).
+_PY_COERCE = {
+    T.StringType(): str,
+    T.LongType(): int,
+    T.IntegerType(): int,
+    T.DoubleType(): float,
+    T.FloatType(): float,
+}
+
+
 def decode_kafka_records(
     raw: DataFrame,
     value_schema: T.StructType | str | None = None,
+    value_format: str = "json",
 ) -> DataFrame:
     """Decode a Kafka-wire DataFrame (binary ``value`` column) into event
-    columns. Pure transform — unit-testable without the connector jar."""
-    schema = value_schema or EVENT_SCHEMA
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("e")
-    ).select("e.*")
+    columns. Pure transform — unit-testable without the connector jar.
+
+    ``value_format="json"`` (default): JVM-side ``from_json`` — zero
+    Python in the hot path.
+
+    ``value_format="msgpack"``: the reference's actual wire format
+    (``ralf/operators/source.py:73-86`` — ``msgpack.loads`` per record).
+    Spark has no native msgpack codec, so this is the one decode that
+    must leave the JVM: an Arrow-batched ``mapInPandas`` kernel (never
+    row-at-a-time UDF) unpacks each payload and coerces fields to the
+    schema types exactly as the reference does (``str(key)``,
+    ``int(timestamp)``). Uses the ``msgpack`` package when installed,
+    else the spec-subset fallback codec
+    (``ralf_spark.functions.msgpack_lite``). Default schema is the
+    reference wire record :data:`KAFKA_MSGPACK_SCHEMA`.
+    """
+    if value_format == "json":
+        schema = value_schema or EVENT_SCHEMA
+        return raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("e")
+        ).select("e.*")
+    if value_format != "msgpack":
+        raise ValueError(
+            f"unsupported value_format {value_format!r} "
+            "(supported: 'json', 'msgpack')"
+        )
+    schema = value_schema or KAFKA_MSGPACK_SCHEMA
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    fields = [(f.name, _PY_COERCE.get(f.dataType)) for f in schema.fields]
+
+    def decode(batches):
+        import pandas as pd
+
+        try:
+            from msgpack import unpackb as _loads  # real codec if present
+        except ImportError:
+            from ralf_spark.functions.msgpack_lite import unpackb as _loads
+
+        for pdf in batches:
+            records = [_loads(bytes(v)) for v in pdf["value"]]
+            yield pd.DataFrame(
+                {
+                    name: [
+                        None
+                        if r.get(name) is None
+                        else (coerce(r[name]) if coerce else r[name])
+                        for r in records
+                    ]
+                    for name, coerce in fields
+                }
+            )
+
+    return raw.select("value").mapInPandas(decode, schema=schema)
 
 
 def kafka_events(
@@ -115,9 +188,12 @@ def kafka_events(
     bootstrap_servers: str,
     topic: str,
     value_schema: T.StructType | str | None = None,
+    value_format: str = "json",
 ) -> DataFrame:
     """Kafka-shaped source (``KafkaSource``, ``ralf/operators/source.py:
-    55-87``): subscribe + decode JSON values into event columns.
+    55-87``): subscribe + decode values into event columns.
+    ``value_format="msgpack"`` replays a real reference topic (its wire
+    format); ``"json"`` stays fully JVM-side.
 
     Requires the spark-sql-kafka connector on the classpath (not bundled in
     this environment, so this constructs the plan but can only run where
@@ -129,7 +205,7 @@ def kafka_events(
         .option("subscribe", topic)
         .load()
     )
-    return decode_kafka_records(raw, value_schema)
+    return decode_kafka_records(raw, value_schema, value_format)
 
 
 #: Raw schema produced by the aws-kinesis Structured Streaming connector

