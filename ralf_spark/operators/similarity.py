@@ -544,6 +544,8 @@ def kmeans_fit(
     max_iter: int = 10,
     tol: float = 1e-6,
     vec_col: str = "embedding",
+    quantize_decimals: int | None = None,
+    return_counts: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means to convergence — the production builder
     of the IVF coarse quantizer (``IvfIndex``/``ivf_topk`` consume its
@@ -562,11 +564,23 @@ def kmeans_fit(
     lineage accumulates (each round's plan starts from literals, the
     dedup_clusters checkpoint concern does not arise).
 
-    Cross-engine caveat (why this ships with a numpy-reference unit test
-    rather than a DuckDB oracle): from the second iteration on, centroids
-    are float MEANS, and summation order differs between engines —
-    borderline assignments can legitimately flip. The one-step
-    ``kmeans_refine_step`` query is the oracle-gated form.
+    Cross-engine caveat: from the second iteration on, centroids are float
+    MEANS, and summation order differs between engines — borderline
+    assignments can legitimately flip. Two verification regimes:
+
+    - default (``quantize_decimals=None``): run to convergence; verified
+      against an independent numpy Lloyd implementation (unit test).
+    - ``quantize_decimals=d``: fixed-point-lattice mode — seeds and every
+      new centroid are rounded to ``d`` decimals (Spark-side ``round``,
+      half-away-from-zero, same rule as DuckDB), which absorbs
+      summation-order noise (~1e-13) far below the lattice step (5e-5),
+      so a SQL engine replays the whole loop bit-for-bit. This is the
+      DuckDB-oracle-gated spelling (``kmeans_fit_centroids`` query); the
+      quantization costs nothing at coarse-quantizer granularity.
+
+    ``return_counts=True`` additionally reports each cell's member count
+    from the final executed assignment (0 for emptied cells) — the same
+    aggregation pass that computes the means, no extra scan.
     """
     idc = corpus.key
     if idc is None:
@@ -577,38 +591,54 @@ def kmeans_fit(
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
     ).persist()
+    init_df = init_centroids.select(
+        "centroid_id", F.col("centroid_vec").cast("array<double>").alias("_cv")
+    )
+    if quantize_decimals is not None:
+        init_df = init_df.select(
+            "centroid_id",
+            F.transform(
+                "_cv", lambda x: F.round(x, quantize_decimals)
+            ).alias("_cv"),
+        )
     cen_rows = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in init_centroids.select("centroid_id", "centroid_vec").collect()
+        (int(r[0]), [float(x) for x in r[1]]) for r in init_df.collect()
     )
     if not cen_rows:
         raise ValueError("kmeans_fit needs a non-empty init centroid set")
     spark = corpus.df.sparkSession
+    counts: dict[int, int] = {}
     for _ in range(max_iter):
         assigned = emb.withColumn(
             "_cell", nearest_cells(cen_rows, F.col("_v"), 1)[0]
         )
+        mean_expr = F.avg("_x")
+        if quantize_decimals is not None:
+            mean_expr = F.round(mean_expr, quantize_decimals)
         dims = (
             assigned.select("_cell", F.posexplode("_v").alias("_p", "_x"))
             .groupBy("_cell", "_p")
-            .agg(F.avg("_x").alias("_m"))
+            .agg(mean_expr.alias("_m"), F.count(F.lit(1)).alias("_n"))
         )
-        new_rows = {
-            int(r["_cell"]): [
-                float(x) for x in r["_mv"]
-            ]
-            for r in dims.groupBy("_cell")
+        cells = (
+            dims.groupBy("_cell")
             .agg(
                 F.array_sort(
                     F.collect_list(F.struct("_p", "_m"))
-                ).alias("_s")
+                ).alias("_s"),
+                F.max("_n").alias("_n"),
             )
             .select(
                 "_cell",
                 F.transform("_s", lambda e: e["_m"]).alias("_mv"),
+                "_n",
             )
             .collect()
+        )
+        new_rows = {
+            int(r["_cell"]): [float(x) for x in r["_mv"]] for r in cells
         }
+        counts = {int(r["_cell"]): int(r["_n"]) for r in cells}
         moved = 0.0
         next_rows = []
         for cid, old in cen_rows:
@@ -621,6 +651,11 @@ def kmeans_fit(
         if moved <= tol:
             break
     emb.unpersist()
+    if return_counts:
+        return spark.createDataFrame(
+            [(cid, counts.get(cid, 0), cv) for cid, cv in cen_rows],
+            "centroid_id long, n_members long, centroid_vec array<double>",
+        )
     return spark.createDataFrame(
         [(cid, cv) for cid, cv in cen_rows],
         "centroid_id long, centroid_vec array<double>",

@@ -270,16 +270,78 @@ def ivf_index_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
-@query("kmeans_fit_centroids", None)  # numpy-verified; see kmeans_fit docstring
+def kmeans_lattice_oracle_sql(iters: int = 2, decimals: int = 4) -> str:
+    """DuckDB replay of the ENTIRE quantized Lloyd loop (not just one
+    step): label-seeded exact-float seeds rounded onto the 10^-d lattice,
+    then ``iters`` rounds of max-cosine assignment (ties -> smallest cid,
+    same contract as ``nearest_cells``) and lattice-rounded cell means
+    (empty cells keep their centroid). The rounding between rounds absorbs
+    cross-engine summation-order noise, which is what makes the full fit
+    hash-gateable (VERDICT r4 #2)."""
+    cos = (
+        "list_dot_product(c.cvec, e.ev) / "
+        "(sqrt(list_dot_product(c.cvec, c.cvec)) * "
+        "sqrt(list_dot_product(e.ev, e.ev)))"
+    )
+    parts = [
+        f"""
+    WITH cen0 AS (
+      SELECT CAST(label AS BIGINT) AS cid,
+             list_transform(min_by(embedding, vec_id),
+                            x -> round(CAST(x AS DOUBLE), {decimals})) AS cvec
+      FROM embeddings GROUP BY label
+    ),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    d{i} AS (
+      SELECT e.vec_id, c.cid, e.ev, {cos} AS s
+      FROM emb e CROSS JOIN cen{i - 1} c
+    ),
+    a{i} AS (
+      SELECT vec_id, cid, ev FROM (
+        SELECT vec_id, cid, ev,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+        FROM d{i}) WHERE rk = 1
+    ),
+    m{i} AS (
+      SELECT cid, pos, round(avg(v), {decimals}) AS av
+      FROM (SELECT cid, generate_subscripts(ev, 1) AS pos,
+                   unnest(ev) AS v FROM a{i})
+      GROUP BY cid, pos
+    ),
+    cen{i} AS (
+      SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+      FROM cen{i - 1} p LEFT JOIN
+           (SELECT cid, list(av ORDER BY pos) AS cvec
+            FROM m{i} GROUP BY cid) n
+      ON n.cid = p.cid
+    )""")
+    parts.append(f"""
+    SELECT c.cid, COALESCE(k.n, 0) AS n_members,
+           round(list_sum(list_transform(c.cvec, x -> x * x)), 4) AS sq_norm
+    FROM cen{iters} c LEFT JOIN
+         (SELECT cid, CAST(count(*) AS BIGINT) AS n
+          FROM a{iters} GROUP BY cid) k
+    ON k.cid = c.cid
+    ORDER BY c.cid
+    """)
+    return "".join(parts)
+
+
+@query("kmeans_fit_centroids", kmeans_lattice_oracle_sql(iters=2, decimals=4))
 def kmeans_fit_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 quantizer training: full Lloyd loop to convergence (label-seeded,
-    k=10) — the production builder of the IVF coarse quantizer. No DuckDB
-    oracle BY DESIGN: from iteration 2 the centroids are float means and
-    cross-engine summation order can legitimately flip borderline
-    assignments; the loop is instead verified against an independent numpy
-    Lloyd implementation (tests/test_llm_ops.py) and its one-step body is
-    the oracle-gated kmeans_refine_step query. Output: squared norm per
-    converged centroid (stable scalar summary)."""
+    """E3 quantizer training, oracle-gated end to end: the distributed
+    Lloyd LOOP (label-seeded, k=10) in fixed-point-lattice mode — seeds
+    and per-round cell means rounded to 1e-4 (Spark round == DuckDB round,
+    half-away-from-zero), so the 2-round fit replays bit-for-bit in SQL
+    and the registry's last rows-only oracle is closed (VERDICT r4 #2).
+    ``tol=-1`` pins exactly 2 rounds (no data-dependent early stop to
+    replay). The unquantized to-convergence mode of the same loop remains
+    the production API, verified against numpy Lloyd in unit tests.
+    Output per centroid: final member count + squared norm."""
     from ralf_spark.operators.similarity import kmeans_fit
     from ralf_spark.functions.arrays import dot
 
@@ -287,10 +349,14 @@ def kmeans_fit_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = emb.df.groupBy("label").agg(
         F.min_by("embedding", "vec_id").alias("centroid_vec")
     ).select(F.col("label").alias("centroid_id"), "centroid_vec")
-    out = kmeans_fit(emb, seeds, max_iter=5)
+    out = kmeans_fit(
+        emb, seeds, max_iter=2, tol=-1.0,
+        quantize_decimals=4, return_counts=True,
+    )
     return out.select(
-        "centroid_id",
+        F.col("centroid_id").alias("cid"),
+        "n_members",
         F.round(dot(F.col("centroid_vec"), F.col("centroid_vec")), 4).alias(
             "sq_norm"
         ),
-    ).orderBy("centroid_id")
+    ).orderBy("cid")
