@@ -474,3 +474,34 @@ def test_kmeans_fit_matches_numpy_lloyd(spark):
         C = newC
     for j in range(2):
         assert got[j] == list(C[j]), (j, got[j], C[j])
+
+
+def test_ensure_parallelism_uses_plan_metadata(spark, tmp_path):
+    """A small file-backed frame is repartitioned to the target; a frame
+    whose file count already reaches the target is returned UNCHANGED
+    (same plan object - proves no repartition and no RDD probe needed on
+    the at-scale path)."""
+    from ralf_spark.operators.util import _parse_bytes, ensure_parallelism
+
+    small = str(tmp_path / "one_file")
+    spark.range(100).coalesce(1).write.parquet(small)
+    df = spark.read.parquet(small)
+    out = ensure_parallelism(df, min_partitions=8)
+    assert out is not df and out.rdd.getNumPartitions() == 8
+
+    many = str(tmp_path / "many_files")
+    spark.range(100).repartition(8).write.parquet(many)
+    df2 = spark.read.parquet(many)
+    assert ensure_parallelism(df2, min_partitions=8) is df2
+
+    # in-memory frames (no file lineage) still get parallelized
+    local = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    assert (
+        ensure_parallelism(local, min_partitions=64).rdd.getNumPartitions()
+        == 64
+    )
+
+    assert _parse_bytes("134217728b") == 128 * 1024 * 1024
+    assert _parse_bytes("128m") == 128 * 1024 * 1024
+    assert _parse_bytes("1g") == 1024**3
+    assert _parse_bytes("garbage") == 128 * 1024 * 1024

@@ -40,6 +40,24 @@ BUDGETS = {
     "doc_fingerprint_simhash": (1, 1, 0),
     # multimodal decode is exactly one Arrow-batched python op
     "multimodal_image_features": (1, 1, 1),
+    # ----- the 100 TB-critical text/dedup pipelines (VERDICT r4 #8):
+    # most expensive sweep queries — a future SMJ/cartesian/shuffle
+    # regression here is exactly the class that ships a scale cliff.
+    # explode 10-gram spans -> scan-side 60-bit hash -> count -> join
+    # back: two shuffles of fixed-width ints + output sort, span hashes
+    # never carry text
+    "duplicate_ngram_spans": (2, 3, 0),
+    # iterative PageRank with per-round checkpointing: each round is a
+    # bounded (vocab-sized) graph join; the ceiling pins rounds x
+    # per-round cost so an accidental lineage blowup (the pre-r4 bug
+    # class) or extra per-round shuffle fails here
+    "textrank_tokens": (8, 28, 0),
+    # full LSH + component closure + one ranking window over ONE scan
+    "dedup_keep_best": (1, 4, 0),
+    # index add round: batch projections (cached) + stored-side snapshot
+    # reads; exactly the bucket equi-join + pair-distinct shuffles,
+    # never a corpus x batch join
+    "incremental_minhash_index": (5, 2, 0),
 }
 
 
@@ -73,3 +91,5 @@ def test_plan_within_budget(static_spark, name):
     assert m["scans"] <= max_scans, (name, m)
     assert m["shuffles"] <= max_shuffles, (name, m)
     assert m["python"] <= max_python, (name, m)
+    # an all-pairs plan is never acceptable in any budgeted query
+    assert "CartesianProduct" not in ex, name

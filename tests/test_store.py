@@ -78,6 +78,50 @@ def test_observed_counters(spark):
     assert obs.get["num_keys"] == 2
 
 
+def test_metrics_to_parquet_merges_observations(spark, tmp_path):
+    """X10 closure: observation counters land in one long-format parquet
+    metrics table with label columns, accumulating across runs — the
+    reference's sqlite->parquet merge (ralf/v2/utils.py:36-69) as a call."""
+    from ralf_spark.metrics import metrics_to_parquet
+
+    path = str(tmp_path / "metrics")
+
+    def run(tag):
+        t = FeatureTable(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0), (2, 3.0)], "k long, v double"
+            ),
+            key="k",
+        )
+        obs = Observation()
+        t.observed(obs, F.count(F.lit(1)).alias("num_records")).collect()
+        metrics_to_parquet(
+            spark, {"state": obs}, path, labels={"run_id": tag}
+        )
+
+    run("r1")
+    run("r2")
+    got = spark.read.parquet(path)
+    assert set(got.columns) == {"observation", "metric", "value", "run_id"}
+    rows = {(r.run_id, r.observation, r.metric, r.value) for r in got.collect()}
+    assert rows == {
+        ("r1", "state", "num_records", 3.0),
+        ("r2", "state", "num_records", 3.0),
+    }
+    # non-numeric metrics are rejected, not silently stringified
+    import pytest
+
+    from ralf_spark.metrics import metrics_rows
+
+    t = FeatureTable(
+        spark.createDataFrame([(1, "a")], "k long, s string"), key="k"
+    )
+    obs = Observation()
+    t.observed(obs, F.max("s").alias("max_s")).collect()
+    with pytest.raises(TypeError, match="max_s"):
+        metrics_rows({"state": obs})
+
+
 def test_read_jsonl_with_schema_and_corrupt_records(spark, tmp_path):
     from ralf_spark.store import FeatureStore
 
