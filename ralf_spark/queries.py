@@ -2676,42 +2676,54 @@ from ralf_spark import (  # noqa: E402,F401
 # full local sweep + pytest) in its original order after the prefix.
 # =========================================================================
 
+# Round-5 rotation (VERDICT r4 #6): redundant same-family duplicates
+# moved out of the prefix (still registered + sweep-gated) in favor of one
+# driver-green representative for EVERY §2.11 family that previously only
+# had sweep coverage: sketches (KMV/CMS), containment + keep-best dedup,
+# the incremental index, the persistent IVF index, the (newly hash-gated)
+# k-means fit loop, BM25/EWMA/funnel curation, changelog state (S9), and
+# partitioned storage layout (E8).
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
-    "q1_pricing_summary", "q3_unshipped_orders", "q6_forecast_revenue",
-    "q18_large_orders",
+    "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
     # keyed aggregation (SURVEY §2.4 A1/A2/A4)
     "per_key_avg", "running_sum", "latest_per_key", "event_type_counts",
-    # windows: count (W1/W2), payload, event-time, session, range, stream
-    "tumbling_count_window", "tumbling_window_payload",
-    "sliding_count_window", "time_window_hourly", "session_window_gap",
-    "trailing_10min_count", "streaming_tumbling_window",
+    # windows: count (W1/W2), event-time, stream
+    "tumbling_count_window", "sliding_count_window", "time_window_hourly",
+    "streaming_tumbling_window",
     # analytic / order-based (§2.6)
-    "median_value_per_key", "topk_users_by_value", "distinct_event_types",
+    "topk_users_by_value", "distinct_event_types",
     # joins (§2.3 J1a/J1b/J1c + interval/point-in-time/SCD2)
     "enrichment_join", "semi_join_active_customers",
-    "anti_join_inactive_customers", "asof_join_latest_state",
-    "one_shot_join", "interval_join_clicks_before_purchase",
+    "asof_join_latest_state", "one_shot_join",
+    "interval_join_clicks_before_purchase",
     "point_in_time_training_join", "scd2_user_value_history",
     # execution policies (§2.9 P3/P5)
-    "sampling_shed", "change_detection", "change_detection_last_emitted",
+    "sampling_shed", "change_detection_last_emitted",
     # scalar JSON functions (§2.7)
     "json_props_extract",
-    # dedup family (§2.10 E1/E2) + decontamination
-    "exact_dedup", "near_dup_minhash", "near_dup_jaccard_index",
-    "dedup_clusters", "decontaminate_against_eval",
-    # similarity search (E3)
-    "similarity_topk_bruteforce", "similarity_topk_ann",
-    "similarity_topk_ivf", "embedding_near_dup_lsh",
+    # state maintenance (S9: changelog apply over persisted state)
+    "apply_changelog_state",
+    # dedup family (§2.10 E1/E2) + decontamination + incremental index
+    "exact_dedup", "near_dup_minhash", "dedup_clusters",
+    "containment_pairs", "dedup_keep_best", "incremental_minhash_index",
+    "decontaminate_against_eval",
+    # similarity search (E3): one-shot, persistent index, quantizer fit
+    "similarity_topk_bruteforce", "similarity_topk_ivf", "ivf_index_query",
+    "kmeans_fit_centroids", "embedding_near_dup_lsh",
     "embedding_centroid_per_label",
     # text analysis + quality filtering (E4)
-    "text_stats", "text_profile", "language_id", "text_quality",
-    "doc_fingerprint_simhash", "gopher_repetition",
-    # distinct-count sketch
-    "hll_distinct_event_ids",
+    "text_profile", "text_quality", "doc_fingerprint_simhash",
+    "gopher_repetition",
+    # cardinality/frequency sketches (E6: HLL + KMV + CMS)
+    "hll_distinct_event_ids", "kmv_distinct_users",
+    "cms_token_heavy_hitters",
+    # retrieval/curation (E9)
+    "bm25_keyword_search", "ewma_per_user", "funnel_view_click_purchase",
+    # storage layout (E8)
+    "layout_partitioned_write_stats",
     # multimodal binary columns (E5)
-    "multimodal_binary_stats", "multimodal_image_features",
-    "multimodal_frame_sample",
+    "multimodal_image_features", "multimodal_frame_sample",
 ]
 
 _missing = [n for n in DRIVER_CHECKED_FIRST if n not in QUERIES]

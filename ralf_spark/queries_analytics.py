@@ -392,3 +392,50 @@ def profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "layout_partitioned_write_stats",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def layout_partitioned_write_stats_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E8 storage layout, driver-gated end to end: route the corpus
+    through ``layout.write_partitioned`` (hive-style ``lang=`` partition
+    directories, deterministic 2-way hash file split per directory) and
+    aggregate the READ-BACK — the oracle is the same aggregation over the
+    source table, so the gate proves the partitioned layout is lossless
+    and the partition column round-trips through directory-name encoding
+    exactly (strings survive hive escaping; counts/ids/sums intact).
+    The file-level invariants the oracle cannot see (file count per
+    directory, byte-stable re-runs, footer min/max tightness) are pinned
+    by tests/test_layout.py."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.layout import write_partitioned
+
+    docs = _t(spark, sf_dir, "documents").df
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _tf.mkdtemp(prefix=f"layout_{tag}_")
+    write_partitioned(
+        docs, path, partition_by=["lang"],
+        files_per_partition=2, split_on="doc_id",
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
