@@ -518,6 +518,7 @@ def duplicated_spans(
     docs: FeatureTable,
     n: int = 10,
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document duplicated-span statistics — the Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better",
@@ -529,24 +530,30 @@ def duplicated_spans(
     ``n`` tokens have no spans and are absent. ``dup_frac`` is the
     memorization-risk proxy used to drop or trim repetitive documents.
 
-    Scale: spans are hashed scan-side to 60-bit ints (md5-derived for
-    oracle parity; swap ``stable_hash64`` for multi-arg ``xxhash64`` in
-    production — same plan, ~3x cheaper), so the occurrence count and the
-    span->count join shuffle fixed-width ints, never the span strings.
-    A true suffix-array dedup finds *maximal* duplicated substrings;
-    fixed-n spans are the bounded-memory streaming-friendly approximation
-    (same recall for duplicates >= n tokens).
+    Scale: spans are hashed scan-side to 64-bit ints (md5-derived by
+    default for oracle parity; ``hash_fn="xxhash64"`` is the production
+    mode — same plan, JVM-native hashing, measured in BENCH_NOTES), so the
+    occurrence count and the span->count join shuffle fixed-width ints,
+    never the span strings. A true suffix-array dedup finds *maximal*
+    duplicated substrings; fixed-n spans are the bounded-memory
+    streaming-friendly approximation (same recall for duplicates >= n
+    tokens).
     """
     from ralf_spark.functions.text import tokens, word_shingles
 
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     key = docs.key
     spans = ensure_parallelism(docs.df).select(
         F.col(key),
         F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("_span"),
     )
-    hashed = spans.select(
-        F.col(key), stable_hash64(F.col("_span")).alias("_h")
+    span_hash = (
+        F.xxhash64(F.col("_span"))
+        if hash_fn == "xxhash64"
+        else stable_hash64(F.col("_span"))
     )
+    hashed = spans.select(F.col(key), span_hash.alias("_h"))
     occ = hashed.groupBy("_h").agg(F.count(F.lit(1)).alias("_occ"))
     return (
         hashed.join(occ, "_h")

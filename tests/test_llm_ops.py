@@ -505,3 +505,24 @@ def test_ensure_parallelism_uses_plan_metadata(spark, tmp_path):
     assert _parse_bytes("128m") == 128 * 1024 * 1024
     assert _parse_bytes("1g") == 1024**3
     assert _parse_bytes("garbage") == 128 * 1024 * 1024
+
+
+def test_duplicated_spans_xxhash64_matches_md5_stats(spark):
+    """Production hash mode: span duplication statistics depend only on
+    hash EQUALITY, so the xxhash64 spelling must reproduce the
+    oracle-checked md5 results exactly."""
+    from ralf_spark.operators.dedup import duplicated_spans
+
+    seg = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, seg + " alpha beta gamma"),
+        (2, seg + " delta epsilon zeta"),   # shares the 10-token span with 1
+        (3, "totally different words " * 3),
+    ]
+    t = _docs(spark, rows)
+    md5 = {tuple(r) for r in duplicated_spans(t, n=10).collect()}
+    fast = {tuple(r) for r in duplicated_spans(t, n=10, hash_fn="xxhash64").collect()}
+    assert md5 == fast
+    assert any(r[0] == 1 and r[2] >= 1 for r in md5)  # the shared span counted
+    with pytest.raises(ValueError):
+        duplicated_spans(t, hash_fn="sha1")

@@ -72,13 +72,25 @@ def static_spark():
             "spark.sql.adaptive.enabled": "false",
         },
     )
+    # builder confs are IGNORED when another test module already created
+    # the session — under AQE the explain output repeats subtrees
+    # (initial + current plan per AdaptiveSparkPlan), double-counting
+    # every metric. Force the audit regime at runtime and restore after.
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_plan_within_budget(static_spark, name):
     from ralf_spark.queries import QUERIES
 
+    # cache state left by other test modules changes the explain string
+    # (a matching persisted subtree becomes an InMemoryRelation whose
+    # description embeds ITS OWN nested FileScans, inflating the
+    # string-based audit counts) — audit canonical plans only
+    static_spark.catalog.clearCache()
     df = QUERIES[name].fn(static_spark, "/root/testdata/sf0.001")
     # physical plan ONLY — queryExecution().toString() concatenates the
     # parsed/analyzed/optimized/physical stages and overcounts every node
