@@ -15,7 +15,7 @@ P3-P5 each policy becomes a deterministic query:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ralf_spark.functions.hashing import stable_hash64
@@ -111,6 +111,49 @@ def dataset_split(
         else F.lit(names[-1])
     )
     return table.with_column(out_col, expr)
+
+
+def domain_quota_cap(
+    table: FeatureTable,
+    domain_col: str,
+    cap: int,
+    quality_col: str,
+) -> DataFrame:
+    """Per-domain quota capping — the Common-Crawl-curation staple: no
+    single domain may contribute more than ``cap`` documents, and when a
+    domain is over quota the ``cap`` highest-``quality_col`` documents
+    survive (ties → lowest id — fully deterministic). Returns every input
+    row plus a ``kept`` boolean, so the caller chooses filter vs audit.
+
+    Skew-aware plan (domains are the canonical skewed key — a handful of
+    mega-domains vs a long tail): a map-side-partial count first splits
+    the corpus; UNDER-cap domains are kept outright via an anti-join and
+    never pay a sort, so the per-domain ranking window runs only over the
+    over-quota slice. Joins against the over-cap domain list carry NO
+    broadcast hint — it is usually tiny and AQE will broadcast it, but at
+    100 TB with millions of over-cap domains a forced hint would OOM
+    instead of degrading to a shuffle join.
+    """
+    idc = table.key
+    if idc is None:
+        raise ValueError("domain_quota_cap needs a keyed table")
+    df = table.df
+    over = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > cap)
+        .select(domain_col)
+    )
+    under_rows = df.join(over, domain_col, "left_anti").withColumn(
+        "kept", F.lit(True)
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(quality_col).desc(), F.col(idc)
+    )
+    over_rows = df.join(over, domain_col, "left_semi").withColumn(
+        "kept", F.row_number().over(w) <= cap
+    )
+    return under_rows.unionByName(over_rows)
 
 
 def keep_latest(table: FeatureTable) -> FeatureTable:

@@ -288,3 +288,27 @@ def incremental_minhash_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     index.build(even)
     pairs = index.add(odd, threshold=0.5)
     return pairs.orderBy("id1", "id2")
+
+
+@query(
+    "domain_quota_cap",
+    """
+    SELECT doc_id, source,
+           (row_number() OVER (
+              PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 15)
+             AS kept
+    FROM documents ORDER BY doc_id
+    """,
+)
+def domain_quota_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (Common-Crawl curation: no source may
+    contribute more than N docs; over-quota sources keep their N best by
+    length, ties -> lowest id). Skew-aware split plan: under-cap domains
+    bypass the ranking window entirely; only the over-quota slice sorts
+    (``operators/policies.py:domain_quota_cap``)."""
+    from ralf_spark.operators.policies import domain_quota_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_quota_cap(docs, domain_col="source", cap=15,
+                           quality_col="n_chars")
+    return out.select("doc_id", "source", "kept").orderBy("doc_id")

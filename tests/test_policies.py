@@ -155,3 +155,30 @@ def test_keep_latest_is_latest_per_key(spark):
     )
     out = {r.k: r.value for r in keep_latest(t).df.collect()}
     assert out == {"a": 20.0, "b": 5.0}
+
+
+def test_domain_quota_cap_contract(spark):
+    """Over-quota domains keep exactly cap best-by-quality docs (ties ->
+    lowest id); under-cap domains are fully kept and never enter the
+    ranking window."""
+    from ralf_spark.operators.policies import domain_quota_cap
+    from ralf_spark.table import FeatureTable
+
+    rows = (
+        [(i, "big", float(100 - i)) for i in range(10)]   # over cap
+        + [(20, "big", 90.0), (21, "big", 90.0)]          # quality ties
+        + [(30, "small", 1.0), (31, "small", 2.0)]        # under cap
+    )
+    t = FeatureTable(
+        spark.createDataFrame(rows, "doc_id long, source string, q double"),
+        key="doc_id",
+    )
+    out = {r.doc_id: r.kept for r in
+           domain_quota_cap(t, "source", cap=3, quality_col="q").collect()}
+    assert len(out) == len(rows)                       # audit mode: all rows
+    assert out[30] and out[31]                         # under-cap: all kept
+    kept_big = sorted(i for i, (d, s, q) in
+                      zip([r[0] for r in rows], rows) if s == "big" and out[i])
+    # top-3 by quality: docs 0 (100), 1 (99), 2 (98); the 90.0 tie pair
+    # loses to them and between themselves lower id would win first
+    assert kept_big == [0, 1, 2]

@@ -681,3 +681,34 @@ def test_streaming_index_add_equals_one_shot_add(spark, tmp_path):
     }
     assert streamed == batch
     assert any(p[:2] == (1, 3) for p in streamed)  # cross-batch pair found
+
+
+def test_msgpack_lite_roundtrip_property():
+    """Property: the fallback codec round-trips arbitrary nested wire
+    objects (hypothesis-driven, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ralf_spark.functions.msgpack_lite import packb, unpackb
+
+    scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False),
+        st.text(max_size=80), st.binary(max_size=80),
+    )
+    nested = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=8),
+            st.dictionaries(st.text(max_size=10), inner, max_size=8),
+        ),
+        max_leaves=30,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(nested)
+    def roundtrip(obj):
+        assert unpackb(packb(obj)) == obj
+
+    roundtrip()
