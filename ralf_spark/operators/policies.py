@@ -156,6 +156,70 @@ def domain_quota_cap(
     return under_rows.unionByName(over_rows)
 
 
+def budgeted_prefix_sample(
+    table: FeatureTable,
+    cost_col: str,
+    budget: int,
+    priority_col: str | None = None,
+    bin_width: int = 100,
+) -> DataFrame:
+    """Global-budget corpus selection: walk the corpus in priority order
+    (``priority_col`` DESC, ties → lowest id) and keep rows until their
+    cumulative ``cost_col`` (tokens, chars, bytes) exceeds ``budget`` —
+    the "take the best N-token subset" step of every budgeted dataset
+    build. Returns all rows + ``kept``. Fully deterministic: the kept set
+    is a prefix of a total order, independent of partitioning.
+
+    The naive spelling — ``sum(cost) OVER (ORDER BY priority)`` with no
+    PARTITION BY — collapses the whole corpus into ONE task (Spark plans
+    a single-partition window), which is the canonical 100 TB cliff.
+    Distributed spelling used here, a two-phase prefix sum:
+
+    1. bin rows by fixed-width priority bands (``floor(priority /
+       bin_width)`` — a pure row-local expression, monotone in the sort
+       order, so bins ARE contiguous prefix segments);
+    2. per-bin cost totals (map-side-partial agg over #bins rows) →
+       exclusive prefix of higher bins via one window over the TINY bin
+       table;
+    3. intra-bin running sum windowed PER BIN + the bin's prefix offset.
+
+    Every heavy operation is partitioned by bin; only the #bins-row
+    summary passes through a global window. ``priority_col`` defaults to
+    ``cost_col`` (prefer expensive = longest documents first).
+    """
+    idc = table.key
+    if idc is None:
+        raise ValueError("budgeted_prefix_sample needs a keyed table")
+    pri = priority_col or cost_col
+    df = table.df.withColumn(
+        "_bin", F.floor(F.col(pri) / F.lit(bin_width)).cast("long")
+    )
+    bin_totals = df.groupBy("_bin").agg(
+        F.sum(F.col(cost_col)).cast("long").alias("_bin_total")
+    )
+    wb = (
+        Window.orderBy(F.col("_bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = bin_totals.withColumn(
+        "_prefix", F.coalesce(F.sum("_bin_total").over(wb), F.lit(0))
+    ).select("_bin", "_prefix")
+    wr = (
+        Window.partitionBy("_bin")
+        .orderBy(F.col(pri).desc(), F.col(idc))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.join(prefixes, "_bin")
+        .withColumn(
+            "_running",
+            F.col("_prefix") + F.sum(F.col(cost_col)).over(wr),
+        )
+        .withColumn("kept", F.col("_running") <= F.lit(budget))
+        .drop("_bin", "_prefix", "_running")
+    )
+
+
 def keep_latest(table: FeatureTable) -> FeatureTable:
     """Process-only-newer policy in batch = keep the latest record per key
     (``newer_processing_time``, ``load_shedding_policy.py:6-7``; enforcement

@@ -312,3 +312,30 @@ def domain_quota_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = domain_quota_cap(docs, domain_col="source", cap=15,
                            quality_col="n_chars")
     return out.select("doc_id", "source", "kept").orderBy("doc_id")
+
+
+@query(
+    "token_budget_sample",
+    """
+    SELECT doc_id, source,
+           (sum(n_chars) OVER (
+              ORDER BY n_chars DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) <= 60000) AS kept
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted dataset build: keep the highest-priority prefix of the
+    corpus (longest docs first, ties -> lowest id) until a global 60k-char
+    budget is exhausted. The oracle is the naive single-window cumulative
+    sum; the engine spelling is the DISTRIBUTED two-phase prefix sum
+    (fixed-width priority bins; only a #bins-row summary crosses a global
+    window - ``operators/policies.py:budgeted_prefix_sample``), proving
+    the scale-safe plan computes the identical prefix."""
+    from ralf_spark.operators.policies import budgeted_prefix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = budgeted_prefix_sample(
+        docs, cost_col="n_chars", budget=60_000, bin_width=100
+    )
+    return out.select("doc_id", "source", "kept").orderBy("doc_id")

@@ -182,3 +182,39 @@ def test_domain_quota_cap_contract(spark):
     # top-3 by quality: docs 0 (100), 1 (99), 2 (98); the 90.0 tie pair
     # loses to them and between themselves lower id would win first
     assert kept_big == [0, 1, 2]
+
+
+def test_budgeted_prefix_sample_matches_greedy_and_stays_partitioned(spark):
+    """The two-phase prefix sum must (a) compute exactly the greedy
+    priority-order prefix - including rows straddling bin boundaries -
+    and (b) keep the heavy window partitioned by bin: the only
+    single-partition exchange in the plan is the #bins-row summary."""
+    from ralf_spark.operators.policies import budgeted_prefix_sample
+    from ralf_spark.plans.explain import explain_str
+    from ralf_spark.table import FeatureTable
+
+    rows = [(i, (i * 37) % 250 + 1) for i in range(60)]  # costs 1..250
+    t = FeatureTable(
+        spark.createDataFrame(rows, "doc_id long, cost long"), key="doc_id"
+    )
+    budget = 2000
+    out = budgeted_prefix_sample(t, "cost", budget, bin_width=50)
+    got = {r.doc_id: r.kept for r in out.collect()}
+    # driver-side greedy reference
+    acc, want = 0, {}
+    for doc_id, cost in sorted(rows, key=lambda r: (-r[1], r[0])):
+        acc += cost
+        want[doc_id] = acc <= budget
+    assert got == want
+    assert any(got.values()) and not all(got.values())
+    import re
+
+    plan = explain_str(out)
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, plan
+    for spec in specs:
+        # every window whose running sum touches per-row cost must be
+        # PARTITIONED by the bin; only the #bins-row summary window
+        # (over _bin_total) may be global
+        if "cost#" in spec:
+            assert "_bin#" in spec, spec
