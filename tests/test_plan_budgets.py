@@ -105,3 +105,34 @@ def test_plan_within_budget(static_spark, name):
     assert m["python"] <= max_python, (name, m)
     # an all-pairs plan is never acceptable in any budgeted query
     assert "CartesianProduct" not in ex, name
+
+
+def test_registry_wide_no_cartesian_no_rowwise_python(static_spark):
+    """Global anti-pattern net over EVERY registry query's plan (the
+    per-query budgets above pin only representatives): no CartesianProduct
+    anywhere (every intentional crossJoin in the engine broadcasts a
+    small-by-contract side, which plans as BroadcastNestedLoopJoin), and
+    no row-at-a-time Python eval (BatchEvalPython) - Python may appear
+    only as Arrow-batched nodes. One test, all queries, so a new query
+    with a pathological plan fails CI without needing its own budget."""
+    from ralf_spark.queries import QUERIES
+    from scripts_plan_audit import SKIP
+
+    jvm = static_spark._jvm  # type: ignore[attr-defined]
+    bad = {}
+    for name, q in QUERIES.items():
+        if name in SKIP:
+            continue
+        static_spark.catalog.clearCache()
+        df = q.fn(static_spark, "/root/testdata/sf0.001")
+        ex = jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        flags = []
+        if "CartesianProduct" in ex:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in ex:
+            flags.append("BatchEvalPython")
+        if flags:
+            bad[name] = flags
+    assert not bad, bad
