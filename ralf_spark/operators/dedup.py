@@ -569,6 +569,140 @@ def duplicated_spans(
     )
 
 
+def simhash_near_dup_pairs(
+    table: FeatureTable,
+    text_col: str = "text",
+    bits: int = 48,
+    max_hamming: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via Hamming-pigeonhole banding — the
+    web-crawl dedup of Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+    for Web Crawling" (WWW'07): split the ``bits``-bit fingerprint into
+    ``max_hamming + 1`` contiguous bands; any pair within Hamming distance
+    ``max_hamming`` must agree EXACTLY on at least one band (pigeonhole),
+    so candidates come from an equi-join on (band, band_value) and only
+    candidates pay the popcount verification. Returns (id1, id2, hamming)
+    with id1 < id2.
+
+    Complements MinHash/LSH: one 64-bit word per document instead of a
+    num_perm-long signature — the cheaper index for when a single global
+    similarity knob (Hamming radius) suffices. Scale: fingerprints are
+    computed scan-side (hash-once ``add_simhash``); the only shuffles are
+    the band-bucket equi-join and the pair distinct — never an all-pairs
+    join (the registry-wide plan net asserts no CartesianProduct).
+    Zero fingerprints (empty/short docs) are excluded — they are
+    "no content", not mutual near-dups.
+    """
+    from ralf_spark.operators.text_analysis import add_simhash
+
+    if not 0 < bits <= 60:
+        raise ValueError("bits must be in (0, 60] (stable_hash64 width)")
+    bands = max_hamming + 1
+    idc = table.key
+    if idc is None:
+        raise ValueError("simhash_near_dup_pairs needs a keyed table")
+    ids = ensure_parallelism(
+        table.df.select(
+            F.col(idc).alias("_id"), F.col(text_col).alias("_text")
+        )
+    )
+    fp = (
+        add_simhash(ids, text_col="_text", out_col="_fp",
+                    bits=bits, shingle_n=shingle_n)
+        .select("_id", "_fp")
+        .where(F.col("_fp") != 0)
+    )
+    base, rem = divmod(bits, bands)
+    widths = [base + (1 if i < rem else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+    entries = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("_fp", offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias("key"),
+        )
+        for i in range(bands)
+    ]
+    buckets = fp.select(
+        "_id", F.explode(F.array(*entries)).alias("_b")
+    ).select(
+        "_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+    f1 = fp.select(F.col("_id").alias("id1"), F.col("_fp").alias("_fp1"))
+    f2 = fp.select(F.col("_id").alias("id2"), F.col("_fp").alias("_fp2"))
+    return (
+        cand.join(f1, "id1")
+        .join(f2, "id2")
+        .withColumn(
+            "hamming", F.bit_count(F.expr("_fp1 ^ _fp2")).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+def simhash_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    max_hamming: int = 3,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB replay of :func:`simhash_near_dup_pairs`: same fingerprint
+    bits (md5-derived votes), same band split, same pigeonhole join, same
+    popcount threshold."""
+    from ralf_spark.functions.text import distinct_shingles_sql, tokens_sql
+    from ralf_spark.operators.text_analysis import simhash_fingerprint_sql
+
+    bands = max_hamming + 1
+    base, rem = divmod(bits, bands)
+    widths = [base + (1 if i < rem else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+    band_rows = " UNION ALL ".join(
+        f"SELECT _id, {i} AS band, (fp >> {offsets[i]}) &"
+        f" {(1 << widths[i]) - 1} AS key FROM fpz"
+        for i in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+    ),
+    shs AS (
+      SELECT _id, {distinct_shingles_sql('w', shingle_n)} AS sh FROM toks
+    ),
+    fp AS (
+      SELECT _id, {simhash_fingerprint_sql('sh', bits)} AS fp FROM shs
+    ),
+    fpz AS (SELECT * FROM fp WHERE fp <> 0),
+    bk AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a._id AS id1, b._id AS id2
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.key = b.key AND a._id < b._id
+    )
+    SELECT id1, id2,
+           CAST(bit_count(xor(f1.fp, f2.fp)) AS INTEGER) AS hamming
+    FROM cand JOIN fpz f1 ON id1 = f1._id
+              JOIN fpz f2 ON id2 = f2._id
+    WHERE bit_count(xor(f1.fp, f2.fp)) <= {max_hamming}
+    ORDER BY id1, id2
+    """
+
+
 # ------------------------------------------- E2 asymmetric containment
 def containment_pairs(
     table: FeatureTable,

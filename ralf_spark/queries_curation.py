@@ -339,3 +339,22 @@ def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, cost_col="n_chars", budget=60_000, bin_width=100
     )
     return out.select("doc_id", "source", "kept").orderBy("doc_id")
+
+
+from ralf_spark.operators.dedup import (  # noqa: E402
+    simhash_near_dup_pairs,
+    simhash_pairs_oracle_sql,
+)
+
+
+@query("simhash_near_dup_pairs", simhash_pairs_oracle_sql())
+def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 SimHash dedup (Manku et al. WWW'07): 48-bit fingerprints,
+    Hamming-pigeonhole banding (4 bands for radius 3) -> band-bucket
+    equi-join candidates -> popcount verification. One 64-bit word per
+    doc instead of a MinHash signature vector - the cheap global-radius
+    dedup index."""
+    docs = _docs_par(spark, sf_dir)
+    return simhash_near_dup_pairs(
+        docs, bits=48, max_hamming=3
+    ).orderBy("id1", "id2")

@@ -526,3 +526,42 @@ def test_duplicated_spans_xxhash64_matches_md5_stats(spark):
     assert any(r[0] == 1 and r[2] >= 1 for r in md5)  # the shared span counted
     with pytest.raises(ValueError):
         duplicated_spans(t, hash_fn="sha1")
+
+
+def test_simhash_near_dup_pairs_pigeonhole_recall_and_plan(spark):
+    """Any pair within the Hamming radius MUST be found (pigeonhole over
+    bands is exact, not probabilistic, given the fingerprints); disjoint
+    docs stay unpaired; candidate generation is a bucket equi-join, never
+    a cartesian plan."""
+    from ralf_spark.operators.dedup import simhash_near_dup_pairs
+    from ralf_spark.operators.text_analysis import add_simhash
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain falls softly on the quiet grey town tonight")
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, "completely different words about catalyst shuffle plans and "
+            "arrow batches in a distributed engine running somewhere else"),
+    ]
+    t = _docs(spark, rows)
+    out = simhash_near_dup_pairs(t, bits=48, max_hamming=3)
+    pairs = {(r.id1, r.id2): r.hamming for r in out.collect()}
+    # ground truth from the fingerprints themselves
+    fps = {
+        r.doc_id: r.fp
+        for r in add_simhash(t.df, out_col="fp", bits=48).select(
+            "doc_id", "fp"
+        ).collect()
+    }
+    for a in fps:
+        for b in fps:
+            if a < b and fps[a] and fps[b]:
+                h = bin(fps[a] ^ fps[b]).count("1")
+                if h <= 3:
+                    assert (a, b) in pairs and pairs[(a, b)] == h
+                else:
+                    assert (a, b) not in pairs
+    plan = explain_str(out, mode="extended")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
