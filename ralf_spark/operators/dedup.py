@@ -594,7 +594,7 @@ def simhash_near_dup_pairs(
     Zero fingerprints (empty/short docs) are excluded — they are
     "no content", not mutual near-dups.
     """
-    from ralf_spark.operators.text_analysis import add_simhash
+    from ralf_spark.operators.text_analysis import simhash_fingerprints_agg
 
     if not 0 < bits <= 60:
         raise ValueError("bits must be in (0, 60] (stable_hash64 width)")
@@ -607,11 +607,23 @@ def simhash_near_dup_pairs(
             F.col(idc).alias("_id"), F.col(text_col).alias("_text")
         )
     )
+    # Wide fingerprints use the codegen'd aggregate spelling — the per-row
+    # higher-order vote loop (add_simhash) is interpreted per element and
+    # costs bits × shingles lambda evaluations per doc (~50× slower at 48
+    # bits, BENCH_NOTES r5). persist() is load-bearing on top: the
+    # fingerprint plan is referenced by the band explode AND both
+    # verify-join sides; without the barrier it re-evaluates in each
+    # (winnowing blowup class, BENCH_NOTES r3). Cluster spelling:
+    # checkpoint the fingerprint table to parquet. Released via
+    # unpersist_cached after the caller's action.
     fp = (
-        add_simhash(ids, text_col="_text", out_col="_fp",
-                    bits=bits, shingle_n=shingle_n)
-        .select("_id", "_fp")
+        simhash_fingerprints_agg(
+            ids, id_col="_id", text_col="_text",
+            bits=bits, shingle_n=shingle_n,
+        )
+        .select("_id", F.col("fp").alias("_fp"))
         .where(F.col("_fp") != 0)
+        .persist()
     )
     base, rem = divmod(bits, bands)
     widths = [base + (1 if i < rem else 0) for i in range(bands)]
@@ -643,7 +655,7 @@ def simhash_near_dup_pairs(
     )
     f1 = fp.select(F.col("_id").alias("id1"), F.col("_fp").alias("_fp1"))
     f2 = fp.select(F.col("_id").alias("id2"), F.col("_fp").alias("_fp2"))
-    return (
+    out = (
         cand.join(f1, "id1")
         .join(f2, "id2")
         .withColumn(
@@ -652,6 +664,7 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+    return attach_cached(out, [fp])
 
 
 def simhash_pairs_oracle_sql(
