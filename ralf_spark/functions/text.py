@@ -26,17 +26,42 @@ def tokens_sql(expr: str) -> str:
     return f"list_filter(string_split({expr}, ' '), t -> t <> '')"
 
 
+def _let_bound(value: Column, body) -> Column:
+    """Let-bind ``value`` so ``body`` receives it as a lambda VARIABLE —
+    evaluated exactly once per row — instead of an expression tree.
+
+    Higher-order lambdas are interpreted, and every reference to a column
+    EXPRESSION inside one re-evaluates that expression per element; a
+    per-gram lambda doing n ``element_at(tokens(text), ...)`` lookups
+    re-runs the whole split+filter pipeline n × grams times per document
+    (measured 25s → 1s on the 8-gram decontamination scan at sf0.1).
+    Materializing in a separate projection does NOT protect against this:
+    CollapseProject inlines single-reference projections and Generate
+    (explode) inputs ignore the multi-reference guard (BENCH_NOTES r3).
+    Wrapping the value in a one-element array and transforming over it
+    makes the binding part of the expression itself — robust under any
+    plan rewrite."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def word_shingles(tok: Column, n: int = 3) -> Column:
-    """Overlapping n-word shingles of a token array (empty if < n tokens)."""
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(tok) >= n, joined).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Overlapping n-word shingles of a token array (empty if < n tokens).
+    The input array is let-bound (see :func:`_let_bound`) so an arbitrary
+    token-pipeline expression is computed once per row, not once per
+    ``element_at``."""
+
+    def shingles_of(t: Column) -> Column:
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let_bound(tok, shingles_of)
 
 
 def word_shingles_sql(w: str = "w", n: int = 3) -> str:
@@ -66,14 +91,18 @@ def hashed_shingles(col: Column, n: int = 3) -> Column:
     mode trades cross-engine replayability for speed (``hash_fn="md5"``
     keeps the oracle-checked string pipeline).
     """
-    tok = tokens(col)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-        lambda i: F.xxhash64(*[F.element_at(tok, i + j) for j in range(n)]),
-    )
-    return F.when(F.size(tok) >= n, F.array_distinct(joined)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    def hashed_of(t: Column) -> Column:
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, F.array_distinct(joined)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return _let_bound(tokens(col), hashed_of)
 
 
 def distinct_shingles_sql(w: str = "w", n: int = 3) -> str:
