@@ -565,3 +565,26 @@ def test_simhash_near_dup_pairs_pigeonhole_recall_and_plan(spark):
     plan = explain_str(out, mode="extended")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shingle_expressions_let_bind_token_pipeline(spark):
+    """Regression canary for the r5 shingle blowup: the token pipeline
+    (split+filter) must appear EXACTLY ONCE in each shingle expression
+    tree. Without the let-binding, every element_at in the per-gram
+    lambda embeds its own copy (n copies for n-grams), and interpreted
+    evaluation re-runs the split per element - the 20.9s->3.4s
+    decontamination regression class (BENCH_NOTES r5)."""
+    from ralf_spark.functions.text import (
+        distinct_shingles,
+        hashed_shingles,
+        tokens,
+        word_shingles,
+    )
+
+    for expr in [
+        word_shingles(tokens(F.col("text")), 8),
+        distinct_shingles(F.col("text"), 8),
+        hashed_shingles(F.col("text"), 8),
+    ]:
+        s = str(expr)
+        assert s.count("split(text") == 1, s[:200]
