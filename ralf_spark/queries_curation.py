@@ -358,3 +358,198 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
         docs, bits=48, max_hamming=3
     ).orderBy("id1", "id2")
+
+
+def _curation_pipeline_oracle_sql(
+    q_min: float = 0.35,
+    jaccard_threshold: float = 0.5,
+    decon_n: int = 8,
+    eval_pct: int = 5,
+    cap: int = 10,
+    budget: int = 40_000,
+    num_perm: int = 16,
+    bands: int = 8,
+) -> str:
+    """One composed DuckDB replay of the ENTIRE curation pipeline — the
+    same stage chain the Spark query builds from the real operators."""
+    from ralf_spark.functions.hashing import HEX_CHARS, stable_hash64_sql
+    from ralf_spark.functions.text import (
+        distinct_shingles_sql,
+        tokens_sql,
+        word_shingles_sql,
+    )
+    from ralf_spark.operators.text_analysis import (
+        language_id_sql,
+        quality_score_sql,
+    )
+
+    rows_per_band = num_perm // bands
+    hash_expr = (
+        f"CAST(('0x' || substring(md5('mh{{p}}' || '|' || s), 1,"
+        f" {HEX_CHARS})) AS BIGINT)"
+    )
+    sig_items = ", ".join(
+        "list_min(list_transform(sh, s -> " + hash_expr.format(p=p) + "))"
+        for p in range(num_perm)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS _band, md5("
+        + " || ',' || ".join(
+            f"CAST(_sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS _key FROM sigs"
+        for b in range(bands)
+    )
+    jac = (
+        "len(list_intersect(s1.sh, s2.sh)) /"
+        " len(list_distinct(list_concat(s1.sh, s2.sh)))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, text, source, n_chars, {tokens_sql('text')} AS w
+      FROM documents
+    ),
+    st1 AS (SELECT * FROM toks WHERE {language_id_sql('w')} = 'en'),
+    st2 AS (
+      SELECT * FROM st1
+      WHERE round({quality_score_sql('w')}, 4) >= {q_min}
+    ),
+    st3 AS (
+      SELECT * FROM st2
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+    ),
+    sh3 AS (
+      SELECT doc_id, {distinct_shingles_sql('w', 3)} AS sh FROM st3
+    ),
+    sh3ne AS (SELECT * FROM sh3 WHERE len(sh) > 0),
+    sigs AS (SELECT doc_id, sh, [{sig_items}] AS _sig FROM sh3ne),
+    buckets AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM buckets a JOIN buckets b
+        ON a._band = b._band AND a._key = b._key AND a.doc_id < b.doc_id
+    ),
+    dup2 AS (
+      SELECT DISTINCT id2 FROM cand
+      JOIN sh3ne s1 ON id1 = s1.doc_id
+      JOIN sh3ne s2 ON id2 = s2.doc_id
+      WHERE {jac} >= {jaccard_threshold}
+    ),
+    st4 AS (
+      SELECT * FROM st3 WHERE doc_id NOT IN (SELECT id2 FROM dup2)
+    ),
+    evg AS (
+      SELECT DISTINCT unnest(list_distinct(
+        {word_shingles_sql('w', decon_n)})) AS g
+      FROM toks
+      WHERE {stable_hash64_sql('text', salt='decon')} % 100 < {eval_pct}
+    ),
+    contam AS (
+      SELECT DISTINCT t.doc_id FROM (
+        SELECT doc_id, unnest(list_distinct(
+          {word_shingles_sql('w', decon_n)})) AS g
+        FROM st4) t JOIN evg USING (g)
+    ),
+    st5 AS (
+      SELECT * FROM st4
+      WHERE {stable_hash64_sql('text', salt='decon')} % 100 >= {eval_pct}
+        AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    st6 AS (
+      SELECT * FROM st5
+      QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY n_chars DESC, doc_id) <= {cap}
+    ),
+    st7 AS (
+      SELECT * FROM st6
+      QUALIFY sum(n_chars) OVER (
+        ORDER BY n_chars DESC, doc_id
+        ROWS UNBOUNDED PRECEDING) <= {budget}
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM st7 GROUP BY source ORDER BY source
+    """
+
+
+@query("curation_pipeline_end2end", _curation_pipeline_oracle_sql())
+def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition gate: the full training-data curation build —
+    language filter -> quality filter -> exact dedup -> MinHash/LSH
+    near-dedup (drop the larger id of each verified pair; the keep-best
+    cluster policy is its own gated query) -> eval-split decontamination
+    (8-gram overlap) -> per-domain quota cap -> global char budget —
+    chained through the REAL operators, checked end to end against ONE
+    composed DuckDB replay. Isolated operator oracles cannot catch
+    stage-boundary bugs (a filter reordered across a dedup, a policy
+    applied to the wrong survivor set); this gate can. Output: per-source
+    survivor counts/chars/id-range of the final training set."""
+    from ralf_spark.functions.hashing import stable_hash64
+    from ralf_spark.functions.text import distinct_shingles
+    from ralf_spark.operators.dedup import exact_dedup, near_dup_pairs
+    from ralf_spark.operators.policies import (
+        budgeted_prefix_sample,
+        domain_quota_cap,
+    )
+    from ralf_spark.operators.text_analysis import (
+        language_id,
+        quality_score,
+    )
+    from ralf_spark.operators.util import attach_cached
+
+    df = _t(spark, sf_dir, "documents").df
+    st1 = df.where(language_id(F.col("text")) == "en")
+    st2 = st1.where(F.round(quality_score(F.col("text")), 4) >= 0.35)
+    t2 = FeatureTable(st2, key="doc_id")
+    keep = exact_dedup(t2, on=F.col("text")).df.select(
+        F.col("keep_id").alias("doc_id")
+    )
+    st3 = st2.join(keep, "doc_id", "left_semi")
+    t3 = FeatureTable(st3, key="doc_id")
+    pairs = near_dup_pairs(t3, num_perm=16, bands=8, threshold=0.5)
+    st4 = st3.join(
+        pairs.select(F.col("id2").alias("doc_id")).distinct(),
+        "doc_id", "left_anti",
+    )
+    is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < 5
+    ev_grams = (
+        df.where(is_eval)
+        .select(F.explode(distinct_shingles(F.col("text"), 8)).alias("g"))
+        .distinct()
+    )
+    contam = (
+        st4.select(
+            "doc_id", F.explode(distinct_shingles(F.col("text"), 8)).alias("g")
+        )
+        .join(ev_grams, "g")
+        .select("doc_id")
+        .distinct()
+    )
+    st5 = st4.where(~is_eval).join(contam, "doc_id", "left_anti")
+    st6 = (
+        domain_quota_cap(
+            FeatureTable(st5, key="doc_id"), "source", cap=10,
+            quality_col="n_chars",
+        )
+        .where("kept")
+        .drop("kept")
+    )
+    st7 = (
+        budgeted_prefix_sample(
+            FeatureTable(st6, key="doc_id"), "n_chars", 40_000
+        )
+        .where("kept")
+    )
+    out = (
+        st7.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+    return attach_cached(out, getattr(pairs, "_ralf_cached", []))
