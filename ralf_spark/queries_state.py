@@ -275,3 +275,130 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.select(
         "event_id", "user_id", "next_value", "next_event_id"
     ).orderBy("event_id")
+
+
+def _feature_pipeline_oracle_sql(
+    shed_rate_bp: int = 8000,
+    change_threshold: float = 5.0,
+    train_bp: int = 8000,
+    val_bp: int = 9000,
+) -> str:
+    """Composed DuckDB replay of the feature-store pipeline gate."""
+    from ralf_spark.functions.hashing import stable_hash64_sql
+
+    return f"""
+    WITH shed AS (
+      SELECT * FROM events
+      WHERE {stable_hash64_sql('event_id')} % 10000 < {shed_rate_bp}
+    ),
+    chg AS (
+      SELECT event_id, user_id, ts, value FROM (
+        SELECT *, lag(value) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM shed)
+      WHERE prev IS NULL OR abs(value - prev) >= {change_threshold}
+    ),
+    feat AS (
+      SELECT user_id, ts, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS feat_cnt,
+             sum(value) OVER w / count(*) OVER w AS feat_avg
+      FROM chg
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    lab AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    ex AS (
+      SELECT l.event_id, l.user_id, l.value, st.feat_cnt, st.feat_avg
+      FROM lab l
+      LEFT JOIN LATERAL (
+        SELECT f.feat_cnt, f.feat_avg FROM feat f
+        WHERE f.user_id = l.user_id
+          AND (f.ts < l.ts OR (f.ts = l.ts AND f.event_id <= l.event_id))
+        ORDER BY f.ts DESC, f.event_id DESC LIMIT 1
+      ) st ON true
+    ),
+    sp AS (
+      SELECT *,
+             CASE WHEN {stable_hash64_sql('user_id')} % 10000 < {train_bp}
+                    THEN 'train'
+                  WHEN {stable_hash64_sql('user_id')} % 10000 < {val_bp}
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ex
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_examples,
+           CAST(count(feat_cnt) AS BIGINT) AS n_with_features,
+           round(sum(COALESCE(feat_avg, 0)), 4) AS sum_feat_avg,
+           round(sum(value), 4) AS sum_label
+    FROM sp GROUP BY split ORDER BY split
+    """
+
+
+@query("feature_pipeline_end2end", _feature_pipeline_oracle_sql())
+def feature_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP feature-store composition gate — the reference's core use
+    case chained through the real operators: deterministic load shed (P3)
+    -> change-detection filter (P5, previous-row) -> cumulative per-key
+    features (running count/avg in arrival order) -> time-correct as-of
+    enrichment of purchase labels with their pre-purchase feature state
+    (J1b: each label sees features computed ONLY from events at or before
+    its own event time - the leakage-free training join) -> deterministic
+    train/val/test split. Checked end to end against one composed DuckDB
+    replay; per-split example counts, feature-coverage counts and sums
+    are the gated output. Stage-boundary semantics (does the shed apply
+    before feature accumulation? does the as-of see the label row's own
+    tick?) are exactly what isolated oracles cannot pin."""
+    from pyspark.sql import Window
+
+    from ralf_spark.operators.joins import asof_join
+    from ralf_spark.operators.policies import (
+        change_detection_filter,
+        dataset_split,
+        sampling_shed,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    shed = sampling_shed(ev, rate=0.8, on=F.col("event_id"))
+    chg = change_detection_filter(
+        shed, "value", threshold=5.0, semantics="previous_row"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    feat = FeatureTable(
+        chg.df.select(
+            "user_id", "ts", "event_id",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("feat_cnt"),
+            (F.sum("value").over(w) / F.count(F.lit(1)).over(w)).alias(
+                "feat_avg"
+            ),
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    lab = FeatureTable(
+        ev.df.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    ex = asof_join(lab, feat, right_payload=["feat_cnt", "feat_avg"])
+    sp = dataset_split(
+        ex, {"train": 0.8, "val": 0.1, "test": 0.1}, on="user_id"
+    )
+    return (
+        sp.df.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+            F.count("feat_cnt").cast("bigint").alias("n_with_features"),
+            F.round(F.sum(F.coalesce("feat_avg", F.lit(0.0))), 4).alias(
+                "sum_feat_avg"
+            ),
+            F.round(F.sum("value"), 4).alias("sum_label"),
+        )
+        .orderBy("split")
+    )
