@@ -2686,8 +2686,9 @@ from ralf_spark import (  # noqa: E402,F401
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
-    # keyed aggregation (SURVEY §2.4 A1/A2/A4)
-    "per_key_avg", "running_sum", "latest_per_key", "event_type_counts",
+    # keyed aggregation (SURVEY §2.4 A1/A2/A4; running_sum's cumulative
+    # window is driver-exercised inside feature_pipeline_end2end)
+    "per_key_avg", "latest_per_key", "event_type_counts",
     # windows: count (W1/W2), event-time, stream
     "tumbling_count_window", "sliding_count_window", "time_window_hourly",
     "streaming_tumbling_window",
@@ -2698,12 +2699,16 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "asof_join_latest_state", "one_shot_join",
     "interval_join_clicks_before_purchase",
     "point_in_time_training_join", "scd2_user_value_history",
-    # execution policies (§2.9 P3/P5)
-    "sampling_shed", "change_detection_last_emitted",
+    # execution policies (§2.9 P3/P5; the shed also runs inside the
+    # feature-pipeline gate)
+    "change_detection_last_emitted",
     # scalar JSON functions (§2.7)
     "json_props_extract",
     # state maintenance (S9: changelog apply over persisted state)
     "apply_changelog_state",
+    # END-TO-END COMPOSITION GATES: the full curation build and the full
+    # feature-store pipeline, each vs ONE composed oracle
+    "curation_pipeline_end2end", "feature_pipeline_end2end",
     # dedup family (§2.10 E1/E2) + decontamination + incremental index
     "exact_dedup", "near_dup_minhash", "dedup_clusters",
     "containment_pairs", "dedup_keep_best", "incremental_minhash_index",
