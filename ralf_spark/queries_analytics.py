@@ -439,3 +439,11 @@ def layout_partitioned_write_stats_q(
         )
         .orderBy("lang")
     )
+
+
+# Registry finalization: re-applies the driver-prefix ordering when THIS
+# module was the import entry point (circular-entry tolerance; no-op when
+# ralf_spark.queries was imported first and has already finalized).
+from ralf_spark.queries import finalize_registry as _finalize  # noqa: E402
+
+_finalize()

@@ -474,18 +474,23 @@ def _curation_pipeline_oracle_sql(
     """
 
 
-@query("curation_pipeline_end2end", _curation_pipeline_oracle_sql())
-def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP composition gate: the full training-data curation build —
-    language filter -> quality filter -> exact dedup -> MinHash/LSH
-    near-dedup (drop the larger id of each verified pair; the keep-best
-    cluster policy is its own gated query) -> eval-split decontamination
-    (8-gram overlap) -> per-domain quota cap -> global char budget —
-    chained through the REAL operators, checked end to end against ONE
-    composed DuckDB replay. Isolated operator oracles cannot catch
-    stage-boundary bugs (a filter reordered across a dedup, a policy
-    applied to the wrong survivor set); this gate can. Output: per-source
-    survivor counts/chars/id-range of the final training set."""
+def curation_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    q_min: float = 0.35,
+    jaccard_threshold: float = 0.5,
+    decon_n: int = 8,
+    eval_pct: int = 5,
+    cap: int = 10,
+    budget: int = 40_000,
+    num_perm: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """The parameterized curation build behind the composition gate; every
+    knob is shared verbatim with ``_curation_pipeline_oracle_sql`` and the
+    non-default-parameter parity test replays BOTH at alternate settings,
+    so a silently-ignored parameter (the ADVICE-r4 ``new_pred`` bug class)
+    fails a test instead of shipping a wrong oracle."""
     from ralf_spark.functions.hashing import stable_hash64
     from ralf_spark.functions.text import distinct_shingles
     from ralf_spark.operators.dedup import exact_dedup, near_dup_pairs
@@ -501,27 +506,32 @@ def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _t(spark, sf_dir, "documents").df
     st1 = df.where(language_id(F.col("text")) == "en")
-    st2 = st1.where(F.round(quality_score(F.col("text")), 4) >= 0.35)
+    st2 = st1.where(F.round(quality_score(F.col("text")), 4) >= q_min)
     t2 = FeatureTable(st2, key="doc_id")
     keep = exact_dedup(t2, on=F.col("text")).df.select(
         F.col("keep_id").alias("doc_id")
     )
     st3 = st2.join(keep, "doc_id", "left_semi")
     t3 = FeatureTable(st3, key="doc_id")
-    pairs = near_dup_pairs(t3, num_perm=16, bands=8, threshold=0.5)
+    pairs = near_dup_pairs(
+        t3, num_perm=num_perm, bands=bands, threshold=jaccard_threshold
+    )
     st4 = st3.join(
         pairs.select(F.col("id2").alias("doc_id")).distinct(),
         "doc_id", "left_anti",
     )
-    is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < 5
+    is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < eval_pct
     ev_grams = (
         df.where(is_eval)
-        .select(F.explode(distinct_shingles(F.col("text"), 8)).alias("g"))
+        .select(
+            F.explode(distinct_shingles(F.col("text"), decon_n)).alias("g")
+        )
         .distinct()
     )
     contam = (
         st4.select(
-            "doc_id", F.explode(distinct_shingles(F.col("text"), 8)).alias("g")
+            "doc_id",
+            F.explode(distinct_shingles(F.col("text"), decon_n)).alias("g"),
         )
         .join(ev_grams, "g")
         .select("doc_id")
@@ -530,7 +540,7 @@ def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     st5 = st4.where(~is_eval).join(contam, "doc_id", "left_anti")
     st6 = (
         domain_quota_cap(
-            FeatureTable(st5, key="doc_id"), "source", cap=10,
+            FeatureTable(st5, key="doc_id"), "source", cap=cap,
             quality_col="n_chars",
         )
         .where("kept")
@@ -538,7 +548,7 @@ def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st7 = (
         budgeted_prefix_sample(
-            FeatureTable(st6, key="doc_id"), "n_chars", 40_000
+            FeatureTable(st6, key="doc_id"), "n_chars", budget
         )
         .where("kept")
     )
@@ -553,3 +563,27 @@ def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return attach_cached(out, getattr(pairs, "_ralf_cached", []))
+
+
+@query("curation_pipeline_end2end", _curation_pipeline_oracle_sql())
+def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition gate: the full training-data curation build —
+    language filter -> quality filter -> exact dedup -> MinHash/LSH
+    near-dedup (drop the larger id of each verified pair; the keep-best
+    cluster policy is its own gated query) -> eval-split decontamination
+    (8-gram overlap) -> per-domain quota cap -> global char budget —
+    chained through the REAL operators (:func:`curation_pipeline`),
+    checked end to end against ONE composed DuckDB replay. Isolated
+    operator oracles cannot catch stage-boundary bugs (a filter reordered
+    across a dedup, a policy applied to the wrong survivor set); this
+    gate can. Output: per-source survivor counts/chars/id-range of the
+    final training set."""
+    return curation_pipeline(spark, sf_dir)
+
+
+# Registry finalization: re-applies the driver-prefix ordering when THIS
+# module was the import entry point (circular-entry tolerance; no-op when
+# ralf_spark.queries was imported first and has already finalized).
+from ralf_spark.queries import finalize_registry as _finalize  # noqa: E402
+
+_finalize()

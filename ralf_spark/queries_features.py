@@ -1077,3 +1077,11 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(_docs_par(spark, sf_dir))
     out = resize_images(docs, max_w=256, max_h=256, mode="stub")
     return out.df.orderBy("doc_id")
+
+
+# Registry finalization: re-applies the driver-prefix ordering when THIS
+# module was the import entry point (circular-entry tolerance; no-op when
+# ralf_spark.queries was imported first and has already finalized).
+from ralf_spark.queries import finalize_registry as _finalize  # noqa: E402
+
+_finalize()

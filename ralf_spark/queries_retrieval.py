@@ -360,3 +360,11 @@ def kmeans_fit_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sq_norm"
         ),
     ).orderBy("cid")
+
+
+# Registry finalization: re-applies the driver-prefix ordering when THIS
+# module was the import entry point (circular-entry tolerance; no-op when
+# ralf_spark.queries was imported first and has already finalized).
+from ralf_spark.queries import finalize_registry as _finalize  # noqa: E402
+
+_finalize()

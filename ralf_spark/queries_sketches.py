@@ -288,3 +288,11 @@ def cms_token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("tok")
     )
     return cms_heavy_hitters(toks, "tok")
+
+
+# Registry finalization: re-applies the driver-prefix ordering when THIS
+# module was the import entry point (circular-entry tolerance; no-op when
+# ralf_spark.queries was imported first and has already finalized).
+from ralf_spark.queries import finalize_registry as _finalize  # noqa: E402
+
+_finalize()

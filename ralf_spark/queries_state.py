@@ -337,20 +337,16 @@ def _feature_pipeline_oracle_sql(
     """
 
 
-@query("feature_pipeline_end2end", _feature_pipeline_oracle_sql())
-def feature_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP feature-store composition gate — the reference's core use
-    case chained through the real operators: deterministic load shed (P3)
-    -> change-detection filter (P5, previous-row) -> cumulative per-key
-    features (running count/avg in arrival order) -> time-correct as-of
-    enrichment of purchase labels with their pre-purchase feature state
-    (J1b: each label sees features computed ONLY from events at or before
-    its own event time - the leakage-free training join) -> deterministic
-    train/val/test split. Checked end to end against one composed DuckDB
-    replay; per-split example counts, feature-coverage counts and sums
-    are the gated output. Stage-boundary semantics (does the shed apply
-    before feature accumulation? does the as-of see the label row's own
-    tick?) are exactly what isolated oracles cannot pin."""
+def feature_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    shed_rate: float = 0.8,
+    change_threshold: float = 5.0,
+) -> DataFrame:
+    """The parameterized feature-store build behind the composition gate;
+    knobs are shared with ``_feature_pipeline_oracle_sql`` and the
+    non-default-parameter parity test replays both at alternate settings
+    (the ADVICE-r4 ignored-parameter bug class)."""
     from pyspark.sql import Window
 
     from ralf_spark.operators.joins import asof_join
@@ -361,9 +357,9 @@ def feature_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    shed = sampling_shed(ev, rate=0.8, on=F.col("event_id"))
+    shed = sampling_shed(ev, rate=shed_rate, on=F.col("event_id"))
     chg = change_detection_filter(
-        shed, "value", threshold=5.0, semantics="previous_row"
+        shed, "value", threshold=change_threshold, semantics="previous_row"
     )
     w = (
         Window.partitionBy("user_id")
@@ -402,3 +398,29 @@ def feature_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query("feature_pipeline_end2end", _feature_pipeline_oracle_sql())
+def feature_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP feature-store composition gate — the reference's core use
+    case chained through the real operators: deterministic load shed (P3)
+    -> change-detection filter (P5, previous-row) -> cumulative per-key
+    features (running count/avg in arrival order) -> time-correct as-of
+    enrichment of purchase labels with their pre-purchase feature state
+    (J1b: each label sees features computed ONLY from events at or before
+    its own event time - the leakage-free training join) -> deterministic
+    train/val/test split (:func:`feature_pipeline`). Checked end to end
+    against one composed DuckDB replay; per-split example counts,
+    feature-coverage counts and sums are the gated output. Stage-boundary
+    semantics (does the shed apply before feature accumulation? does the
+    as-of see the label row's own tick?) are exactly what isolated
+    oracles cannot pin."""
+    return feature_pipeline(spark, sf_dir)
+
+
+# Registry finalization: re-applies the driver-prefix ordering when THIS
+# module was the import entry point (circular-entry tolerance; no-op when
+# ralf_spark.queries was imported first and has already finalized).
+from ralf_spark.queries import finalize_registry as _finalize  # noqa: E402
+
+_finalize()

@@ -383,3 +383,47 @@ def test_dsir_bucket_join_is_broadcast(spark):
     )
     plan = explain_str(dsir_log_weights(t, F.col("source") == "x"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_oracles_honor_non_default_parameters(spark):
+    """The ADVICE-r4 ignored-parameter bug class, applied to the two
+    composition gates: rebuild BOTH pipelines at alternate knob settings
+    and replay the parameter-generated oracles in DuckDB - a knob that is
+    hardcoded on either side mismatches here."""
+    import duckdb
+
+    from ralf_spark.queries_curation import (
+        _curation_pipeline_oracle_sql,
+        curation_pipeline,
+    )
+    from ralf_spark.queries_state import (
+        _feature_pipeline_oracle_sql,
+        feature_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["documents", "events"]:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
+
+    cur = sorted(
+        map(tuple, curation_pipeline(
+            spark, sf, q_min=0.3, jaccard_threshold=0.6, decon_n=6,
+            eval_pct=10, cap=5, budget=20_000, num_perm=8, bands=4,
+        ).collect())
+    )
+    cur_o = sorted(map(tuple, con.sql(_curation_pipeline_oracle_sql(
+        q_min=0.3, jaccard_threshold=0.6, decon_n=6, eval_pct=10,
+        cap=5, budget=20_000, num_perm=8, bands=4,
+    )).fetchall()))
+    assert cur == cur_o and len(cur) > 0
+
+    feat = sorted(
+        map(tuple, feature_pipeline(
+            spark, sf, shed_rate=0.5, change_threshold=2.0
+        ).collect())
+    )
+    feat_o = sorted(map(tuple, con.sql(_feature_pipeline_oracle_sql(
+        shed_rate_bp=5000, change_threshold=2.0
+    )).fetchall()))
+    assert feat == feat_o and len(feat) == 3
