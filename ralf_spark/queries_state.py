@@ -424,3 +424,67 @@ def feature_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ralf_spark.queries import finalize_registry as _finalize  # noqa: E402
 
 _finalize()
+
+
+@query(
+    "streaming_change_detection",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT event_id, user_id, value, rn, value AS last_emitted,
+             true AS emitted
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_id, s.user_id, s.value, s.rn,
+             CASE WHEN abs(s.value - w.last_emitted) >= 10.0
+                  THEN s.value ELSE w.last_emitted END,
+             abs(s.value - w.last_emitted) >= 10.0
+      FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM walk WHERE emitted ORDER BY event_id
+    """,
+)
+def streaming_change_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 as a STREAM: the reference's last-emitted change-detection
+    policy enforced by a stateful streaming operator (one double of
+    GroupState per key), bounded availableNow replay — gated against the
+    same recursive-CTE oracle as the batch ``change_detection_last_
+    emitted``. A single-batch replay applies rows in event_id order,
+    which equals (ts, event_id) order on this data (the established
+    streaming-fixture invariant); the cross-batch state contract is
+    pinned by the multi-trigger parity test in tests/test_streaming.py."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_change_detection_filter,
+        write_memory,
+    )
+
+    stream = file_events(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema="event_id long, user_id long, value double",
+    )
+    out = streaming_change_detection_filter(
+        stream, threshold=10.0, order_cols=("event_id",)
+    )
+    name = "stream_p5_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    run_bounded(
+        write_memory(out, name),
+        checkpoint=_tf.mkdtemp(prefix="ck_p5_"),
+        shuffle_partitions=8,
+    )
+    return (
+        spark.table(name)
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )

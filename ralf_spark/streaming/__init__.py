@@ -27,6 +27,9 @@ from ralf_spark.streaming.sources import (
     kinesis_events,
     rate_events,
 )
+from ralf_spark.streaming.policies import (
+    streaming_change_detection_filter,
+)
 from ralf_spark.streaming.windows import (
     streaming_sliding_count_window,
     streaming_tumbling_count_window,
@@ -42,6 +45,7 @@ __all__ = [
     "kafka_events",
     "kinesis_events",
     "rate_events",
+    "streaming_change_detection_filter",
     "foreach_batch_index_add",
     "foreach_batch_kv_upsert",
     "foreach_batch_latest_upsert",

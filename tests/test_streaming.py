@@ -712,3 +712,56 @@ def test_msgpack_lite_roundtrip_property():
         assert unpackb(packb(obj)) == obj
 
     roundtrip()
+
+
+def test_streaming_change_detection_equals_batch_last_emitted(spark, tmp_path):
+    """The stateful streaming policy must reproduce the batch
+    last_emitted semantics across micro-batch boundaries: events arrive
+    in 3 event-time-ordered files replayed one per trigger, so the
+    last-emitted value for a key must survive in GroupState between
+    batches (a per-batch-only implementation emits extra rows)."""
+    from ralf_spark.operators.policies import change_detection_filter
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_change_detection_filter,
+        write_memory,
+    )
+    from ralf_spark.table import FeatureTable
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "ordered")
+    n = ev.count()
+    # 3 contiguous event-time chunks -> one file per trigger, in order
+    cut1, cut2 = n // 3, 2 * n // 3
+    ordered = ev.orderBy("ts", "event_id").collect()
+    for lo, hi in [(0, cut1), (cut1, cut2), (cut2, n)]:
+        spark.createDataFrame(ordered[lo:hi], ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_events(spark, src, max_files_per_trigger=1)
+    out = streaming_change_detection_filter(stream, threshold=10.0)
+    run_bounded(
+        write_memory(out, "chg_stream"),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=8,
+    )
+    got = {
+        (r.user_id, r.event_id, round(r.value, 4))
+        for r in spark.table("chg_stream").collect()
+    }
+    batch = change_detection_filter(
+        FeatureTable(
+            spark.read.parquet(src), key="user_id", ts="ts", seq="event_id"
+        ),
+        "value", threshold=10.0, semantics="last_emitted",
+    )
+    want = {
+        (r.user_id, r.event_id, round(r.value, 4))
+        for r in batch.df.collect()
+    }
+    assert got == want and len(got) > 0
+    # and strictly fewer rows than the input (the shed actually sheds)
+    assert len(got) < n
