@@ -488,3 +488,63 @@ def streaming_change_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round("value", 4).alias("value"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "streaming_ewma_state",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+           round(list_reduce(xs,
+                 (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 4)
+             AS ewma
+    FROM seq ORDER BY user_id
+    """,
+)
+def streaming_ewma_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental decayed features as a STREAM: bounded replay of the
+    events table through the seeded per-batch EWMA fold
+    (``foreach_batch_ewma_upsert`` — each micro-batch folds onto the
+    stored smoothed value, history never reprocessed), final state gated
+    against the same fold oracle as the batch ``ewma_per_user``. The
+    multi-batch seeding contract is pinned by the 3-trigger parity test
+    in tests/test_streaming.py."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.sources.fixtures import load_fixture
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_ewma_upsert,
+        run_bounded,
+    )
+
+    # replay with the REAL event-time column: write a normalized copy
+    # (load_fixture canonicalizes ts) and stream that
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    src = _tf.mkdtemp(prefix=f"ewma_src_{tag}_")
+    ev = load_fixture(spark, "events", sf_dir).df.select(
+        "event_id", "ts", "user_id", "value"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    state = _tf.mkdtemp(prefix=f"ewma_state_{tag}_") + "/state"
+    stream = file_events(
+        spark, src,
+        schema="event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    run_bounded(
+        foreach_batch_ewma_upsert(
+            stream, state, key="user_id", ts_col="ts", value_col="value",
+            alpha=0.2, tiebreak_col="event_id",
+        ),
+        checkpoint=_tf.mkdtemp(prefix=f"ck_ewma_{tag}_"),
+    )
+    return (
+        spark.read.parquet(state)
+        .select("user_id", "n_events", F.round("ewma", 4).alias("ewma"))
+        .orderBy("user_id")
+    )

@@ -8,6 +8,8 @@ computation); streaming uses the same FeatureTable semantics with bounded
 """
 
 from ralf_spark.streaming.sinks import (
+    ewma_upsert_batch,
+    foreach_batch_ewma_upsert,
     foreach_batch_index_add,
     foreach_batch_kv_upsert,
     foreach_batch_latest_upsert,
@@ -46,6 +48,8 @@ __all__ = [
     "kinesis_events",
     "rate_events",
     "streaming_change_detection_filter",
+    "ewma_upsert_batch",
+    "foreach_batch_ewma_upsert",
     "foreach_batch_index_add",
     "foreach_batch_kv_upsert",
     "foreach_batch_latest_upsert",

@@ -162,6 +162,109 @@ def moments_upsert_batch(path: str, key: str, value_col: str):
     return upsert
 
 
+def foreach_batch_ewma_upsert(
+    df: DataFrame,
+    path: str,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    tiebreak_col: str | None = None,
+) -> DataStreamWriter:
+    """Maintain a persisted per-key EWMA state table from a stream —
+    the decayed feature the reference's actors fold per record, per
+    micro-batch: each batch's per-key value sequence (event-time order)
+    folds onto the STORED smoothed value as its seed (``new_state =
+    alpha-fold(batch, seed=old_state)`` — EWMA is incremental by
+    construction, see ``operators.moments.ewma_per_key``), so history is
+    never reprocessed and state is one (n, ewma) row per key.
+
+    Like the moments sink, the fold is NOT idempotent under replay; a
+    checkpointed-batch-id marker skips re-applied batches. Batch
+    boundaries must respect event-time order per key (the per-key FIFO
+    contract shared by every stateful operator here)."""
+
+    return df.writeStream.foreachBatch(
+        ewma_upsert_batch(path, key, ts_col, value_col, alpha, tiebreak_col)
+    )
+
+
+def ewma_upsert_batch(
+    path: str,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    tiebreak_col: str | None = None,
+):
+    """The foreachBatch callback behind :func:`foreach_batch_ewma_upsert`,
+    exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+
+        from ralf_spark.connectors import _staged_overwrite, _try_read_parquet
+
+        marker = path.rstrip("/") + ".__last_batch__"
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return  # replayed batch — already folded in
+        spark = batch_df.sparkSession
+        order = [F.col(ts_col)]
+        if tiebreak_col is not None:
+            order.append(F.col(tiebreak_col))
+        entry = F.struct(*order, F.col(value_col).alias("_x"))
+        vals = F.transform(
+            F.array_sort(F.collect_list(entry)), lambda e: e["_x"]
+        )
+        summary = batch_df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("_bn"), vals.alias("_vals")
+        )
+        step = lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc  # noqa: E731
+        # fresh keys: the first value seeds the fold over the tail
+        # (s_1 = x_1); seen keys: the stored smoothed value seeds the
+        # fold over the WHOLE batch sequence
+        fresh_fold = F.aggregate(
+            F.slice(
+                "_vals", F.lit(2), F.greatest(F.size("_vals") - 1, F.lit(0))
+            ),
+            F.element_at("_vals", 1).cast("double"),
+            step,
+        )
+        seeded_fold = F.aggregate(
+            F.col("_vals"), F.col("ewma").cast("double"), step
+        )
+        current = _try_read_parquet(spark, path)
+        if current is None:
+            merged = summary.select(
+                F.col(key),
+                F.col("_bn").alias("n_events"),
+                fresh_fold.alias("ewma"),
+            )
+        else:
+            merged = (
+                current.join(summary, key, "full_outer")
+                .select(
+                    F.col(key),
+                    (
+                        F.coalesce(F.col("n_events"), F.lit(0))
+                        + F.coalesce(F.col("_bn"), F.lit(0))
+                    ).alias("n_events"),
+                    F.when(F.col("_vals").isNull(), F.col("ewma"))
+                    .when(F.col("ewma").isNull(), fresh_fold)
+                    .otherwise(seeded_fold)
+                    .alias("ewma"),
+                )
+            )
+        _staged_overwrite(spark, merged, path)
+        with open(marker, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+
+    return upsert
+
+
 def run_bounded(
     writer: DataStreamWriter,
     checkpoint: str | None = None,

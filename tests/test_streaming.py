@@ -765,3 +765,58 @@ def test_streaming_change_detection_equals_batch_last_emitted(spark, tmp_path):
     assert got == want and len(got) > 0
     # and strictly fewer rows than the input (the shed actually sheds)
     assert len(got) < n
+
+
+def test_streaming_ewma_state_equals_batch_fold(spark, tmp_path):
+    """The seeded per-batch EWMA fold must equal the one-shot batch fold
+    regardless of micro-batching (3 event-time-ordered chunks, one per
+    trigger), and a replayed batch id must be a no-op (the fold is not
+    idempotent - the marker guard is load-bearing)."""
+    from ralf_spark.operators.moments import ewma_per_key
+    from ralf_spark.streaming import (
+        ewma_upsert_batch,
+        file_events,
+        foreach_batch_ewma_upsert,
+        run_bounded,
+    )
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "ordered")
+    n = ev.count()
+    ordered = ev.orderBy("ts", "event_id").collect()
+    cut1, cut2 = n // 3, 2 * n // 3
+    for lo, hi in [(0, cut1), (cut1, cut2), (cut2, n)]:
+        spark.createDataFrame(ordered[lo:hi], ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state = str(tmp_path / "ewma_state")
+    stream = file_events(spark, src, max_files_per_trigger=1)
+    run_bounded(
+        foreach_batch_ewma_upsert(
+            stream, state, key="user_id", ts_col="ts", value_col="value",
+            alpha=0.2, tiebreak_col="event_id",
+        ),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.ewma, 6))
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.ewma, 6))
+        for r in ewma_per_key(
+            spark.read.parquet(src), "user_id", "ts", "value",
+            alpha=0.2, tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # replaying an already-applied batch id must not double-fold
+    cb = ewma_upsert_batch(state, "user_id", "ts", "value", 0.2, "event_id")
+    cb(spark.read.parquet(src), 0)  # batch_id 0 <= marker -> skipped
+    again = {
+        r.user_id: (r.n_events, round(r.ewma, 6))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == got
