@@ -133,6 +133,11 @@ def domain_quota_cap(
     broadcast hint — it is usually tiny and AQE will broadcast it, but at
     100 TB with millions of over-cap domains a forced hint would OOM
     instead of degrading to a shuffle join.
+
+    NULL domains form ONE group subject to the cap like any other —
+    ``groupBy`` and ``Window.partitionBy`` already group NULLs together,
+    and the over-cap semi/anti joins use null-safe equality (``<=>``) so
+    an over-quota NULL group is ranked, not silently kept (ADVICE r5).
     """
     idc = table.key
     if idc is None:
@@ -142,15 +147,16 @@ def domain_quota_cap(
         df.groupBy(domain_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > cap)
-        .select(domain_col)
+        .select(F.col(domain_col).alias("_over_dom"))
     )
-    under_rows = df.join(over, domain_col, "left_anti").withColumn(
+    cond = F.col(domain_col).eqNullSafe(F.col("_over_dom"))
+    under_rows = df.join(over, cond, "left_anti").withColumn(
         "kept", F.lit(True)
     )
     w = Window.partitionBy(domain_col).orderBy(
         F.col(quality_col).desc(), F.col(idc)
     )
-    over_rows = df.join(over, domain_col, "left_semi").withColumn(
+    over_rows = df.join(over, cond, "left_semi").withColumn(
         "kept", F.row_number().over(w) <= cap
     )
     return under_rows.unionByName(over_rows)
@@ -250,6 +256,13 @@ def change_detection_filter(
     - ``"previous_row"``: compare against the immediately preceding row,
       emitted or not — a cheaper pure-window variant (``lag`` over one
       sort), NOT the reference behavior: [0, 9, 18] emits only 0.
+
+    Zero-baseline convention for ``metric="rel"``: when the comparison
+    baseline is exactly 0.0 the ratio is undefined; the engine emits on
+    ANY change from zero (and sheds an exact repeat of zero). This is a
+    deliberate divergence from the reference, whose mean policy divides
+    unguarded and crashes the task
+    (``ralf/policies/load_shedding_policy.py:46``).
     """
     if table.key is None:
         raise ValueError("change_detection_filter requires a keyed table")
@@ -259,8 +272,13 @@ def change_detection_filter(
         v = F.col(value)
         w = Window.partitionBy(table.key).orderBy(*table.order_cols())
         prev = F.lag(v).over(w)
-        delta = F.abs(v - prev) if metric == "abs" else F.abs(v - prev) / F.abs(prev)
-        keep = prev.isNull() | (delta >= threshold)
+        if metric == "abs":
+            moved = F.abs(v - prev) >= threshold
+        else:  # rel — emit on any change from a zero baseline
+            moved = F.when(prev == 0, v != prev).otherwise(
+                F.abs(v - prev) / F.abs(prev) >= threshold
+            )
+        keep = prev.isNull() | moved
         return table._with(
             table.df.withColumn("_keep", keep).where("_keep").drop("_keep")
         )
@@ -280,6 +298,8 @@ def change_detection_filter(
                 emit = True
             elif metric == "abs":
                 emit = abs(v - last) >= threshold
+            elif last == 0.0:  # rel, zero baseline: emit on any change
+                emit = v != last
             else:
                 emit = abs(v - last) / abs(last) >= threshold
             if emit:
@@ -306,7 +326,9 @@ def change_detection_window(
 
     - ``metric="mean_rel"``: relative change of the window sum (the
       reference's "mean" policy sums the window and takes
-      ``|cand - curr| / |curr|``, ``:42-46``).
+      ``|cand - curr| / |curr|``, ``:42-46``). A zero last-emitted sum
+      emits on any change (the engine's zero-baseline convention — the
+      reference divides unguarded and crashes, ``:46``).
     - ``metric="cosine"``: cosine *distance* (1 - cos) between candidate
       and last-emitted window vectors.
     - ``metric="cosine_seasonal"``: the reference's actual cosine policy
@@ -336,7 +358,10 @@ def change_detection_window(
                 emit = True
             elif metric == "mean_rel":
                 cur = last.sum()
-                emit = abs(cand.sum() - cur) / abs(cur) >= threshold
+                if cur == 0.0:  # zero baseline: emit on any change
+                    emit = cand.sum() != cur
+                else:
+                    emit = abs(cand.sum() - cur) / abs(cur) >= threshold
             elif metric == "cosine":
                 denom = np.linalg.norm(cand) * np.linalg.norm(last)
                 cos = float(cand @ last) / denom if denom else 0.0

@@ -44,8 +44,12 @@ def streaming_change_detection_filter(
     reference semantics, streaming. Shed records never touch state.
 
     ``metric``: ``"abs"`` → ``|v - last|``; ``"rel"`` → ``|v - last| /
-    |last|`` (the reference mean-policy ratio). Output: (key, *order_cols,
-    value) of emitted rows, append mode.
+    |last|`` (the reference mean-policy ratio). A zero last-emitted
+    baseline emits on ANY change (and sheds an exact repeat of zero) —
+    the engine-wide zero-baseline convention, matching the batch
+    ``change_detection_filter``; the reference divides unguarded and
+    crashes (``ralf/policies/load_shedding_policy.py:46``). Output:
+    (key, *order_cols, value) of emitted rows, append mode.
     """
     if metric not in ("abs", "rel"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -67,6 +71,8 @@ def streaming_change_detection_filter(
                 emit = True
             elif metric == "abs":
                 emit = abs(v - last) >= threshold
+            elif last == 0.0:  # rel, zero baseline: emit on any change
+                emit = v != last
             else:
                 emit = abs(v - last) / abs(last) >= threshold
             if emit:

@@ -180,9 +180,16 @@ def foreach_batch_ewma_upsert(
     never reprocessed and state is one (n, ewma) row per key.
 
     Like the moments sink, the fold is NOT idempotent under replay; a
-    checkpointed-batch-id marker skips re-applied batches. Batch
-    boundaries must respect event-time order per key (the per-key FIFO
-    contract shared by every stateful operator here)."""
+    checkpointed-batch-id marker skips re-applied batches. The marker
+    carries the moments sink's caveat verbatim (ADVICE r5): it is a
+    driver-local file written AFTER a non-atomic state overwrite, so a
+    crash between the two double-folds the batch on replay, and for
+    non-local state paths (hdfs://, s3://) the ``os.path`` marker is
+    wrong — on a real cluster record the last-applied batch id inside
+    the state table itself or use a transactional table format's
+    (appId, version) txn API, which is exactly what the marker emulates.
+    Batch boundaries must respect event-time order per key (the per-key
+    FIFO contract shared by every stateful operator here)."""
 
     return df.writeStream.foreachBatch(
         ewma_upsert_batch(path, key, ts_col, value_col, alpha, tiebreak_col)

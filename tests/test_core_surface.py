@@ -353,3 +353,20 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     plain = build()
     assert not has_runtime_bloom_filter(plain)
     assert got == plain.collect()
+
+
+# ------------------------------------------------- registry ordering pin
+def test_driver_prefix_ordering_applied():
+    """The driver checks exactly the first 50 registry entries; a typo'd
+    or removed DRIVER_CHECKED_FIRST name makes finalize_registry silently
+    skip the reordering (its circular-entry tolerance), so pin the final
+    ordering here (ADVICE r5)."""
+    from ralf_spark.queries import DRIVER_CHECKED_FIRST
+
+    missing = [n for n in DRIVER_CHECKED_FIRST if n not in QUERIES]
+    assert missing == [], f"prefix names absent from registry: {missing}"
+    assert len(DRIVER_CHECKED_FIRST) == 50
+    assert list(QUERIES)[: len(DRIVER_CHECKED_FIRST)] == DRIVER_CHECKED_FIRST
+    # every driver-prefix entry must carry a DuckDB oracle (full hash gate)
+    no_oracle = [n for n in DRIVER_CHECKED_FIRST if QUERIES[n].oracle is None]
+    assert no_oracle == []

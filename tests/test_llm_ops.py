@@ -478,9 +478,10 @@ def test_kmeans_fit_matches_numpy_lloyd(spark):
 
 def test_ensure_parallelism_uses_plan_metadata(spark, tmp_path):
     """A small file-backed frame is repartitioned to the target; a frame
-    whose file count already reaches the target is returned UNCHANGED
-    (same plan object - proves no repartition and no RDD probe needed on
-    the at-scale path)."""
+    whose PACKED split estimate already reaches the target is returned
+    UNCHANGED (same plan object - proves no repartition and no RDD probe
+    needed on the at-scale path). Raw file count is NOT enough: Spark
+    packs small files into shared splits (ADVICE r5)."""
     from ralf_spark.operators.util import _parse_bytes, ensure_parallelism
 
     small = str(tmp_path / "one_file")
@@ -492,7 +493,21 @@ def test_ensure_parallelism_uses_plan_metadata(spark, tmp_path):
     many = str(tmp_path / "many_files")
     spark.range(100).repartition(8).write.parquet(many)
     df2 = spark.read.parquet(many)
-    assert ensure_parallelism(df2, min_partitions=8) is df2
+    # 8 tiny files pack into ~1 scan split at the default 128 MB
+    # maxPartitionBytes -> the size-aware estimate must repartition
+    # (the old raw-file-count shortcut wrongly skipped this)
+    assert ensure_parallelism(df2, min_partitions=8) is not df2
+    # zero-FS-call packing floor: when n_files * openCost alone covers
+    # target * maxPartitionBytes, the frame passes through untouched
+    prev_mb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "4m")
+    try:
+        assert ensure_parallelism(df2, min_partitions=8) is df2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
 
     # in-memory frames (no file lineage) still get parallelized
     local = spark.createDataFrame([(i,) for i in range(10)], "x long")

@@ -218,3 +218,93 @@ def test_budgeted_prefix_sample_matches_greedy_and_stays_partitioned(spark):
         # (over _bin_total) may be global
         if "cost#" in spec:
             assert "_bin#" in spec, spec
+
+
+def test_rel_zero_baseline_emits_on_any_change(spark):
+    """Zero-baseline convention (VERDICT r5 / ADVICE r5): a rel metric
+    with a 0.0 baseline emits on ANY change and sheds an exact repeat of
+    zero, in BOTH batch spellings — the reference divides unguarded and
+    crashes (load_shedding_policy.py:46)."""
+    # walk at rel threshold 0.5: 0 emit (first); 0 shed (repeat of zero);
+    # 5 emit (change from zero); 5 shed (0%); 0 emit (100%);
+    # 0 shed (repeat of zero); 7 emit (change from zero)
+    t = _seq(spark, [0, 0, 5, 5, 0, 0, 7])
+    le = change_detection_filter(
+        t, "value", 0.5, metric="rel", semantics="last_emitted"
+    )
+    assert sorted(r.seq for r in le.df.collect()) == [0, 2, 4, 6]
+    # previous_row baselines happen to coincide on this sequence
+    pr = change_detection_filter(
+        t, "value", 0.5, metric="rel", semantics="previous_row"
+    )
+    assert sorted(r.seq for r in pr.df.collect()) == [0, 2, 4, 6]
+
+
+def test_streaming_rel_zero_baseline_matches_batch(spark, tmp_path):
+    """The stateful streaming policy shares the zero-baseline convention
+    (emit on any change from 0.0) instead of raising ZeroDivisionError
+    inside the pandas scan (ADVICE r5)."""
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_change_detection_filter,
+        write_memory,
+    )
+
+    rows = [(i, 7, float(v)) for i, v in enumerate([0, 0, 5, 5, 0, 0, 7])]
+    src = str(tmp_path / "zero_src")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, value double"
+    ).coalesce(1).write.parquet(src)
+    stream = file_events(
+        spark, src, schema="event_id long, user_id long, value double"
+    )
+    out = streaming_change_detection_filter(
+        stream, threshold=0.5, metric="rel", order_cols=("event_id",)
+    )
+    run_bounded(
+        write_memory(out, "chg_zero_stream"),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=2,
+    )
+    got = sorted(r.event_id for r in spark.table("chg_zero_stream").collect())
+    assert got == [0, 2, 4, 6]
+
+
+def test_window_mean_rel_zero_baseline(spark):
+    # window sums [0, 0, 3]: 0 emits (first); repeat of zero sheds;
+    # any change from a zero baseline emits
+    rows = [
+        ("k", 0, [1.0, -1.0]),
+        ("k", 1, [2.0, -2.0]),
+        ("k", 2, [1.0, 2.0]),
+    ]
+    t = FeatureTable(
+        spark.createDataFrame(rows, "k string, wid long, vals array<double>"),
+        key="k",
+    )
+    out = change_detection_window(
+        t, window_col="vals", order_col="wid", threshold=0.3, metric="mean_rel"
+    )
+    assert sorted(r.wid for r in out.df.collect()) == [0, 2]
+
+
+def test_domain_quota_cap_null_domain_is_capped(spark):
+    """NULL domains form one cappable group (ADVICE r5): the null-safe
+    semi/anti joins must route an over-quota NULL group through the
+    ranking window instead of keeping it wholesale."""
+    from ralf_spark.operators.policies import domain_quota_cap
+
+    rows = [(i, None, float(10 - i)) for i in range(5)] + [
+        (10, "a", 1.0), (11, "a", 2.0)
+    ]
+    t = FeatureTable(
+        spark.createDataFrame(rows, "doc_id long, source string, q double"),
+        key="doc_id",
+    )
+    out = {r.doc_id: r.kept for r in
+           domain_quota_cap(t, "source", cap=2, quality_col="q").collect()}
+    assert len(out) == len(rows)
+    # NULL group over quota: top-2 by quality (docs 0, 1) survive
+    assert [i for i in range(5) if out[i]] == [0, 1]
+    assert out[10] and out[11]  # under-cap named domain untouched
