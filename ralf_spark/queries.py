@@ -2669,6 +2669,13 @@ def headline_queries() -> dict[str, Query]:
 # the incremental index, the persistent IVF index, the (newly hash-gated)
 # k-means fit loop, BM25/EWMA/funnel curation, changelog state (S9), and
 # partitioned storage layout (E8).
+# Round-6 rotation (VERDICT r5 #1/#8): in — the streaming end-to-end
+# composition gate, the S3 DataSource-plugin connector read, the S4 CSV
+# stream replay; out (still registered + sweep-gated, families keep a
+# driver representative) — distinct_event_types (A4/O1 via
+# event_type_counts + topk), similarity_topk_ivf (IVF via
+# ivf_index_query), embedding_centroid_per_label (F-arr via the E3
+# similarity family).
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
@@ -2679,7 +2686,9 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "tumbling_count_window", "sliding_count_window", "time_window_hourly",
     "streaming_tumbling_window",
     # analytic / order-based (§2.6)
-    "topk_users_by_value", "distinct_event_types",
+    "topk_users_by_value",
+    # sources as connectors (S3 DataSource plugin, S4 CSV stream replay)
+    "datasource_fake_events", "csv_stream_replay",
     # joins (§2.3 J1a/J1b/J1c + interval/point-in-time/SCD2)
     "enrichment_join", "semi_join_active_customers",
     "asof_join_latest_state", "one_shot_join",
@@ -2692,17 +2701,19 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "json_props_extract",
     # state maintenance (S9: changelog apply over persisted state)
     "apply_changelog_state",
-    # END-TO-END COMPOSITION GATES: the full curation build and the full
-    # feature-store pipeline, each vs ONE composed oracle
+    # END-TO-END COMPOSITION GATES: the full curation build, the full
+    # feature-store pipeline, and the chained streaming pipeline
+    # (source -> stateful window -> change policy -> EWMA state), each
+    # vs ONE composed oracle
     "curation_pipeline_end2end", "feature_pipeline_end2end",
+    "streaming_pipeline_end2end",
     # dedup family (§2.10 E1/E2) + decontamination + incremental index
     "exact_dedup", "near_dup_minhash", "dedup_clusters",
     "containment_pairs", "dedup_keep_best", "incremental_minhash_index",
     "decontaminate_against_eval",
     # similarity search (E3): one-shot, persistent index, quantizer fit
-    "similarity_topk_bruteforce", "similarity_topk_ivf", "ivf_index_query",
+    "similarity_topk_bruteforce", "ivf_index_query",
     "kmeans_fit_centroids", "embedding_near_dup_lsh",
-    "embedding_centroid_per_label",
     # text analysis + quality filtering (E4)
     "text_profile", "text_quality", "doc_fingerprint_simhash",
     "gopher_repetition",

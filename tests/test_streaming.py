@@ -820,3 +820,118 @@ def test_streaming_ewma_state_equals_batch_fold(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert again == got
+
+
+def test_streaming_pipeline_end2end_batching_invariant(spark, tmp_path):
+    """The chained streaming pipeline (source -> stateful tumbling count
+    window -> last-emitted change policy -> seeded EWMA state table) must
+    equal the batch composition of the same operators regardless of
+    micro-batch boundaries AT EITHER STAGE BOUNDARY (VERDICT r5 #1):
+    stage 1 (events source) and stage 2 (the durable window topic) each
+    replay as 1 chunk and as 3 event-order chunks, all four combinations
+    converging on the identical final state."""
+    import pyspark.sql.functions as F
+
+    from ralf_spark.operators.moments import ewma_per_key
+    from ralf_spark.operators.policies import change_detection_filter
+    from ralf_spark.operators.windows import tumbling_count_window
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_ewma_upsert,
+        run_bounded,
+        streaming_change_detection_filter,
+        streaming_tumbling_count_window,
+        write_parquet,
+    )
+    from ralf_spark.table import FeatureTable
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_id", "ts", "user_id", "value"
+    )
+    ordered = ev.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+
+    # ---- batch reference: same three operators composed in batch mode
+    wins = tumbling_count_window(
+        FeatureTable(ev, key="user_id", ts="ts", seq="event_id"),
+        size=5,
+        aggs=[F.sum("value").alias("w_sum")],
+    )
+    emitted = change_detection_filter(
+        FeatureTable(wins.df, key="user_id", seq="window_id"),
+        "w_sum", 120.0, semantics="last_emitted",
+    )
+    state = ewma_per_key(
+        emitted.df, "user_id", ts_col="window_id", value_col="w_sum",
+        alpha=0.2,
+    )
+    want = {
+        (r.user_id, r.n_events, round(r.ewma, 6)) for r in state.collect()
+    }
+    assert want and any(cnt > 1 for _, cnt, _ in want)
+
+    def chunks(rows, k):
+        cuts = [round(i * len(rows) / k) for i in range(k + 1)]
+        return [rows[cuts[i]: cuts[i + 1]] for i in range(k)]
+
+    for s1_chunks, s2_chunks in [(1, 1), (3, 1), (1, 3), (3, 3)]:
+        tag = f"{s1_chunks}_{s2_chunks}"
+        src = str(tmp_path / f"src_{tag}")
+        for part in chunks(ordered, s1_chunks):
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = file_events(
+            spark, src,
+            schema="event_id long, ts timestamp_ntz, user_id long,"
+                   " value double",
+            max_files_per_trigger=1 if s1_chunks > 1 else None,
+        )
+        win = streaming_tumbling_count_window(
+            stream, key_col="user_id", value_col="value",
+            order_col="event_id", size=5,
+        )
+        mid_raw = str(tmp_path / f"mid_raw_{tag}")
+        run_bounded(
+            write_parquet(win, mid_raw, str(tmp_path / f"ck_w_{tag}")),
+            shuffle_partitions=4,
+        )
+        # stage-2 topic replay: re-chunk the window rows in global
+        # window_id order (per-key order is preserved by any global sort
+        # on window_id) so the 3-chunk replay has controlled boundaries
+        topic_rows = (
+            spark.read.parquet(mid_raw).orderBy("window_id", "user_id")
+            .collect()
+        )
+        mid = str(tmp_path / f"mid_{tag}")
+        mid_schema = spark.read.parquet(mid_raw).schema
+        for part in chunks(topic_rows, s2_chunks):
+            spark.createDataFrame(part, mid_schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(mid)
+        topic = spark.readStream.schema(
+            "user_id long, window_id long, w_sum double, w_avg double"
+        ).option(
+            "maxFilesPerTrigger", "1" if s2_chunks > 1 else str(10**6)
+        ).parquet(mid)
+        pol = streaming_change_detection_filter(
+            topic, value_col="w_sum", key_col="user_id",
+            order_cols=("window_id",), threshold=120.0,
+        )
+        st = str(tmp_path / f"state_{tag}") + "/state"
+        run_bounded(
+            foreach_batch_ewma_upsert(
+                pol, st, key="user_id", ts_col="window_id",
+                value_col="w_sum", alpha=0.2,
+            ),
+            checkpoint=str(tmp_path / f"ck_p_{tag}"),
+            shuffle_partitions=4,
+        )
+        got = {
+            (r.user_id, r.n_events, round(r.ewma, 6))
+            for r in spark.read.parquet(st).collect()
+        }
+        assert got == want, f"split {tag} diverged"
+    # the policy stage must actually shed (not a pass-through chain)
+    assert sum(cnt for _, cnt, _ in want) < wins.df.count()
+    assert n > 0
