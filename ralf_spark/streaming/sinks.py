@@ -272,10 +272,24 @@ def ewma_upsert_batch(
     return upsert
 
 
+#: state-store provider aliases for ``run_bounded(state_store=...)``
+STATE_STORE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+}
+
+
 def run_bounded(
     writer: DataStreamWriter,
     checkpoint: str | None = None,
     shuffle_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> StreamingQuery:
     """Drain all currently-available input then stop — the deterministic
     bounded-run mode (the reference's ``StopIteration`` termination,
@@ -289,6 +303,16 @@ def run_bounded(
     queries *planned concurrently* in the same session would see it; a
     production job instead sizes the conf at submit for its real key
     cardinality.
+
+    ``state_store`` picks the state-store backend the same way:
+    ``"rocksdb"`` (off-heap, disk-spilling — the scale path: the default
+    HDFS-backed store keeps every key's state as JVM heap objects and
+    becomes the streaming scale limiter at real key cardinality) or
+    ``"hdfs"`` (the default in-heap provider), mirroring the reference's
+    pluggable state connectors (``ralf/v2/connector.py:7-38``). Like the
+    partition count, the provider is baked into the checkpoint at first
+    start — restarting an existing checkpoint with a different provider
+    is rejected by Spark, so pick it before first deploy.
     """
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
@@ -298,15 +322,29 @@ def run_bounded(
         q.awaitTermination()
         return q
 
-    if shuffle_partitions is None:
+    confs: dict[str, str] = {}
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if state_store is not None:
+        try:
+            provider = STATE_STORE_PROVIDERS[state_store]
+        except KeyError:
+            raise ValueError(
+                f"unknown state_store {state_store!r}; "
+                f"one of {sorted(STATE_STORE_PROVIDERS)}"
+            ) from None
+        confs["spark.sql.streaming.stateStore.providerClass"] = provider
+    if not confs:
         return _start()
     spark = SparkSession.getActiveSession()
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         return _start()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 def foreach_batch_index_add(
