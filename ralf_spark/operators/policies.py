@@ -226,6 +226,102 @@ def budgeted_prefix_sample(
     )
 
 
+def last_emitted_mask(vals, threshold: float, metric: str, last=None):
+    """Numpy-stepped last-emitted scan (VERDICT r5 #5): given a key's
+    value sequence, return ``(keep_mask, final_last_emitted)`` under the
+    reference's shed recurrence — emit iff the value moved >= threshold
+    vs the LAST EMITTED value (first value always emits; a shed value
+    never updates the baseline).
+
+    The recurrence is data-dependent (emission mutates the baseline), so
+    no closed-form vectorization exists; but between two emissions the
+    baseline is CONSTANT, so the next emission is "first index where
+    moved(v, last)" — a searchable predicate. The scan adapts to the
+    key's emission density: a 256-row scalar sample decides between (a)
+    a metric-specialized plain-float loop (dense emissions — numpy's
+    ~µs per-call overhead would dominate short gaps) and (b) galloping
+    vectorized windows (128, doubling to 64k) that jump shed runs in C
+    (sparse emissions — the shed operator's actual working regime).
+    Measured on a 2M-row hot key: ~3-10× at sparse/medium emission,
+    parity at dense (BENCH_NOTES r6). ``last=None`` starts fresh
+    (batch); streaming seeds it from GroupState and stores the returned
+    value. Zero-baseline convention: ``rel`` with last == 0.0 emits on
+    any change.
+    """
+    import numpy as np
+
+    vals = np.asarray(vals, dtype="float64")
+    n = len(vals)
+    # python-float list for the scalar paths (one C pass, beats boxed
+    # element access); materialized lazily — the sparse/gallop path only
+    # ever touches the first 256 + per-emission scalars
+    lst = vals[:257].tolist()
+    keep = [False] * n
+    i = 0
+    if last is None:
+        if n == 0:
+            return np.zeros(0, dtype=bool), None
+        keep[0] = True
+        last = lst[0]
+        i = 1
+
+    if metric == "abs":
+        def scan_range(lo, hi, base):
+            e = 0
+            for j in range(lo, hi):
+                if abs(lst[j] - base) >= threshold:
+                    keep[j] = True
+                    base = lst[j]
+                    e += 1
+            return base, e
+    else:
+        def scan_range(lo, hi, base):
+            e = 0
+            for j in range(lo, hi):
+                v = lst[j]
+                if (v != base if base == 0.0
+                        else abs(v - base) / abs(base) >= threshold):
+                    keep[j] = True
+                    base = v
+                    e += 1
+            return base, e
+
+    def gallop(start, base):
+        # vectorized "first index >= start where moved(v, base)"
+        j, step = start, 128
+        while j < n:
+            seg = vals[j:j + step]
+            if metric == "abs":
+                moved = np.abs(seg - base) >= threshold
+            elif base == 0.0:
+                moved = seg != base
+            else:
+                moved = np.abs(seg - base) / abs(base) >= threshold
+            idx = int(np.argmax(moved))
+            if moved[idx]:
+                return j + idx
+            j += len(seg)
+            step = min(step * 2, 1 << 16)
+        return -1
+
+    sample_hi = min(n, i + 256)
+    last, emits = scan_range(i, sample_hi, last)
+    if sample_hi < n:
+        if emits * 64 >= sample_hi - i:  # dense: stay scalar
+            lst = vals.tolist()
+            last, _ = scan_range(sample_hi, n, last)
+        else:  # sparse: jump shed runs vectorized
+            pos = sample_hi
+            while pos < n:
+                hit = gallop(pos, last)
+                if hit < 0:
+                    break
+                keep[hit] = True
+                last = float(vals[hit])
+                pos = hit + 1
+    return np.asarray(keep, dtype=bool), last
+
+
 def keep_latest(table: FeatureTable) -> FeatureTable:
     """Process-only-newer policy in batch = keep the latest record per key
     (``newer_processing_time``, ``load_shedding_policy.py:6-7``; enforcement
@@ -292,19 +388,9 @@ def change_detection_filter(
 
     def scan(pdf):
         pdf = pdf.sort_values(order, kind="mergesort")
-        keep, last = [], None
-        for v in pdf[value]:
-            if last is None:
-                emit = True
-            elif metric == "abs":
-                emit = abs(v - last) >= threshold
-            elif last == 0.0:  # rel, zero baseline: emit on any change
-                emit = v != last
-            else:
-                emit = abs(v - last) / abs(last) >= threshold
-            if emit:
-                last = v
-            keep.append(emit)
+        keep, _ = last_emitted_mask(
+            pdf[value].to_numpy(dtype="float64"), threshold, metric
+        )
         return pdf[keep]
 
     out = table.df.groupBy(table.key).applyInPandas(scan, schema)

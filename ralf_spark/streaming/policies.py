@@ -61,23 +61,17 @@ def streaming_change_detection_filter(
     def fn(key, pdfs, state):
         import pandas as pd
 
+        from ralf_spark.operators.policies import last_emitted_mask
+
         last = float(state.get[0]) if state.exists else None
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(order_cols, kind="mergesort")
-        keep = []
-        for v in rows[value_col]:
-            v = float(v)
-            if last is None:
-                emit = True
-            elif metric == "abs":
-                emit = abs(v - last) >= threshold
-            elif last == 0.0:  # rel, zero baseline: emit on any change
-                emit = v != last
-            else:
-                emit = abs(v - last) / abs(last) >= threshold
-            if emit:
-                last = v
-            keep.append(emit)
+        # numpy-stepped scan shared with the batch operator — identical
+        # recurrence, the stored baseline seeds it across micro-batches
+        keep, last = last_emitted_mask(
+            rows[value_col].to_numpy(dtype="float64"),
+            threshold, metric, last,
+        )
         if last is not None:
             state.update((last,))
         emitted = rows[keep]

@@ -58,6 +58,14 @@ BUDGETS = {
     # reads; exactly the bucket equi-join + pair-distinct shuffles,
     # never a corpus x batch join
     "incremental_minhash_index": (5, 2, 0),
+    # ----- the end-to-end composition gates (VERDICT r5 #4): the most
+    # regression-prone plans in the registry — 8 chained curation
+    # operators resp. the 4-stage feature pipeline. Ceilings pinned at
+    # the audited r6 values (12/24/0 and 2/4/0): a lost broadcast, an
+    # extra pipeline-stage shuffle, or Python leaking into the chain
+    # fails here before it ships as a composed-scan slowdown.
+    "curation_pipeline_end2end": (12, 24, 0),
+    "feature_pipeline_end2end": (2, 4, 0),
 }
 
 

@@ -287,3 +287,54 @@ def test_hll_matches_pure_python_replay(spark, values):
     if e <= 2.5 * m and v_empty > 0:
         e = float(m) * math.log(float(m) / v_empty)
     assert got == [round(e, 2)]
+
+
+# ------------------------------------------------- last-emitted shed scan
+def _ref_last_emitted(values, threshold, metric, last=None):
+    """Pure-Python replay of the reference's shed recurrence
+    (``ralf/policies/load_shedding_policy.py:41-49`` enforced at
+    ``ralf/operator.py:199-208``), with the engine's zero-baseline
+    convention for rel."""
+    keep = []
+    for v in values:
+        if last is None:
+            emit = True
+        elif metric == "abs":
+            emit = abs(v - last) >= threshold
+        elif last == 0.0:
+            emit = v != last
+        else:
+            emit = abs(v - last) / abs(last) >= threshold
+        if emit:
+            last = v
+        keep.append(emit)
+    return keep, last
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.floats(-50, 50).map(lambda x: round(x, 2)),
+            st.just(0.0),
+        ),
+        max_size=300,
+    ),
+    threshold=st.sampled_from([0.0, 0.5, 3.0, 10.0]),
+    metric=st.sampled_from(["abs", "rel"]),
+    seeded=st.booleans(),
+    seed=st.floats(-10, 10).map(lambda x: round(x, 2)),
+)
+@settings(max_examples=60, deadline=None)
+def test_last_emitted_mask_matches_reference_recurrence(
+    values, threshold, metric, seeded, seed
+):
+    """The galloping numpy scan (VERDICT r5 #5) must reproduce the
+    row-at-a-time recurrence exactly — including the seeded (streaming
+    GroupState) entry path and the zero-baseline rel convention."""
+    from ralf_spark.operators.policies import last_emitted_mask
+
+    last0 = seed if seeded else None
+    want_keep, want_last = _ref_last_emitted(values, threshold, metric, last0)
+    got_keep, got_last = last_emitted_mask(values, threshold, metric, last0)
+    assert list(got_keep) == want_keep
+    assert got_last == want_last
