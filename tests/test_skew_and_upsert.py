@@ -213,3 +213,88 @@ def test_delta_branch_requires_delta_or_merges(spark, tmp_path):
     upsert_into(path, b2, table_format="delta")
     got = {r.k: r.v for r in spark.read.format("delta").load(path).collect()}
     assert got == {1: 9.0, 2: 2.0}
+
+
+def test_delta_merge_statement_pinned_to_plan_spec(spark):
+    """Dry-run the delta branch against a recording DeltaTable stub
+    (VERDICT r5 #7 — the env has no delta-spark, so the statement has
+    never executed): every piece of the emitted MERGE must match the
+    contract-tested merge_upsert_plan spec — null-safe key equality,
+    merge_upsert_condition as the matched guard, update-all/insert-all
+    (full-row replace, the plan's per-column winner select), and a
+    latest-per-key pre-reduced source. Fails if the Delta call ever
+    drifts from the parquet-branch semantics."""
+    import sys
+    import types
+
+    from ralf_spark.connectors import merge_upsert_condition, upsert_into
+    from ralf_spark.table import FeatureTable
+
+    calls = {}
+
+    class _Merge:
+        def whenMatchedUpdateAll(self, condition=None):
+            calls["matched_condition"] = condition
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls["insert_all"] = True
+            return self
+
+        def execute(self):
+            calls["executed"] = True
+
+    class _Aliased:
+        def merge(self, src, cond):
+            calls["src_df"] = src
+            calls["merge_condition"] = cond
+            return _Merge()
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(spark_arg, path):
+            calls["is_delta_path"] = path
+            return True  # skip the create branch (needs the delta jar)
+
+        @staticmethod
+        def forPath(spark_arg, path):
+            calls["for_path"] = path
+            return types.SimpleNamespace(alias=lambda name: (
+                calls.__setitem__("target_alias", name) or _Aliased()
+            ))
+
+    delta_mod = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = FakeDeltaTable
+    delta_mod.tables = tables_mod
+    sys.modules["delta"] = delta_mod
+    sys.modules["delta.tables"] = tables_mod
+    try:
+        rows = [
+            ("a", 1, 1, 10.0), ("a", 2, 2, 20.0),  # a -> latest 20.0
+            ("b", 1, 3, 5.0),
+        ]
+        batch = FeatureTable(
+            spark.createDataFrame(
+                rows, "k string, ts long, seq long, value double"
+            ),
+            key="k", ts="ts", seq="seq",
+        )
+        upsert_into("/tmp/fake_delta_state", batch, table_format="delta")
+    finally:
+        del sys.modules["delta"], sys.modules["delta.tables"]
+
+    assert calls["executed"] and calls["insert_all"]
+    assert calls["is_delta_path"] == calls["for_path"] == "/tmp/fake_delta_state"
+    assert calls["target_alias"] == "t"
+    # ON clause: null-safe key equality, exactly the plan's join condition
+    assert calls["merge_condition"] == "t.k <=> s.k"
+    # WHEN MATCHED guard: the shared condition string (cannot drift by
+    # construction, but pin the order_cols wiring: ts then seq)
+    assert calls["matched_condition"] == merge_upsert_condition(["ts", "seq"])
+    # source is the latest-per-key reduction, aliased "s"
+    src = calls["src_df"]
+    got = {(r.k, r.value) for r in src.collect()}
+    assert got == {("a", 20.0), ("b", 5.0)}
+    plan = src._jdf.queryExecution().analyzed().toString()
+    assert "s" in plan.split("SubqueryAlias")[1][:10]
