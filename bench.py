@@ -35,7 +35,14 @@ def main() -> None:
     def drain(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    targets = QUERIES if bench_all else headline_queries()
+    # SPARK_GRAFT_BENCH_QUERIES=a,b,c runs a named subset (family
+    # profiles, e.g. the dedup family in both hash modes); BENCH_ALL=1
+    # runs everything; default: the frozen headline set.
+    named = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if named:
+        targets = {n: QUERIES[n] for n in named.split(",")}
+    else:
+        targets = QUERIES if bench_all else headline_queries()
     # Warm the JVM/readers once so per-query times measure the queries.
     drain(next(iter(targets.values())).fn(spark, sf_dir))
 
@@ -44,10 +51,11 @@ def main() -> None:
         t0 = time.perf_counter()
         drain(q.fn(spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 4)
-        if bench_all:
+        if bench_all or named:
             # some queries persist() intermediates (winnow pairs, LSH
-            # dedup); release between queries so a 99-query sweep in one
-            # session doesn't accumulate cached blocks
+            # dedup); release between queries so multi-query runs don't
+            # accumulate cached blocks or reuse a sibling query's
+            # matching persisted subtree (which would misattribute time)
             spark.catalog.clearCache()
     total = round(sum(times.values()), 4)
     print(

@@ -38,3 +38,21 @@ def stable_hash64_sql(expr: str, salt: str | None = None) -> str:
     if salt is not None:
         inner = f"'{salt}' || '|' || {inner}"
     return f"CAST(('0x' || substring(md5({inner}), 1, {HEX_CHARS})) AS BIGINT)"
+
+
+def default_hash_fn() -> str:
+    """Engine-wide content-hash mode for the dedup/fingerprint family:
+    ``"md5"`` (default — signatures replay bit-for-bit in the DuckDB
+    oracles) or ``"xxhash64"`` (production — ~3-5x cheaper at the hashing
+    stage, Spark-only). Operators whose ``hash_fn`` argument is left None
+    resolve it here, so a deployment flips the whole family with
+    ``SPARK_GRAFT_HASH_FN=xxhash64`` at submit time; the correctness
+    gates never set the variable and stay oracle-replayable."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_HASH_FN", "md5")
+    if mode not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"SPARK_GRAFT_HASH_FN={mode!r} (expected 'md5' or 'xxhash64')"
+        )
+    return mode

@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ralf_spark.functions.hashing import HEX_CHARS, stable_hash64
+from ralf_spark.functions.hashing import (
+    HEX_CHARS,
+    default_hash_fn,
+    stable_hash64,
+)
 from ralf_spark.functions.text import distinct_shingles, hashed_shingles
 from ralf_spark.operators.util import attach_cached, ensure_parallelism
 from ralf_spark.table import FeatureTable
@@ -70,7 +74,7 @@ def exact_dedup(
 
 def minhash_signature(
     text_col: Column, num_perm: int = 16, shingle_n: int = 3,
-    hash_fn: str = "md5",
+    hash_fn: str | None = None,
 ) -> Column:
     """MinHash signature: array of ``num_perm`` 64-bit min-hashes over the
     document's distinct word shingles.
@@ -86,7 +90,11 @@ def minhash_signature(
 
     Empty shingle sets (< shingle_n tokens) yield NULL signature entries;
     such docs never collide into LSH buckets.
+
+    ``hash_fn=None`` resolves the engine-wide mode
+    (``SPARK_GRAFT_HASH_FN``, see ``functions.hashing.default_hash_fn``).
     """
+    hash_fn = hash_fn or default_hash_fn()
     sh = distinct_shingles(text_col, shingle_n)
     return F.array(
         *[
@@ -160,7 +168,7 @@ def near_dup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    hash_fn: str = "md5",
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -180,6 +188,7 @@ def near_dup_pairs(
     After the caller's final action, release the persisted intermediates
     with :func:`ralf_spark.operators.util.unpersist_cached`.
     """
+    hash_fn = hash_fn or default_hash_fn()
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
@@ -518,7 +527,7 @@ def duplicated_spans(
     docs: FeatureTable,
     n: int = 10,
     text_col: str = "text",
-    hash_fn: str = "md5",
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span statistics — the Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better",
@@ -541,6 +550,7 @@ def duplicated_spans(
     """
     from ralf_spark.functions.text import tokens, word_shingles
 
+    hash_fn = hash_fn or default_hash_fn()
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     key = docs.key
@@ -575,6 +585,7 @@ def simhash_near_dup_pairs(
     bits: int = 48,
     max_hamming: int = 3,
     shingle_n: int = 3,
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup PAIRS via Hamming-pigeonhole banding — the
     web-crawl dedup of Manku, Jain & Das Sarma, "Detecting Near-Duplicates
@@ -619,7 +630,7 @@ def simhash_near_dup_pairs(
     fp = (
         simhash_fingerprints_agg(
             ids, id_col="_id", text_col="_text",
-            bits=bits, shingle_n=shingle_n,
+            bits=bits, shingle_n=shingle_n, hash_fn=hash_fn,
         )
         .select("_id", F.col("fp").alias("_fp"))
         .where(F.col("_fp") != 0)
@@ -931,7 +942,7 @@ class MinHashIndex:
         num_perm: int = 16,
         bands: int = 8,
         shingle_n: int = 3,
-        hash_fn: str = "md5",
+        hash_fn: str | None = None,
     ):
         if num_perm % bands:
             raise ValueError("num_perm must be divisible by bands")
@@ -940,7 +951,7 @@ class MinHashIndex:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
-        self.hash_fn = hash_fn
+        self.hash_fn = hash_fn or default_hash_fn()
 
     # ------------------------------------------------------------ internals
     def _project(self, table: FeatureTable, text_col: str):

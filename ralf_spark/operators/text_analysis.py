@@ -144,6 +144,7 @@ def simhash_fingerprints_agg(
     text_col: str = "text",
     bits: int = 48,
     shingle_n: int = 3,
+    hash_fn: str | None = None,
 ):
     """SimHash fingerprints as ONE codegen'd hash aggregate — the
     wide-fingerprint spelling.
@@ -162,13 +163,23 @@ def simhash_fingerprints_agg(
 
     Prefer ``add_simhash`` for narrow fingerprints on a scan-side path
     (no shuffle); prefer this for the wide fingerprints dedup needs.
+    ``hash_fn=None`` resolves the engine-wide mode (md5 = oracle-
+    replayable default; ``SPARK_GRAFT_HASH_FN=xxhash64`` = production —
+    fingerprints are NOT comparable between modes).
     """
+    from ralf_spark.functions.hashing import default_hash_fn
+
+    hash_fn = (hash_fn or default_hash_fn())
+    shingle_hash = (
+        (lambda s: F.xxhash64(s)) if hash_fn == "xxhash64"
+        else (lambda s: stable_hash64(s))
+    )
     hs = df.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 distinct_shingles(F.col(text_col), shingle_n),
-                lambda s: stable_hash64(s),
+                shingle_hash,
             )
         ).alias("_h"),
     )

@@ -603,3 +603,54 @@ def test_shingle_expressions_let_bind_token_pipeline(spark):
     ]:
         s = str(expr)
         assert s.count("split(text") == 1, s[:200]
+
+
+def test_hash_mode_env_default(spark, monkeypatch):
+    """SPARK_GRAFT_HASH_FN flips the whole dedup/fingerprint family to
+    production hashing without touching call sites: operators left at
+    hash_fn=None plan xxhash64 (and no md5) under the env var, md5
+    without it (the oracle-replayable default)."""
+    from ralf_spark.functions.hashing import default_hash_fn
+    from ralf_spark.operators.dedup import (
+        duplicated_spans,
+        minhash_signature,
+        simhash_near_dup_pairs,
+    )
+    from ralf_spark.plans.explain import explain_str
+    from ralf_spark.table import FeatureTable
+
+    docs = FeatureTable(
+        spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+        ),
+        key="doc_id",
+    )
+
+    def modes(df):
+        plan = explain_str(df)
+        return "xxhash64" in plan, "md5(" in plan
+
+    assert default_hash_fn() == "md5"
+    sig = docs.df.select(minhash_signature(F.col("text"), num_perm=2))
+    has_xx, has_md5 = modes(sig)
+    assert has_md5 and not has_xx
+
+    monkeypatch.setenv("SPARK_GRAFT_HASH_FN", "xxhash64")
+    assert default_hash_fn() == "xxhash64"
+    sig = docs.df.select(minhash_signature(F.col("text"), num_perm=2))
+    has_xx, has_md5 = modes(sig)
+    assert has_xx and not has_md5
+    has_xx, has_md5 = modes(duplicated_spans(docs, n=2))
+    assert has_xx and not has_md5
+    has_xx, has_md5 = modes(simhash_near_dup_pairs(docs, bits=8))
+    assert has_xx and not has_md5
+    # results still well-formed in production mode (values differ from
+    # md5 mode by design; the shed/verify semantics don't)
+    rows = duplicated_spans(docs, n=4).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+
+    monkeypatch.setenv("SPARK_GRAFT_HASH_FN", "blake3")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_HASH_FN"):
+        default_hash_fn()
