@@ -40,11 +40,22 @@ def main() -> None:
     # runs everything; default: the frozen headline set.
     named = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if named:
-        targets = {n: QUERIES[n] for n in named.split(",")}
+        names = [n.strip() for n in named.split(",") if n.strip()]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES: unknown queries {unknown}"
+            )
+        targets = {n: QUERIES[n] for n in names}
     else:
         targets = QUERIES if bench_all else headline_queries()
     # Warm the JVM/readers once so per-query times measure the queries.
     drain(next(iter(targets.values())).fn(spark, sf_dir))
+    if bench_all or named:
+        # the warm-up may have persist()ed intermediates whose logical
+        # plan matches the first TIMED run of the same query — drop them
+        # so its recorded time includes its dominant stages
+        spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     for name, q in targets.items():

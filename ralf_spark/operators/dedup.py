@@ -1044,6 +1044,40 @@ class MinHashIndex:
         return F.round(agree / F.lit(float(num_perm)), 4)
 
     # ------------------------------------------------------------- lifecycle
+    def _check_or_write_meta(self, spark) -> None:
+        """Pin the index's hashing configuration next to its data.
+
+        Signatures hashed under a different mode/shape produce ZERO
+        bucket collisions against the stored ones — a silent empty-pairs
+        failure, newly reachable since ``hash_fn=None`` resolves the
+        ambient ``SPARK_GRAFT_HASH_FN`` (a handle opened under a flipped
+        env var would otherwise disagree with the store without any
+        error). First writer records (hash_fn, num_perm, bands,
+        shingle_n) in ``_meta/``; every later open validates and raises
+        on mismatch instead of returning empty joins."""
+        from ralf_spark.connectors import _hadoop_fs
+
+        meta_path = f"{self.path}/_meta"
+        fs, jmeta = _hadoop_fs(spark, meta_path)
+        mine = (self.hash_fn, self.num_perm, self.bands, self.shingle_n)
+        if fs.exists(jmeta):
+            row = spark.read.parquet(meta_path).collect()[0]
+            stored = (row.hash_fn, row.num_perm, row.bands, row.shingle_n)
+            if stored != mine:
+                raise ValueError(
+                    f"MinHashIndex at {self.path} stores (hash_fn, "
+                    f"num_perm, bands, shingle_n)={stored} but this handle "
+                    f"has {mine}; mixing hashing configs silently yields "
+                    "zero cross-batch collisions. Match the stored config "
+                    "(hash_fn=None resolves SPARK_GRAFT_HASH_FN) or "
+                    "rebuild the index."
+                )
+            return
+        spark.createDataFrame(
+            [mine],
+            "hash_fn string, num_perm int, bands int, shingle_n int",
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
     def build(self, table: FeatureTable, text_col: str = "text") -> None:
         """Full (re)build: index every document of ``table``."""
         from ralf_spark.connectors import _hadoop_fs
@@ -1054,6 +1088,7 @@ class MinHashIndex:
         fs, jpath = _hadoop_fs(spark, self.path)
         if fs.exists(jpath):
             fs.delete(jpath, True)
+        self._check_or_write_meta(spark)
         self._write(sigs, "sigs", "base")
         self._write(buckets, "buckets", "base")
 
@@ -1075,6 +1110,7 @@ class MinHashIndex:
         import uuid
 
         spark = table.df.sparkSession
+        self._check_or_write_meta(spark)
         tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
         new_sigs, new_buckets = self._project(table, text_col)
         new_sigs = new_sigs.persist()

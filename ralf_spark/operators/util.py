@@ -39,8 +39,9 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     stats in the at-scale case: every file contributes at least
     ``openCostInBytes`` of packing cost, so ``n_files * openCost >=
     target * maxPartitionBytes`` proves enough splits with ZERO
-    filesystem calls; otherwise driver-side file stats run exactly when
-    the input is a handful of files. Spark's true split size can be
+    filesystem calls; otherwise driver-side file stats run, capped at 64
+    calls with mean-size extrapolation for larger lists. Spark's true
+    split size can be
     smaller than ``maxPartitionBytes`` (it shrinks toward
     totalBytes/defaultParallelism), so this estimate is a lower bound on
     actual scan partitions — it may repartition a borderline input, never
@@ -63,15 +64,24 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         budget = target * max_bytes
         if len(files) * open_cost >= budget:
             return df  # packing floor alone reaches the target
+        # Bound the driver-side FS round-trips: stat at most 64 files and
+        # extrapolate the rest at the sample's mean size. Beyond the
+        # packing floor a large file LIST can only be here when files are
+        # small relative to maxPartitionBytes, where the mean is a fine
+        # estimator — and the failure mode is one avoidable repartition
+        # on a local small-file layout, never a missed one at scale.
         jvm = spark._jvm  # type: ignore[attr-defined]
         hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        sample = files[:64]
         total = 0
-        for f in files:
+        for f in sample:
             jpath = jvm.org.apache.hadoop.fs.Path(f)
             size = jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
             total += size + open_cost
             if total >= budget:
                 return df
+        if len(files) > len(sample):
+            total = int(total * len(files) / len(sample))
         if math.ceil(total / max_bytes) >= target:
             return df
         return df.repartition(target)

@@ -1533,15 +1533,23 @@ def change_detection_last_emitted_q(spark: SparkSession, sf_dir: str) -> DataFra
       FROM wins
     ),
     walk AS (
+      -- zero-baseline convention matches the engine: a 0.0 last-emitted
+      -- sum emits on ANY change (unguarded division would yield NaN,
+      -- which DuckDB compares as greater than everything)
       SELECT user_id, window_id, w_sum, rn, w_sum AS last_emitted,
              true AS emitted
       FROM seq WHERE rn = 1
       UNION ALL
       SELECT s.user_id, s.window_id, s.w_sum, s.rn,
-             CASE WHEN abs(s.w_sum - w.last_emitted) / abs(w.last_emitted)
-                       >= 0.2
+             CASE WHEN (CASE WHEN w.last_emitted = 0
+                             THEN s.w_sum <> w.last_emitted
+                             ELSE abs(s.w_sum - w.last_emitted)
+                                  / abs(w.last_emitted) >= 0.2 END)
                   THEN s.w_sum ELSE w.last_emitted END,
-             abs(s.w_sum - w.last_emitted) / abs(w.last_emitted) >= 0.2
+             CASE WHEN w.last_emitted = 0
+                  THEN s.w_sum <> w.last_emitted
+                  ELSE abs(s.w_sum - w.last_emitted)
+                       / abs(w.last_emitted) >= 0.2 END
       FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
     )
     SELECT user_id, window_id, round(w_sum, 4) AS w_sum

@@ -689,10 +689,14 @@ def datasource_fake_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ralf_spark.sources.datasource import FakeEventsDataSource
 
     spark.dataSource.register(FakeEventsDataSource)
-    # a reader implementing pushFilters() refuses to even initialize
-    # unless Python-source filter pushdown is on; the engine session
-    # (session.py) sets this globally, but the driver runs a vanilla
-    # session, so the query sets the runtime conf itself
+    # A reader implementing pushFilters() refuses to even initialize
+    # unless Python-source filter pushdown is on — and the check runs
+    # LAZILY at first execution, so a set-and-restore around plan build
+    # breaks the caller's later collect (verified). The engine session
+    # (session.py) sets this conf globally as its normal regime — every
+    # gate and test runs under it — so in a vanilla driver session the
+    # query sets it session-wide to match the engine's documented
+    # defaults rather than introduce a novel planning regime.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = (
         spark.read.format("fake_events")

@@ -654,3 +654,27 @@ def test_hash_mode_env_default(spark, monkeypatch):
 
     with _pytest.raises(ValueError, match="SPARK_GRAFT_HASH_FN"):
         default_hash_fn()
+
+
+def test_minhash_index_pins_hash_config(spark, tmp_path, monkeypatch):
+    """The persisted index records its hashing config; a handle whose
+    resolved config disagrees (e.g. SPARK_GRAFT_HASH_FN flipped between
+    crawl rounds) must raise instead of silently joining md5 band keys
+    against xxhash64 ones (zero collisions = empty pairs)."""
+    from ralf_spark.operators.dedup import MinHashIndex
+
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e g")])
+    path = str(tmp_path / "idx")
+    MinHashIndex(path, num_perm=4, bands=2).build(docs)
+    # same config reopens and folds fine
+    more = _docs(spark, [(3, "a b c d e h")])
+    pairs = MinHashIndex(path, num_perm=4, bands=2).add(more, threshold=0.0)
+    assert pairs.count() > 0
+    # flipped env default -> resolved hash_fn differs -> hard error
+    monkeypatch.setenv("SPARK_GRAFT_HASH_FN", "xxhash64")
+    with pytest.raises(ValueError, match="hashing config"):
+        MinHashIndex(path, num_perm=4, bands=2).add(more)
+    monkeypatch.delenv("SPARK_GRAFT_HASH_FN")
+    # different banding shape also rejected
+    with pytest.raises(ValueError, match="hashing config"):
+        MinHashIndex(path, num_perm=8, bands=4).add(more)
