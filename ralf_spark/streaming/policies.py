@@ -12,12 +12,14 @@ value lives in fault-tolerant ``GroupState`` instead of actor memory, so
 the policy holds across micro-batches and restarts.
 
 State is one double per key — far below state-store pressure at any key
-cardinality; use the RocksDB state store at scale. Within a micro-batch,
-rows are applied in ``order_cols`` order; across batches, in arrival
-order — the same per-key FIFO contract as the reference and the other
-stateful operators (``streaming/windows.py``). A replay whose batch
-boundaries respect event order is therefore batching-invariant with the
-batch operator (asserted in tests).
+cardinality; use the RocksDB state store at scale, and ``idle_ttl``
+to bound state by ACTIVE keys when the key domain itself is unbounded
+(session ids, request ids). Within a micro-batch, rows are applied in
+``order_cols`` order; across batches, in arrival order — the same per-key
+FIFO contract as the reference and the other stateful operators
+(``streaming/windows.py``). A replay whose batch boundaries respect event
+order is therefore batching-invariant with the batch operator (asserted
+in tests).
 """
 
 from __future__ import annotations
@@ -31,6 +33,53 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 CHANGE_STATE_SCHEMA = "last double"
 
 
+def make_change_detection_fn(
+    value_col: str,
+    threshold: float,
+    order_cols: Sequence[str],
+    metric: str,
+    out_fields: Sequence[str],
+    idle_ttl_ms: int | None = None,
+):
+    """The ``applyInPandasWithState`` callback behind
+    :func:`streaming_change_detection_filter`, exposed module-level so the
+    timeout branch is deterministically unit-testable (a real
+    processing-time timeout needs wall-clock across triggers)."""
+    order_cols = list(order_cols)
+    out_fields = list(out_fields)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        from ralf_spark.operators.policies import last_emitted_mask
+
+        if state.hasTimedOut:
+            # idle-key eviction: drop the baseline; the key's NEXT update
+            # re-enters as a first update (emits). Nothing to output.
+            state.remove()
+            return
+        last = float(state.get[0]) if state.exists else None
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(order_cols, kind="mergesort")
+        # numpy-stepped scan shared with the batch operator — identical
+        # recurrence, the stored baseline seeds it across micro-batches
+        keep, last = last_emitted_mask(
+            rows[value_col].to_numpy(dtype="float64"),
+            threshold, metric, last,
+        )
+        if last is not None:
+            state.update((last,))
+            if idle_ttl_ms is not None:
+                # rearmed on every batch that touches the key, so only
+                # keys idle for a full TTL get evicted
+                state.setTimeoutDuration(idle_ttl_ms)
+        emitted = rows[keep]
+        if len(emitted):
+            yield emitted[out_fields]
+
+    return fn
+
+
 def streaming_change_detection_filter(
     stream: DataFrame,
     value_col: str = "value",
@@ -38,6 +87,7 @@ def streaming_change_detection_filter(
     key_col: str = "user_id",
     order_cols: Sequence[str] = ("ts", "event_id"),
     metric: str = "abs",
+    idle_ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Emit a key's update only when it moved >= ``threshold`` vs the last
     value EMITTED for that key (first update always emits) — the faithful
@@ -50,34 +100,40 @@ def streaming_change_detection_filter(
     ``change_detection_filter``; the reference divides unguarded and
     crashes (``ralf/policies/load_shedding_policy.py:46``). Output:
     (key, *order_cols, value) of emitted rows, append mode.
+
+    ``idle_ttl_minutes`` bounds state by ACTIVE keys — the unbounded-
+    key-domain deployment (session/request ids): a key untouched for a
+    full TTL has its baseline evicted via processing-time timeout, and
+    its next update re-enters as a first update (emits). This trades a
+    bounded state store for one extra emission per key per idle gap —
+    the same approximation every TTL'd cache makes; leave None for
+    bounded key domains (the default keeps exact reference semantics
+    forever). Timeouts are processing-time (eviction is an operational
+    concern, not an event-time one) and re-arm on every batch that
+    touches the key.
+
+    CONTINUOUS-TRIGGER ONLY: with ``trigger(availableNow=True)`` a
+    registered processing-time timer keeps the run scheduling timer-check
+    micro-batches instead of terminating (observed on Spark 4.1) — so
+    bounded replays must leave this None; eviction is meaningless in a
+    drain-and-stop run anyway (state dies with the query).
     """
     if metric not in ("abs", "rel"):
         raise ValueError(f"unknown metric {metric!r}")
+    if idle_ttl_minutes is not None and idle_ttl_minutes <= 0:
+        raise ValueError("idle_ttl_minutes must be positive")
     order_cols = list(order_cols)
     out_fields = [key_col, *order_cols, value_col]
     in_schema = {f.name: f.dataType.simpleString() for f in stream.schema}
     out_schema = ", ".join(f"{c} {in_schema[c]}" for c in out_fields)
-
-    def fn(key, pdfs, state):
-        import pandas as pd
-
-        from ralf_spark.operators.policies import last_emitted_mask
-
-        last = float(state.get[0]) if state.exists else None
-        rows = pd.concat(list(pdfs))
-        rows = rows.sort_values(order_cols, kind="mergesort")
-        # numpy-stepped scan shared with the batch operator — identical
-        # recurrence, the stored baseline seeds it across micro-batches
-        keep, last = last_emitted_mask(
-            rows[value_col].to_numpy(dtype="float64"),
-            threshold, metric, last,
-        )
-        if last is not None:
-            state.update((last,))
-        emitted = rows[keep]
-        if len(emitted):
-            yield emitted[out_fields]
-
+    ttl_ms = (
+        int(idle_ttl_minutes * 60_000)
+        if idle_ttl_minutes is not None
+        else None
+    )
+    fn = make_change_detection_fn(
+        value_col, threshold, order_cols, metric, out_fields, ttl_ms
+    )
     return (
         stream.select(*out_fields)
         .groupBy(key_col)
@@ -86,6 +142,8 @@ def streaming_change_detection_filter(
             out_schema,
             CHANGE_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout,
         )
     )

@@ -1007,3 +1007,100 @@ def test_run_bounded_rejects_unknown_state_store(spark):
 
     with pytest.raises(ValueError, match="unknown state_store"):
         run_bounded(None, state_store="lmdb")
+
+
+def test_change_detection_idle_ttl_contract(spark, tmp_path):
+    """idle_ttl state eviction (r6): the timeout branch removes state and
+    emits nothing; a live batch re-arms the TTL (deterministic direct
+    invocation of the module-level callback — the branch a wall-clock
+    test cannot pin reliably); and in a CONTINUOUS-trigger run an idle
+    key's baseline is actually evicted, so its next nearby value
+    re-emits as a first update instead of being shed."""
+    import time
+
+    import pandas as pd
+
+    from ralf_spark.streaming import (
+        file_events,
+        streaming_change_detection_filter,
+        write_memory,
+    )
+    from ralf_spark.streaming.policies import make_change_detection_fn
+
+    class FakeState:
+        def __init__(self, timed_out=False, value=None):
+            self.hasTimedOut = timed_out
+            self.exists = value is not None
+            self.get = (value,) if value is not None else None
+            self.calls = []
+
+        def remove(self):
+            self.calls.append(("remove",))
+
+        def update(self, v):
+            self.calls.append(("update", v))
+            self.get, self.exists = tuple(v), True
+
+        def setTimeoutDuration(self, ms):
+            self.calls.append(("timeout", ms))
+
+    fn = make_change_detection_fn(
+        "value", 10.0, ["event_id"], "abs",
+        ["user_id", "event_id", "value"], idle_ttl_ms=60_000,
+    )
+    # timeout invocation: state removed, nothing yielded
+    st = FakeState(timed_out=True, value=5.0)
+    assert list(fn((7,), iter([]), st)) == []
+    assert st.calls == [("remove",)]
+    # live batch: baseline updated AND ttl re-armed
+    st = FakeState(value=0.0)
+    batch = pd.DataFrame(
+        {"user_id": [7, 7], "event_id": [1, 2], "value": [3.0, 50.0]}
+    )
+    out = pd.concat(list(fn((7,), iter([batch]), st)))
+    assert list(out.event_id) == [2]  # 3.0 shed vs 0.0; 50.0 emits
+    assert st.calls == [("update", (50.0,)), ("timeout", 60000)]
+
+    # continuous-trigger eviction: key 1 emits 100.0; after the 2s TTL
+    # its state is evicted, so the later 101.0 (|delta| < threshold)
+    # re-emits as a first update. Without eviction it would be shed.
+    src_dir = tmp_path / "ttl_src"
+    src_dir.mkdir()
+    schema = "event_id long, user_id long, value double"
+    spark.createDataFrame([(1, 1, 100.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir))
+    stream = file_events(spark, str(src_dir), schema=schema)
+    out_df = streaming_change_detection_filter(
+        stream, threshold=10.0, order_cols=("event_id",),
+        idle_ttl_minutes=2 / 60,
+    )
+    q = (
+        write_memory(out_df, "ttl_evict")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        # wait for the first emission, then let the TTL lapse
+        while time.time() < deadline:
+            if spark.table("ttl_evict").count() >= 1:
+                break
+            time.sleep(0.5)
+        time.sleep(6)  # > 3x TTL: eviction timer fires in some batch
+        spark.createDataFrame([(2, 1, 101.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        got = set()
+        while time.time() < deadline:
+            got = {r.event_id for r in spark.table("ttl_evict").collect()}
+            if 2 in got:
+                break
+            time.sleep(0.5)
+        assert got == {1, 2}, got
+    finally:
+        q.stop()
+
+    with pytest.raises(ValueError, match="idle_ttl_minutes"):
+        streaming_change_detection_filter(stream, idle_ttl_minutes=-1)
