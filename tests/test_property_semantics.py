@@ -338,3 +338,45 @@ def test_last_emitted_mask_matches_reference_recurrence(
     got_keep, got_last = last_emitted_mask(values, threshold, metric, last0)
     assert list(got_keep) == want_keep
     assert got_last == want_last
+
+
+# ------------------------------------------------------ domain quota cap
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),   # skewed domains + NULL
+            st.integers(0, 50),                        # quality (ties likely)
+        ),
+        max_size=40,
+    ),
+    cap=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_domain_quota_cap_matches_reference_ranking(spark, rows, cap):
+    """domain_quota_cap vs a pure-Python replay of the windowed-oracle
+    semantics (rank by quality DESC, id ASC within EVERY domain group,
+    NULL forming one group like SQL PARTITION BY): the under-cap anti-join
+    shortcut and the null-safe joins must never change which rows survive
+    (ADVICE r5)."""
+    from ralf_spark.operators.policies import domain_quota_cap
+    from ralf_spark.table import FeatureTable
+
+    data = [(i, d, float(q)) for i, (d, q) in enumerate(rows)]
+    want = {}
+    groups = {}
+    for i, d, q in data:
+        groups.setdefault(d, []).append((i, q))
+    for d, members in groups.items():
+        ranked = sorted(members, key=lambda m: (-m[1], m[0]))
+        for rank, (i, _) in enumerate(ranked):
+            want[i] = rank < cap
+    if not data:
+        return
+    t = FeatureTable(
+        spark.createDataFrame(data, "doc_id long, source string, q double"),
+        key="doc_id",
+    )
+    got = {r.doc_id: r.kept for r in
+           domain_quota_cap(t, "source", cap=cap, quality_col="q").collect()}
+    assert got == want
