@@ -64,24 +64,23 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         budget = target * max_bytes
         if len(files) * open_cost >= budget:
             return df  # packing floor alone reaches the target
-        # Bound the driver-side FS round-trips: stat at most 64 files and
-        # extrapolate the rest at the sample's mean size. Beyond the
-        # packing floor a large file LIST can only be here when files are
-        # small relative to maxPartitionBytes, where the mean is a fine
-        # estimator — and the failure mode is one avoidable repartition
-        # on a local small-file layout, never a missed one at scale.
+        # Bound the driver-side FS round-trips: stat at most 64 files;
+        # UNSAMPLED files count only their guaranteed openCost floor, so
+        # the estimate stays a true LOWER bound on scan partitions (a
+        # mean-size extrapolation could overestimate on a sorted mixed
+        # large+small listing and skip a genuinely needed repartition).
+        # The failure mode remains one avoidable repartition on a local
+        # small-file layout, never a missed one.
         jvm = spark._jvm  # type: ignore[attr-defined]
         hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
         sample = files[:64]
-        total = 0
+        total = (len(files) - len(sample)) * open_cost
         for f in sample:
             jpath = jvm.org.apache.hadoop.fs.Path(f)
             size = jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
             total += size + open_cost
             if total >= budget:
                 return df
-        if len(files) > len(sample):
-            total = int(total * len(files) / len(sample))
         if math.ceil(total / max_bytes) >= target:
             return df
         return df.repartition(target)

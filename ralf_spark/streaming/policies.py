@@ -134,7 +134,7 @@ def streaming_change_detection_filter(
     fn = make_change_detection_fn(
         value_col, threshold, order_cols, metric, out_fields, ttl_ms
     )
-    return (
+    out = (
         stream.select(*out_fields)
         .groupBy(key_col)
         .applyInPandasWithState(
@@ -147,3 +147,9 @@ def streaming_change_detection_filter(
             else GroupStateTimeout.NoTimeout,
         )
     )
+    if ttl_ms is not None:
+        # best-effort marker so run_bounded can REFUSE the combination
+        # (availableNow + a processing-time timer = permanent hang, see
+        # the docstring) instead of blocking forever in awaitTermination
+        out._ralf_processing_time_timeout = True  # type: ignore[attr-defined]
+    return out

@@ -314,6 +314,22 @@ def run_bounded(
     start — restarting an existing checkpoint with a different provider
     is rejected by Spark, so pick it before first deploy.
     """
+    # A registered processing-time timer keeps an availableNow run
+    # scheduling timer-check micro-batches instead of terminating
+    # (observed on Spark 4.1) — refuse the combination up front rather
+    # than hang in awaitTermination. Best-effort: the marker rides the
+    # operator's output DataFrame (streaming/policies.py) and is visible
+    # here when that frame feeds the writer directly.
+    if getattr(
+        getattr(writer, "_df", None), "_ralf_processing_time_timeout", False
+    ):
+        raise ValueError(
+            "run_bounded (availableNow) cannot drain a stream with an "
+            "idle-TTL processing-time timer: the run never terminates. "
+            "Use a continuous trigger for TTL'd operators, or drop "
+            "idle_ttl for bounded replays (state dies with the run "
+            "anyway)."
+        )
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
 

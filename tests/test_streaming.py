@@ -1104,3 +1104,27 @@ def test_change_detection_idle_ttl_contract(spark, tmp_path):
 
     with pytest.raises(ValueError, match="idle_ttl_minutes"):
         streaming_change_detection_filter(stream, idle_ttl_minutes=-1)
+
+
+def test_run_bounded_refuses_ttl_stream(spark, tmp_path):
+    """availableNow + a processing-time TTL timer never terminates
+    (observed); run_bounded must refuse the combination up front."""
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_change_detection_filter,
+        write_memory,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1, 1.0)], "event_id long, user_id long, value double"
+    ).write.parquet(src)
+    stream = file_events(
+        spark, src, schema="event_id long, user_id long, value double"
+    )
+    out = streaming_change_detection_filter(
+        stream, order_cols=("event_id",), idle_ttl_minutes=5.0
+    )
+    with pytest.raises(ValueError, match="never terminates"):
+        run_bounded(write_memory(out, "nope"), checkpoint=str(tmp_path / "ck"))
