@@ -871,6 +871,47 @@ def ewma_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "time_decayed_sum_per_user",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list(struct_pack(t := epoch_ns(ts) // 1000,
+                              x := CAST(value AS DOUBLE))
+                  ORDER BY ts, event_id) AS es
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(es) AS BIGINT) AS n_events,
+           round(list_reduce(es, (acc, e) -> struct_pack(
+                 t := e.t,
+                 x := e.x + pow(0.5, (e.t - acc.t) / 86400000000.0) * acc.x
+           )).x, 4) AS decayed_sum,
+           es[len(es)].t AS last_ts_us
+    FROM seq ORDER BY user_id
+    """,
+)
+def time_decayed_sum_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-time decayed sum per user (half-life 1 day over event
+    time) — the time-aware decayed counter: unlike the per-event EWMA
+    above, a week-long gap decays a user's accumulated mass where a
+    burst of events barely does. Same distributed shape (one hash-agg +
+    native struct-accumulator fold); the oracle replays the identical
+    (t, s) recurrence with DuckDB's list_reduce."""
+    from ralf_spark.operators.moments import time_decayed_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_decayed_sum(
+        ev.df, "user_id", "ts", "value",
+        half_life_s=86_400.0, tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("decayed_sum", 4).alias("decayed_sum"),
+        "last_ts_us",
+    ).orderBy("user_id")
+
+
+@query(
     "mad_outliers_per_type",
     """
     WITH med AS (

@@ -91,3 +91,34 @@ def test_three_way_incremental_chain(spark, events):
         assert gn == n
         assert abs(gmean - mean) < 1e-9
         assert abs(gvar - var) < 1e-9
+
+
+def test_time_decayed_sum_matches_hand_fold(spark):
+    """Half-life recurrence on a hand-computed sequence: gaps of exactly
+    one and two half-lives halve resp. quarter the accumulated mass;
+    irregular spacing is the point (per-event EWMA can't express it)."""
+    import datetime as dt
+
+    from ralf_spark.operators.moments import time_decayed_sum
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 1, 8.0),
+        ("a", t0 + dt.timedelta(hours=1), 2, 4.0),   # 1 half-life
+        ("a", t0 + dt.timedelta(hours=3), 3, 1.0),   # 2 half-lives
+        ("b", t0, 4, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, seq long, value double"
+    )
+    out = {
+        r.k: (r.n_events, r.decayed_sum)
+        for r in time_decayed_sum(
+            df, "k", "ts", "value", half_life_s=3600.0, tiebreak_col="seq"
+        ).collect()
+    }
+    # a: s1=8; s2=4 + 0.5*8 = 8; s3=1 + 0.25*8 = 3
+    assert out["a"][0] == 3 and abs(out["a"][1] - 3.0) < 1e-9
+    assert out["b"] == (1, 5.0)
+    with pytest.raises(ValueError):
+        time_decayed_sum(df, "k", "ts", "value", half_life_s=0)
