@@ -548,6 +548,73 @@ def streaming_ewma_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_decayed_sum_state",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list(struct_pack(t := epoch_ns(ts) // 1000,
+                              x := CAST(value AS DOUBLE))
+                  ORDER BY ts, event_id) AS es
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(es) AS BIGINT) AS n_events,
+           round(list_reduce(es, (acc, e) -> struct_pack(
+                 t := e.t,
+                 x := e.x + pow(0.5, (e.t - acc.t) / 86400000000.0) * acc.x
+           )).x, 4) AS decayed_sum,
+           es[len(es)].t AS last_ts_us
+    FROM seq ORDER BY user_id
+    """,
+)
+def streaming_decayed_sum_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-time decayed sum as a STREAM: bounded replay through the
+    seeded per-batch fold (``foreach_batch_decayed_upsert`` — each batch's
+    first event decays the STORED mass by its gap to the stored timestamp,
+    history never reprocessed), final state gated against the same
+    ``list_reduce`` (t, s)-recurrence oracle as the batch
+    ``time_decayed_sum_per_user``. Cross-batch seeding is pinned by the
+    3-split parity test in tests/test_streaming.py."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.sources.fixtures import load_fixture
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_decayed_upsert,
+        run_bounded,
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    src = _tf.mkdtemp(prefix=f"tds_src_{tag}_")
+    ev = load_fixture(spark, "events", sf_dir).df.select(
+        "event_id", "ts", "user_id", "value"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    state = _tf.mkdtemp(prefix=f"tds_state_{tag}_") + "/state"
+    stream = file_events(
+        spark, src,
+        schema="event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    run_bounded(
+        foreach_batch_decayed_upsert(
+            stream, state, key="user_id", ts_col="ts", value_col="value",
+            half_life_s=86_400.0, tiebreak_col="event_id",
+        ),
+        checkpoint=_tf.mkdtemp(prefix=f"ck_tds_{tag}_"),
+    )
+    return (
+        spark.read.parquet(state)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("decayed_sum", 4).alias("decayed_sum"),
+            "last_ts_us",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "streaming_pipeline_end2end",
     """
     WITH RECURSIVE ranked AS (

@@ -8,7 +8,9 @@ computation); streaming uses the same FeatureTable semantics with bounded
 """
 
 from ralf_spark.streaming.sinks import (
+    decayed_upsert_batch,
     ewma_upsert_batch,
+    foreach_batch_decayed_upsert,
     foreach_batch_ewma_upsert,
     foreach_batch_index_add,
     foreach_batch_kv_upsert,
@@ -48,7 +50,9 @@ __all__ = [
     "kinesis_events",
     "rate_events",
     "streaming_change_detection_filter",
+    "decayed_upsert_batch",
     "ewma_upsert_batch",
+    "foreach_batch_decayed_upsert",
     "foreach_batch_ewma_upsert",
     "foreach_batch_index_add",
     "foreach_batch_kv_upsert",

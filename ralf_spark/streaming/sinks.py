@@ -285,6 +285,137 @@ STATE_STORE_PROVIDERS = {
 }
 
 
+def foreach_batch_decayed_upsert(
+    df: DataFrame,
+    path: str,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    half_life_s: float,
+    tiebreak_col: str | None = None,
+) -> DataStreamWriter:
+    """Maintain a persisted per-key continuous-time decayed sum from a
+    stream — the streaming twin of ``operators.moments.time_decayed_sum``
+    (half-life decay over irregular event gaps). Incremental by
+    construction: the stored (decayed_sum, last_ts_us) seeds each batch's
+    fold, the first batch event decaying the STORED mass by its gap to
+    the stored timestamp — so history is never reprocessed and state is
+    one (n, s, t) row per key. Same replayed-batch-id marker and caveats
+    as the EWMA sink above; batch boundaries must respect event-time
+    order per key."""
+
+    return df.writeStream.foreachBatch(
+        decayed_upsert_batch(
+            path, key, ts_col, value_col, half_life_s, tiebreak_col
+        )
+    )
+
+
+def decayed_upsert_batch(
+    path: str,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    half_life_s: float,
+    tiebreak_col: str | None = None,
+):
+    """The foreachBatch callback behind
+    :func:`foreach_batch_decayed_upsert`, exposed for direct use/testing:
+    ``(batch_df, batch_id) -> None``."""
+    if half_life_s <= 0:
+        raise ValueError("half_life_s must be positive")
+    hl_us = float(half_life_s) * 1e6
+
+    def step(acc, e):
+        return F.struct(
+            e["_us"].alias("t"),
+            (
+                e["_x"]
+                + F.pow(F.lit(0.5), (e["_us"] - acc["t"]) / F.lit(hl_us))
+                * acc["s"]
+            ).alias("s"),
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+
+        from ralf_spark.connectors import _staged_overwrite, _try_read_parquet
+        from ralf_spark.functions.timeutil import epoch_us
+
+        marker = path.rstrip("/") + ".__last_batch__"
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return  # replayed batch — already folded in
+        spark = batch_df.sparkSession
+        order = [epoch_us(batch_df, ts_col).alias("_us")]
+        if tiebreak_col is not None:
+            order.append(F.col(tiebreak_col))
+        entry = F.struct(
+            *order, F.col(value_col).cast("double").alias("_x")
+        )
+        summary = batch_df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("_bn"),
+            F.array_sort(F.collect_list(entry)).alias("_es"),
+        )
+        first = F.element_at("_es", 1)
+        tail = F.slice(
+            "_es", F.lit(2), F.greatest(F.size("_es") - 1, F.lit(0))
+        )
+        # fresh keys: first event seeds the fold over the tail;
+        # seen keys: the STORED (t, s) seeds the fold over the whole batch
+        fresh = F.aggregate(
+            tail,
+            F.struct(first["_us"].alias("t"), first["_x"].alias("s")),
+            step,
+        )
+        seeded = F.aggregate(
+            F.col("_es"),
+            F.struct(
+                F.col("last_ts_us").alias("t"),
+                F.col("decayed_sum").alias("s"),
+            ),
+            step,
+        )
+        current = _try_read_parquet(spark, path)
+        if current is None:
+            merged = summary.select(
+                F.col(key),
+                F.col("_bn").alias("n_events"),
+                fresh["s"].alias("decayed_sum"),
+                fresh["t"].alias("last_ts_us"),
+            )
+        else:
+            merged = (
+                current.join(summary, key, "full_outer")
+                .withColumn(
+                    "_new",
+                    F.when(F.col("_es").isNull(), F.lit(None))
+                    .when(F.col("decayed_sum").isNull(), fresh)
+                    .otherwise(seeded),
+                )
+                .select(
+                    F.col(key),
+                    (
+                        F.coalesce(F.col("n_events"), F.lit(0))
+                        + F.coalesce(F.col("_bn"), F.lit(0))
+                    ).alias("n_events"),
+                    F.coalesce(
+                        F.col("_new")["s"], F.col("decayed_sum")
+                    ).alias("decayed_sum"),
+                    F.coalesce(
+                        F.col("_new")["t"], F.col("last_ts_us")
+                    ).alias("last_ts_us"),
+                )
+            )
+        _staged_overwrite(spark, merged, path)
+        with open(marker, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+
+    return upsert
+
+
 def run_bounded(
     writer: DataStreamWriter,
     checkpoint: str | None = None,

@@ -1128,3 +1128,60 @@ def test_run_bounded_refuses_ttl_stream(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="never terminates"):
         run_bounded(write_memory(out, "nope"), checkpoint=str(tmp_path / "ck"))
+
+
+def test_streaming_decayed_sum_equals_batch_fold(spark, tmp_path):
+    """The seeded per-batch continuous-time decay fold must equal the
+    one-shot batch fold regardless of micro-batching (3 event-time
+    chunks, one per trigger — the stored (t, s) pair must seed each
+    batch's first-event decay), and a replayed batch id is a no-op."""
+    from ralf_spark.operators.moments import time_decayed_sum
+    from ralf_spark.streaming import (
+        decayed_upsert_batch,
+        file_events,
+        foreach_batch_decayed_upsert,
+        run_bounded,
+    )
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "ordered")
+    n = ev.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    ordered = ev.orderBy("ts", "event_id").collect()
+    for lo, hi in [(0, cut1), (cut1, cut2), (cut2, n)]:
+        spark.createDataFrame(ordered[lo:hi], ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state = str(tmp_path / "state")
+    stream = file_events(spark, src, max_files_per_trigger=1)
+    run_bounded(
+        foreach_batch_decayed_upsert(
+            stream, state, key="user_id", ts_col="ts", value_col="value",
+            half_life_s=86_400.0, tiebreak_col="event_id",
+        ),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.decayed_sum, 6), r.last_ts_us)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.decayed_sum, 6), r.last_ts_us)
+        for r in time_decayed_sum(
+            spark.read.parquet(src), "user_id", "ts", "value",
+            half_life_s=86_400.0, tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # replayed batch id: marker guard makes the non-idempotent fold a no-op
+    cb = decayed_upsert_batch(
+        state, "user_id", "ts", "value", 86_400.0, "event_id"
+    )
+    cb(spark.createDataFrame(ordered[:5], ev.schema), batch_id=0)
+    again = {
+        r.user_id: (r.n_events, round(r.decayed_sum, 6), r.last_ts_us)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == want
