@@ -40,11 +40,17 @@ def make_change_detection_fn(
     metric: str,
     out_fields: Sequence[str],
     idle_ttl_ms: int | None = None,
+    ttl_clock: str = "processing",
 ):
     """The ``applyInPandasWithState`` callback behind
     :func:`streaming_change_detection_filter`, exposed module-level so the
     timeout branch is deterministically unit-testable (a real
-    processing-time timeout needs wall-clock across triggers)."""
+    processing-time timeout needs wall-clock across triggers).
+
+    ``ttl_clock="event"`` arms an EVENT-time timer instead: the timeout
+    timestamp is the key's max event time in the batch plus the TTL, so
+    eviction fires when the WATERMARK passes it — fully deterministic
+    given the data (and the mode that works in bounded replays)."""
     order_cols = list(order_cols)
     out_fields = list(out_fields)
 
@@ -72,7 +78,14 @@ def make_change_detection_fn(
             if idle_ttl_ms is not None:
                 # rearmed on every batch that touches the key, so only
                 # keys idle for a full TTL get evicted
-                state.setTimeoutDuration(idle_ttl_ms)
+                if ttl_clock == "event":
+                    last_ev_ms = int(
+                        pd.Timestamp(rows[order_cols[0]].max()).value
+                        // 1_000_000
+                    )
+                    state.setTimeoutTimestamp(last_ev_ms + idle_ttl_ms)
+                else:
+                    state.setTimeoutDuration(idle_ttl_ms)
         emitted = rows[keep]
         if len(emitted):
             yield emitted[out_fields]
@@ -88,6 +101,7 @@ def streaming_change_detection_filter(
     order_cols: Sequence[str] = ("ts", "event_id"),
     metric: str = "abs",
     idle_ttl_minutes: float | None = None,
+    ttl_clock: str = "processing",
 ) -> DataFrame:
     """Emit a key's update only when it moved >= ``threshold`` vs the last
     value EMITTED for that key (first update always emits) — the faithful
@@ -103,25 +117,32 @@ def streaming_change_detection_filter(
 
     ``idle_ttl_minutes`` bounds state by ACTIVE keys — the unbounded-
     key-domain deployment (session/request ids): a key untouched for a
-    full TTL has its baseline evicted via processing-time timeout, and
-    its next update re-enters as a first update (emits). This trades a
-    bounded state store for one extra emission per key per idle gap —
-    the same approximation every TTL'd cache makes; leave None for
-    bounded key domains (the default keeps exact reference semantics
-    forever). Timeouts are processing-time (eviction is an operational
-    concern, not an event-time one) and re-arm on every batch that
-    touches the key.
+    full TTL has its baseline evicted via state timeout, and its next
+    update re-enters as a first update (emits). This trades a bounded
+    state store for one extra emission per key per idle gap — the same
+    approximation every TTL'd cache makes; leave None for bounded key
+    domains (the default keeps exact reference semantics forever).
+    ``ttl_clock`` picks the eviction clock:
 
-    CONTINUOUS-TRIGGER ONLY: with ``trigger(availableNow=True)`` a
-    registered processing-time timer keeps the run scheduling timer-check
-    micro-batches instead of terminating (observed on Spark 4.1) — so
-    bounded replays must leave this None; eviction is meaningless in a
-    drain-and-stop run anyway (state dies with the query).
+    - ``"processing"`` (default): wall-clock idleness, re-armed per
+      touching batch. CONTINUOUS-TRIGGER ONLY — with
+      ``trigger(availableNow=True)`` a registered processing-time timer
+      keeps the run scheduling timer-check micro-batches instead of
+      terminating (observed on Spark 4.1; ``run_bounded`` refuses the
+      combination), and eviction is meaningless in a drain-and-stop run
+      anyway.
+    - ``"event"``: EVENT-time idleness — eviction fires when the stream's
+      WATERMARK passes the key's last event time + TTL. Fully
+      deterministic given the data, and valid in bounded replays. The
+      input stream must carry ``withWatermark`` on the first order
+      column (Spark rejects event-time timers on unwatermarked streams).
     """
     if metric not in ("abs", "rel"):
         raise ValueError(f"unknown metric {metric!r}")
     if idle_ttl_minutes is not None and idle_ttl_minutes <= 0:
         raise ValueError("idle_ttl_minutes must be positive")
+    if ttl_clock not in ("processing", "event"):
+        raise ValueError(f"unknown ttl_clock {ttl_clock!r}")
     order_cols = list(order_cols)
     out_fields = [key_col, *order_cols, value_col]
     in_schema = {f.name: f.dataType.simpleString() for f in stream.schema}
@@ -132,8 +153,15 @@ def streaming_change_detection_filter(
         else None
     )
     fn = make_change_detection_fn(
-        value_col, threshold, order_cols, metric, out_fields, ttl_ms
+        value_col, threshold, order_cols, metric, out_fields, ttl_ms,
+        ttl_clock,
     )
+    if ttl_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif ttl_clock == "event":
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     out = (
         stream.select(*out_fields)
         .groupBy(key_col)
@@ -142,12 +170,10 @@ def streaming_change_detection_filter(
             out_schema,
             CHANGE_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms is not None
-            else GroupStateTimeout.NoTimeout,
+            timeout,
         )
     )
-    if ttl_ms is not None:
+    if ttl_ms is not None and ttl_clock == "processing":
         # best-effort marker so run_bounded can REFUSE the combination
         # (availableNow + a processing-time timer = permanent hang, see
         # the docstring) instead of blocking forever in awaitTermination

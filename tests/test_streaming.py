@@ -1185,3 +1185,55 @@ def test_streaming_decayed_sum_equals_batch_fold(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert again == want
+
+
+def test_change_detection_event_time_ttl_deterministic(spark, tmp_path):
+    """ttl_clock='event' (r6): eviction fires when the WATERMARK passes a
+    key's last event time + TTL — deterministic given the data and valid
+    in bounded replays (unlike the processing-time clock). Key 7 goes
+    idle past the 60-minute TTL while the watermark advances on other
+    keys' events, so its later nearby value re-emits as a first update;
+    the identical replay WITHOUT a TTL sheds that value."""
+    import datetime as dt
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_change_detection_filter,
+        write_memory,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = [
+        [(1, t(10), 7, 100.0), (2, t(10), 8, 1.0)],
+        [(3, t(12), 8, 2.0)],     # watermark -> 11:50 > 11:00 timer
+        [(4, t(12, 10), 8, 3.0)], # key 7's timer fires this batch
+        [(5, t(12, 30), 7, 101.0)],  # |101-100| < 10: emits ONLY if evicted
+    ]
+    results = {}
+    for label, ttl in (("ttl", 60.0), ("plain", None)):
+        src = str(tmp_path / f"src_{label}")
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = file_events(
+            spark, src, schema=schema, max_files_per_trigger=1
+        ).withWatermark("ts", "10 minutes")
+        out = streaming_change_detection_filter(
+            stream, threshold=10.0, order_cols=("ts", "event_id"),
+            idle_ttl_minutes=ttl, ttl_clock="event",
+        )
+        run_bounded(
+            write_memory(out, f"evttl_{label}"),
+            checkpoint=str(tmp_path / f"ck_{label}"),
+            shuffle_partitions=2,
+        )
+        results[label] = {
+            r.event_id for r in spark.table(f"evttl_{label}").collect()
+        }
+    # both: first updates 1, 2 emit; key 8's 2.0/3.0 shed (|delta| < 10)
+    assert results["plain"] == {1, 2}
+    # with event-time TTL key 7 was evicted before event 5 -> re-emits
+    assert results["ttl"] == {1, 2, 5}
