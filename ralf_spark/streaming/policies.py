@@ -33,6 +33,21 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 CHANGE_STATE_SCHEMA = "last double"
 
 
+def arm_event_timer(state, last_ev_ms: int, idle_ttl_ms: int) -> None:
+    """Arm an event-time idle timer at ``last_ev_ms + idle_ttl_ms``,
+    clamped to just past the current watermark.
+
+    The clamp matters for late-but-valid data: an event older than
+    ``watermark - TTL`` (still inside the allowed watermark delay — Spark
+    does NOT drop late rows for apply-with-state; handling them is the
+    function's job) would put the timer below the watermark, and
+    ``GroupState.setTimeoutTimestamp`` raises on that, killing the whole
+    query. The key WAS just touched, so the earliest legal eviction point
+    (watermark + 1 ms) is the correct rearm."""
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last_ev_ms + idle_ttl_ms, wm_ms + 1))
+
+
 def make_change_detection_fn(
     value_col: str,
     threshold: float,
@@ -83,7 +98,7 @@ def make_change_detection_fn(
                         pd.Timestamp(rows[order_cols[0]].max()).value
                         // 1_000_000
                     )
-                    state.setTimeoutTimestamp(last_ev_ms + idle_ttl_ms)
+                    arm_event_timer(state, last_ev_ms, idle_ttl_ms)
                 else:
                     state.setTimeoutDuration(idle_ttl_ms)
         emitted = rows[keep]

@@ -1237,3 +1237,53 @@ def test_change_detection_event_time_ttl_deterministic(spark, tmp_path):
     assert results["plain"] == {1, 2}
     # with event-time TTL key 7 was evicted before event 5 -> re-emits
     assert results["ttl"] == {1, 2, 5}
+
+
+def test_event_time_ttl_survives_late_data(spark, tmp_path):
+    """ADVICE r6: a late-but-valid batch (event older than watermark −
+    TTL, still inside the allowed watermark delay — Spark does NOT drop
+    late rows for apply-with-state) used to arm a timer BELOW the current
+    watermark, which ``setTimeoutTimestamp`` rejects, killing the whole
+    query. The clamp rearms at watermark + 1 ms instead; eviction still
+    fires once the watermark actually passes the key's idle point."""
+    import datetime as dt
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_change_detection_filter,
+        write_memory,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = [
+        [(1, t(18), 8, 1.0)],       # watermark after this batch: 14:00
+        # key 7 at 10:00: late (< 14:00 watermark) but within the 4 h
+        # allowed delay; 10:00 + 60 min TTL = 11:00 < watermark -> the
+        # unclamped timer crashed the query here
+        [(2, t(10), 7, 100.0)],
+        [(3, t(19), 8, 2.0)],       # watermark -> 15:00 > clamped timer:
+                                    # key 7 evicted this batch
+        [(4, t(19, 30), 7, 101.0)],  # |101-100| < 10: emits ONLY because
+                                     # the eviction dropped the baseline
+    ]
+    src = str(tmp_path / "src")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_events(
+        spark, src, schema=schema, max_files_per_trigger=1
+    ).withWatermark("ts", "4 hours")
+    out = streaming_change_detection_filter(
+        stream, threshold=10.0, order_cols=("ts", "event_id"),
+        idle_ttl_minutes=60.0, ttl_clock="event",
+    )
+    run_bounded(
+        write_memory(out, "evttl_late"),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=2,
+    )
+    got = {r.event_id for r in spark.table("evttl_late").collect()}
+    assert got == {1, 2, 4}
