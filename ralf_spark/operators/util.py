@@ -40,14 +40,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     ``openCostInBytes`` of packing cost, so ``n_files * openCost >=
     target * maxPartitionBytes`` proves enough splits with ZERO
     filesystem calls; otherwise driver-side file stats run, capped at 64
-    calls with mean-size extrapolation for larger lists. Spark's true
-    split size can be
-    smaller than ``maxPartitionBytes`` (it shrinks toward
-    totalBytes/defaultParallelism), so this estimate is a lower bound on
-    actual scan partitions — it may repartition a borderline input, never
-    skip a genuinely under-parallel one. Frames with no file lineage
-    (in-memory relations) fall back to the RDD probe — the rare cold
-    path.
+    calls stratified across the listing, with min-sampled-size
+    extrapolation as the tie-breaker for larger lists (ADVICE r6: the
+    openCost-only floor alone would full-shuffle a 10k x 1 GB input).
+    Spark's true split size can be smaller than ``maxPartitionBytes``
+    (it shrinks toward totalBytes/defaultParallelism), so the strict
+    estimate is a lower bound on actual scan partitions — it may
+    repartition a borderline input; the min-size extrapolation can skip
+    one only when every sampled stratum is unrepresentatively large.
+    Frames with no file lineage (in-memory relations) fall back to the
+    RDD probe — the rare cold path.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
@@ -64,24 +66,43 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         budget = target * max_bytes
         if len(files) * open_cost >= budget:
             return df  # packing floor alone reaches the target
-        # Bound the driver-side FS round-trips: stat at most 64 files;
-        # UNSAMPLED files count only their guaranteed openCost floor, so
-        # the estimate stays a true LOWER bound on scan partitions (a
-        # mean-size extrapolation could overestimate on a sorted mixed
-        # large+small listing and skip a genuinely needed repartition).
-        # The failure mode remains one avoidable repartition on a local
-        # small-file layout, never a missed one.
+        # Bound the driver-side FS round-trips: stat at most 64 files,
+        # STRATIFIED across the listing (every n/64-th file) so a sorted
+        # mixed large+small listing is represented. Two checks follow:
+        #
+        # 1. Strict lower bound — unsampled files credited only their
+        #    guaranteed openCost floor. Passing proves enough splits.
+        # 2. (ADVICE r6) If the pessimistic bound fails, extrapolate with
+        #    the MIN sampled size for unsampled files. Without this, a
+        #    many-large-file input (10k x 1 GB files, 10k-core target)
+        #    reads as ~openCost-only and triggers a full repartition
+        #    shuffle of the whole dataset — the exact at-scale path this
+        #    function exists to protect. Min-of-a-stratified-sample is
+        #    the conservative extrapolant (mean could overestimate); the
+        #    residual failure mode is a skipped repartition when every
+        #    sampled stratum is unrepresentatively large, which costs
+        #    some idle cores locally — strictly cheaper than shuffling
+        #    100 TB to fix nothing.
         jvm = spark._jvm  # type: ignore[attr-defined]
         hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
-        sample = files[:64]
-        total = (len(files) - len(sample)) * open_cost
+        n = len(files)
+        k = min(64, n)
+        step = n / k
+        sample = [files[min(int(i * step), n - 1)] for i in range(k)]
+        floor = (n - k) * open_cost
+        total = floor
+        min_size = None
         for f in sample:
             jpath = jvm.org.apache.hadoop.fs.Path(f)
             size = jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
             total += size + open_cost
+            min_size = size if min_size is None else min(min_size, size)
             if total >= budget:
                 return df
         if math.ceil(total / max_bytes) >= target:
+            return df
+        est = total + (n - k) * min_size  # min-size extrapolation (2.)
+        if math.ceil(est / max_bytes) >= target:
             return df
         return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:

@@ -416,6 +416,24 @@ def decayed_upsert_batch(
     return upsert
 
 
+def _has_processing_time_timer(df: DataFrame) -> bool:
+    """True when ``df``'s analyzed plan contains a stateful
+    apply-with-state operator armed with a PROCESSING-time timeout —
+    the combination that never terminates under ``availableNow``.
+
+    Plan-level, so it sees through any stack of non-stateful transforms
+    above the operator. Analysis is idempotent and cached on the
+    DataFrame, and the query would be analyzed at ``start()`` anyway."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # non-JVM frame (mocks); fall back to the marker
+        return bool(getattr(df, "_ralf_processing_time_timeout", False))
+    return any(
+        "FlatMapGroups" in line and "ProcessingTimeTimeout" in line
+        for line in plan.splitlines()
+    )
+
+
 def run_bounded(
     writer: DataStreamWriter,
     checkpoint: str | None = None,
@@ -448,12 +466,13 @@ def run_bounded(
     # A registered processing-time timer keeps an availableNow run
     # scheduling timer-check micro-batches instead of terminating
     # (observed on Spark 4.1) — refuse the combination up front rather
-    # than hang in awaitTermination. Best-effort: the marker rides the
-    # operator's output DataFrame (streaming/policies.py) and is visible
-    # here when that frame feeds the writer directly.
-    if getattr(
-        getattr(writer, "_df", None), "_ralf_processing_time_timeout", False
-    ):
+    # than hang in awaitTermination. Detected from the ANALYZED plan
+    # (ADVICE r6): any FlatMapGroups[InPandas]WithState node carries its
+    # timeout conf in its argString, so the check survives arbitrary
+    # wrapping transforms (select/filter/withColumn), unlike the old
+    # best-effort attribute marker on the exact returned DataFrame.
+    df = getattr(writer, "_df", None)
+    if df is not None and _has_processing_time_timer(df):
         raise ValueError(
             "run_bounded (availableNow) cannot drain a stream with an "
             "idle-TTL processing-time timer: the run never terminates. "

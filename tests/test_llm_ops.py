@@ -522,6 +522,41 @@ def test_ensure_parallelism_uses_plan_metadata(spark, tmp_path):
     assert _parse_bytes("garbage") == 128 * 1024 * 1024
 
 
+def test_ensure_parallelism_many_large_files_no_shuffle(spark, tmp_path):
+    """ADVICE r6: with > 64 files all comfortably sized, the openCost-only
+    floor under-estimates (unsampled files credited ~nothing) and the old
+    code repartitioned — a full shuffle of the whole dataset on the
+    at-scale path. The min-sampled-size extrapolation must skip it.
+
+    Modeled locally by setting maxPartitionBytes = the measured mean file
+    size, so 100 near-uniform files ~= 100 splits: the strict 64-stat
+    bound reads ~65 splits < target 96, while min-size extrapolation over
+    the remaining 36 near-uniform files reads ~100 >= 96."""
+    import pathlib
+
+    from ralf_spark.operators.util import ensure_parallelism
+
+    many = str(tmp_path / "large_files")
+    # 100 similar-size files (uniform -> stratified min is representative)
+    spark.range(10_000).repartition(100).write.parquet(many)
+    df = spark.read.parquet(many)
+    sizes = sorted(
+        p.stat().st_size for p in pathlib.Path(many).glob("*.parquet")
+    )
+    assert len(sizes) == 100
+    mean = sum(sizes) // len(sizes)
+    assert sizes[0] > 0.9 * mean  # uniformity the scenario relies on
+    prev_mb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mean))
+    spark.conf.set("spark.sql.files.openCostInBytes", "16")
+    try:
+        assert ensure_parallelism(df, min_partitions=96) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+
+
 def test_duplicated_spans_xxhash64_matches_md5_stats(spark):
     """Production hash mode: span duplication statistics depend only on
     hash EQUALITY, so the xxhash64 spelling must reproduce the

@@ -1128,6 +1128,14 @@ def test_run_bounded_refuses_ttl_stream(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="never terminates"):
         run_bounded(write_memory(out, "nope"), checkpoint=str(tmp_path / "ck"))
+    # ADVICE r6: detection is plan-level, so it survives intermediate
+    # transforms that produce NEW DataFrames (the old attribute marker
+    # rode only the exact returned frame -> silent permanent hang here)
+    wrapped = out.filter("value > 0").select("user_id", "value")
+    with pytest.raises(ValueError, match="never terminates"):
+        run_bounded(
+            write_memory(wrapped, "nope2"), checkpoint=str(tmp_path / "ck2")
+        )
 
 
 def test_streaming_decayed_sum_equals_batch_fold(spark, tmp_path):
@@ -1261,12 +1269,14 @@ def test_event_time_ttl_survives_late_data(spark, tmp_path):
         [(1, t(18), 8, 1.0)],       # watermark after this batch: 14:00
         # key 7 at 10:00: late (< 14:00 watermark) but within the 4 h
         # allowed delay; 10:00 + 60 min TTL = 11:00 < watermark -> the
-        # unclamped timer crashed the query here
+        # unclamped timer crashed the query here; the clamp arms it at
+        # 14:00 + 1 ms instead
         [(2, t(10), 7, 100.0)],
-        [(3, t(19), 8, 2.0)],       # watermark -> 15:00 > clamped timer:
-                                    # key 7 evicted this batch
-        [(4, t(19, 30), 7, 101.0)],  # |101-100| < 10: emits ONLY because
-                                     # the eviction dropped the baseline
+        [(3, t(19), 8, 2.0)],       # watermark -> 15:00 (after commit)
+        [(4, t(19, 30), 8, 3.0)],   # wm NOW 15:00 > clamped timer and
+                                    # key 7 has no data: evicted here
+        [(5, t(20), 7, 101.0)],     # |101-100| < 10: emits ONLY because
+                                    # the eviction dropped the baseline
     ]
     src = str(tmp_path / "src")
     for rows in batches:
@@ -1286,4 +1296,4 @@ def test_event_time_ttl_survives_late_data(spark, tmp_path):
         shuffle_partitions=2,
     )
     got = {r.event_id for r in spark.table("evttl_late").collect()}
-    assert got == {1, 2, 4}
+    assert got == {1, 2, 5}
