@@ -1054,14 +1054,29 @@ class MinHashIndex:
         env var would otherwise disagree with the store without any
         error). First writer records (hash_fn, num_perm, bands,
         shingle_n) in ``_meta/``; every later open validates and raises
-        on mismatch instead of returning empty joins."""
+        on mismatch instead of returning empty joins.
+
+        SINGLE-WRITER assumption (ADVICE r6): first-time creation is not
+        coordinated — two handles racing to create the same index can
+        both write ``_meta`` (last write wins; identical configs make
+        the race benign, which is the only sane concurrent use anyway).
+        A crash between directory creation and the parquet commit leaves
+        an empty/partial ``_meta``; that is treated as ABSENT and
+        rewritten rather than surfacing an opaque read error on every
+        later open."""
         from ralf_spark.connectors import _hadoop_fs
 
         meta_path = f"{self.path}/_meta"
         fs, jmeta = _hadoop_fs(spark, meta_path)
         mine = (self.hash_fn, self.num_perm, self.bands, self.shingle_n)
+        rows = []
         if fs.exists(jmeta):
-            row = spark.read.parquet(meta_path).collect()[0]
+            try:
+                rows = spark.read.parquet(meta_path).collect()
+            except Exception:
+                rows = []  # unreadable _meta (crashed first writer)
+        if rows:
+            row = rows[0]
             stored = (row.hash_fn, row.num_perm, row.bands, row.shingle_n)
             if stored != mine:
                 raise ValueError(

@@ -752,19 +752,36 @@ def datasource_fake_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestep=seq//k), so the oracle re-derives the same rows from
     ``generate_series`` — the connector's partition planning, read loop
     and option plumbing are all on the gated path (EqualTo-pushdown is
-    plan-asserted in tests/test_datasource.py)."""
+    plan-asserted in tests/test_datasource.py).
+
+    SIDE EFFECT (ADVICE r6): in a session where
+    ``spark.sql.python.filterPushdown.enabled`` is not already ``true``,
+    this query enables it SESSION-WIDE and leaves it on (a warning is
+    emitted). A set-and-restore is not an option — the reader's
+    pushdown-support check runs lazily at first execution, after this
+    function returns — and the engine session (``session.py``) already
+    runs with the conf on as its documented default regime; only vanilla
+    driver sessions see the change."""
+    import warnings
+
     from ralf_spark.sources.datasource import FakeEventsDataSource
 
     spark.dataSource.register(FakeEventsDataSource)
-    # A reader implementing pushFilters() refuses to even initialize
-    # unless Python-source filter pushdown is on — and the check runs
-    # LAZILY at first execution, so a set-and-restore around plan build
-    # breaks the caller's later collect (verified). The engine session
-    # (session.py) sets this conf globally as its normal regime — every
-    # gate and test runs under it — so in a vanilla driver session the
-    # query sets it session-wide to match the engine's documented
-    # defaults rather than introduce a novel planning regime.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    if (
+        str(spark.conf.get("spark.sql.python.filterPushdown.enabled",
+                           "false")).lower()
+        != "true"
+    ):
+        warnings.warn(
+            "datasource_fake_events: enabling "
+            "spark.sql.python.filterPushdown.enabled session-wide (the "
+            "engine session default; required lazily at first execution "
+            "of a pushFilters() reader, so it cannot be restored after "
+            "plan build). Later Python-DataSource reads in this session "
+            "plan with pushdown on.",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = (
         spark.read.format("fake_events")
         .option("num_keys", 16)

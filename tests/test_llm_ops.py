@@ -713,3 +713,19 @@ def test_minhash_index_pins_hash_config(spark, tmp_path, monkeypatch):
     # different banding shape also rejected
     with pytest.raises(ValueError, match="hashing config"):
         MinHashIndex(path, num_perm=8, bands=4).add(more)
+    # ADVICE r6: a crashed first writer can leave _meta as an empty dir
+    # (created, no committed parquet). Treated as ABSENT -> rewritten on
+    # the next open, not an opaque read error on every later operation.
+    import pathlib
+    import shutil
+
+    meta = pathlib.Path(path) / "_meta"
+    shutil.rmtree(meta)
+    meta.mkdir()
+    pairs2 = MinHashIndex(path, num_perm=4, bands=2).add(
+        _docs(spark, [(4, "a b c d e i")]), threshold=0.0
+    )
+    assert pairs2.count() > 0
+    # and the rewritten meta pins the config again
+    with pytest.raises(ValueError, match="hashing config"):
+        MinHashIndex(path, num_perm=8, bands=4).add(more)
