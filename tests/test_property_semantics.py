@@ -380,3 +380,85 @@ def test_domain_quota_cap_matches_reference_ranking(spark, rows, cap):
     got = {r.doc_id: r.kept for r in
            domain_quota_cap(t, "source", cap=cap, quality_col="q").collect()}
     assert got == want
+
+
+# ----------------------------------------- segmented per-key sequence folds
+def _ref_decayed(seq, hl_s):
+    """Pure-Python decay fold over (us, x) pairs already in order."""
+    s = t = None
+    for us, x in seq:
+        s = x if s is None else x + 0.5 ** ((us - t) / (hl_s * 1e6)) * s
+        t = us
+    return s
+
+
+def _ref_ewma(xs, alpha):
+    s = None
+    for x in xs:
+        s = x if s is None else alpha * x + (1 - alpha) * s
+    return s
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 3_600_000_000),   # event time, epoch micros
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False,
+                      width=32),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    segment_s=st.floats(0.001, 4000.0),
+    hl_s=st.floats(0.1, 7200.0),
+    alpha=st.floats(0.01, 0.99),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_segmented_folds_equal_single_fold(spark, rows, segment_s, hl_s,
+                                           alpha):
+    """VERDICT r6 #1: the two-phase segmented spellings (per-key memory
+    bounded by the time bucket, not the key's event count) must equal the
+    single-array fold AND a pure-Python reference fold, for any segment
+    length — including segments much smaller than event gaps (many
+    single-event buckets) and larger than the whole span (one bucket)."""
+    import math
+
+    from ralf_spark.operators.moments import ewma_per_key, time_decayed_sum
+
+    data = [(k, us, i, float(x)) for i, (k, us, x) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, us long, seq long, x double")
+    ordered = {}
+    for k, us, seq, x in sorted(data, key=lambda r: (r[1], r[2])):
+        ordered.setdefault(k, []).append((us, x))
+
+    single = time_decayed_sum(df, "k", "us", "x", half_life_s=hl_s,
+                              tiebreak_col="seq")
+    seg = time_decayed_sum(df, "k", "us", "x", half_life_s=hl_s,
+                           tiebreak_col="seq", segment_s=segment_s)
+    got_single = {r.k: (r.n_events, r.decayed_sum, r.last_ts_us)
+                  for r in single.collect()}
+    got_seg = {r.k: (r.n_events, r.decayed_sum, r.last_ts_us)
+               for r in seg.collect()}
+    assert set(got_seg) == set(got_single) == set(ordered)
+    for k, evs in ordered.items():
+        want = _ref_decayed(evs, hl_s)
+        for got in (got_single[k], got_seg[k]):
+            assert got[0] == len(evs)
+            assert math.isclose(got[1], want, rel_tol=1e-9, abs_tol=1e-9)
+            assert got[2] == evs[-1][0]
+
+    e_single = {r.k: (r.n_events, r.ewma)
+                for r in ewma_per_key(df, "k", "us", "x", alpha=alpha,
+                                      tiebreak_col="seq").collect()}
+    e_seg = {r.k: (r.n_events, r.ewma)
+             for r in ewma_per_key(df, "k", "us", "x", alpha=alpha,
+                                   tiebreak_col="seq",
+                                   segment_s=segment_s).collect()}
+    assert set(e_seg) == set(e_single) == set(ordered)
+    for k, evs in ordered.items():
+        want = _ref_ewma([x for _, x in evs], alpha)
+        for got in (e_single[k], e_seg[k]):
+            assert got[0] == len(evs)
+            assert math.isclose(got[1], want, rel_tol=1e-9, abs_tol=1e-9)
