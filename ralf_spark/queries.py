@@ -2684,6 +2684,11 @@ def headline_queries() -> dict[str, Query]:
 # event_type_counts + topk), similarity_topk_ivf (IVF via
 # ivf_index_query), embedding_centroid_per_label (F-arr via the E3
 # similarity family).
+# Round-7 rotation (VERDICT r6 #2): in — point_query_latest_state (S7
+# serving read, the one §2 family that had no driver-green row); out —
+# containment_pairs (E2 keeps near_dup_minhash, dedup_clusters,
+# dedup_keep_best, incremental_minhash_index + decontaminate as driver
+# reps; containment stays registered + sweep-gated).
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
@@ -2709,6 +2714,8 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "json_props_extract",
     # state maintenance (S9: changelog apply over persisted state)
     "apply_changelog_state",
+    # serving reads (S7: point query over latest-per-key state)
+    "point_query_latest_state",
     # END-TO-END COMPOSITION GATES: the full curation build, the full
     # feature-store pipeline, and the chained streaming pipeline
     # (source -> stateful window -> change policy -> EWMA state), each
@@ -2717,7 +2724,7 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "streaming_pipeline_end2end",
     # dedup family (§2.10 E1/E2) + decontamination + incremental index
     "exact_dedup", "near_dup_minhash", "dedup_clusters",
-    "containment_pairs", "dedup_keep_best", "incremental_minhash_index",
+    "dedup_keep_best", "incremental_minhash_index",
     "decontaminate_against_eval",
     # similarity search (E3): one-shot, persistent index, quantizer fit
     "similarity_topk_bruteforce", "ivf_index_query",

@@ -847,6 +847,34 @@ def csv_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "point_query_latest_state",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1 AND user_id = 7
+    """,
+)
+def point_query_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 point query as a driver gate (VERDICT r6 #2): the serving-read
+    half of the reference's table contract (``ralf/table.py:179-191``,
+    ``ralf/client.py:8-11``) phrased as an oracle-checked registry query —
+    ``FeatureTable.point_query_df`` over the events state, key 7 (present
+    at every fixture SF). The key predicate is applied below the
+    ``max_by`` state aggregate, so it reaches the parquet scan's
+    ``PushedFilters`` (plan-asserted in tests/test_core_surface.py):
+    a point read scans one key's rows, never the full state."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.point_query_df(7).select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized). Must

@@ -195,6 +195,25 @@ def test_point_query_returns_latest(spark):
     assert t.point_query("zzz") == []
 
 
+def test_point_query_pushes_key_filter_to_scan(spark, tmp_path):
+    """The point-read plan (r7 driver gate): the key predicate must land
+    in the parquet scan's PushedFilters — i.e. BELOW the max_by state
+    aggregate, where a filter on latest()'s output (a struct field of
+    the aggregated payload) could never be pushed. A point read scans
+    one key's rows, never the full state."""
+    from ralf_spark.plans.explain import pushed_filters
+    from ralf_spark.table import FeatureTable
+
+    path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [("a", 1, 1, 1.0), ("b", 2, 2, 2.0)],
+        "k string, ts long, seq long, v double",
+    ).write.parquet(path)
+    t = FeatureTable(spark.read.parquet(path), key="k", ts="ts", seq="seq")
+    plan_filters = pushed_filters(t.point_query_df("a"))
+    assert any("k" in f and "EqualTo" in f for f in plan_filters), plan_filters
+
+
 # ------------------------------------------------------------ Schema (§1.1)
 
 def test_schema_struct_type_and_validate(spark):
