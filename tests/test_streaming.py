@@ -812,6 +812,15 @@ def test_streaming_ewma_state_equals_batch_fold(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+    # VERDICT r6 #4: the exactly-once marker lives IN the state table
+    # (stamped per row, atomic with the staged overwrite) — no
+    # driver-local side file exists
+    import pathlib
+
+    from ralf_spark.streaming.sinks import LAST_BATCH_COL
+
+    assert not pathlib.Path(state + ".__last_batch__").exists()
+    assert LAST_BATCH_COL in spark.read.parquet(state).columns
     # replaying an already-applied batch id must not double-fold
     cb = ewma_upsert_batch(state, "user_id", "ts", "value", 0.2, "event_id")
     cb(spark.read.parquet(src), 0)  # batch_id 0 <= marker -> skipped
