@@ -1306,3 +1306,88 @@ def test_event_time_ttl_survives_late_data(spark, tmp_path):
     )
     got = {r.event_id for r in spark.table("evttl_late").collect()}
     assert got == {1, 2, 5}
+
+
+def test_tumbling_window_event_time_ttl(spark, tmp_path):
+    """VERDICT r6 #5: idle-key TTL for the streaming count windows — on
+    unbounded key domains the window buffers are the state pressure, not
+    the one-double policy state. ttl_clock='event' in a bounded replay:
+    key 7 buffers one value of a size-2 window, idles past the 60-min
+    TTL while the watermark advances on key 8, and its partial window is
+    EVICTED — the later value starts a fresh buffer and completes no
+    window; the identical replay WITHOUT a TTL completes it."""
+    import datetime as dt
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_tumbling_count_window,
+        write_memory,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = [
+        [(1, t(10), 7, 1.0), (2, t(10), 8, 1.0)],  # both buffer 1 value
+        [(3, t(12), 8, 2.0)],      # key 8 completes window 0 (sum 3);
+                                   # watermark -> 11:50 > key 7 timer 11:00
+        [(4, t(12, 10), 8, 3.0)],  # key 7's timer fires (no data for 7)
+        [(5, t(12, 30), 7, 5.0)],  # TTL: fresh buffer [5.0], no window;
+                                   # plain: completes window 0 (1+5=6)
+    ]
+    results = {}
+    for label, ttl in (("ttl", 60.0), ("plain", None)):
+        src = str(tmp_path / f"src_{label}")
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = file_events(
+            spark, src, schema=schema, max_files_per_trigger=1
+        ).withWatermark("ts", "10 minutes")
+        out = streaming_tumbling_count_window(
+            stream, size=2, idle_ttl_minutes=ttl, ttl_clock="event",
+        )
+        run_bounded(
+            write_memory(out, f"winttl_{label}"),
+            checkpoint=str(tmp_path / f"ck_{label}"),
+            shuffle_partitions=2,
+        )
+        results[label] = {
+            (r.user_id, r.window_id, r.w_sum)
+            for r in spark.table(f"winttl_{label}").collect()
+        }
+    assert results["plain"] == {(8, 0, 3.0), (7, 0, 6.0)}
+    assert results["ttl"] == {(8, 0, 3.0)}
+
+
+def test_window_ttl_validation_and_bounded_refusal(spark, tmp_path):
+    """Window TTL args validate like the policy's; a processing-clock
+    TTL'd WINDOW stream is refused by run_bounded via the plan-level
+    timer detection (no attribute marker involved)."""
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_sliding_count_window,
+        streaming_tumbling_count_window,
+        write_memory,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1, 1.0)], "event_id long, user_id long, value double"
+    ).write.parquet(src)
+    stream = file_events(
+        spark, src, schema="event_id long, user_id long, value double"
+    )
+    with pytest.raises(ValueError, match="idle_ttl_minutes"):
+        streaming_tumbling_count_window(stream, idle_ttl_minutes=0)
+    with pytest.raises(ValueError, match="ttl_clock"):
+        streaming_sliding_count_window(
+            stream, idle_ttl_minutes=1.0, ttl_clock="lunar"
+        )
+    out = streaming_sliding_count_window(
+        stream, idle_ttl_minutes=5.0, ttl_clock="processing"
+    )
+    with pytest.raises(ValueError, match="never terminates"):
+        run_bounded(write_memory(out, "nope3"), checkpoint=str(tmp_path / "ck"))
