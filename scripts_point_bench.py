@@ -34,7 +34,33 @@ N_KEYS = 20
 REPEATS = 5
 
 
-def _bench(spark, state, key_col, keys, ts=None, seq=None):
+def _bench_bulk(spark, label, flat, conn):
+    """Bulk state read (the training-export path, ``ralf/table.py:
+    193-206`` analog: ``StateConnector.bulk_query``) — full scan of the
+    same state via both layouts, drained executor-side (a 5M-key export
+    feeds a training job, never the driver). n=3 medians, warm JVM."""
+    def drain(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    drain(flat.df)  # warm listings
+    drain(conn.load(spark).df)
+    fs, bs = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        drain(flat.df)
+        fs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        drain(conn.load(spark).df)
+        bs.append(time.perf_counter() - t0)
+    print(f"| {label} bulk export, unbucketed | "
+          f"{statistics.median(fs)*1000:.0f}ms | - | "
+          f"{max(fs)*1000:.0f}ms | {len(fs)} |")
+    print(f"| {label} bulk export, bucketed (64) | "
+          f"{statistics.median(bs)*1000:.0f}ms | - | "
+          f"{max(bs)*1000:.0f}ms | {len(bs)} |")
+
+
+def _bench(spark, state, key_col, keys, ts=None, seq=None, bulk_label=None):
     flat_path = tempfile.mkdtemp(prefix="pb_flat_") + "/state"
     state.df.write.parquet(flat_path)
     flat = FeatureTable(spark.read.parquet(flat_path), key=key_col, ts=ts,
@@ -58,6 +84,8 @@ def _bench(spark, state, key_col, keys, ts=None, seq=None):
             rows = conn.point_query(spark, k)
             bucket_ms.append((time.perf_counter() - t0) * 1000)
             assert len(rows) == 1
+    if bulk_label is not None:
+        _bench_bulk(spark, bulk_label, flat, conn)
     return flat_ms, bucket_ms
 
 
@@ -109,7 +137,7 @@ def main() -> None:
     print("|---|---|---|---|---|")
     _report("100k-key", *_bench(spark, state, "event_id", keys, ts="ts"))
     _report("5M-key", *_bench(spark, big_state, "k", big_keys,
-                          seq="value"))
+                          seq="value", bulk_label="5M-key"))
     spark.stop()
 
 
