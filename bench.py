@@ -24,6 +24,63 @@ from ralf_spark.queries import QUERIES, headline_queries  # noqa: E402
 from ralf_spark.session import get_spark  # noqa: E402
 
 
+#: the dedup/fingerprint family whose operators resolve
+#: SPARK_GRAFT_HASH_FN — the set the r6 two-mode profile measured
+HASH_FAMILY = [
+    "near_dup_minhash", "dedup_clusters", "dedup_keep_best",
+    "incremental_minhash_index", "simhash_near_dup_pairs",
+    "duplicate_ngram_spans", "containment_pairs",
+    "near_dup_jaccard_index", "decontaminate_against_eval",
+]
+
+
+def _hash_modes_profile(spark, sf_dir: str, sf) -> None:
+    """SPARK_GRAFT_BENCH_HASH_MODES=1: run the dedup family in BOTH hash
+    modes (md5 oracle default / xxhash64 production) in one invocation —
+    n=3 per-query medians, cache cleared between runs — and emit ONE
+    JSON line holding both mode tables, so a published number can never
+    silently be one-mode (VERDICT r6 #8)."""
+    import statistics
+
+    def drain(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    prev = os.environ.get("SPARK_GRAFT_HASH_FN")
+    modes: dict[str, dict[str, float]] = {}
+    try:
+        for mode in ("md5", "xxhash64"):
+            os.environ["SPARK_GRAFT_HASH_FN"] = mode
+            times: dict[str, float] = {}
+            for name in HASH_FAMILY:
+                q = QUERIES[name]
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    drain(q.fn(spark, sf_dir))
+                    runs.append(time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                times[name] = round(statistics.median(runs), 4)
+            modes[mode] = times
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_HASH_FN", None)
+        else:
+            os.environ["SPARK_GRAFT_HASH_FN"] = prev
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_family_hash_modes_median3",
+                "unit": "sec",
+                "modes": modes,
+                "totals": {
+                    m: round(sum(t.values()), 4) for m, t in modes.items()
+                },
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -31,6 +88,11 @@ def main() -> None:
     spark = get_spark(app_name="ralf_spark_bench",
                       extra_confs={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+
+    if os.environ.get("SPARK_GRAFT_BENCH_HASH_MODES") == "1":
+        _hash_modes_profile(spark, sf_dir, sf)
+        spark.stop()
+        return
 
     def drain(df) -> None:
         df.write.format("noop").mode("overwrite").save()

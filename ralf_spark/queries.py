@@ -2688,7 +2688,10 @@ def headline_queries() -> dict[str, Query]:
 # serving read, the one §2 family that had no driver-green row); out —
 # containment_pairs (E2 keeps near_dup_minhash, dedup_clusters,
 # dedup_keep_best, incremental_minhash_index + decontaminate as driver
-# reps; containment stays registered + sweep-gated).
+# reps; containment stays registered + sweep-gated). Also in —
+# streaming_interval_join (the stream-stream watermarked join gate, new
+# operator family r7); out — cms_token_heavy_hitters (E6 keeps
+# hll_distinct_event_ids + kmv_distinct_users as driver reps).
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
@@ -2722,6 +2725,8 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # vs ONE composed oracle
     "curation_pipeline_end2end", "feature_pipeline_end2end",
     "streaming_pipeline_end2end",
+    # streaming joins (J1a stream-static + interval stream-stream, r7)
+    "streaming_interval_join",
     # dedup family (§2.10 E1/E2) + decontamination + incremental index
     "exact_dedup", "near_dup_minhash", "dedup_clusters",
     "dedup_keep_best", "incremental_minhash_index",
@@ -2734,7 +2739,6 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "gopher_repetition",
     # cardinality/frequency sketches (E6: HLL + KMV + CMS)
     "hll_distinct_event_ids", "kmv_distinct_users",
-    "cms_token_heavy_hitters",
     # retrieval/curation (E9)
     "bm25_keyword_search", "ewma_per_user", "funnel_view_click_purchase",
     # storage layout (E8)

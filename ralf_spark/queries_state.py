@@ -848,6 +848,133 @@ def csv_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_enrichment_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def streaming_enrichment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1a as a STREAM (r7): the reference's core deployment — a live
+    fact stream enriched against dimension/state tables per record
+    (``ralf/operators/join.py:41-50``) — using the SAME
+    ``operators.joins.enrichment_join`` code as the batch gate: the
+    operator is engine-polymorphic, a streaming left side makes the plan
+    a stream-static join. The static side is re-resolved when the query
+    (re)starts, giving the dim-refresh semantics the reference gets from
+    mutable actor state at deployment granularity (pinned in
+    tests/test_streaming.py: a dim rewritten between two bounded runs of
+    the same checkpoint enriches the second run's records with the NEW
+    values; within-run refresh additionally needs
+    ``spark.catalog.refreshByPath`` on the dim, since the file listing is
+    cached on the DataFrame). The broadcast hint on the dimension keeps
+    every micro-batch shuffle-free on the stream side."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.operators.joins import enrichment_join
+    from ralf_spark.streaming import file_events, run_bounded, write_memory
+
+    stream = file_events(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        schema="o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    dim = FeatureTable(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        ),
+        key="c_custkey",
+    )
+    left = FeatureTable(stream, key="o_custkey")
+    joined = enrichment_join(
+        left, dim, on=[stream.o_custkey == dim.df.c_custkey],
+        broadcast_right=True,
+    )
+    name = "stream_enrich_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    run_bounded(
+        write_memory(joined.df, name),
+        checkpoint=_tf.mkdtemp(prefix="ck_enrich_"),
+        shuffle_partitions=8,
+    )
+    return (
+        spark.table(name)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "streaming_interval_join",
+    """
+    SELECT l.event_id, count(*) AS n_prior_clicks,
+           round(sum(r.value), 4) AS sum_click_value
+    FROM events l JOIN events r
+      ON r.user_id = l.user_id
+     AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+    GROUP BY l.event_id
+    ORDER BY l.event_id
+    """,
+)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval join as a STREAM-STREAM join (r7): purchases x
+    prior-hour clicks through the SAME ``operators.joins.interval_join``
+    code as the batch gate — its equi-key + two-sided time-bound
+    condition is precisely the form Spark's watermarked stream-stream
+    join supports natively, so the operator runs unchanged; the
+    watermarks on both sides are what bound the join state at scale
+    (right rows age out once the watermark passes ts + lookback — the
+    reference, one record at a time, cannot express this join at all).
+    The attribution aggregate runs in batch over the drained matches
+    (chaining a global agg after a stream-stream join is not an
+    append-mode shape); batching-invariance across time-ordered splits
+    is pinned in tests/test_streaming.py."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.functions.timeutil import epoch_us
+    from ralf_spark.operators.joins import interval_join
+    from ralf_spark.streaming import file_events, run_bounded, write_memory
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, value double, "
+        "event_type string"
+    )
+
+    def side(event_type: str) -> FeatureTable:
+        s = (
+            file_events(spark, f"{sf_dir}/events.parquet", schema=schema)
+            .where(F.col("event_type") == event_type)
+        )
+        # Watermarks demand TIMESTAMP (LTZ). Convert the canonical NTZ
+        # event time to an instant TZ-FREE — timestamp_micros over the
+        # integer epoch (naive-as-UTC, DuckDB's epoch semantics) — never
+        # an NTZ->LTZ cast, which would shift under a non-UTC session tz.
+        s = s.withColumn("ts", F.timestamp_micros(epoch_us(s, "ts")))
+        s = s.withWatermark("ts", "2 hours")
+        return FeatureTable(s, key="user_id", ts="ts")
+
+    joined = interval_join(side("purchase"), side("click"), lookback="1 hour")
+    name = "stream_ivj_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    run_bounded(
+        write_memory(joined.df.select("event_id", "value_r"), name),
+        checkpoint=_tf.mkdtemp(prefix="ck_ivj_"),
+        shuffle_partitions=8,
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_prior_clicks"),
+            F.round(F.sum("value_r"), 4).alias("sum_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "point_query_latest_state",
     """
     SELECT event_id, user_id, event_type, round(value, 4) AS value

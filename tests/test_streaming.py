@@ -1391,3 +1391,128 @@ def test_window_ttl_validation_and_bounded_refusal(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="never terminates"):
         run_bounded(write_memory(out, "nope3"), checkpoint=str(tmp_path / "ck"))
+
+
+def test_streaming_interval_join_batching_invariant(spark, tmp_path):
+    """The watermarked stream-stream interval join (r7) must emit exactly
+    the batch interval-join matches whether each side arrives as one
+    chunk or as 3 time-ordered chunks: the 2-hour watermark delay covers
+    the 1-hour lookback, so right-side state is never evicted before a
+    same-window left row can arrive (time-ordered replay — the same
+    in-order contract every stateful operator here documents)."""
+    import pyspark.sql.functions as F
+
+    from ralf_spark.operators.joins import interval_join
+    from ralf_spark.streaming import file_events, run_bounded, write_memory
+    from ralf_spark.table import FeatureTable
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )
+    # tz-free instants (naive-as-UTC) for the watermark, as in the query
+    from ralf_spark.functions.timeutil import epoch_us
+
+    ev_ltz = ev.withColumn("ts", F.timestamp_micros(epoch_us(ev, "ts")))
+    want = sorted(
+        (r.event_id, r.event_id_r)
+        for r in interval_join(
+            FeatureTable(
+                ev_ltz.where("event_type = 'purchase'"), key="user_id",
+                ts="ts",
+            ),
+            FeatureTable(
+                ev_ltz.where("event_type = 'click'"), key="user_id", ts="ts"
+            ),
+            lookback="1 hour",
+        ).df.select("event_id", "event_id_r").collect()
+    )
+    assert len(want) > 0
+
+    ordered = ev.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    for label, cuts in (("one", [(0, n)]),
+                        ("three", [(0, n // 3), (n // 3, 2 * n // 3),
+                                   (2 * n // 3, n)])):
+        src = str(tmp_path / f"src_{label}")
+        for lo, hi in cuts:
+            spark.createDataFrame(ordered[lo:hi], ev.schema).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        def side(event_type):
+            s = file_events(
+                spark, src, max_files_per_trigger=1,
+                schema=("event_id long, ts timestamp_ntz, user_id long, "
+                        "value double, event_type string"),
+            ).where(F.col("event_type") == event_type)
+            s = s.withColumn("ts", F.timestamp_micros(epoch_us(s, "ts")))
+            return FeatureTable(
+                s.withWatermark("ts", "2 hours"), key="user_id", ts="ts"
+            )
+
+        joined = interval_join(side("purchase"), side("click"),
+                               lookback="1 hour")
+        name = f"ivj_{label}"
+        run_bounded(
+            write_memory(joined.df.select("event_id", "event_id_r"), name),
+            checkpoint=str(tmp_path / f"ck_{label}"),
+            shuffle_partitions=4,
+        )
+        got = sorted(
+            (r.event_id, r.event_id_r) for r in spark.table(name).collect()
+        )
+        assert got == want, f"{label}: {len(got)} vs {len(want)} matches"
+
+
+def test_streaming_enrichment_join_dim_refresh(spark, tmp_path):
+    """Stream-static enrichment (r7): the dimension is re-read when the
+    stream restarts — a dim row updated between two bounded runs of the
+    SAME checkpoint enriches the second run's records with the NEW
+    value (the reference's mutable-state join semantics across
+    deployments). Uses the same enrichment_join operator as batch."""
+    from ralf_spark.operators.joins import enrichment_join
+    from ralf_spark.streaming import file_events, run_bounded, write_parquet
+    from ralf_spark.table import FeatureTable
+
+    dim_path = str(tmp_path / "dim")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "gold"), (2, "iron")], "k long, tier string"
+    ).write.parquet(dim_path)
+    spark.createDataFrame(
+        [(10, 1), (11, 2)], "order_id long, k long"
+    ).coalesce(1).write.parquet(src)
+
+    out_path = str(tmp_path / "out")
+
+    def run_once():
+        stream = file_events(
+            spark, src, schema="order_id long, k long"
+        )
+        dim = FeatureTable(spark.read.parquet(dim_path), key="k")
+        joined = enrichment_join(
+            FeatureTable(stream, key="k"), dim, on="k", broadcast_right=True
+        )
+        # parquet sink: supports checkpoint RECOVERY (the memory sink
+        # does not), which is the restart this test exercises
+        run_bounded(
+            write_parquet(joined.df, out_path, str(tmp_path / "ck")),
+            shuffle_partitions=2,
+        )
+
+    run_once()
+    got1 = {(r.order_id, r.tier)
+            for r in spark.read.parquet(out_path).collect()}
+    assert got1 == {(10, "gold"), (11, "iron")}
+    # dim updated + new stream file; the restarted run (same checkpoint)
+    # only processes the NEW file, against the NEW dim
+    spark.createDataFrame(
+        [(1, "platinum"), (2, "iron")], "k long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+    spark.createDataFrame(
+        [(12, 1)], "order_id long, k long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = {(r.order_id, r.tier)
+            for r in spark.read.parquet(out_path).collect()}
+    assert (12, "platinum") in got2 and got1 <= got2
