@@ -97,6 +97,78 @@ def cluster_by_range(
     )
 
 
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int,
+    path: str,
+    mode: str = "overwrite",
+    bits: int = 16,
+) -> None:
+    """Write ``num_files`` files clustered on the Z-ORDER (Morton) curve
+    over 2-3 numeric columns — multi-column file skipping where
+    :func:`cluster_by_range` can only serve its leading column.
+
+    Range-clustering on ``(a, b)`` gives file-level min/max tightness on
+    ``a`` alone (within a file, ``b`` spans its full domain); the Morton
+    interleave makes each file a contiguous z-range ≈ a rectangle in
+    (a, b) space, so parquet min/max footer stats prune files for
+    predicates on EITHER column (asserted from the footers in
+    tests/test_layout.py). This is the same layout lever Delta/Iceberg
+    expose as ``OPTIMIZE ... ZORDER BY``, spelled with engine-native
+    expressions: per-column min/max from one tiny aggregate (k scalars to
+    the driver), linear scaling to ``bits``-bit grid cells, and the bit
+    interleave as a codegen'd integer expression — no UDF, one range
+    shuffle, identical re-runs (deterministic; no ``rand()``).
+
+    Linear scaling is skew-sensitive by design (rank-based scaling needs
+    a global sort — the cliff this module exists to avoid); for heavy
+    skew, pre-transform the column (log, bucketized) before clustering.
+    NULLs map to cell 0. ``bits`` is clamped so k*bits fits a long.
+    """
+    if not 2 <= len(cols) <= 3:
+        raise ValueError("cluster_by_zorder wants 2-3 columns "
+                         "(1 column: use cluster_by_range)")
+    k = len(cols)
+    bits = min(bits, 62 // k)
+    cells = (1 << bits) - 1
+    row = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"_mx{i}") for i, c in enumerate(cols)],
+    ).first()
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"_mn{i}"], row[f"_mx{i}"]
+        if mn is None or mx is None or mx == mn:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        cell = F.floor(
+            (F.col(c).cast("double") - F.lit(mn))
+            / F.lit(mx - mn) * F.lit(float(cells))
+        ).cast("long")
+        scaled.append(
+            F.coalesce(
+                F.least(F.greatest(cell, F.lit(0)), F.lit(cells)), F.lit(0)
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, b).bitwiseAND(F.lit(1)), b * k + i
+                )
+            )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -441,6 +441,49 @@ def layout_partitioned_write_stats_q(
     )
 
 
+@query(
+    "layout_zorder_roundtrip",
+    """
+    SELECT user_id % 8 AS user_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(event_id) AS min_event, max(event_id) AS max_event,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id % 8 ORDER BY user_bucket
+    """,
+)
+def layout_zorder_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 Z-order clustering (r7) gated end to end: route events through
+    ``layout.cluster_by_zorder`` on (user_id, value) — the Morton
+    interleave over min/max-scaled grid cells — and aggregate the
+    READ-BACK; the oracle is the same aggregation over the source table,
+    proving the curve reshuffle+sort is lossless. The layout property the
+    oracle cannot see (per-file footer min/max tight on BOTH columns,
+    vs range-clustering's full-span trailing column) is pinned by
+    tests/test_layout.py."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.layout import cluster_by_zorder
+
+    ev = _t(spark, sf_dir, "events").df
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _tf.mkdtemp(prefix=f"zorder_{tag}_") + "/t"
+    cluster_by_zorder(
+        ev.select("event_id", "user_id", "value"),
+        ["user_id", "value"], num_files=8, path=path,
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy((F.col("user_id") % 8).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

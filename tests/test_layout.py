@@ -117,3 +117,57 @@ def test_file_stats(spark, events, tmp_path):
     assert len(stats) == 4
     assert sum(s.rows for s in stats) == events.count()
     assert all(s.bytes > 0 for s in stats)
+
+
+def test_cluster_by_zorder_prunes_both_dims(spark, tmp_path):
+    """Z-order (r7): on a uniform 64x64 grid written as 16 z-clustered
+    files, each file's footer min/max must cover a small sub-range of
+    BOTH columns (a Morton block), where range-clustering on (a, b)
+    leaves column b spanning ~its full domain in every file — the
+    multi-column file-skipping property the operator exists for."""
+    from ralf_spark.layout import cluster_by_range, cluster_by_zorder
+
+    rows = [(i % 64, i // 64, float(i)) for i in range(4096)]
+    df = spark.createDataFrame(rows, "a long, b long, v double")
+
+    def spans(path, col):
+        out = []
+        for f in _data_files(path):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            lo = min(md.row_group(g).column(idx[col]).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx[col]).statistics.max
+                     for g in range(md.num_row_groups))
+            out.append((hi - lo) / 63.0)
+        return out
+
+    zpath = str(tmp_path / "z")
+    cluster_by_zorder(df, ["a", "b"], num_files=16, path=zpath)
+    rpath = str(tmp_path / "r")
+    cluster_by_range(df, ["a", "b"], num_files=16, path=rpath)
+
+    za, zb = spans(zpath, "a"), spans(zpath, "b")
+    rb = spans(rpath, "b")
+    assert len(za) == 16
+    # z-order: every file covers a fraction of BOTH dims
+    assert sum(za) / len(za) < 0.5, za
+    assert sum(zb) / len(zb) < 0.5, zb
+    # range clustering's trailing column spans ~everything per file
+    assert sum(rb) / len(rb) > 0.9, rb
+    # lossless + deterministic re-run
+    back = spark.read.parquet(zpath)
+    assert back.count() == 4096
+    assert back.agg({"v": "sum"}).first()[0] == sum(float(i) for i in range(4096))
+    cluster_by_zorder(df, ["a", "b"], num_files=16, path=str(tmp_path / "z2"))
+    s1 = [(s.rows, s.bytes) for s in
+          __import__("ralf_spark.layout", fromlist=["file_stats"])
+          .file_stats(spark, zpath)]
+    s2 = [(s.rows, s.bytes) for s in
+          __import__("ralf_spark.layout", fromlist=["file_stats"])
+          .file_stats(spark, str(tmp_path / "z2"))]
+    assert s1 == s2
+
+    with pytest.raises(ValueError):
+        cluster_by_zorder(df, ["a"], num_files=4, path=str(tmp_path / "x"))
