@@ -441,7 +441,12 @@ class IvfIndex:
     directories — the same incremental-maintenance regime as
     :class:`~ralf_spark.operators.dedup.MinHashIndex`, with cell files as
     the unit of growth (periodic re-clustering = rebuild, the standard IVF
-    trade-off).
+    trade-off). Like MinHashIndex (r7), adds are EXACTLY-ONCE under
+    micro-batch replay: the layout is two-level
+    ``cells/cell=<id>/_batch=<tag>/``, and a named ``batch_tag`` replay
+    dynamically overwrites only its own ``(cell, _batch)`` directories —
+    assignment is deterministic (frozen centroids), so the rewrite is
+    idempotent; other batches' files are untouched.
 
     Complements :func:`ivf_topk` (one-shot, in-memory cell assignment):
     same cell/probe semantics, so the one-shot oracle gates this index's
@@ -470,6 +475,20 @@ class IvfIndex:
             )
         ).withColumn("cell", nearest_cells(cen_rows, F.col("_v"), 1)[0])
 
+    def _write_cells(self, assigned: DataFrame, tag: str, mode: str) -> None:
+        """Fold an assigned projection into its ``_batch=<tag>`` subtree.
+        Dynamic overwrite touches only the ``(cell, _batch)`` directories
+        present in ``assigned`` — a replayed tag rewrites itself in place
+        (idempotent: assignment under the frozen quantizer is
+        deterministic); other batches' partitions are untouched."""
+        (
+            assigned.withColumn("_batch", F.lit(tag))
+            .write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "_batch")
+            .parquet(f"{self.path}/cells")
+        )
+
     def build(self, table: FeatureTable, centroids: DataFrame) -> None:
         """Freeze the quantizer and write the corpus partitioned by cell.
         ``centroids``: (centroid_id, centroid_vec) — small by contract."""
@@ -479,18 +498,22 @@ class IvfIndex:
         ).write.mode("overwrite").parquet(f"{self.path}/centroids")
         spark = table.df.sparkSession
         cen_rows = self._cen_rows(spark)
-        self._assign(table, cen_rows).write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(f"{self.path}/cells")
+        self._write_cells(self._assign(table, cen_rows), "base", "overwrite")
 
-    def add(self, table: FeatureTable) -> None:
-        """Assign a new batch with the stored quantizer and append it to
-        the cell layout — only the batch is hashed and written."""
+    def add(self, table: FeatureTable, batch_tag: str | None = None) -> None:
+        """Assign a new batch with the stored quantizer and fold it into
+        the cell layout — only the batch is assigned and written.
+
+        ``batch_tag`` names the batch's partition: re-running ``add``
+        with the same tag (a micro-batch replay after failure) REPLACES
+        that batch's directories instead of duplicating vectors; unnamed
+        batches get a unique tag (plain append semantics)."""
+        import uuid
+
         spark = table.df.sparkSession
         cen_rows = self._cen_rows(spark)
-        self._assign(table, cen_rows).write.mode("append").partitionBy(
-            "cell"
-        ).parquet(f"{self.path}/cells")
+        tag = batch_tag if batch_tag is not None else uuid.uuid4().hex[:12]
+        self._write_cells(self._assign(table, cen_rows), tag, "overwrite")
 
     def query(
         self,

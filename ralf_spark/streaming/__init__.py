@@ -13,6 +13,7 @@ from ralf_spark.streaming.sinks import (
     foreach_batch_decayed_upsert,
     foreach_batch_ewma_upsert,
     foreach_batch_index_add,
+    foreach_batch_ivf_add,
     foreach_batch_kv_upsert,
     foreach_batch_latest_upsert,
     run_bounded,
@@ -55,6 +56,7 @@ __all__ = [
     "foreach_batch_decayed_upsert",
     "foreach_batch_ewma_upsert",
     "foreach_batch_index_add",
+    "foreach_batch_ivf_add",
     "foreach_batch_kv_upsert",
     "foreach_batch_latest_upsert",
     "run_bounded",

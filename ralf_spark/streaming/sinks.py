@@ -428,6 +428,34 @@ def decayed_upsert_batch(
     return upsert
 
 
+def foreach_batch_ivf_add(
+    df: DataFrame,
+    index,
+    key: str,
+) -> DataStreamWriter:
+    """Streaming embedding ingest (r7): fold each micro-batch of vectors
+    into a persistent :class:`~ralf_spark.operators.similarity.IvfIndex`
+    — the crawl-loop regime for the ANN side, mirroring
+    :func:`foreach_batch_index_add` for the dedup index.
+
+    Each batch pays O(|batch|) assignment against the FROZEN quantizer
+    plus one partitioned write into the touched cells; the index is
+    queryable between batches (readers see committed cell files).
+    Exactly-once under replay: the checkpointed ``batch_id`` becomes the
+    ``_batch`` partition tag and a replayed micro-batch dynamically
+    overwrites its own ``(cell, _batch)`` directories — assignment is
+    deterministic, so the rewrite is idempotent and vectors are never
+    duplicated (asserted in tests: forced double-delivery leaves the
+    index equal to the single-delivery build)."""
+
+    def add(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        index.add(FeatureTable(batch_df, key=key), batch_tag=f"b{batch_id}")
+
+    return df.writeStream.foreachBatch(add)
+
+
 def _has_processing_time_timer(df: DataFrame) -> bool:
     """True when ``df``'s analyzed plan contains a stateful
     apply-with-state operator armed with a PROCESSING-time timeout —

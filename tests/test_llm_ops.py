@@ -729,3 +729,45 @@ def test_minhash_index_pins_hash_config(spark, tmp_path, monkeypatch):
     # and the rewritten meta pins the config again
     with pytest.raises(ValueError, match="hashing config"):
         MinHashIndex(path, num_perm=8, bands=4).add(more)
+
+
+def test_ivf_index_add_replay_idempotent(spark, tmp_path):
+    """r7: IvfIndex adds are exactly-once under micro-batch replay — a
+    re-applied batch_tag rewrites its own (cell, _batch) directories
+    instead of duplicating vectors (the MinHashIndex regime ported to
+    the ANN index)."""
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.table import FeatureTable
+
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    base = FeatureTable(
+        spark.createDataFrame(
+            [(1, [0.9, 0.1]), (2, [0.1, 0.9])],
+            "vec_id long, embedding array<double>",
+        ),
+        key="vec_id",
+    )
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(base, cen)
+    batch = FeatureTable(
+        spark.createDataFrame(
+            [(3, [0.95, 0.05]), (4, [0.05, 0.95])],
+            "vec_id long, embedding array<double>",
+        ),
+        key="vec_id",
+    )
+    idx.add(batch, batch_tag="b7")
+    idx.add(batch, batch_tag="b7")  # replay: must be a no-op
+    cells = spark.read.parquet(str(tmp_path / "ivf" / "cells"))
+    ids = sorted(r._id for r in cells.collect())
+    assert ids == [1, 2, 3, 4]
+    # and query() still sees the folded vectors once
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.02])], "query_id long, query_vec array<double>"
+    )
+    got = [(r.neighbor_id, r.rank)
+           for r in idx.query(q, k=3, nprobe=1).collect()]
+    assert got == [(3, 1), (1, 2)]

@@ -1516,3 +1516,62 @@ def test_streaming_enrichment_join_dim_refresh(spark, tmp_path):
     got2 = {(r.order_id, r.tier)
             for r in spark.read.parquet(out_path).collect()}
     assert (12, "platinum") in got2 and got1 <= got2
+
+
+def test_streaming_ivf_ingest_equals_batch_add(spark, tmp_path):
+    """r7 streaming embedding ingest: draining vector micro-batches
+    through foreach_batch_ivf_add leaves the IvfIndex identical to one
+    batch add of the same vectors, and a forced double-delivery of a
+    batch id is a no-op (the _batch dynamic-overwrite regime)."""
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_ivf_add,
+        run_bounded,
+    )
+    from ralf_spark.table import FeatureTable
+
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    base = FeatureTable(
+        spark.createDataFrame(
+            [(1, [0.9, 0.1])], "vec_id long, embedding array<double>"
+        ),
+        key="vec_id",
+    )
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(base, cen)
+
+    src = str(tmp_path / "vecs")
+    schema = "vec_id long, embedding array<double>"
+    for rows in ([(2, [0.8, 0.2])], [(3, [0.1, 0.9]), (4, [0.95, 0.05])]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = file_events(spark, src, schema=schema, max_files_per_trigger=1)
+    run_bounded(
+        foreach_batch_ivf_add(stream, idx, key="vec_id"),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=2,
+    )
+    cells = str(tmp_path / "ivf" / "cells")
+    assert sorted(r._id for r in spark.read.parquet(cells).collect()) == [
+        1, 2, 3, 4,
+    ]
+    # forced double-delivery of an already-applied batch id: no-op
+    idx.add(
+        FeatureTable(
+            spark.createDataFrame([(2, [0.8, 0.2])], schema), key="vec_id"
+        ),
+        batch_tag="b0",
+    )
+    assert sorted(r._id for r in spark.read.parquet(cells).collect()) == [
+        1, 2, 3, 4,
+    ]
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.02])], "query_id long, query_vec array<double>"
+    )
+    got = [r.neighbor_id for r in idx.query(q, k=4, nprobe=1).collect()]
+    assert got == [4, 1, 2]  # cell-0 members, cosine order
