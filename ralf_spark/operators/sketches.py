@@ -125,10 +125,27 @@ def hll_distinct(
     keeps every harmonic-sum term dyadic so the double sum is exact and
     order-independent — see module docstring.
     """
+    return hll_estimate(
+        hll_register_update(df, group_cols, value_col, b, rho_cap),
+        group_cols,
+        b,
+    )
+
+
+def hll_register_update(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    b: int = 6,
+    rho_cap: int = 40,
+) -> DataFrame:
+    """The sketch STATE: per (group, bucket) max leading-zero rank —
+    ``group_cols + [bucket, reg]``. Mergeable (register-wise max) and
+    therefore replay-IDEMPOTENT: re-folding the same rows can never
+    change a max, which is what makes the streaming HLL state sink
+    exactly-once by algebra rather than by marker."""
     if b != 6:
         raise ValueError("only b=6 (m=64, alpha=0.709) is wired up")
-    m = 1 << b
-    alpha = 0.709
     rest_bits = 60 - b
     rest_space = 1 << rest_bits
     value = F.col(value_col) if isinstance(value_col, str) else value_col
@@ -139,11 +156,39 @@ def hll_distinct(
         F.lit(rest_bits + 1) - F.length(F.bin(rest))
     )
     rho = F.least(rho, F.lit(rho_cap))
-    regs = (
+    return (
         df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_merge_registers(
+    state: DataFrame, batch_regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge two register tables: register-wise max (the HLL union —
+    associative, commutative, idempotent). One hash aggregation on
+    (group, bucket); keys only on one side pass through."""
+    return (
+        state.select(*group_cols, "bucket", "reg")
+        .unionByName(batch_regs.select(*group_cols, "bucket", "reg"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], b: int = 6
+) -> DataFrame:
+    """Estimate per-group distincts from a register table (the read side
+    of the sketch state): HLL harmonic mean with the paper's linear-
+    counting small-range correction. Returns ``group_cols +
+    [est_distinct]`` rounded to 2dp — identical algebra to the one-shot
+    :func:`hll_distinct`, so the same oracle gates both paths."""
+    if b != 6:
+        raise ValueError("only b=6 (m=64, alpha=0.709) is wired up")
+    m = 1 << b
+    alpha = 0.709
     per_group = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_used"),
         F.count(F.lit(1)).alias("n_used"),

@@ -290,6 +290,51 @@ def cms_token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(toks, "tok")
 
 
+@query(
+    "streaming_hll_state",
+    hll_distinct_sql("events", ["event_type"], "event_id")
+    + " ORDER BY event_type",
+)
+def streaming_hll_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 as maintained STREAMING state (r7): the events stream drains in
+    3 micro-batches through ``foreach_batch_hll_upsert`` — each batch's
+    (group, bucket, max-rho) registers merged into the stored table by
+    register-wise max — and the final estimate must equal the one-shot
+    ``hll_distinct`` oracle EXACTLY: the register merge is associative,
+    commutative and idempotent, so ANY micro-batching (and any replay)
+    converges on the identical sketch, unlike the order-contracted fold
+    sinks. State is O(groups x 64 registers) regardless of stream
+    length."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.operators.sketches import hll_estimate
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_hll_upsert,
+        run_bounded,
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    src = _tf.mkdtemp(prefix=f"hll_src_{tag}_")
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "event_id")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    state = _tf.mkdtemp(prefix=f"hll_state_{tag}_") + "/state"
+    stream = file_events(
+        spark, src, schema="event_type string, event_id long",
+        max_files_per_trigger=1,
+    )
+    run_bounded(
+        foreach_batch_hll_upsert(
+            stream, state, group_cols=["event_type"], value_col="event_id"
+        ),
+        checkpoint=_tf.mkdtemp(prefix=f"ck_hll_{tag}_"),
+    )
+    return hll_estimate(
+        spark.read.parquet(state), ["event_type"]
+    ).orderBy("event_type")
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

@@ -13,9 +13,11 @@ from ralf_spark.streaming.sinks import (
     foreach_batch_decayed_upsert,
     foreach_batch_ewma_upsert,
     foreach_batch_index_add,
+    foreach_batch_hll_upsert,
     foreach_batch_ivf_add,
     foreach_batch_kv_upsert,
     foreach_batch_latest_upsert,
+    hll_upsert_batch,
     run_bounded,
     write_console,
     write_memory,
@@ -56,8 +58,10 @@ __all__ = [
     "foreach_batch_decayed_upsert",
     "foreach_batch_ewma_upsert",
     "foreach_batch_index_add",
+    "foreach_batch_hll_upsert",
     "foreach_batch_ivf_add",
     "foreach_batch_kv_upsert",
+    "hll_upsert_batch",
     "foreach_batch_latest_upsert",
     "run_bounded",
     "write_console",

@@ -428,6 +428,56 @@ def decayed_upsert_batch(
     return upsert
 
 
+def foreach_batch_hll_upsert(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+) -> DataStreamWriter:
+    """Maintain a persisted per-group HyperLogLog register table from a
+    stream (r7) — incremental distinct counting without distinct sets:
+    each micro-batch reduces to its (group, bucket, max-rho) registers
+    and merges into the stored table by register-wise max
+    (``operators.sketches.hll_merge_registers``). State is O(groups × 64
+    registers) regardless of stream length; the estimate is read out
+    with ``hll_estimate`` — the same algebra as the one-shot
+    ``hll_distinct``, so the same oracle gates both paths.
+
+    Unlike the moments/EWMA/decayed folds, the HLL merge is IDEMPOTENT
+    by algebra (max can't double-count), so a replayed batch is harmless
+    even without the marker; the ``LAST_BATCH_COL`` stamp is still
+    written for the skip (saves the merge work) and observability."""
+
+    return df.writeStream.foreachBatch(
+        hll_upsert_batch(path, group_cols, value_col)
+    )
+
+
+def hll_upsert_batch(path: str, group_cols: list[str], value_col: str):
+    """The foreachBatch callback behind :func:`foreach_batch_hll_upsert`,
+    exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.operators.sketches import (
+            hll_merge_registers,
+            hll_register_update,
+        )
+
+        spark = batch_df.sparkSession
+        current, last = _load_state(spark, path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch (a merge would be harmless; skip work)
+        regs = hll_register_update(batch_df, group_cols, value_col)
+        merged = (
+            hll_merge_registers(current, regs, group_cols)
+            if current is not None
+            else regs
+        )
+        _store_state(spark, merged, path, batch_id)
+
+    return upsert
+
+
 def foreach_batch_ivf_add(
     df: DataFrame,
     index,

@@ -1575,3 +1575,56 @@ def test_streaming_ivf_ingest_equals_batch_add(spark, tmp_path):
     )
     got = [r.neighbor_id for r in idx.query(q, k=4, nprobe=1).collect()]
     assert got == [4, 1, 2]  # cell-0 members, cosine order
+
+
+def test_streaming_hll_state_merge_and_replay(spark, tmp_path):
+    """r7 HLL state sink: any micro-batching converges on the identical
+    register table (merge = register-wise max, order/partition
+    invariant), a replayed batch id is skipped, and even a FORCED
+    re-merge of already-folded rows cannot change the registers
+    (idempotent by algebra, not just by marker)."""
+    from ralf_spark.operators.sketches import hll_distinct, hll_estimate
+    from ralf_spark.streaming import (
+        file_events,
+        hll_upsert_batch,
+        run_bounded,
+    )
+    from ralf_spark.streaming.sinks import foreach_batch_hll_upsert
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_type", "event_id"
+    )
+    want = {
+        r.event_type: r.est_distinct
+        for r in hll_distinct(ev, ["event_type"], "event_id").collect()
+    }
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+    stream = file_events(
+        spark, src, schema="event_type string, event_id long",
+        max_files_per_trigger=1,
+    )
+    run_bounded(
+        foreach_batch_hll_upsert(stream, state, ["event_type"], "event_id"),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=4,
+    )
+    got = {
+        r.event_type: r.est_distinct
+        for r in hll_estimate(
+            spark.read.parquet(state), ["event_type"]
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    cb = hll_upsert_batch(state, ["event_type"], "event_id")
+    cb(ev, 0)  # replayed batch id -> marker skip
+    cb(ev.limit(50), 10**6)  # NEW id, already-seen rows -> max() no-op
+    again = {
+        r.event_type: r.est_distinct
+        for r in hll_estimate(
+            spark.read.parquet(state), ["event_type"]
+        ).collect()
+    }
+    assert again == want
