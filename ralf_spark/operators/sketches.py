@@ -280,6 +280,74 @@ def weighted_sample_sql(
     """
 
 
+def _cms_buckets(depth: int, width: int):
+    """The CMS hash family: per row, the array of `depth` bucket ids of
+    column ``k`` (md5-derived, salt-independent rows)."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.functions.hashing import stable_hash64
+
+    return F.array(
+        *[
+            (stable_hash64(F.col("k"), salt=f"cms{r}") % width).alias(
+                f"b{r}"
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_counter_update(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The sketch STATE: the (r, bucket, c) counter matrix of ``df`` —
+    at most ``depth * width`` rows whatever the input size. Mergeable by
+    counter-wise SUM (:func:`cms_merge_counters`); unlike the HLL
+    register max, a sum double-counts on replay, so the streaming sink
+    guards with the in-table batch marker."""
+    from pyspark.sql import functions as F
+
+    keyed = df.select(F.col(key_col).cast("string").alias("k"))
+    hashed = keyed.select(
+        "k", F.posexplode(_cms_buckets(depth, width)).alias("r", "bucket")
+    )
+    return hashed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_merge_counters(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Merge two counter matrices: counter-wise sum (the CMS union).
+    One hash aggregation on (r, bucket); cells only on one side pass
+    through with their own count."""
+    from pyspark.sql import functions as F
+
+    return (
+        state.select("r", "bucket", "c")
+        .unionByName(batch.select("r", "bucket", "c"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_counters_sql(
+    key_expr: str, from_clause: str, depth: int = 4, width: int = 256
+) -> str:
+    """DuckDB replay of :func:`cms_counter_update` (bit-for-bit)."""
+    from ralf_spark.functions.hashing import stable_hash64_sql
+
+    rows = " UNION ALL ".join(
+        f"SELECT k, {r} AS r,"
+        f" {stable_hash64_sql('k', salt=f'cms{r}')} % {width} AS bucket"
+        f" FROM keyed"
+        for r in range(depth)
+    )
+    return f"""
+    WITH keyed AS (SELECT CAST({key_expr} AS VARCHAR) AS k {from_clause}),
+    b AS ({rows})
+    SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+    FROM b GROUP BY r, bucket
+    """
+
+
 def cms_heavy_hitters(
     df,
     key_col: str,
@@ -307,21 +375,9 @@ def cms_heavy_hitters(
     """
     from pyspark.sql import functions as F
 
-    from ralf_spark.functions.hashing import stable_hash64
-
     keyed = df.select(F.col(key_col).cast("string").alias("k"))
-    buckets = F.array(
-        *[
-            (stable_hash64(F.col("k"), salt=f"cms{r}") % width).alias(
-                f"b{r}"
-            )
-            for r in range(depth)
-        ]
-    )
-    hashed = keyed.select("k", F.posexplode(buckets).alias("r", "bucket"))
-    counters = hashed.groupBy("r", "bucket").agg(
-        F.count("*").alias("c")
-    )
+    buckets = _cms_buckets(depth, width)
+    counters = cms_counter_update(df, key_col, depth, width)
     exact = keyed.groupBy("k").agg(F.count("*").alias("exact"))
     key_buckets = exact.select(
         "k", "exact", F.posexplode(buckets).alias("r", "bucket")

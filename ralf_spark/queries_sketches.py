@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ralf_spark.functions.hashing import stable_hash64_sql
 from ralf_spark.functions.text import tokens_sql, word_shingles_sql
 from ralf_spark.operators.sketches import (
+    cms_counters_sql,
     hll_distinct,
     hll_distinct_sql,
     kmv_distinct,
@@ -333,6 +334,50 @@ def streaming_hll_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(
         spark.read.parquet(state), ["event_type"]
     ).orderBy("event_type")
+
+
+@query(
+    "streaming_cms_state",
+    cms_counters_sql("user_id", "FROM events", depth=4, width=64)
+    + " ORDER BY r, bucket",
+)
+def streaming_cms_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 count-min as maintained STREAMING state (r7): the events stream
+    drains in 3 micro-batches through ``foreach_batch_cms_upsert``, each
+    batch's counter matrix summed into the stored one, and the final
+    matrix is gated CELL-FOR-CELL against DuckDB computing the same
+    matrix over the full table — counter sums are micro-batching-
+    invariant, and replay safety rides the in-table batch marker (sums
+    double-count, unlike the HLL register max). State is depth x width
+    cells whatever the stream length."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_cms_upsert,
+        run_bounded,
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    src = _tf.mkdtemp(prefix=f"cms_src_{tag}_")
+    ev = _t(spark, sf_dir, "events").df.select("user_id")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    state = _tf.mkdtemp(prefix=f"cms_state_{tag}_") + "/state"
+    stream = file_events(
+        spark, src, schema="user_id long", max_files_per_trigger=1
+    )
+    run_bounded(
+        foreach_batch_cms_upsert(
+            stream, state, key_col="user_id", depth=4, width=64
+        ),
+        checkpoint=_tf.mkdtemp(prefix=f"ck_cms_{tag}_"),
+    )
+    return (
+        spark.read.parquet(state)
+        .select("r", "bucket", F.col("c").cast("bigint").alias("c"))
+        .orderBy("r", "bucket")
+    )
 
 
 # Registry finalization: re-applies the driver-prefix ordering when THIS

@@ -8,11 +8,13 @@ computation); streaming uses the same FeatureTable semantics with bounded
 """
 
 from ralf_spark.streaming.sinks import (
+    cms_upsert_batch,
     decayed_upsert_batch,
     ewma_upsert_batch,
     foreach_batch_decayed_upsert,
     foreach_batch_ewma_upsert,
     foreach_batch_index_add,
+    foreach_batch_cms_upsert,
     foreach_batch_hll_upsert,
     foreach_batch_ivf_add,
     foreach_batch_kv_upsert,
@@ -53,11 +55,13 @@ __all__ = [
     "kinesis_events",
     "rate_events",
     "streaming_change_detection_filter",
+    "cms_upsert_batch",
     "decayed_upsert_batch",
     "ewma_upsert_batch",
     "foreach_batch_decayed_upsert",
     "foreach_batch_ewma_upsert",
     "foreach_batch_index_add",
+    "foreach_batch_cms_upsert",
     "foreach_batch_hll_upsert",
     "foreach_batch_ivf_add",
     "foreach_batch_kv_upsert",

@@ -478,6 +478,53 @@ def hll_upsert_batch(path: str, group_cols: list[str], value_col: str):
     return upsert
 
 
+def foreach_batch_cms_upsert(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataStreamWriter:
+    """Maintain a persisted count-min counter matrix from a stream (r7) —
+    incremental frequency bookkeeping in ``depth * width`` cells whatever
+    the stream length: each micro-batch reduces to its own matrix
+    (``operators.sketches.cms_counter_update``) and merges by
+    counter-wise sum. Sums DO double-count on replay (unlike the HLL
+    register max), so exactly-once rides the in-table batch marker —
+    data and marker commit atomically in the staged overwrite."""
+
+    return df.writeStream.foreachBatch(
+        cms_upsert_batch(path, key_col, depth, width)
+    )
+
+
+def cms_upsert_batch(
+    path: str, key_col: str, depth: int = 4, width: int = 256
+):
+    """The foreachBatch callback behind :func:`foreach_batch_cms_upsert`,
+    exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.operators.sketches import (
+            cms_counter_update,
+            cms_merge_counters,
+        )
+
+        spark = batch_df.sparkSession
+        current, last = _load_state(spark, path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — counters would double-count
+        batch = cms_counter_update(batch_df, key_col, depth, width)
+        merged = (
+            cms_merge_counters(current, batch)
+            if current is not None
+            else batch
+        )
+        _store_state(spark, merged, path, batch_id)
+
+    return upsert
+
+
 def foreach_batch_ivf_add(
     df: DataFrame,
     index,

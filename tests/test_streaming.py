@@ -1628,3 +1628,48 @@ def test_streaming_hll_state_merge_and_replay(spark, tmp_path):
         ).collect()
     }
     assert again == want
+
+
+def test_streaming_cms_state_merge_and_replay(spark, tmp_path):
+    """r7 CMS state sink: counter sums are micro-batching-invariant, and
+    a replayed batch id is skipped via the in-table marker (sums would
+    double-count — the marker is load-bearing here, unlike HLL)."""
+    from ralf_spark.operators.sketches import cms_counter_update
+    from ralf_spark.streaming import (
+        cms_upsert_batch,
+        file_events,
+        foreach_batch_cms_upsert,
+        run_bounded,
+    )
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select("user_id")
+    want = {
+        (r.r, r.bucket): r.c
+        for r in cms_counter_update(ev, "user_id", 4, 64).collect()
+    }
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+    stream = file_events(
+        spark, src, schema="user_id long", max_files_per_trigger=1
+    )
+    run_bounded(
+        foreach_batch_cms_upsert(stream, state, "user_id", 4, 64),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=4,
+    )
+
+    def read_state():
+        return {
+            (r.r, r.bucket): r.c
+            for r in spark.read.parquet(state)
+            .select("r", "bucket", "c")
+            .collect()
+        }
+
+    assert read_state() == want and len(want) > 0
+    # replayed batch id: a double-count would inflate every cell; the
+    # marker skip must make it a no-op
+    cb = cms_upsert_batch(state, "user_id", 4, 64)
+    cb(ev, 0)
+    assert read_state() == want
