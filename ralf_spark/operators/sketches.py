@@ -62,19 +62,62 @@ def kmv_distinct(
     Returns ``group_cols + [est_distinct: bigint]``. Exact when a group
     has fewer than k distinct values (the sketch IS the distinct set).
     """
+    return kmv_estimate(
+        kmv_state_update(df, group_cols, value_col, k), group_cols, k
+    )
+
+
+def kmv_state_update(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    k: int = 32,
+) -> DataFrame:
+    """The sketch STATE: per group, the (<= k) smallest distinct value
+    hashes — ``group_cols + [h]``. Mergeable by union-distinct-keep-k
+    (:func:`kmv_merge_state`), which is IDEMPOTENT by algebra (re-folding
+    seen values cannot change a min-k set), like the HLL register max."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     hashed = (
         df.select(*group_cols, stable_hash64(value).alias("h")).distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy("h")
-    topk = hashed.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= k
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
     )
+
+
+def kmv_merge_state(
+    state: DataFrame, batch: DataFrame, group_cols: list[str], k: int = 32
+) -> DataFrame:
+    """Merge two KMV hash tables: union, dedup, keep each group's k
+    smallest (the KMV union). Same WindowGroupLimit shape as the update —
+    map-side pre-limited to k rows per group."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        state.select(*group_cols, "h")
+        .unionByName(batch.select(*group_cols, "h"))
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def kmv_estimate(
+    state: DataFrame, group_cols: list[str], k: int = 32
+) -> DataFrame:
+    """Estimate per-group distincts from a KMV hash table (the read side
+    of the sketch state) — exact below k, (k-1)*2^60/kth above; identical
+    algebra to the one-shot :func:`kmv_distinct`, so the same oracle
+    gates both paths."""
     # (k-1)*2^60 as an exact double literal; / and floor are IEEE-identical
     # across engines, so the estimate replays bit-for-bit in the oracle.
     numer = float(k - 1) * HASH_SPACE
     return (
-        topk.groupBy(*group_cols)
+        state.groupBy(*group_cols)
         .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("nk"))
         .select(
             *group_cols,

@@ -337,6 +337,48 @@ def streaming_hll_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_kmv_state",
+    kmv_distinct_sql("events", ["event_type"], "user_id", k=32)
+    + " ORDER BY event_type",
+)
+def streaming_kmv_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 KMV as maintained STREAMING state (r7): 3 micro-batches through
+    ``foreach_batch_kmv_upsert`` (min-k hash tables merged by
+    union-distinct-keep-k — idempotent by algebra), final estimate gated
+    by the SAME oracle as the one-shot ``kmv_distinct_users``."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.operators.sketches import kmv_estimate
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_kmv_upsert,
+        run_bounded,
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    src = _tf.mkdtemp(prefix=f"kmv_src_{tag}_")
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "user_id")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    state = _tf.mkdtemp(prefix=f"kmv_state_{tag}_") + "/state"
+    stream = file_events(
+        spark, src, schema="event_type string, user_id long",
+        max_files_per_trigger=1,
+    )
+    run_bounded(
+        foreach_batch_kmv_upsert(
+            stream, state, group_cols=["event_type"], value_col="user_id",
+            k=32,
+        ),
+        checkpoint=_tf.mkdtemp(prefix=f"ck_kmv_{tag}_"),
+    )
+    return kmv_estimate(
+        spark.read.parquet(state).drop("_last_batch_id"), ["event_type"],
+        k=32,
+    ).orderBy("event_type")
+
+
+@query(
     "streaming_cms_state",
     cms_counters_sql("user_id", "FROM events", depth=4, width=64)
     + " ORDER BY r, bucket",

@@ -18,8 +18,10 @@ from ralf_spark.streaming.sinks import (
     foreach_batch_hll_upsert,
     foreach_batch_ivf_add,
     foreach_batch_kv_upsert,
+    foreach_batch_kmv_upsert,
     foreach_batch_latest_upsert,
     hll_upsert_batch,
+    kmv_upsert_batch,
     run_bounded,
     write_console,
     write_memory,
@@ -64,8 +66,10 @@ __all__ = [
     "foreach_batch_cms_upsert",
     "foreach_batch_hll_upsert",
     "foreach_batch_ivf_add",
+    "foreach_batch_kmv_upsert",
     "foreach_batch_kv_upsert",
     "hll_upsert_batch",
+    "kmv_upsert_batch",
     "foreach_batch_latest_upsert",
     "run_bounded",
     "write_console",

@@ -478,6 +478,54 @@ def hll_upsert_batch(path: str, group_cols: list[str], value_col: str):
     return upsert
 
 
+def foreach_batch_kmv_upsert(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataStreamWriter:
+    """Maintain a persisted per-group KMV sketch (k smallest distinct
+    value hashes) from a stream (r7): each micro-batch reduces to its own
+    min-k table and merges by union-distinct-keep-k
+    (``operators.sketches.kmv_merge_state``) — idempotent by algebra like
+    the HLL register max, so replays are harmless even without the
+    marker (still stamped, for the skip and observability). State is
+    O(groups × k); the estimate reads out with ``kmv_estimate`` under
+    the same oracle as the one-shot ``kmv_distinct``."""
+
+    return df.writeStream.foreachBatch(
+        kmv_upsert_batch(path, group_cols, value_col, k)
+    )
+
+
+def kmv_upsert_batch(
+    path: str, group_cols: list[str], value_col: str, k: int = 32
+):
+    """The foreachBatch callback behind :func:`foreach_batch_kmv_upsert`,
+    exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.operators.sketches import (
+            kmv_merge_state,
+            kmv_state_update,
+        )
+
+        spark = batch_df.sparkSession
+        current, last = _load_state(spark, path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch (merge would be harmless; skip work)
+        batch = kmv_state_update(batch_df, group_cols, value_col, k)
+        merged = (
+            kmv_merge_state(current, batch, group_cols, k)
+            if current is not None
+            else batch
+        )
+        _store_state(spark, merged, path, batch_id)
+
+    return upsert
+
+
 def foreach_batch_cms_upsert(
     df: DataFrame,
     path: str,

@@ -1673,3 +1673,52 @@ def test_streaming_cms_state_merge_and_replay(spark, tmp_path):
     cb = cms_upsert_batch(state, "user_id", 4, 64)
     cb(ev, 0)
     assert read_state() == want
+
+
+def test_streaming_kmv_state_merge_and_replay(spark, tmp_path):
+    """r7 KMV state sink: min-k merge is idempotent by algebra — forced
+    re-merge of already-seen values cannot change the k-smallest set —
+    and any micro-batching converges on the identical estimate."""
+    from ralf_spark.operators.sketches import kmv_distinct, kmv_estimate
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_kmv_upsert,
+        kmv_upsert_batch,
+        run_bounded,
+    )
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_type", "user_id"
+    )
+    want = {
+        r.event_type: r.est_distinct
+        for r in kmv_distinct(ev, ["event_type"], "user_id", k=16).collect()
+    }
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+    stream = file_events(
+        spark, src, schema="event_type string, user_id long",
+        max_files_per_trigger=1,
+    )
+    run_bounded(
+        foreach_batch_kmv_upsert(stream, state, ["event_type"], "user_id",
+                                 k=16),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=4,
+    )
+
+    def estimate():
+        return {
+            r.event_type: r.est_distinct
+            for r in kmv_estimate(
+                spark.read.parquet(state).drop("_last_batch_id"),
+                ["event_type"], k=16,
+            ).collect()
+        }
+
+    assert estimate() == want and len(want) > 0
+    cb = kmv_upsert_batch(state, ["event_type"], "user_id", 16)
+    cb(ev, 0)             # replayed id -> marker skip
+    cb(ev.limit(100), 9)  # NEW id, seen values -> min-k no-op by algebra
+    assert estimate() == want
