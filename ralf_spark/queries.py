@@ -91,6 +91,28 @@ def query(name: str, oracle: str | None, headline: bool = False):
     return deco
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(prefix: str) -> str:
+    """Scratch directory for registry queries that materialize state /
+    topics / checkpoints (streaming replays, layout writes, index
+    builds). All land under ONE per-process root removed at interpreter
+    exit, so repeated driver/sweep replays no longer leave a temp dir
+    per run behind (VERDICT r6 wrong #3). Within a process, each call
+    still returns a fresh directory (checkpoint dirs must not be
+    reused across distinct bounded runs)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="ralf_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> FeatureTable:
     return load_fixture(spark, name, sf_dir)
 
@@ -1270,7 +1292,7 @@ def stream_static_enrichment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_enrich_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     run_bounded(
         write_memory(joined, name),
-        checkpoint=_tf.mkdtemp(prefix="ck_enrich_"),
+        checkpoint=_scratch("ck_enrich_"),
         shuffle_partitions=8,
     )
     return spark.table(name).orderBy("event_id")
@@ -2121,7 +2143,7 @@ def streaming_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ralf_spark.streaming import run_bounded, write_memory
 
-    src = _tf.mkdtemp(prefix="dup_events_")
+    src = _scratch("dup_events_")
     for name in ("a.parquet", "b.parquet"):
         _os.symlink(
             _os.path.abspath(f"{sf_dir}/events.parquet"), f"{src}/{name}"
@@ -2137,7 +2159,7 @@ def streaming_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_dedup_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     run_bounded(
         write_memory(deduped, name),
-        checkpoint=_tf.mkdtemp(prefix="ck_dedup_"),
+        checkpoint=_scratch("ck_dedup_"),
         shuffle_partitions=8,
     )
     return spark.table(name).orderBy("event_id")
@@ -2291,7 +2313,7 @@ def streaming_tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_w1_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     run_bounded(
         write_memory(win, name),
-        checkpoint=_tf.mkdtemp(prefix="ck_w1_"),
+        checkpoint=_scratch("ck_w1_"),
         # one state store per shuffle partition, fixed at first start —
         # sized to the bounded replay (150-key fixture), see run_bounded
         shuffle_partitions=8,
@@ -2356,7 +2378,7 @@ def streaming_sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_w2_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     run_bounded(
         write_memory(win, name),
-        checkpoint=_tf.mkdtemp(prefix="ck_w2_"),
+        checkpoint=_scratch("ck_w2_"),
         shuffle_partitions=8,
     )
     return (

@@ -16,7 +16,7 @@ from ralf_spark.operators.analytics import (
     funnel_stages,
 )
 from ralf_spark.functions.timeutil import epoch_us
-from ralf_spark.queries import _t, query
+from ralf_spark.queries import _scratch, _t, query
 
 #: the fixture's natural conversion funnel
 _FUNNEL = ["view", "click", "purchase"]
@@ -423,7 +423,7 @@ def layout_partitioned_write_stats_q(
 
     docs = _t(spark, sf_dir, "documents").df
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    path = _tf.mkdtemp(prefix=f"layout_{tag}_")
+    path = _scratch(f"layout_{tag}_")
     write_partitioned(
         docs, path, partition_by=["lang"],
         files_per_partition=2, split_on="doc_id",
@@ -466,7 +466,7 @@ def layout_zorder_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").df
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    path = _tf.mkdtemp(prefix=f"zorder_{tag}_") + "/t"
+    path = _scratch(f"zorder_{tag}_") + "/t"
     cluster_by_zorder(
         ev.select("event_id", "user_id", "value"),
         ["user_id", "value"], num_files=8, path=path,

@@ -28,7 +28,7 @@ from ralf_spark.operators.text_analysis import (
     pii_counts,
     pii_counts_sql,
 )
-from ralf_spark.queries import _docs_par, _t, query
+from ralf_spark.queries import _docs_par, _scratch, _t, query
 from ralf_spark.table import FeatureTable
 
 #: deterministic PII injection — the synthetic corpus contains no PII, so
@@ -277,7 +277,7 @@ def incremental_minhash_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_par(spark, sf_dir)
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    path = _tf.mkdtemp(prefix=f"mh_index_{tag}_")
+    path = _scratch(f"mh_index_{tag}_")
     index = MinHashIndex(path, num_perm=16, bands=8)  # hash_fn: env default
     even = FeatureTable(
         docs.df.where(F.col("doc_id") % 2 == 0), key="doc_id"

@@ -23,7 +23,7 @@ from ralf_spark.operators.retrieval import (
     unigram_nll_oracle_sql,
 )
 from ralf_spark.operators.similarity import semdedup_prune
-from ralf_spark.queries import _COS_SQL, _docs_par, _t, query
+from ralf_spark.queries import _COS_SQL, _docs_par, _scratch, _t, query
 
 #: fixed keyword set for the BM25 query (inlined into both engines)
 _BM25_TERMS = ["spark", "join", "window"]
@@ -259,7 +259,7 @@ def ivf_index_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("embedding", "vec_id").alias("centroid_vec")
     ).select(F.col("label").alias("centroid_id"), "centroid_vec")
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    idx = IvfIndex(_tf.mkdtemp(prefix=f"ivf_{tag}_"))
+    idx = IvfIndex(_scratch(f"ivf_{tag}_"))
     idx.build(emb, centroids)
     out = idx.query(_query_vectors(spark, sf_dir), k=5, nprobe=1)
     return out.select(

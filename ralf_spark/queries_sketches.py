@@ -25,7 +25,7 @@ from ralf_spark.operators.sketches import (
     weighted_sample_sql,
 )
 from ralf_spark.operators.text_analysis import add_winnow_fingerprints
-from ralf_spark.queries import _docs_par, _t, query
+from ralf_spark.queries import _docs_par, _scratch, _t, query
 
 
 def _winnow_fp_cte(k: int = 3, win: int = 4) -> str:
@@ -317,10 +317,10 @@ def streaming_hll_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    src = _tf.mkdtemp(prefix=f"hll_src_{tag}_")
+    src = _scratch(f"hll_src_{tag}_")
     ev = _t(spark, sf_dir, "events").df.select("event_type", "event_id")
     ev.repartition(3).write.mode("overwrite").parquet(src)
-    state = _tf.mkdtemp(prefix=f"hll_state_{tag}_") + "/state"
+    state = _scratch(f"hll_state_{tag}_") + "/state"
     stream = file_events(
         spark, src, schema="event_type string, event_id long",
         max_files_per_trigger=1,
@@ -329,7 +329,7 @@ def streaming_hll_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch_hll_upsert(
             stream, state, group_cols=["event_type"], value_col="event_id"
         ),
-        checkpoint=_tf.mkdtemp(prefix=f"ck_hll_{tag}_"),
+        checkpoint=_scratch(f"ck_hll_{tag}_"),
     )
     return hll_estimate(
         spark.read.parquet(state), ["event_type"]
@@ -357,10 +357,10 @@ def streaming_kmv_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    src = _tf.mkdtemp(prefix=f"kmv_src_{tag}_")
+    src = _scratch(f"kmv_src_{tag}_")
     ev = _t(spark, sf_dir, "events").df.select("event_type", "user_id")
     ev.repartition(3).write.mode("overwrite").parquet(src)
-    state = _tf.mkdtemp(prefix=f"kmv_state_{tag}_") + "/state"
+    state = _scratch(f"kmv_state_{tag}_") + "/state"
     stream = file_events(
         spark, src, schema="event_type string, user_id long",
         max_files_per_trigger=1,
@@ -370,7 +370,7 @@ def streaming_kmv_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, state, group_cols=["event_type"], value_col="user_id",
             k=32,
         ),
-        checkpoint=_tf.mkdtemp(prefix=f"ck_kmv_{tag}_"),
+        checkpoint=_scratch(f"ck_kmv_{tag}_"),
     )
     return kmv_estimate(
         spark.read.parquet(state).drop("_last_batch_id"), ["event_type"],
@@ -402,10 +402,10 @@ def streaming_cms_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    src = _tf.mkdtemp(prefix=f"cms_src_{tag}_")
+    src = _scratch(f"cms_src_{tag}_")
     ev = _t(spark, sf_dir, "events").df.select("user_id")
     ev.repartition(3).write.mode("overwrite").parquet(src)
-    state = _tf.mkdtemp(prefix=f"cms_state_{tag}_") + "/state"
+    state = _scratch(f"cms_state_{tag}_") + "/state"
     stream = file_events(
         spark, src, schema="user_id long", max_files_per_trigger=1
     )
@@ -413,7 +413,7 @@ def streaming_cms_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch_cms_upsert(
             stream, state, key_col="user_id", depth=4, width=64
         ),
-        checkpoint=_tf.mkdtemp(prefix=f"ck_cms_{tag}_"),
+        checkpoint=_scratch(f"ck_cms_{tag}_"),
     )
     return (
         spark.read.parquet(state)

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ralf_spark.connectors import apply_changelog
-from ralf_spark.queries import _t, query
+from ralf_spark.queries import _scratch, _t, query
 from ralf_spark.table import FeatureTable
 
 #: snapshot/changelog split point inside the events fixture's time range
@@ -477,7 +477,7 @@ def streaming_change_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_p5_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     run_bounded(
         write_memory(out, name),
-        checkpoint=_tf.mkdtemp(prefix="ck_p5_"),
+        checkpoint=_scratch("ck_p5_"),
         shuffle_partitions=8,
     )
     return (
@@ -523,12 +523,12 @@ def streaming_ewma_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replay with the REAL event-time column: write a normalized copy
     # (load_fixture canonicalizes ts) and stream that
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    src = _tf.mkdtemp(prefix=f"ewma_src_{tag}_")
+    src = _scratch(f"ewma_src_{tag}_")
     ev = load_fixture(spark, "events", sf_dir).df.select(
         "event_id", "ts", "user_id", "value"
     )
     ev.write.mode("overwrite").parquet(src)
-    state = _tf.mkdtemp(prefix=f"ewma_state_{tag}_") + "/state"
+    state = _scratch(f"ewma_state_{tag}_") + "/state"
     stream = file_events(
         spark, src,
         schema="event_id long, ts timestamp_ntz, user_id long, value double",
@@ -538,7 +538,7 @@ def streaming_ewma_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, state, key="user_id", ts_col="ts", value_col="value",
             alpha=0.2, tiebreak_col="event_id",
         ),
-        checkpoint=_tf.mkdtemp(prefix=f"ck_ewma_{tag}_"),
+        checkpoint=_scratch(f"ck_ewma_{tag}_"),
     )
     return (
         spark.read.parquet(state)
@@ -585,12 +585,12 @@ def streaming_decayed_sum_state_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    src = _tf.mkdtemp(prefix=f"tds_src_{tag}_")
+    src = _scratch(f"tds_src_{tag}_")
     ev = load_fixture(spark, "events", sf_dir).df.select(
         "event_id", "ts", "user_id", "value"
     )
     ev.write.mode("overwrite").parquet(src)
-    state = _tf.mkdtemp(prefix=f"tds_state_{tag}_") + "/state"
+    state = _scratch(f"tds_state_{tag}_") + "/state"
     stream = file_events(
         spark, src,
         schema="event_id long, ts timestamp_ntz, user_id long, value double",
@@ -600,7 +600,7 @@ def streaming_decayed_sum_state_q(spark: SparkSession, sf_dir: str) -> DataFrame
             stream, state, key="user_id", ts_col="ts", value_col="value",
             half_life_s=86_400.0, tiebreak_col="event_id",
         ),
-        checkpoint=_tf.mkdtemp(prefix=f"ck_tds_{tag}_"),
+        checkpoint=_scratch(f"ck_tds_{tag}_"),
     )
     return (
         spark.read.parquet(state)
@@ -699,9 +699,9 @@ def streaming_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, key_col="user_id", value_col="value",
         order_col="event_id", size=5,
     )
-    mid = _tf.mkdtemp(prefix=f"pipe_mid_{tag}_") + "/windows"
+    mid = _scratch(f"pipe_mid_{tag}_") + "/windows"
     run_bounded(
-        write_parquet(win, mid, _tf.mkdtemp(prefix=f"ck_pipe_w_{tag}_")),
+        write_parquet(win, mid, _scratch(f"ck_pipe_w_{tag}_")),
         shuffle_partitions=8,
     )
     topic = spark.readStream.schema(
@@ -711,13 +711,13 @@ def streaming_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         topic, value_col="w_sum", key_col="user_id",
         order_cols=("window_id",), threshold=120.0,
     )
-    state = _tf.mkdtemp(prefix=f"pipe_state_{tag}_") + "/state"
+    state = _scratch(f"pipe_state_{tag}_") + "/state"
     run_bounded(
         foreach_batch_ewma_upsert(
             emitted, state, key="user_id", ts_col="window_id",
             value_col="w_sum", alpha=0.2,
         ),
-        checkpoint=_tf.mkdtemp(prefix=f"ck_pipe_p_{tag}_"),
+        checkpoint=_scratch(f"ck_pipe_p_{tag}_"),
         shuffle_partitions=8,
     )
     return (
@@ -822,7 +822,7 @@ def csv_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ralf_spark.streaming import file_events, run_bounded, write_memory
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    src = _tf.mkdtemp(prefix=f"csv_replay_{tag}_") + "/events_csv"
+    src = _scratch(f"csv_replay_{tag}_") + "/events_csv"
     load_fixture(spark, "events", sf_dir).df.select(
         "event_id", "user_id", "value"
     ).write.option("header", True).csv(src)
@@ -834,7 +834,7 @@ def csv_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "csv_replay_" + tag
     run_bounded(
         write_memory(stream, name),
-        checkpoint=_tf.mkdtemp(prefix=f"ck_csv_{tag}_"),
+        checkpoint=_scratch(f"ck_csv_{tag}_"),
     )
     return (
         spark.table(name)
@@ -895,7 +895,7 @@ def streaming_enrichment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_enrich_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     run_bounded(
         write_memory(joined.df, name),
-        checkpoint=_tf.mkdtemp(prefix="ck_enrich_"),
+        checkpoint=_scratch("ck_enrich_"),
         shuffle_partitions=8,
     )
     return (
@@ -960,7 +960,7 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_ivj_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     run_bounded(
         write_memory(joined.df.select("event_id", "value_r"), name),
-        checkpoint=_tf.mkdtemp(prefix="ck_ivj_"),
+        checkpoint=_scratch("ck_ivj_"),
         shuffle_partitions=8,
     )
     return (
