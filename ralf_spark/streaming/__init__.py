@@ -12,6 +12,7 @@ from ralf_spark.streaming.sinks import (
     decayed_upsert_batch,
     ewma_upsert_batch,
     foreach_batch_decayed_upsert,
+    foreach_batch_enriched_write,
     foreach_batch_ewma_upsert,
     foreach_batch_index_add,
     foreach_batch_cms_upsert,
@@ -61,6 +62,7 @@ __all__ = [
     "decayed_upsert_batch",
     "ewma_upsert_batch",
     "foreach_batch_decayed_upsert",
+    "foreach_batch_enriched_write",
     "foreach_batch_ewma_upsert",
     "foreach_batch_index_add",
     "foreach_batch_cms_upsert",

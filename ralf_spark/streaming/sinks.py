@@ -428,6 +428,46 @@ def decayed_upsert_batch(
     return upsert
 
 
+def foreach_batch_enriched_write(
+    df: DataFrame,
+    dim_path: str,
+    on: str | list[str],
+    out_path: str,
+    how: str = "left",
+) -> DataStreamWriter:
+    """Stream enrichment with WITHIN-RUN dim refresh (r7): each
+    micro-batch re-reads the dimension table from ``dim_path`` (listing
+    refreshed via ``refreshByPath`` + a fresh DataFrame, so an
+    overwritten dim is picked up by the NEXT batch of the SAME running
+    query — the reference's mutable-state join at micro-batch
+    granularity, one step finer than the stream-static join's
+    at-restart refresh in ``streaming_enrichment_join``), broadcast-joins
+    the batch, and appends the enriched rows to ``out_path`` under a
+    ``_batch=<id>`` partition — dynamic overwrite makes a replayed batch
+    rewrite itself (exactly-once, same regime as the index sinks).
+
+    The per-batch dim read is the price of freshness: at scale the dim
+    is small-by-contract (it is broadcast), so the re-read is a metadata
+    round + one small scan per trigger."""
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        spark.catalog.refreshByPath(dim_path)
+        dim = spark.read.parquet(dim_path)
+        (
+            batch_df.join(F.broadcast(dim), on, how)
+            .withColumn("_batch", F.lit(f"b{batch_id}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_path)
+        )
+
+    return df.writeStream.foreachBatch(enrich)
+
+
 def foreach_batch_hll_upsert(
     df: DataFrame,
     path: str,

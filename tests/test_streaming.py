@@ -1722,3 +1722,67 @@ def test_streaming_kmv_state_merge_and_replay(spark, tmp_path):
     cb(ev, 0)             # replayed id -> marker skip
     cb(ev.limit(100), 9)  # NEW id, seen values -> min-k no-op by algebra
     assert estimate() == want
+
+
+def test_foreach_batch_enriched_write_dim_refresh_within_run(
+    spark, tmp_path
+):
+    """r7: foreach_batch_enriched_write re-reads the dim EVERY
+    micro-batch, so a dim overwritten while the query RUNS enriches the
+    next batch with the new values — the within-run half of the
+    dim-refresh story (the stream-static join covers at-restart). Also
+    pins the _batch exactly-once layout."""
+    import time
+
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_enriched_write,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "gold")], "k long, tier string"
+    ).write.parquet(dim_path)
+    spark.createDataFrame(
+        [(10, 1)], "order_id long, k long"
+    ).coalesce(1).write.parquet(src)
+    stream = file_events(
+        spark, src, schema="order_id long, k long", max_files_per_trigger=1
+    )
+    q = (
+        foreach_batch_enriched_write(stream, dim_path, "k", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows():
+            try:
+                return {
+                    (r.order_id, r.tier)
+                    for r in spark.read.parquet(out).collect()
+                }
+            except Exception:
+                return set()
+
+        while time.time() < deadline and not rows():
+            time.sleep(0.3)
+        assert rows() == {(10, "gold")}
+        # overwrite the dim WHILE the query runs, then feed a new file
+        spark.createDataFrame(
+            [(1, "platinum")], "k long, tier string"
+        ).write.mode("overwrite").parquet(dim_path)
+        spark.createDataFrame(
+            [(11, 1)], "order_id long, k long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        while time.time() < deadline and (11, "platinum") not in rows():
+            time.sleep(0.3)
+        got = rows()
+        assert (11, "platinum") in got, got  # new dim seen mid-run
+        assert (10, "gold") in got          # old batch untouched
+    finally:
+        q.stop()
