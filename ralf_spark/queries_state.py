@@ -975,6 +975,72 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_asof_enrich",
+    """
+    WITH l AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT l.event_id, l.user_id, epoch_ns(l.ts) // 1000 AS ts_us,
+           round(c.v, 4) AS right_value
+    FROM l
+    LEFT JOIN LATERAL (
+      SELECT value AS v FROM r
+      WHERE r.user_id = l.user_id
+        AND (r.ts < l.ts OR (r.ts = l.ts AND r.event_id <= l.event_id))
+      ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) c ON true
+    ORDER BY event_id
+    """,
+)
+def streaming_asof_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PER-RECORD state join as a stateful streaming
+    operator (r7): right updates (clicks) fold into one latest-(ts, seq,
+    value) GroupState triple per user; left events (purchases) emit
+    enriched with the state as of their event-order position — exactly
+    ``ralf/operators/join.py:41-50``'s actor-state join, with
+    fault-tolerant state. The bounded replay is gated against the batch
+    as-of oracle (LEFT LATERAL backward, the same visibility rule as
+    ``point_in_time_training_join``); batching invariance across
+    event-order splits is pinned in tests/test_streaming.py."""
+    import hashlib as _hl
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_asof_enrich,
+        write_memory,
+    )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, value double, "
+        "event_type string"
+    )
+
+    def side(event_type: str) -> DataFrame:
+        return file_events(
+            spark, f"{sf_dir}/events.parquet", schema=schema
+        ).where(F.col("event_type") == event_type)
+
+    out = streaming_asof_enrich(side("purchase"), side("click"))
+    name = "stream_asof_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    run_bounded(
+        write_memory(out, name),
+        checkpoint=_scratch("ck_asof_"),
+        shuffle_partitions=8,
+    )
+    return (
+        spark.table(name)
+        .select(
+            "event_id", "user_id", "ts_us",
+            F.round("right_value", 4).alias("right_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "point_query_latest_state",
     """
     SELECT event_id, user_id, event_type, round(value, 4) AS value

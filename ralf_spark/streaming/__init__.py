@@ -39,6 +39,9 @@ from ralf_spark.streaming.sources import (
     kinesis_events,
     rate_events,
 )
+from ralf_spark.streaming.joins import (
+    streaming_asof_enrich,
+)
 from ralf_spark.streaming.policies import (
     streaming_change_detection_filter,
 )
@@ -57,6 +60,7 @@ __all__ = [
     "kafka_events",
     "kinesis_events",
     "rate_events",
+    "streaming_asof_enrich",
     "streaming_change_detection_filter",
     "cms_upsert_batch",
     "decayed_upsert_batch",

@@ -1,0 +1,123 @@
+"""Stateful streaming joins.
+
+The reference's ``Join`` operator enriches each arriving left record with
+the right table's CURRENT per-key state at that moment
+(``ralf/operators/join.py:41-50`` — actor state mutated by right updates,
+read by left events). The engine's other streaming join spellings cover
+the two declarative regimes (stream-static broadcast enrichment;
+watermarked stream-stream interval join); this module is the per-record
+regime itself: both streams union into one keyed stateful operator, right
+updates fold into ``GroupState`` (latest by (ts, seq)), left events emit
+enriched with the state as of their position in event order — a streaming
+AS-OF join whose bounded replay equals the batch
+``operators.joins.asof_join`` (oracle-gated; batching-invariant when
+micro-batch boundaries respect per-key event order, the engine's
+documented FIFO contract shared by every stateful operator here).
+
+State is one (ts_us, seq, value) triple per key — O(keys), the same
+footprint as the reference's actor state; idle-key TTL machinery can be
+ported as in ``streaming/policies.py`` if the key domain is unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+#: per-key state: the latest right record (event-time micros, seq, value)
+ASOF_STATE_SCHEMA = "ts_us long, seq long, val double"
+
+
+def streaming_asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+    out_value: str = "right_value",
+) -> DataFrame:
+    """Enrich each left event with the latest right value for its key
+    at-or-before its (ts, seq) — the reference's per-record state join,
+    streaming. Left events NEVER update state; right updates never emit.
+
+    Inputs are two streams sharing (key, ts, seq); ``right`` carries
+    ``value_col``. Output: the left rows' (key, ts, seq) plus
+    ``out_value`` (NULL when no right record precedes — the as-of
+    contract). Within a micro-batch rows apply in (ts, seq) order
+    across BOTH sides, so a left event in the same batch as an earlier
+    right update sees it — the bounded single-batch replay therefore
+    equals the batch ``asof_join`` exactly (oracle-gated).
+    """
+    from ralf_spark.functions.timeutil import epoch_us
+
+    l_tag = (
+        left.select(
+            F.col(key_col).alias("_k"),
+            epoch_us(left, ts_col).alias("_us"),
+            F.col(seq_col).alias("_seq"),
+            F.lit(None).cast("double").alias("_val"),
+            F.lit(0).alias("_side"),  # left sorts AFTER right on ties:
+            # a right update at the same (ts, seq)... cannot exist (seq is
+            # unique across the event stream), so the flag only fixes a
+            # deterministic order for truly simultaneous custom inputs
+        )
+    )
+    r_tag = right.select(
+        F.col(key_col).alias("_k"),
+        epoch_us(right, ts_col).alias("_us"),
+        F.col(seq_col).alias("_seq"),
+        F.col(value_col).cast("double").alias("_val"),
+        F.lit(-1).alias("_side"),
+    )
+    unioned = r_tag.unionByName(l_tag)
+    out_schema = (
+        f"{key_col} long, ts_us long, {seq_col} long, {out_value} double"
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["_us", "_seq", "_side"], kind="mergesort")
+        if state.exists:
+            ts_us, seq, val = state.get
+        else:
+            ts_us = seq = val = None
+        out = {"k": [], "us": [], "seq": [], "v": []}
+        changed = False
+        for _us, _seq, _val, _side in zip(
+            rows["_us"], rows["_seq"], rows["_val"], rows["_side"]
+        ):
+            if _side == -1:  # right update: fold if newer
+                if ts_us is None or (_us, _seq) > (ts_us, seq):
+                    ts_us, seq, val = int(_us), int(_seq), float(_val)
+                    changed = True
+            else:  # left event: emit with current state
+                out["k"].append(key[0])
+                out["us"].append(int(_us))
+                out["seq"].append(int(_seq))
+                out["v"].append(val)
+        if changed:
+            state.update((ts_us, seq, val))
+        if out["k"]:
+            yield pd.DataFrame(
+                {
+                    key_col: out["k"],
+                    "ts_us": out["us"],
+                    seq_col: out["seq"],
+                    out_value: out["v"],
+                }
+            )
+
+    return (
+        unioned.groupBy("_k")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            ASOF_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1786,3 +1786,78 @@ def test_foreach_batch_enriched_write_dim_refresh_within_run(
         assert (10, "gold") in got          # old batch untouched
     finally:
         q.stop()
+
+
+def test_streaming_asof_enrich_batching_invariant(spark, tmp_path):
+    """r7 per-record state join: the bounded replay must equal the batch
+    as-of join whether events arrive in 1 chunk or 3 event-order chunks
+    (the stored latest-right triple must seed later batches), and a
+    right update in an EARLIER batch than its left reader must be
+    visible (cross-batch state)."""
+    import pyspark.sql.functions as F
+
+    from ralf_spark.operators.joins import asof_join
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_asof_enrich,
+        write_memory,
+    )
+    from ralf_spark.table import FeatureTable
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )
+    left = FeatureTable(
+        ev.where("event_type = 'purchase'").select(
+            "user_id", "ts", "event_id"
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    right = FeatureTable(
+        ev.where("event_type = 'click'").select(
+            "user_id", "ts", "event_id",
+            F.col("value").alias("right_value"),
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    want = {
+        (r.event_id, None if r.right_value is None
+         else round(r.right_value, 6))
+        for r in asof_join(
+            left, right, right_payload=["right_value"]
+        ).df.collect()
+    }
+    assert len(want) > 0
+
+    ordered = ev.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "value double, event_type string")
+    for label, cuts in (("one", [(0, n)]),
+                        ("three", [(0, n // 3), (n // 3, 2 * n // 3),
+                                   (2 * n // 3, n)])):
+        src = str(tmp_path / f"src_{label}")
+        for lo, hi in cuts:
+            spark.createDataFrame(ordered[lo:hi], ev.schema).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        def side(event_type):
+            return file_events(
+                spark, src, schema=schema, max_files_per_trigger=1
+            ).where(F.col("event_type") == event_type)
+
+        out = streaming_asof_enrich(side("purchase"), side("click"))
+        name = f"asof_{label}"
+        run_bounded(
+            write_memory(out, name),
+            checkpoint=str(tmp_path / f"ck_{label}"),
+            shuffle_partitions=4,
+        )
+        got = {
+            (r.event_id, None if r.right_value is None
+             else round(r.right_value, 6))
+            for r in spark.table(name).collect()
+        }
+        assert got == want, label
