@@ -943,18 +943,23 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string"
     )
 
+    raw = file_events(spark, f"{sf_dir}/events.parquet", schema=schema)
+    # Watermarks demand TIMESTAMP (LTZ). Convert the canonical NTZ
+    # event time to an instant TZ-FREE — timestamp_micros over the
+    # integer epoch (naive-as-UTC, DuckDB's epoch semantics) — never
+    # an NTZ->LTZ cast, which would shift under a non-UTC session tz.
+    # ONE watermark on the shared upstream, both sides branched by
+    # filter: independently watermarked sources can pin the min-across-
+    # operators global watermark at 0 for a whole bounded run (observed
+    # — see streaming_asof_enrich), stalling state cleanup.
+    raw = raw.withColumn("ts", F.timestamp_micros(epoch_us(raw, "ts")))
+    raw = raw.withWatermark("ts", "2 hours")
+
     def side(event_type: str) -> FeatureTable:
-        s = (
-            file_events(spark, f"{sf_dir}/events.parquet", schema=schema)
-            .where(F.col("event_type") == event_type)
+        return FeatureTable(
+            raw.where(F.col("event_type") == event_type),
+            key="user_id", ts="ts",
         )
-        # Watermarks demand TIMESTAMP (LTZ). Convert the canonical NTZ
-        # event time to an instant TZ-FREE — timestamp_micros over the
-        # integer epoch (naive-as-UTC, DuckDB's epoch semantics) — never
-        # an NTZ->LTZ cast, which would shift under a non-UTC session tz.
-        s = s.withColumn("ts", F.timestamp_micros(epoch_us(s, "ts")))
-        s = s.withWatermark("ts", "2 hours")
-        return FeatureTable(s, key="user_id", ts="ts")
 
     joined = interval_join(side("purchase"), side("click"), lookback="1 hour")
     name = "stream_ivj_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]

@@ -15,15 +15,20 @@ micro-batch boundaries respect per-key event order, the engine's
 documented FIFO contract shared by every stateful operator here).
 
 State is one (ts_us, seq, value) triple per key — O(keys), the same
-footprint as the reference's actor state; idle-key TTL machinery can be
-ported as in ``streaming/policies.py`` if the key domain is unbounded.
+footprint as the reference's actor state; ``idle_ttl_minutes`` bounds it
+by ACTIVE keys on unbounded key domains with the same event-clock
+eviction machinery as ``streaming/policies.py`` (an evicted key's next
+left event enriches NULL until a fresh right update arrives — the same
+approximation the reference's LRU state bound makes,
+``ralf/operator.py:243-254``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupStateTimeout
+
+from ralf_spark.streaming.policies import arm_event_timer
 
 #: per-key state: the latest right record (event-time micros, seq, value)
 ASOF_STATE_SCHEMA = "ts_us long, seq long, val double"
@@ -37,6 +42,8 @@ def streaming_asof_enrich(
     seq_col: str = "event_id",
     value_col: str = "value",
     out_value: str = "right_value",
+    idle_ttl_minutes: float | None = None,
+    ttl_clock: str = "processing",
 ) -> DataFrame:
     """Enrich each left event with the latest right value for its key
     at-or-before its (ts, seq) — the reference's per-record state join,
@@ -49,9 +56,30 @@ def streaming_asof_enrich(
     across BOTH sides, so a left event in the same batch as an earlier
     right update sees it — the bounded single-batch replay therefore
     equals the batch ``asof_join`` exactly (oracle-gated).
+
+    ``idle_ttl_minutes``/``ttl_clock`` bound state by ACTIVE keys, with
+    the contract of ``streaming_change_detection_filter``: processing
+    clock = wall idleness (continuous triggers only; ``run_bounded``
+    refuses); event clock = eviction when the watermark passes the key's
+    last activity + TTL (deterministic; the timer is clamped to
+    watermark+1 for late batches). For the event clock, put ONE
+    ``withWatermark`` on the shared upstream and branch ``left``/
+    ``right`` from it with filters: with two independently watermarked
+    sources, the min-across-operators global watermark was observed
+    pinned at 0 for a whole bounded replay (no timer ever fires), while
+    the single-source branching advances it normally (pinned in tests).
     """
     from ralf_spark.functions.timeutil import epoch_us
+    from ralf_spark.streaming.policies import check_ttl_args, timeout_conf
 
+    ttl_ms = check_ttl_args(idle_ttl_minutes, ttl_clock)
+
+    # the event-clock TTL needs the WATERMARKED timestamp column itself
+    # to survive the projection (an epoch long does not carry a
+    # watermark); the epoch is still what orders and what's emitted
+    extra = [F.col(ts_col).alias("_ts")] if (
+        ttl_ms is not None and ttl_clock == "event"
+    ) else []
     l_tag = (
         left.select(
             F.col(key_col).alias("_k"),
@@ -62,6 +90,7 @@ def streaming_asof_enrich(
             # a right update at the same (ts, seq)... cannot exist (seq is
             # unique across the event stream), so the flag only fixes a
             # deterministic order for truly simultaneous custom inputs
+            *extra,
         )
     )
     r_tag = right.select(
@@ -70,6 +99,7 @@ def streaming_asof_enrich(
         F.col(seq_col).alias("_seq"),
         F.col(value_col).cast("double").alias("_val"),
         F.lit(-1).alias("_side"),
+        *extra,
     )
     unioned = r_tag.unionByName(l_tag)
     out_schema = (
@@ -79,6 +109,11 @@ def streaming_asof_enrich(
     def fn(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # idle-key eviction: the latest-right triple drops; the
+            # key's next left event enriches NULL until a fresh right
+            state.remove()
+            return
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["_us", "_seq", "_side"], kind="mergesort")
         if state.exists:
@@ -101,6 +136,14 @@ def streaming_asof_enrich(
                 out["v"].append(val)
         if changed:
             state.update((ts_us, seq, val))
+        if ttl_ms is not None and (changed or state.exists):
+            # any activity on the key re-arms its idle timer
+            if ttl_clock == "event":
+                arm_event_timer(
+                    state, int(rows["_us"].max()) // 1000, ttl_ms
+                )
+            else:
+                state.setTimeoutDuration(ttl_ms)
         if out["k"]:
             yield pd.DataFrame(
                 {
@@ -118,6 +161,6 @@ def streaming_asof_enrich(
             out_schema,
             ASOF_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            timeout_conf(ttl_ms, ttl_clock),
         )
     )

@@ -33,6 +33,30 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 CHANGE_STATE_SCHEMA = "last double"
 
 
+def check_ttl_args(idle_ttl_minutes, ttl_clock) -> int | None:
+    """Validate the shared idle-TTL knobs; return the TTL in ms (None =
+    disabled). Shared by every TTL-capable stateful operator (change
+    detection, count windows, as-of join)."""
+    if idle_ttl_minutes is not None and idle_ttl_minutes <= 0:
+        raise ValueError("idle_ttl_minutes must be positive")
+    if ttl_clock not in ("processing", "event"):
+        raise ValueError(f"unknown ttl_clock {ttl_clock!r}")
+    return (
+        int(idle_ttl_minutes * 60_000)
+        if idle_ttl_minutes is not None
+        else None
+    )
+
+
+def timeout_conf(ttl_ms, ttl_clock):
+    """GroupStateTimeout for the shared TTL knobs."""
+    if ttl_ms is None:
+        return GroupStateTimeout.NoTimeout
+    if ttl_clock == "event":
+        return GroupStateTimeout.EventTimeTimeout
+    return GroupStateTimeout.ProcessingTimeTimeout
+
+
 def arm_event_timer(state, last_ev_ms: int, idle_ttl_ms: int) -> None:
     """Arm an event-time idle timer at ``last_ev_ms + idle_ttl_ms``,
     clamped to just past the current watermark.

@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from ralf_spark.streaming.policies import arm_event_timer
+from ralf_spark.streaming.policies import (
+    arm_event_timer,
+    check_ttl_args as _check_ttl_args,
+    timeout_conf as _timeout_conf,
+)
 
 #: output schema of the streaming tumbling count window (agg form — a
 #: payload form would carry an array column instead, same plumbing)
@@ -57,26 +61,6 @@ _TTL_DOC = """
     valid in bounded replays; requires ``withWatermark`` on ``ts_col``,
     which is carried through the projection only in this mode).
 """
-
-
-def _check_ttl_args(idle_ttl_minutes, ttl_clock) -> int | None:
-    if idle_ttl_minutes is not None and idle_ttl_minutes <= 0:
-        raise ValueError("idle_ttl_minutes must be positive")
-    if ttl_clock not in ("processing", "event"):
-        raise ValueError(f"unknown ttl_clock {ttl_clock!r}")
-    return (
-        int(idle_ttl_minutes * 60_000)
-        if idle_ttl_minutes is not None
-        else None
-    )
-
-
-def _timeout_conf(ttl_ms, ttl_clock):
-    if ttl_ms is None:
-        return GroupStateTimeout.NoTimeout
-    if ttl_clock == "event":
-        return GroupStateTimeout.EventTimeTimeout
-    return GroupStateTimeout.ProcessingTimeTimeout
 
 
 def _arm(state, rows, ts_col, ttl_ms, ttl_clock) -> None:

@@ -1439,15 +1439,20 @@ def test_streaming_interval_join_batching_invariant(spark, tmp_path):
                 1
             ).write.mode("append").parquet(src)
 
+        # one watermark on the shared upstream (see streaming_asof_enrich:
+        # two independent sources can pin the global watermark at 0)
+        raw = file_events(
+            spark, src, max_files_per_trigger=1,
+            schema=("event_id long, ts timestamp_ntz, user_id long, "
+                    "value double, event_type string"),
+        )
+        raw = raw.withColumn("ts", F.timestamp_micros(epoch_us(raw, "ts")))
+        raw = raw.withWatermark("ts", "2 hours")
+
         def side(event_type):
-            s = file_events(
-                spark, src, max_files_per_trigger=1,
-                schema=("event_id long, ts timestamp_ntz, user_id long, "
-                        "value double, event_type string"),
-            ).where(F.col("event_type") == event_type)
-            s = s.withColumn("ts", F.timestamp_micros(epoch_us(s, "ts")))
             return FeatureTable(
-                s.withWatermark("ts", "2 hours"), key="user_id", ts="ts"
+                raw.where(F.col("event_type") == event_type),
+                key="user_id", ts="ts",
             )
 
         joined = interval_join(side("purchase"), side("click"),
@@ -1861,3 +1866,62 @@ def test_streaming_asof_enrich_batching_invariant(spark, tmp_path):
             for r in spark.table(name).collect()
         }
         assert got == want, label
+
+
+def test_streaming_asof_enrich_event_time_ttl(spark, tmp_path):
+    """r7: idle-key TTL on the as-of state join — key 7's latest-right
+    triple is evicted after a full event-time TTL of inactivity, so its
+    later purchase enriches NULL; the identical replay without a TTL
+    enriches the stale click value. (The reference's LRU state bound
+    makes the same trade.)"""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_asof_enrich,
+        write_memory,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = ("event_id long, ts timestamp, user_id long, value double, "
+              "event_type string")
+    batches = [
+        [(1, t(10), 7, 100.0, "click"), (2, t(10), 8, 1.0, "click")],
+        [(3, t(12), 8, 2.0, "click")],       # wm -> 11:50 > key-7 timer
+        [(4, t(12, 10), 8, 3.0, "click")],   # key 7 evicted (no data)
+        [(5, t(12, 30), 7, 0.0, "purchase")],  # TTL: NULL; plain: 100.0
+    ]
+    results = {}
+    for label, ttl in (("ttl", 60.0), ("plain", None)):
+        src = str(tmp_path / f"src_{label}")
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        # ONE watermarked source branched into both sides (the operator's
+        # documented event-TTL contract): with two independent sources
+        # the min-across-operators global watermark was observed pinned
+        # at 0 for the whole bounded run, so no timer ever fires
+        s = file_events(
+            spark, src, schema=schema, max_files_per_trigger=1
+        ).withWatermark("ts", "10 minutes")
+        out = streaming_asof_enrich(
+            s.where(F.col("event_type") == "purchase"),
+            s.where(F.col("event_type") == "click"),
+            idle_ttl_minutes=ttl, ttl_clock="event",
+        )
+        run_bounded(
+            write_memory(out, f"asofttl_{label}"),
+            checkpoint=str(tmp_path / f"ck_{label}"),
+            shuffle_partitions=2,
+        )
+        results[label] = {
+            r.event_id: r.right_value
+            for r in spark.table(f"asofttl_{label}").collect()
+        }
+    assert results["plain"] == {5: 100.0}
+    assert results["ttl"] == {5: None}
