@@ -1925,3 +1925,59 @@ def test_streaming_asof_enrich_event_time_ttl(spark, tmp_path):
         }
     assert results["plain"] == {5: 100.0}
     assert results["ttl"] == {5: None}
+
+
+def test_decayed_state_batch_backfill_handoff(spark, tmp_path):
+    """r7 ops story: a state table BACKFILLED by the batch operator
+    (time_decayed_sum over history, written as-is) seeds the streaming
+    sink, which continues over the live tail — final state equals the
+    full-history batch fold. The sink's state schema IS the batch
+    operator's output schema by design; a pre-r7 state without the
+    in-table marker column reads as last_batch=None (all stream batches
+    apply), which is exactly right for a fresh backfill."""
+    from ralf_spark.operators.moments import time_decayed_sum
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_decayed_upsert,
+        run_bounded,
+    )
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_id", "ts", "user_id", "value"
+    )
+    ordered = ev.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    history = spark.createDataFrame(ordered[: n // 2], ev.schema)
+    tail = spark.createDataFrame(ordered[n // 2:], ev.schema)
+
+    state = str(tmp_path / "state")
+    # batch backfill: the operator's output IS the state table
+    time_decayed_sum(
+        history, "user_id", "ts", "value", half_life_s=86_400.0,
+        tiebreak_col="event_id",
+    ).write.parquet(state)
+
+    src = str(tmp_path / "tail")
+    tail.coalesce(1).write.parquet(src)
+    stream = file_events(spark, src)
+    run_bounded(
+        foreach_batch_decayed_upsert(
+            stream, state, key="user_id", ts_col="ts", value_col="value",
+            half_life_s=86_400.0, tiebreak_col="event_id",
+        ),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.decayed_sum, 6), r.last_ts_us)
+        for r in spark.read.parquet(state)
+        .select("user_id", "n_events", "decayed_sum", "last_ts_us")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.decayed_sum, 6), r.last_ts_us)
+        for r in time_decayed_sum(
+            ev, "user_id", "ts", "value", half_life_s=86_400.0,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
