@@ -335,6 +335,7 @@ def change_detection_filter(
     threshold: float,
     metric: str = "abs",
     semantics: str = "last_emitted",
+    payload_cols: list[str] | None = None,
 ) -> FeatureTable:
     """Approximate-maintenance filter: emit a key's update only when the
     feature moved more than ``threshold`` — the batch spelling of
@@ -359,6 +360,16 @@ def change_detection_filter(
     deliberate divergence from the reference, whose mean policy divides
     unguarded and crashes the task
     (``ralf/policies/load_shedding_policy.py:46``).
+
+    ``payload_cols`` prunes the ``last_emitted`` path's Arrow channel to
+    the named columns (plus key/order/value) — the same lever as
+    ``latest(payload_cols=...)``: the pass-through default round-trips
+    EVERY column of the row through pandas, so a fat unused JSON/text
+    column dominates the operator's cost (measured 5.1s → 1.6s at sf0.1
+    just by not shipping ``props``, BENCH_NOTES r7; at 100 TB the
+    payload is the whole bill). Catalyst cannot prune this for you — the
+    apply-in-pandas schema is the contract — so callers that drop
+    columns AFTER the filter should name the survivors here instead.
     """
     if table.key is None:
         raise ValueError("change_detection_filter requires a keyed table")
@@ -384,16 +395,69 @@ def change_detection_filter(
     order = [c for c in (table.ts, table.seq) if c is not None]
     if not order:
         raise ValueError("last_emitted semantics needs ts/seq ordering")
-    schema = table.df.schema
+    df = table.df
+    if payload_cols is not None:
+        needed, seen = [], set()
+        for c in [table.key, *order, value, *payload_cols]:
+            if c not in seen:
+                needed.append(c)
+                seen.add(c)
+        df = df.select(*needed)
+    schema = df.schema
+    key = table.key
 
-    def scan(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort")
-        keep, _ = last_emitted_mask(
-            pdf[value].to_numpy(dtype="float64"), threshold, metric
-        )
-        return pdf[keep]
+    # mapInPandas over key-clustered, key-sorted partitions instead of
+    # groupBy.applyInPandas (r7): the grouped-map channel materializes
+    # ONE pandas frame PER KEY, and its per-group machinery (~ms) — not
+    # the scan — dominated at real key cardinality (measured 5.3s for
+    # 1.5k keys / 100k rows at sf0.1; 3.5 ms/key × 10^8 keys would be
+    # days). Same plan shape (one hash exchange + in-partition sort),
+    # but Arrow frames are per-10k-rows; key runs are contiguous, and
+    # the one piece of cross-frame state the recurrence needs — the
+    # last-emitted baseline of the key straddling a frame boundary —
+    # carries in the iterator (measured 5.3s → ~0.9s; BENCH_NOTES r7).
+    def scan_stream(batches):
+        import numpy as np
+        import pandas as pd
 
-    out = table.df.groupBy(table.key).applyInPandas(scan, schema)
+        carry_key, carry_last = None, None
+        first = True
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            keys = pdf[key]
+            vals = pdf[value].to_numpy(dtype="float64")
+            # null-safe run starts (groupBy groups all NULL keys as one)
+            prev = keys.shift()
+            changed = ~((keys == prev) | (keys.isna() & prev.isna()))
+            changed.iloc[0] = True
+            starts = np.flatnonzero(changed.to_numpy())
+            ends = np.append(starts[1:], n)
+            keep = np.zeros(n, dtype=bool)
+            for s, e in zip(starts, ends):
+                k = keys.iloc[s]
+                same = (
+                    not first
+                    and s == 0
+                    and (
+                        (pd.isna(k) and pd.isna(carry_key))
+                        or (not pd.isna(k) and k == carry_key)
+                    )
+                )
+                seed = carry_last if same else None
+                mask, last = last_emitted_mask(
+                    vals[s:e], threshold, metric, seed
+                )
+                keep[s:e] = mask
+                carry_key, carry_last = k, last
+            first = False
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    pre = df.repartition(key).sortWithinPartitions(key, *order)
+    out = pre.mapInPandas(scan_stream, schema)
     return table._with(out)
 
 

@@ -1526,7 +1526,8 @@ def change_detection_last_emitted_q(spark: SparkSession, sf_dir: str) -> DataFra
     applyInPandas; the oracle replays it with a recursive CTE."""
     ev = _t(spark, sf_dir, "events")
     out = change_detection_filter(
-        ev, "value", threshold=10.0, semantics="last_emitted"
+        ev, "value", threshold=10.0, semantics="last_emitted",
+        payload_cols=["event_id", "user_id", "value"],
     )
     return out.df.select(
         "event_id", "user_id", F.round("value", 4).alias("value")

@@ -389,3 +389,44 @@ def test_driver_prefix_ordering_applied():
     # every driver-prefix entry must carry a DuckDB oracle (full hash gate)
     no_oracle = [n for n in DRIVER_CHECKED_FIRST if QUERIES[n].oracle is None]
     assert no_oracle == []
+
+
+def test_change_detection_carry_across_arrow_frames(spark):
+    """r7 mapInPandas respelling of the last-emitted shed: a key whose
+    rows straddle an Arrow frame boundary must carry its last-emitted
+    baseline across frames (forced by shrinking maxRecordsPerBatch far
+    below one key's run length), with results identical to the
+    large-frame run."""
+    import pyspark.sql.functions as F
+
+    from ralf_spark.operators.policies import change_detection_filter
+    from ralf_spark.table import FeatureTable
+
+    # one hot key, 1000 rows, values 0,1,2,... -> emits every 10th value
+    df = spark.createDataFrame(
+        [(7, i, i, float(i)) for i in range(1000)]
+        + [(8, i, i, float(i % 3)) for i in range(50)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    t = FeatureTable(df, key="user_id", ts="ts", seq="event_id")
+
+    def run():
+        return sorted(
+            (r.user_id, r.event_id)
+            for r in change_detection_filter(
+                t, "value", threshold=10.0
+            ).df.collect()
+        )
+
+    # key 8: 0,1,2,0,1,2,... never moves >= 10 -> only the first emits
+    want = [(7, i) for i in range(0, 1000, 10)] + [(8, 0)]
+    big = run()
+    assert big == want
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        assert run() == big
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
