@@ -497,40 +497,73 @@ def change_detection_window(
         raise ValueError(f"unknown metric {metric!r}")
     schema = table.df.schema
 
-    def scan(pdf):
-        import numpy as np
+    key = table.key
 
-        pdf = pdf.sort_values([order_col], kind="mergesort")
-        keep, last, last_o = [], None, None
-        for win, o in zip(pdf[window_col], pdf[order_col]):
-            cand = np.asarray(list(win), dtype="float64")
+    # mapInPandas over key-clustered sorted partitions (r7) — same
+    # per-group-channel-overhead fix as the last_emitted path above; the
+    # cross-frame carry is the straddling key's (last window, last order).
+    def scan_stream(batches):
+        import numpy as np
+        import pandas as pd
+
+        def step(cand, o, last, last_o):
             if last is None:
-                emit = True
-            elif metric == "mean_rel":
+                return True
+            if metric == "mean_rel":
                 cur = last.sum()
                 if cur == 0.0:  # zero baseline: emit on any change
-                    emit = cand.sum() != cur
-                else:
-                    emit = abs(cand.sum() - cur) / abs(cur) >= threshold
-            elif metric == "cosine":
+                    return cand.sum() != cur
+                return abs(cand.sum() - cur) / abs(cur) >= threshold
+            if metric == "cosine":
                 denom = np.linalg.norm(cand) * np.linalg.norm(last)
                 cos = float(cand @ last) / denom if denom else 0.0
-                emit = (1.0 - cos) >= threshold
-            else:  # cosine_seasonal — load_shedding_policy.py:16-38
-                t = int(float(o) * 100 - float(last_o) * 100)
-                off = t % seasonality + 1
-                rot = np.concatenate([last[off:], last[:off]])
-                a = float(np.abs(cand * rot).sum())
-                b = float((cand * cand).sum())
-                c = float((last * last).sum())
-                score = a / (b * c) if b and c else 0.0
-                emit = score >= threshold
-            if emit:
-                last, last_o = cand, o
-            keep.append(emit)
-        return pdf[keep]
+                return (1.0 - cos) >= threshold
+            # cosine_seasonal — load_shedding_policy.py:16-38
+            t = int(float(o) * 100 - float(last_o) * 100)
+            off = t % seasonality + 1
+            rot = np.concatenate([last[off:], last[:off]])
+            a = float(np.abs(cand * rot).sum())
+            b = float((cand * cand).sum())
+            c = float((last * last).sum())
+            score = a / (b * c) if b and c else 0.0
+            return score >= threshold
 
-    out = table.df.groupBy(table.key).applyInPandas(scan, schema)
+        carry_key, last, last_o = None, None, None
+        first = True
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            keys = pdf[key]
+            prev = keys.shift()
+            changed = ~((keys == prev) | (keys.isna() & prev.isna()))
+            changed.iloc[0] = True
+            run_start = changed.to_numpy()
+            keep = []
+            for i, (win, o, k, new_run) in enumerate(zip(
+                pdf[window_col], pdf[order_col], keys, run_start
+            )):
+                if new_run:
+                    same = (
+                        not first and i == 0
+                        and ((pd.isna(k) and pd.isna(carry_key))
+                             or (not pd.isna(k) and k == carry_key))
+                    )
+                    if not same:
+                        last, last_o = None, None
+                    carry_key = k
+                cand = np.asarray(list(win), dtype="float64")
+                emit = step(cand, o, last, last_o)
+                if emit:
+                    last, last_o = cand, o
+                keep.append(emit)
+            first = False
+            out = pdf[np.asarray(keep, dtype=bool)]
+            if len(out):
+                yield out
+
+    pre = table.df.repartition(key).sortWithinPartitions(key, order_col)
+    out = pre.mapInPandas(scan_stream, schema)
     return table._with(out)
 
 
