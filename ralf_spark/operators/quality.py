@@ -1,0 +1,188 @@
+"""Data-quality operators: column profiling + declarative constraints.
+
+The gate between "pipeline produced a table" and "a training job may
+read it": profile the columns (nulls, distincts, ranges, moments) and
+check declarative expectations (not-null, unique, in-range, accepted
+values, minimum fraction) — the Deequ/Great-Expectations role, spelled
+as ONE Spark aggregation per table so a 100 TB validation pass costs a
+single scan.
+
+Scale shape:
+
+- :func:`column_profile` computes every column's metrics inside one
+  ``agg`` (count/nulls/min/max/mean and an exact ``count_distinct`` per
+  profiled column — all map-side partial; swap the distinct for
+  ``approx_count_distinct`` at extreme cardinality via
+  ``exact_distinct=False``) and unpivots driver-side: the driver sees
+  one row per TABLE, the output is one row per column.
+- :func:`check_constraints` folds every rule into the same single-scan
+  aggregate; each rule reads its measured value out of the one result
+  row. No per-rule scans, no collect of data rows.
+
+The reference has no quality surface (its Schema validates types only,
+``ralf/table.py``); this extends the engine's curation family (E9) the
+way the north star asks — data validation as a first-class pipeline
+stage. Deterministic and SQL-expressible, so the gates are
+oracle-checked like every other operator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column statistics in ONE aggregation pass.
+
+    Returns one row per profiled column:
+    ``(column, n_rows, n_nulls, null_frac, n_distinct, min_repr,
+    max_repr, mean)`` — min/max as strings (type-erased so every column
+    fits one schema), ``mean`` NULL for non-numeric columns.
+    ``exact_distinct=False`` swaps ``count_distinct`` for
+    ``approx_count_distinct`` (HLL++) — the extreme-cardinality
+    spelling; everything else is identical.
+    """
+    if cols is None:
+        cols = df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.sum(col.isNull().cast("long")).alias(f"_nulls_{c}")
+        )
+        aggs.append(
+            (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col)
+            ).alias(f"_nd_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
+        if c in numeric:
+            aggs.append(F.avg(col).alias(f"_mean_{c}"))
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    per_col = []
+    r = row.first()
+    for c in cols:
+        nulls = r[f"_nulls_{c}"] or 0  # sum over an empty table is NULL
+        per_col.append(
+            (
+                c,
+                int(r["_n"]),
+                int(nulls),
+                round(nulls / r["_n"], 6) if r["_n"] else 0.0,
+                int(r[f"_nd_{c}"]),
+                r[f"_min_{c}"],
+                r[f"_max_{c}"],
+                (
+                    float(r[f"_mean_{c}"])
+                    if c in numeric and r[f"_mean_{c}"] is not None
+                    else None
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        per_col,
+        "column string, n_rows bigint, n_nulls bigint, null_frac double,"
+        " n_distinct bigint, min_repr string, max_repr string,"
+        " mean double",
+    )
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One declarative expectation; ``kind`` picks the check."""
+
+    kind: str
+    column: str
+    lo: Any = None
+    hi: Any = None
+    values: tuple | None = None
+    min_frac: float = 1.0
+
+    def name(self) -> str:
+        base = f"{self.kind}({self.column}"
+        if self.kind == "in_range":
+            base += f", {self.lo}, {self.hi}"
+        elif self.kind == "accepted_values":
+            base += ", {" + ", ".join(map(str, self.values or ())) + "}"
+        base += ")"
+        if self.min_frac < 1.0:
+            base += f" >= {self.min_frac}"
+        return base
+
+
+def not_null(column: str, min_frac: float = 1.0) -> Rule:
+    return Rule("not_null", column, min_frac=min_frac)
+
+
+def unique(column: str) -> Rule:
+    return Rule("unique", column)
+
+
+def in_range(column: str, lo, hi, min_frac: float = 1.0) -> Rule:
+    return Rule("in_range", column, lo=lo, hi=hi, min_frac=min_frac)
+
+
+def accepted_values(column: str, values, min_frac: float = 1.0) -> Rule:
+    return Rule(
+        "accepted_values", column, values=tuple(values), min_frac=min_frac
+    )
+
+
+def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule in ONE aggregation pass over ``df``.
+
+    Returns one row per rule: ``(rule, passed, measured, threshold)`` —
+    ``measured`` is the satisfying fraction (for ``unique``:
+    distinct/total), ``passed`` is ``measured >= threshold`` (unique
+    requires exactly 1.0). Empty tables pass every rule vacuously.
+    """
+    if not rules:
+        raise ValueError("check_constraints needs at least one rule")
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for i, rule in enumerate(rules):
+        col = F.col(rule.column)
+        if rule.kind == "not_null":
+            ok = col.isNotNull()
+        elif rule.kind == "in_range":
+            ok = col.isNotNull() & col.between(F.lit(rule.lo), F.lit(rule.hi))
+        elif rule.kind == "accepted_values":
+            ok = col.isin(list(rule.values or ()))
+        elif rule.kind == "unique":
+            aggs.append(F.count_distinct(col).alias(f"_r{i}"))
+            continue
+        else:
+            raise ValueError(f"unknown rule kind {rule.kind!r}")
+        aggs.append(F.sum(ok.cast("long")).alias(f"_r{i}"))
+    r = df.agg(*aggs).first()
+    n = int(r["_n"])
+    out = []
+    for i, rule in enumerate(rules):
+        if n == 0:
+            measured = 1.0
+        else:
+            measured = round(int(r[f"_r{i}"]) / n, 6)
+        threshold = 1.0 if rule.kind == "unique" else float(rule.min_frac)
+        out.append(
+            (rule.name(), bool(measured >= threshold), measured, threshold)
+        )
+    return df.sparkSession.createDataFrame(
+        out, "rule string, passed boolean, measured double, threshold double"
+    )

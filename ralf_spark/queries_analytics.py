@@ -484,6 +484,123 @@ def layout_zorder_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_column_profile",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             count(*) - count(event_id) AS nul_id,
+             count(DISTINCT event_id) AS nd_id,
+             CAST(min(event_id) AS VARCHAR) AS mn_id,
+             CAST(max(event_id) AS VARCHAR) AS mx_id,
+             count(*) - count(user_id) AS nul_u,
+             count(DISTINCT user_id) AS nd_u,
+             CAST(min(user_id) AS VARCHAR) AS mn_u,
+             CAST(max(user_id) AS VARCHAR) AS mx_u,
+             count(*) - count(event_type) AS nul_t,
+             count(DISTINCT event_type) AS nd_t,
+             min(event_type) AS mn_t, max(event_type) AS mx_t,
+             avg(user_id) AS mean_u,
+             avg(event_id) AS mean_id
+      FROM events
+    )
+    SELECT 'event_id' AS col_name, n AS n_rows, nul_id AS n_nulls,
+           round(nul_id / n, 6) AS null_frac, nd_id AS n_distinct,
+           mn_id AS min_repr, mx_id AS max_repr,
+           round(mean_id, 6) AS mean_r FROM s
+    UNION ALL
+    SELECT 'user_id', n, nul_u, round(nul_u / n, 6), nd_u, mn_u, mx_u,
+           round(mean_u, 6) FROM s
+    UNION ALL
+    SELECT 'event_type', n, nul_t, round(nul_t / n, 6), nd_t, mn_t, mx_t,
+           NULL FROM s
+    ORDER BY col_name
+    """,
+)
+def events_column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (r7, E9 extension): per-column
+    nulls/distincts/range/mean for the events table in ONE aggregation
+    pass (``operators.quality.column_profile`` — every metric is a
+    map-side-partial agg; the driver sees one row per table). Means are
+    gated on the INTEGER columns (they sum exactly; a double mean's
+    summation order could differ across engines below the rounding),
+    and the string-cast min/max on bigint/string columns, whose cast
+    formatting is engine-identical."""
+    from ralf_spark.operators.quality import column_profile
+
+    ev = _t(spark, sf_dir, "events")
+    prof = column_profile(ev.df, ["event_id", "user_id", "event_type"])
+    return prof.select(
+        F.col("column").alias("col_name"),
+        "n_rows", "n_nulls", "null_frac", "n_distinct",
+        "min_repr", "max_repr",
+        F.round("mean", 6).alias("mean_r"),
+    ).orderBy("col_name")
+
+
+@query(
+    "events_quality_gate",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             count(event_id) AS nn_id,
+             count(DISTINCT event_id) AS nd_id,
+             sum(CASE WHEN value IS NOT NULL
+                       AND value BETWEEN 0.0 AND 1000.0
+                      THEN 1 ELSE 0 END) AS in_rng,
+             sum(CASE WHEN event_type IN
+                      ('view', 'click', 'purchase', 'signup', 'error')
+                      THEN 1 ELSE 0 END) AS acc_t
+      FROM events
+    )
+    SELECT 'not_null(event_id)' AS rule, nn_id / n >= 1.0 AS passed,
+           round(nn_id / n, 6) AS measured,
+           CAST(1.0 AS DOUBLE) AS threshold FROM s
+    UNION ALL
+    SELECT 'unique(event_id)', nd_id / n >= 1.0, round(nd_id / n, 6),
+           CAST(1.0 AS DOUBLE)
+    FROM s
+    UNION ALL
+    SELECT 'in_range(value, 0.0, 1000.0)', in_rng / n >= 1.0,
+           round(in_rng / n, 6), CAST(1.0 AS DOUBLE) FROM s
+    UNION ALL
+    SELECT 'accepted_values(event_type, {view, click, purchase, signup,'
+           || ' error}) >= 0.99',
+           acc_t / n >= 0.99, round(acc_t / n, 6),
+           CAST(0.99 AS DOUBLE) FROM s
+    ORDER BY rule
+    """,
+)
+def events_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (r7): four expectations over the
+    events table — not-null + uniqueness of the key, a value range, an
+    accepted-values domain with a 99% tolerance — all folded into ONE
+    scan (``operators.quality.check_constraints``); the oracle replays
+    the measured fractions and verdicts exactly. This is the validation
+    stage a training pipeline runs before consuming a table (the Deequ
+    role), as a first-class oracle-gated operator."""
+    from ralf_spark.operators.quality import (
+        accepted_values,
+        check_constraints,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        not_null("event_id"),
+        unique("event_id"),
+        in_range("value", 0.0, 1000.0),
+        accepted_values(
+            "event_type",
+            ["view", "click", "purchase", "signup", "error"],
+            min_frac=0.99,
+        ),
+    ]
+    return check_constraints(ev.df, rules).orderBy("rule")
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

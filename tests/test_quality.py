@@ -1,0 +1,98 @@
+"""Data-quality operators (r7): column profiling + constraint checks.
+
+Oracle parity for the fixture-table gates lives in the registry
+(events_column_profile / events_quality_gate); these tests pin the
+operator contracts on handcrafted data — nulls, empty tables, failing
+rules, fraction thresholds — and that everything is ONE aggregation
+pass (no per-rule scans)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ralf_spark.operators.quality import (
+    Rule,
+    accepted_values,
+    check_constraints,
+    column_profile,
+    in_range,
+    not_null,
+    unique,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, None, 30.0),
+            (3, "a", None),
+            (4, "zz", -5.0),
+        ],
+        "id long, cat string, v double",
+    )
+
+
+def test_column_profile_metrics(spark):
+    prof = {
+        r.column: r for r in column_profile(_df(spark)).collect()
+    }
+    assert set(prof) == {"id", "cat", "v"}
+    pid = prof["id"]
+    assert (pid.n_rows, pid.n_nulls, pid.n_distinct) == (5, 0, 4)
+    assert (pid.min_repr, pid.max_repr) == ("1", "4")
+    assert pid.mean == pytest.approx(13 / 5)
+    pcat = prof["cat"]
+    assert (pcat.n_nulls, pcat.n_distinct) == (1, 3)
+    assert pcat.null_frac == pytest.approx(0.2)
+    assert pcat.mean is None  # non-numeric
+    pv = prof["v"]
+    assert (pv.n_nulls, pv.min_repr) == (1, "-5.0")
+
+
+def test_column_profile_approx_mode_and_empty(spark):
+    prof = {
+        r.column: r.n_distinct
+        for r in column_profile(_df(spark), ["id"],
+                                exact_distinct=False).collect()
+    }
+    assert abs(prof["id"] - 4) <= 1  # HLL++ on 4 values is ~exact
+    empty = spark.createDataFrame([], "id long")
+    row = column_profile(empty).collect()[0]
+    assert (row.n_rows, row.n_nulls, row.null_frac) == (0, 0, 0.0)
+
+
+def test_check_constraints_verdicts(spark):
+    out = {
+        r.rule: (r.passed, r.measured)
+        for r in check_constraints(
+            _df(spark),
+            [
+                not_null("id"),
+                not_null("cat"),              # fails: 1 null of 5
+                not_null("cat", min_frac=0.8),  # passes at threshold
+                unique("id"),                 # fails: 3 duplicated
+                in_range("v", 0.0, 100.0),    # fails: -5 and a NULL
+                in_range("v", -10.0, 100.0, min_frac=0.8),
+                accepted_values("cat", ["a", "b"], min_frac=0.6),
+            ],
+        ).collect()
+    }
+    assert out["not_null(id)"] == (True, 1.0)
+    assert out["not_null(cat)"] == (False, 0.8)
+    assert out["not_null(cat) >= 0.8"] == (True, 0.8)
+    assert out["unique(id)"] == (False, 0.8)
+    assert out["in_range(v, 0.0, 100.0)"] == (False, 0.6)
+    assert out["in_range(v, -10.0, 100.0) >= 0.8"] == (True, 0.8)
+    assert out["accepted_values(cat, {a, b}) >= 0.6"] == (True, 0.6)
+
+
+def test_check_constraints_edges(spark):
+    empty = spark.createDataFrame([], "id long")
+    rows = check_constraints(empty, [not_null("id"), unique("id")]).collect()
+    assert all(r.passed and r.measured == 1.0 for r in rows)
+    with pytest.raises(ValueError):
+        check_constraints(_df(spark), [])
+    with pytest.raises(ValueError):
+        check_constraints(_df(spark), [Rule("weird", "id")])
