@@ -146,6 +146,87 @@ def accepted_values(column: str, values, min_frac: float = 1.0) -> Rule:
     )
 
 
+def psi_drift(
+    baseline: DataFrame,
+    candidate: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two table versions — the
+    standard "did this feature drift?" score, per optional group:
+
+        PSI = Σ_bins (p_cand - p_base) * ln(p_cand / p_base)
+
+    (< 0.1 stable, 0.1-0.25 moderate shift, > 0.25 drifted — the usual
+    reading). Detecting drift is the reference's entire reason to exist
+    (features decay as distributions move — the ralf paper's premise);
+    this operator is the MONITOR for it: run it between yesterday's and
+    today's feature table and alert on the score.
+
+    Spelling: fixed-width bins over ``[lo, hi]`` (defaults: baseline's
+    min/max, one tiny agg; values outside clamp to the edge bins, NULLs
+    are excluded) — each side reduces to ``bins`` counts per group in
+    one map-side-partial agg, the two histograms full-outer join on
+    (group, bin), and the PSI sum is one more tiny agg. Nothing but
+    histogram rows ever shuffles; both sides are scanned exactly once.
+    ``eps`` floors the proportions (standard PSI practice — an empty
+    bin would make the log infinite). Deterministic given (lo, hi), so
+    DuckDB replays it bit-for-bit (registry gate).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    group_cols = list(group_cols or [])
+    if lo is None or hi is None:
+        row = baseline.agg(
+            F.min(value_col).cast("double"), F.max(value_col).cast("double")
+        ).first()
+        lo = lo if lo is not None else row[0]
+        hi = hi if hi is not None else row[1]
+        if lo is None or hi is None:
+            raise ValueError("empty baseline and no explicit lo/hi")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    width = (float(hi) - float(lo)) / bins
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+        return (
+            df.where(v.isNotNull())
+            .groupBy(*group_cols, b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    hb = hist(baseline, "_nb")
+    hc = hist(candidate, "_nc")
+    j = hb.join(hc, [*group_cols, "bin"], "full_outer").select(
+        *group_cols,
+        "bin",
+        F.coalesce("_nb", F.lit(0)).alias("_nb"),
+        F.coalesce("_nc", F.lit(0)).alias("_nc"),
+    )
+    w = [*group_cols] if group_cols else []
+    totals = j.groupBy(*w).agg(
+        F.sum("_nb").alias("_tb"), F.sum("_nc").alias("_tc")
+    )
+    j = j.join(F.broadcast(totals), w) if w else j.crossJoin(
+        F.broadcast(totals)
+    )
+    pb = F.greatest(F.col("_nb") / F.col("_tb"), F.lit(eps))
+    pc = F.greatest(F.col("_nc") / F.col("_tc"), F.lit(eps))
+    term = (pc - pb) * F.log(pc / pb)
+    return (
+        j.groupBy(*w)
+        .agg(F.round(F.sum(term), 6).alias("psi"))
+        if w
+        else j.agg(F.round(F.sum(term), 6).alias("psi"))
+    )
+
+
 def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Evaluate every rule in ONE aggregation pass over ``df``.
 

@@ -539,6 +539,65 @@ def events_column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_drift_psi",
+    """
+    WITH base AS (
+      SELECT event_type, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+    ), cand AS (
+      SELECT event_type, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+    ), hb AS (
+      SELECT event_type,
+             least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9)
+               AS bin, count(*) AS nb
+      FROM base GROUP BY 1, 2
+    ), hc AS (
+      SELECT event_type,
+             least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9)
+               AS bin, count(*) AS nc
+      FROM cand GROUP BY 1, 2
+    ), j AS (
+      SELECT coalesce(hb.event_type, hc.event_type) AS event_type,
+             coalesce(hb.bin, hc.bin) AS bin,
+             coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      FROM hb FULL JOIN hc
+        ON hb.event_type = hc.event_type AND hb.bin = hc.bin
+    ), t AS (
+      SELECT event_type, sum(nb) AS tb, sum(nc) AS tc
+      FROM j GROUP BY 1
+    )
+    SELECT j.event_type,
+           round(sum((greatest(nc / tc, 1e-6) - greatest(nb / tb, 1e-6))
+                     * ln(greatest(nc / tc, 1e-6)
+                          / greatest(nb / tb, 1e-6))), 6) AS psi
+    FROM j JOIN t USING (event_type)
+    GROUP BY j.event_type ORDER BY event_type
+    """,
+)
+def feature_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift monitor (r7): Population Stability Index of the
+    value distribution, first half of the events timeline (baseline) vs
+    the second (candidate), per event type — fixed 10-bin histogram over
+    [0, 500]. Detecting exactly this shift is the reference's founding
+    premise (features decay as distributions move); the operator reduces
+    each side to `bins` counts per group map-side, joins histograms, and
+    sums the PSI terms — two scans total, histogram rows only on the
+    wire (``operators.quality.psi_drift``)."""
+    from ralf_spark.operators.quality import psi_drift
+
+    ev = _t(spark, sf_dir, "events").df
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return psi_drift(
+        ev.where(F.col("ts") < cutoff),
+        ev.where(F.col("ts") >= cutoff),
+        "value",
+        group_cols=["event_type"],
+        bins=10, lo=0.0, hi=500.0,
+    ).orderBy("event_type")
+
+
+@query(
     "events_quality_gate",
     """
     WITH s AS (

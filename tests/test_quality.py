@@ -96,3 +96,36 @@ def test_check_constraints_edges(spark):
         check_constraints(_df(spark), [])
     with pytest.raises(ValueError):
         check_constraints(_df(spark), [Rule("weird", "id")])
+
+
+def test_psi_drift_contract(spark):
+    """PSI: identical distributions score ~0; a shifted candidate scores
+    high; grouped and ungrouped shapes agree; validation errors."""
+    import math
+
+    from ralf_spark.operators.quality import psi_drift
+
+    base = spark.createDataFrame(
+        [("g", float(i % 10)) for i in range(1000)], "g string, v double"
+    )
+    same = psi_drift(base, base, "v", bins=5, lo=0.0, hi=10.0).first().psi
+    assert same == 0.0
+    shifted = spark.createDataFrame(
+        [("g", float(i % 10) + 6.0) for i in range(1000)],
+        "g string, v double",
+    )
+    drift = psi_drift(base, shifted, "v", bins=5, lo=0.0, hi=10.0).first().psi
+    assert drift > 0.25  # the "drifted" band
+    grouped = psi_drift(
+        base, shifted, "v", group_cols=["g"], bins=5, lo=0.0, hi=10.0
+    ).collect()
+    assert len(grouped) == 1 and math.isclose(grouped[0].psi, drift)
+    # default lo/hi come from the baseline; out-of-range clamps to edges
+    auto = psi_drift(base, shifted, "v", bins=5).first().psi
+    assert auto > 0.25
+    with pytest.raises(ValueError):
+        psi_drift(base, base, "v", bins=1)
+    with pytest.raises(ValueError):
+        psi_drift(base, base, "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError):
+        psi_drift(spark.createDataFrame([], "v double"), base, "v")
