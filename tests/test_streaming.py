@@ -1981,3 +1981,55 @@ def test_decayed_state_batch_backfill_handoff(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_sliding_window_event_time_ttl(spark, tmp_path):
+    """Sliding-window idle TTL (r7): an evicted key loses its rolling
+    buffer AND position counter, so its emit sequence restarts — the
+    returning key needs a full window of NEW rows before emitting
+    again; without the TTL the stale buffer completes immediately."""
+    import datetime as dt
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_sliding_count_window,
+        write_memory,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = [
+        # key 7 buffers 2 of a size-3 window; key 8 rides along
+        [(1, t(10), 7, 1.0), (2, t(10), 7, 2.0), (3, t(10), 8, 1.0)],
+        [(4, t(12), 8, 2.0)],       # watermark -> 11:50 > key-7 timer
+        [(5, t(12, 10), 8, 3.0)],   # key 7 evicted (no data, wm passed)
+        [(6, t(12, 30), 7, 9.0)],   # plain: completes [1,2,9] -> emits;
+                                    # ttl: fresh buffer [9], no emit
+    ]
+    results = {}
+    for label, ttl in (("ttl", 60.0), ("plain", None)):
+        src = str(tmp_path / f"src_{label}")
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = file_events(
+            spark, src, schema=schema, max_files_per_trigger=1
+        ).withWatermark("ts", "10 minutes")
+        out = streaming_sliding_count_window(
+            stream, size=3, slide=1, idle_ttl_minutes=ttl,
+            ttl_clock="event",
+        )
+        run_bounded(
+            write_memory(out, f"slttl_{label}"),
+            checkpoint=str(tmp_path / f"ck_{label}"),
+            shuffle_partitions=2,
+        )
+        results[label] = {
+            (r.user_id, r.pos, r.w_sum)
+            for r in spark.table(f"slttl_{label}").collect()
+        }
+    # key 8 emits its first full window at pos 3 under both replays
+    assert results["plain"] == {(8, 3, 6.0), (7, 3, 12.0)}
+    assert results["ttl"] == {(8, 3, 6.0)}
