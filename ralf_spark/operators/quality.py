@@ -176,6 +176,12 @@ def psi_drift(
     ``eps`` floors the proportions (standard PSI practice — an empty
     bin would make the log infinite). Deterministic given (lo, hi), so
     DuckDB replays it bit-for-bit (registry gate).
+
+    Related: ``psi_split_drift`` (queries_features) checks the same
+    statistic across the deterministic train/test SPLIT of one corpus
+    (per-bin terms, Laplace smoothing); this operator is the reusable
+    version-vs-version form (temporal drift, per group) a monitoring
+    job calls.
     """
     if bins < 2:
         raise ValueError("bins must be >= 2")
