@@ -21,6 +21,7 @@ from ralf_spark.streaming.sinks import (
     foreach_batch_kv_upsert,
     foreach_batch_kmv_upsert,
     foreach_batch_latest_upsert,
+    foreach_batch_quality_log,
     hll_upsert_batch,
     kmv_upsert_batch,
     run_bounded,
@@ -77,6 +78,7 @@ __all__ = [
     "hll_upsert_batch",
     "kmv_upsert_batch",
     "foreach_batch_latest_upsert",
+    "foreach_batch_quality_log",
     "run_bounded",
     "write_console",
     "write_memory",

@@ -468,6 +468,37 @@ def foreach_batch_enriched_write(
     return df.writeStream.foreachBatch(enrich)
 
 
+def foreach_batch_quality_log(
+    df: DataFrame,
+    rules,
+    out_path: str,
+) -> DataStreamWriter:
+    """Live data-quality monitoring (r7): evaluate the declarative
+    constraint set (``operators.quality.check_constraints`` — ONE
+    aggregation pass per micro-batch) on every batch and append the
+    verdicts ``(rule, passed, measured, threshold)`` under a
+    ``_batch=<id>`` partition — the per-window quality log an alerting
+    job tails, with the usual dynamic-overwrite exactly-once replay
+    semantics. The stream itself is not modified; pair with a normal
+    data sink on the same input for quarantine-style routing."""
+
+    def log(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.operators.quality import check_constraints
+
+        if not batch_df.take(1):
+            return
+        (
+            check_constraints(batch_df, rules)
+            .withColumn("_batch", F.lit(f"b{batch_id}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_path)
+        )
+
+    return df.writeStream.foreachBatch(log)
+
+
 def foreach_batch_hll_upsert(
     df: DataFrame,
     path: str,

@@ -129,3 +129,64 @@ def test_psi_drift_contract(spark):
         psi_drift(base, base, "v", lo=5.0, hi=5.0)
     with pytest.raises(ValueError):
         psi_drift(spark.createDataFrame([], "v double"), base, "v")
+
+
+def test_foreach_batch_quality_log(spark, tmp_path):
+    """Streaming quality monitor: per-micro-batch constraint verdicts
+    append under _batch partitions; a batch with a violation logs its
+    failing rule with the measured fraction; replaying a batch id
+    rewrites in place (no duplicate log rows)."""
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_quality_log,
+        run_bounded,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "id long, v double"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, -5.0), (4, 30.0)], schema  # -5 violates the range rule
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "qlog")
+    stream = file_events(spark, src, schema=schema, max_files_per_trigger=1)
+    run_bounded(
+        foreach_batch_quality_log(
+            stream, [not_null("id"), in_range("v", 0.0, 100.0)], out
+        ),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=2,
+    )
+    rows = {
+        (r._batch, r.rule): (r.passed, r.measured)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(rows) == 4  # 2 batches x 2 rules
+    batches = sorted({b for b, _ in rows})
+    good = [b for b in batches
+            if rows[(b, "in_range(v, 0.0, 100.0)")][0]]
+    bad = [b for b in batches
+           if not rows[(b, "in_range(v, 0.0, 100.0)")][0]]
+    assert len(good) == len(bad) == 1
+    assert rows[(bad[0], "in_range(v, 0.0, 100.0)")] == (False, 0.5)
+    assert all(rows[(b, "not_null(id)")] == (True, 1.0) for b in batches)
+    # replay: re-logging the same batch id rewrites its own partition in
+    # place (dynamic overwrite) — no duplicate log rows
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.quality import check_constraints
+
+    (
+        check_constraints(
+            spark.createDataFrame([(1, 10.0), (2, 20.0)], schema),
+            [not_null("id"), in_range("v", 0.0, 100.0)],
+        )
+        .withColumn("_batch", F.lit("b0"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(out)
+    )
+    assert spark.read.parquet(out).count() == 4
