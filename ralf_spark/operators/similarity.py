@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ralf_spark.functions.arrays import cosine_similarity
-from ralf_spark.operators.util import ensure_parallelism
+from ralf_spark.operators.util import attach_cached, ensure_parallelism
 from ralf_spark.table import FeatureTable
 
 
@@ -353,9 +353,14 @@ def semdedup_prune(
     group, no tie-break races.
     """
     idc = corpus.key
+    # persist the assignment: it feeds BOTH self-join sides and the final
+    # flag join — without the barrier the k-cosine nearest-seed
+    # projection runs three times (r7: 9.5s -> ~4s at sf0.1). Release
+    # with unpersist_cached after the caller's action; cluster spelling
+    # = checkpoint the assignment to parquet.
     assigned = assign_to_seeds(
         corpus, seeds, vec_col=vec_col, seed_id=seed_id, seed_vec=seed_vec
-    )
+    ).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     pruned_ids = (
         a.join(
@@ -370,7 +375,7 @@ def semdedup_prune(
         .select(F.col(f"b.{idc}").alias(idc))
         .distinct()
     )
-    return (
+    out = (
         assigned.join(pruned_ids.withColumn("_p", F.lit(True)), idc, "left")
         .select(
             F.col(idc),
@@ -378,6 +383,7 @@ def semdedup_prune(
             F.coalesce(F.col("_p"), F.lit(False)).alias("pruned"),
         )
     )
+    return attach_cached(out, [assigned])
 
 
 def knn_graph(
