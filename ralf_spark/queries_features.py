@@ -796,6 +796,10 @@ def textrank_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .filter(F.col("a") != F.col("b"))
     )
+    # cache the bigram counts: the symmetric union references them twice,
+    # so the corpus-sized counting job would run 2x inside the edges
+    # materialization (r7; same recompute class as semdedup/minhash)
+    pairs = pairs.cache()
     edges = pairs.selectExpr("a AS src", "b AS dst", "c AS w").unionAll(
         pairs.selectExpr("b AS src", "a AS dst", "c AS w")
     )
