@@ -506,12 +506,23 @@ def curation_pipeline(
 
     df = _t(spark, sf_dir, "documents").df
     st1 = df.where(language_id(F.col("text")) == "en")
-    st2 = st1.where(F.round(quality_score(F.col("text")), 4) >= q_min)
+    # Persist each survivor set that feeds TWO downstream branches: st2
+    # (exact-dedup winners + the semi-join left side), st3 (LSH hashing +
+    # the anti-join left side), st4 (contamination shingles + st5) — the
+    # language/quality/tokenize expression chains would otherwise
+    # re-execute once per referencing branch, compounding stage by stage
+    # (r7: warm 11.7s -> measured below; same recompute class as
+    # semdedup/minhash — BENCH_NOTES). Cluster spelling: checkpoint each
+    # stage to parquet, which is also the natural audit trail of a
+    # curation build. Released via attach_cached after the action.
+    st2 = st1.where(
+        F.round(quality_score(F.col("text")), 4) >= q_min
+    ).persist()
     t2 = FeatureTable(st2, key="doc_id")
     keep = exact_dedup(t2, on=F.col("text")).df.select(
         F.col("keep_id").alias("doc_id")
     )
-    st3 = st2.join(keep, "doc_id", "left_semi")
+    st3 = st2.join(keep, "doc_id", "left_semi").persist()
     t3 = FeatureTable(st3, key="doc_id")
     pairs = near_dup_pairs(
         t3, num_perm=num_perm, bands=bands, threshold=jaccard_threshold
@@ -519,7 +530,7 @@ def curation_pipeline(
     st4 = st3.join(
         pairs.select(F.col("id2").alias("doc_id")).distinct(),
         "doc_id", "left_anti",
-    )
+    ).persist()
     is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < eval_pct
     ev_grams = (
         df.where(is_eval)
@@ -562,7 +573,9 @@ def curation_pipeline(
         )
         .orderBy("source")
     )
-    return attach_cached(out, getattr(pairs, "_ralf_cached", []))
+    return attach_cached(
+        out, [st2, st3, st4, *getattr(pairs, "_ralf_cached", [])]
+    )
 
 
 @query("curation_pipeline_end2end", _curation_pipeline_oracle_sql())
