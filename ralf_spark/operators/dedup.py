@@ -1074,7 +1074,21 @@ class MinHashIndex:
             try:
                 rows = spark.read.parquet(meta_path).collect()
             except Exception:
-                rows = []  # unreadable _meta (crashed first writer)
+                # Distinguish "crashed first writer left an empty/partial
+                # directory" (no committed part files — treat as absent
+                # and rewrite) from a real read failure on a COMMITTED
+                # _meta (throttle/permission/corruption): rewriting the
+                # pin on the latter would silently flip the stored hash
+                # config — the exact failure the pin exists to prevent.
+                committed = [
+                    s
+                    for s in fs.listStatus(jmeta)
+                    if s.getPath().getName().startswith("part-")
+                    and s.getLen() > 0
+                ]
+                if committed:
+                    raise
+                rows = []  # crashed first writer: no data file committed
         if rows:
             row = rows[0]
             stored = (row.hash_fn, row.num_perm, row.bands, row.shingle_n)

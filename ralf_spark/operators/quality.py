@@ -174,8 +174,10 @@ def psi_drift(
     (group, bin), and the PSI sum is one more tiny agg. Nothing but
     histogram rows ever shuffles; both sides are scanned exactly once.
     ``eps`` floors the proportions (standard PSI practice — an empty
-    bin would make the log infinite). Deterministic given (lo, hi), so
-    DuckDB replays it bit-for-bit (registry gate).
+    bin would make the log infinite); an empty SIDE within a group
+    (zero total rows) yields ``psi = NULL`` rather than a score built
+    entirely from eps floors. Deterministic given (lo, hi), so DuckDB
+    replays it bit-for-bit (registry gate).
 
     Related: ``psi_split_drift`` (queries_features) checks the same
     statistic across the deterministic train/test SPLIT of one corpus
@@ -222,14 +224,27 @@ def psi_drift(
     j = j.join(F.broadcast(totals), w) if w else j.crossJoin(
         F.broadcast(totals)
     )
-    pb = F.greatest(F.col("_nb") / F.col("_tb"), F.lit(eps))
-    pc = F.greatest(F.col("_nc") / F.col("_tc"), F.lit(eps))
+    # the eps floor is for empty BINS; an empty SIDE (a group present in
+    # only one table — e.g. a mistakenly-empty candidate write) must not
+    # be scored from fabricated eps proportions: its psi is NULL, so a
+    # monitoring job sees "not comparable" instead of a plausible number
+    pb = F.when(
+        F.col("_tb") > 0, F.greatest(F.col("_nb") / F.col("_tb"), F.lit(eps))
+    )
+    pc = F.when(
+        F.col("_tc") > 0, F.greatest(F.col("_nc") / F.col("_tc"), F.lit(eps))
+    )
     term = (pc - pb) * F.log(pc / pb)
-    return (
-        j.groupBy(*w)
-        .agg(F.round(F.sum(term), 6).alias("psi"))
-        if w
-        else j.agg(F.round(F.sum(term), 6).alias("psi"))
+    aggs = [
+        F.round(F.sum(term), 6).alias("_psi"),
+        F.max((F.col("_tb") == 0) | (F.col("_tc") == 0)).alias("_deg"),
+    ]
+    g = j.groupBy(*w).agg(*aggs) if w else j.agg(*aggs)
+    return g.select(
+        *w,
+        F.when(F.col("_deg"), F.lit(None).cast("double"))
+        .otherwise(F.col("_psi"))
+        .alias("psi"),
     )
 
 
@@ -238,8 +253,11 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     Returns one row per rule: ``(rule, passed, measured, threshold)`` —
     ``measured`` is the satisfying fraction (for ``unique``:
-    distinct/total), ``passed`` is ``measured >= threshold`` (unique
-    requires exactly 1.0). Empty tables pass every rule vacuously.
+    distinct/non-null — NULLs are ignored, the SQL UNIQUE/Deequ
+    convention, so a sparse-but-duplicate-free column passes and a
+    failing fraction really means duplicates), ``passed`` is
+    ``measured >= threshold`` (unique requires exactly 1.0). Empty
+    tables (and all-NULL columns under ``unique``) pass vacuously.
     """
     if not rules:
         raise ValueError("check_constraints needs at least one rule")
@@ -254,6 +272,7 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
             ok = col.isin(list(rule.values or ()))
         elif rule.kind == "unique":
             aggs.append(F.count_distinct(col).alias(f"_r{i}"))
+            aggs.append(F.count(col).alias(f"_nn{i}"))  # non-null count
             continue
         else:
             raise ValueError(f"unknown rule kind {rule.kind!r}")
@@ -262,7 +281,10 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     n = int(r["_n"])
     out = []
     for i, rule in enumerate(rules):
-        if n == 0:
+        if rule.kind == "unique":
+            nn = int(r[f"_nn{i}"])
+            measured = 1.0 if nn == 0 else round(int(r[f"_r{i}"]) / nn, 6)
+        elif n == 0:
             measured = 1.0
         else:
             measured = round(int(r[f"_r{i}"]) / n, 6)

@@ -497,12 +497,26 @@ class IvfIndex:
 
     def build(self, table: FeatureTable, centroids: DataFrame) -> None:
         """Freeze the quantizer and write the corpus partitioned by cell.
-        ``centroids``: (centroid_id, centroid_vec) — small by contract."""
+        ``centroids``: (centroid_id, centroid_vec) — small by contract.
+
+        A re-``build`` (periodic re-clustering) REPLACES the whole index:
+        the cells tree is cleared first, because the dynamic-overwrite
+        write below only touches the ``(cell, _batch=base)`` partitions
+        present in the NEW assignment — without the delete, prior
+        ``add()`` batches and cells the new quantizer no longer produces
+        would survive with stale assignments under the OLD centroids and
+        leak into every later ``query()`` (reviewed r7)."""
+        from ralf_spark.connectors import _hadoop_fs
+
         centroids.select(
             F.col("centroid_id").cast("long"),
             F.col("centroid_vec").cast("array<double>"),
         ).write.mode("overwrite").parquet(f"{self.path}/centroids")
         spark = table.df.sparkSession
+        cells_path = f"{self.path}/cells"
+        fs, jcells = _hadoop_fs(spark, cells_path)
+        if fs.exists(jcells):
+            fs.delete(jcells, True)
         cen_rows = self._cen_rows(spark)
         self._write_cells(self._assign(table, cen_rows), "base", "overwrite")
 

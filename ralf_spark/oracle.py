@@ -17,6 +17,7 @@ from dataclasses import dataclass
 import duckdb
 from pyspark.sql import SparkSession
 
+from ralf_spark.operators.util import unpersist_cached
 from ralf_spark.sources.fixtures import FIXTURE_TABLES
 
 
@@ -105,6 +106,10 @@ def compare_query(
         sdf = fn(spark, sf_dir)
         s_cols = list(sdf.columns)
         s_rows = [tuple(r) for r in sdf.collect()]
+        # release intermediates the operator persisted for this plan
+        # (attach_cached convention) — the sweep runs 160+ queries in one
+        # session, and leaked storage blocks would accumulate
+        unpersist_cached(sdf)
         rel = con.execute(oracle)
         o_cols = [d[0] for d in rel.description]
         o_rows = rel.fetchall()

@@ -616,8 +616,8 @@ def feature_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(nn_id / n, 6) AS measured,
            CAST(1.0 AS DOUBLE) AS threshold FROM s
     UNION ALL
-    SELECT 'unique(event_id)', nd_id / n >= 1.0, round(nd_id / n, 6),
-           CAST(1.0 AS DOUBLE)
+    SELECT 'unique(event_id)', nd_id / nn_id >= 1.0,
+           round(nd_id / nn_id, 6), CAST(1.0 AS DOUBLE)
     FROM s
     UNION ALL
     SELECT 'in_range(value, 0.0, 1000.0)', in_rng / n >= 1.0,

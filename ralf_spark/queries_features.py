@@ -840,7 +840,12 @@ def textrank_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), "token")
         .limit(20)
     )
-    return out
+    # hand the two persisted intermediates to the caller for release
+    # (the sweep/driver run 164 queries in one session; leaked storage
+    # blocks would accumulate — same convention as semdedup/curation)
+    from ralf_spark.operators.util import attach_cached
+
+    return attach_cached(out, [pairs, edges])
 
 
 @query(

@@ -30,8 +30,9 @@ from pyspark.sql import functions as F
 
 from ralf_spark.streaming.policies import arm_event_timer
 
-#: per-key state: the latest right record (event-time micros, seq, value)
-ASOF_STATE_SCHEMA = "ts_us long, seq long, val double"
+#: per-key state: the latest right record (event-time micros, seq, value);
+#: the seq type is substituted from the input schema at build time
+ASOF_STATE_SCHEMA = "ts_us long, seq {seq_type}, val double"
 
 
 def streaming_asof_enrich(
@@ -102,9 +103,15 @@ def streaming_asof_enrich(
         *extra,
     )
     unioned = r_tag.unionByName(l_tag)
+    # derive the key/seq output types from the left schema — hardcoding
+    # `long` would break string-keyed streams at the Arrow boundary
+    _ltypes = {f.name: f.dataType.simpleString() for f in left.schema.fields}
     out_schema = (
-        f"{key_col} long, ts_us long, {seq_col} long, {out_value} double"
+        f"{key_col} {_ltypes[key_col]}, ts_us long, "
+        f"{seq_col} {_ltypes[seq_col]}, {out_value} double"
     )
+    state_schema = ASOF_STATE_SCHEMA.format(seq_type=_ltypes[seq_col])
+    seq_is_int = _ltypes[seq_col] in ("tinyint", "smallint", "int", "bigint")
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -127,12 +134,13 @@ def streaming_asof_enrich(
         ):
             if _side == -1:  # right update: fold if newer
                 if ts_us is None or (_us, _seq) > (ts_us, seq):
-                    ts_us, seq, val = int(_us), int(_seq), float(_val)
+                    ts_us, val = int(_us), float(_val)
+                    seq = int(_seq) if seq_is_int else _seq
                     changed = True
             else:  # left event: emit with current state
                 out["k"].append(key[0])
                 out["us"].append(int(_us))
-                out["seq"].append(int(_seq))
+                out["seq"].append(int(_seq) if seq_is_int else _seq)
                 out["v"].append(val)
         if changed:
             state.update((ts_us, seq, val))
@@ -159,7 +167,7 @@ def streaming_asof_enrich(
         .applyInPandasWithState(
             fn,
             out_schema,
-            ASOF_STATE_SCHEMA,
+            state_schema,
             "append",
             timeout_conf(ttl_ms, ttl_clock),
         )

@@ -92,7 +92,7 @@ def streaming_tumbling_count_window(
     windows wait in state for more rows — the reference's emit-at-size +
     reset (``ralf/operators/window.py:44-51``). Streaming twin of
     ``operators.windows.tumbling_count_window``.
-    """ + _TTL_DOC
+    """
     ttl_ms = _check_ttl_args(idle_ttl_minutes, ttl_clock)
 
     def fn(key, pdfs, state):
@@ -170,7 +170,7 @@ def streaming_sliding_count_window(
     ``pos`` this operator reproduces exactly; asserted in tests).
 
     State is O(size) per key regardless of stream length.
-    """ + _TTL_DOC
+    """
     slide_eff = min(slide, size)
     ttl_ms = _check_ttl_args(idle_ttl_minutes, ttl_clock)
 
@@ -220,3 +220,10 @@ def streaming_sliding_count_window(
             _timeout_conf(ttl_ms, ttl_clock),
         )
     )
+
+
+# A `"""...""" + _TTL_DOC` expression as a function's first statement is
+# NOT a docstring (the functions ended up with __doc__ = None); append
+# the shared TTL contract explicitly instead.
+streaming_tumbling_count_window.__doc__ += _TTL_DOC
+streaming_sliding_count_window.__doc__ += _TTL_DOC

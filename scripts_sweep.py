@@ -23,7 +23,10 @@ for name, fn in qs.items():
             out[name] = {"ok": r.ok, "rows": r.spark_rows, "oracle_rows": r.oracle_rows,
                          "cols": r.cols_match, "hash": r.hash_match, "sec": round(time.time()-t0,2)}
         else:
-            n = fn(spark, SF).count()
+            df = fn(spark, SF)
+            n = df.count()
+            from ralf_spark.operators.util import unpersist_cached
+            unpersist_cached(df)
             out[name] = {"ok": n >= 0, "rows": n, "rows_only": True, "sec": round(time.time()-t0,2)}
     except Exception as ex:
         out[name] = {"ok": False, "error": repr(ex)[:300], "sec": round(time.time()-t0,2)}

@@ -771,3 +771,72 @@ def test_ivf_index_add_replay_idempotent(spark, tmp_path):
     got = [(r.neighbor_id, r.rank)
            for r in idx.query(q, k=3, nprobe=1).collect()]
     assert got == [(3, 1), (1, 2)]
+
+
+def test_ivf_index_rebuild_replaces_everything(spark, tmp_path):
+    """r7 review: a re-build (periodic re-clustering) must clear the
+    whole cells tree — the dynamic-overwrite write only touches the
+    (cell, _batch=base) partitions of the NEW assignment, so without the
+    delete prior add() batches and orphaned cells would survive with
+    stale assignments under the OLD centroids."""
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.table import FeatureTable
+
+    def ft(rows):
+        return FeatureTable(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ),
+            key="vec_id",
+        )
+
+    cen1 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(ft([(1, [0.9, 0.1]), (2, [0.1, 0.9])]), cen1)
+    idx.add(ft([(3, [0.95, 0.05])]), batch_tag="b0")
+
+    # re-cluster: swapped centroids, smaller corpus (no id 2, no add)
+    cen2 = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    idx.build(ft([(1, [0.9, 0.1])]), cen2)
+    cells = spark.read.parquet(str(tmp_path / "ivf" / "cells"))
+    rows = [(r._id, r.cell) for r in cells.collect()]
+    # ONLY the new corpus, assigned under the NEW centroids (cell 1 now)
+    assert rows == [(1, 1)]
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.02])], "query_id long, query_vec array<double>"
+    )
+    got = {r.neighbor_id for r in idx.query(q, k=5, nprobe=1).collect()}
+    assert got == {1}  # no stale b0/id-3 or dropped id-2 leaks
+
+
+def test_minhash_meta_committed_read_failure_raises(spark, tmp_path):
+    """r7 review: an UNREADABLE but COMMITTED _meta (corruption, a
+    permission blip) must raise, not silently rewrite the stored hash
+    config; only a crashed first writer's empty/partial directory (no
+    committed part files) is treated as absent."""
+    import pytest
+
+    from ralf_spark.operators.dedup import MinHashIndex
+
+    path = tmp_path / "mh"
+    meta = path / "_meta"
+    meta.mkdir(parents=True)
+    # crashed first writer: directory exists, no committed data file
+    idx = MinHashIndex(str(path), hash_fn="md5")
+    idx._check_or_write_meta(spark)  # rewrites _meta, no error
+    stored = spark.read.parquet(str(meta)).collect()[0]
+    assert stored.hash_fn == "md5"
+
+    # committed-but-unreadable: a non-empty part file that is not parquet
+    meta2 = tmp_path / "mh2" / "_meta"
+    meta2.mkdir(parents=True)
+    (meta2 / "part-00000-garbage.parquet").write_bytes(b"not parquet")
+    idx2 = MinHashIndex(str(tmp_path / "mh2"), hash_fn="md5")
+    with pytest.raises(Exception):
+        idx2._check_or_write_meta(spark)

@@ -48,3 +48,28 @@ def test_rows_only_queries_run(spark):
         if q.oracle is None:
             df = q.fn(spark, SF_DIR)
             assert df.count() >= 0, name
+
+
+def test_compare_query_releases_attached_caches(spark):
+    """r7 review: the gate path itself must release attach_cached
+    intermediates — the sweep runs 160+ queries in ONE session, and a
+    query that persists (textrank, semdedup, curation) would otherwise
+    leak storage blocks across the whole run."""
+    from pyspark import StorageLevel
+
+    from ralf_spark.operators.util import attach_cached
+
+    holder = {}
+
+    def fn(spark_, sf_dir_):
+        c = spark_.range(5).cache()
+        holder["c"] = c
+        return attach_cached(
+            c.selectExpr("CAST(1 AS BIGINT) AS x").limit(1), [c]
+        )
+
+    res = compare_query(
+        spark, "t", fn, "SELECT CAST(1 AS BIGINT) AS x", SF_DIR
+    )
+    assert res.hash_match and res.cols_match
+    assert holder["c"].storageLevel == StorageLevel.NONE

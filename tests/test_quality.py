@@ -190,3 +190,48 @@ def test_foreach_batch_quality_log(spark, tmp_path):
         .parquet(out)
     )
     assert spark.read.parquet(out).count() == 4
+
+
+def test_unique_ignores_nulls(spark):
+    """r7 review: uniqueness is distinct/non-null (SQL UNIQUE / Deequ
+    convention) — a sparse but duplicate-free column passes, and a
+    failing fraction always means actual duplicates."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "id long"
+    )
+    r = check_constraints(df, [unique("id")]).collect()[0]
+    assert (r.passed, r.measured) == (True, 1.0)
+    dup = spark.createDataFrame(
+        [(1,), (1,), (None,), (None,)], "id long"
+    )
+    r2 = check_constraints(dup, [unique("id")]).collect()[0]
+    assert (r2.passed, r2.measured) == (False, 0.5)
+    allnull = spark.createDataFrame([(None,), (None,)], "id long")
+    r3 = check_constraints(allnull, [unique("id")]).collect()[0]
+    assert (r3.passed, r3.measured) == (True, 1.0)  # vacuous
+
+
+def test_psi_drift_empty_side_is_null_not_eps_score(spark):
+    """r7 review: a group with zero rows on one side (e.g. a mistakenly
+    empty candidate write) scores psi = NULL — 'not comparable' — rather
+    than a finite number fabricated from eps-floored proportions."""
+    from ralf_spark.operators.quality import psi_drift
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    cand = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5)], "g string, v double"
+    )
+    out = {
+        r.g: r.psi
+        for r in psi_drift(
+            base, cand, "v", group_cols=["g"], bins=4, lo=0.0, hi=4.0
+        ).collect()
+    }
+    assert out["a"] is not None
+    assert out["b"] is None  # candidate side empty for group b
+    # ungrouped degenerate: empty candidate with explicit bounds
+    empty = spark.createDataFrame([], "g string, v double")
+    row = psi_drift(base, empty, "v", bins=4, lo=0.0, hi=4.0).first()
+    assert row.psi is None

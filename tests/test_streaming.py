@@ -2033,3 +2033,71 @@ def test_sliding_window_event_time_ttl(spark, tmp_path):
     # key 8 emits its first full window at pos 3 under both replays
     assert results["plain"] == {(8, 3, 6.0), (7, 3, 12.0)}
     assert results["ttl"] == {(8, 3, 6.0)}
+
+
+def test_streaming_asof_enrich_string_keys(spark, tmp_path):
+    """r7 review: the output/state schemas derive the key and seq types
+    from the input — a string-keyed stream (session ids) must work, not
+    crash at the Arrow boundary against a hardcoded `long`."""
+    import pyspark.sql.functions as F
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_asof_enrich,
+        write_memory,
+    )
+
+    rows = [
+        # (session_id, ts, event_id, value, side)
+        ("s-a", "2024-01-01 00:00:01", 1, 10.0, "click"),
+        ("s-a", "2024-01-01 00:00:02", 2, None, "purchase"),
+        ("s-b", "2024-01-01 00:00:03", 3, None, "purchase"),
+        ("s-a", "2024-01-01 00:00:04", 4, 20.0, "click"),
+        ("s-a", "2024-01-01 00:00:05", 5, None, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(k, ts, e, v, t) for k, ts, e, v, t in rows],
+        "session_id string, ts_s string, event_id long, value double,"
+        " event_type string",
+    ).select(
+        "session_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "event_id", "value", "event_type",
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("append").parquet(src)
+    schema = ("session_id string, ts timestamp_ntz, event_id long,"
+              " value double, event_type string")
+
+    def side(event_type):
+        return file_events(spark, src, schema=schema).where(
+            F.col("event_type") == event_type
+        )
+
+    out = streaming_asof_enrich(
+        side("purchase"), side("click"), key_col="session_id"
+    )
+    run_bounded(
+        write_memory(out, "asof_str"),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=2,
+    )
+    got = {
+        (r.session_id, r.event_id, r.right_value)
+        for r in spark.table("asof_str").collect()
+    }
+    assert got == {("s-a", 2, 10.0), ("s-b", 3, None), ("s-a", 5, 20.0)}
+
+
+def test_streaming_count_window_docstrings_present():
+    """r7 review: `\"\"\"...\"\"\" + _TTL_DOC` as a first statement is an
+    expression, not a docstring — both functions had __doc__ = None."""
+    from ralf_spark.streaming.windows import (
+        streaming_sliding_count_window,
+        streaming_tumbling_count_window,
+    )
+
+    for fn in (streaming_tumbling_count_window,
+               streaming_sliding_count_window):
+        assert fn.__doc__ and "idle_ttl_minutes" in fn.__doc__
