@@ -362,6 +362,142 @@ def kmeans_fit_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cid")
 
 
+_PQ_M = 4  # subspaces over the 64-dim embeddings -> dsub = 16
+_PQ_DSUB = 16
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic position-indexed PQ codebooks for the gates: the
+    per-label min-vec_id embedding (the same representative-set recipe
+    the IVF gates use), sliced into _PQ_M subspaces, codes ordered by
+    label. Small by the codebook contract (10 x 64 doubles), collected
+    at plan-build time like every quantizer literal in E3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.df.groupBy("label").agg(
+        F.min_by("embedding", "vec_id").alias("cv")
+    ).collect()
+    cen = sorted(
+        (int(r["label"]), [float(x) for x in r["cv"]]) for r in rows
+    )
+    return [
+        [cv[j * _PQ_DSUB:(j + 1) * _PQ_DSUB] for _, cv in cen]
+        for j in range(_PQ_M)
+    ]
+
+
+def _pq_sq_sql(a: str, b: str) -> str:
+    """DuckDB squared-L2 as the IDENTICAL left fold Spark's F.aggregate
+    runs (same association order -> bit-for-bit replay)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_common_sql() -> str:
+    """Shared CTEs: dense-coded per-label codebooks + the PQ encoding of
+    every corpus vector (argmin squared-L2 per subspace, ties -> smallest
+    code)."""
+    enc_cols = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+        d = _pq_sq_sql(f"e.v[{lo}:{hi}]", f"cv[{lo}:{hi}]")
+        enc_cols.append(
+            f"(SELECT code FROM cen ORDER BY {d} ASC, code LIMIT 1)"
+            f" AS code_{j}"
+        )
+    return f"""
+    WITH cen AS (
+      SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS INTEGER)
+               AS code,
+             (arg_min(embedding, vec_id)::DOUBLE[]) AS cv
+      FROM embeddings GROUP BY label
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    enc AS (
+      SELECT vec_id, {", ".join(enc_cols)}
+      FROM e
+    )"""
+
+
+def pq_encode_oracle_sql() -> str:
+    codes = ", ".join(f"code_{j}" for j in range(_PQ_M))
+    return f"{_pq_common_sql()}\n    SELECT vec_id, {codes} FROM enc ORDER BY vec_id"
+
+
+def pq_adc_oracle_sql(k: int = 5) -> str:
+    joins = "\n      ".join(
+        f"JOIN cen c{j} ON c{j}.code = enc.code_{j}" for j in range(_PQ_M)
+    )
+    terms = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+        terms.append(_pq_sq_sql(f"q.qv[{lo}:{hi}]", f"c{j}.cv[{lo}:{hi}]"))
+    dist = " + ".join(terms)
+    return f"""{_pq_common_sql()},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, enc.vec_id AS neighbor_id,
+             {dist} AS approx_dist
+      FROM q CROSS JOIN enc
+      {joins}
+      WHERE enc.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id
+             ) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, round(approx_dist, 4) AS approx_dist, rnk
+    FROM r WHERE rnk <= {k} ORDER BY query_id, rnk"""
+
+
+@query("pq_encode_codes", pq_encode_oracle_sql())
+def pq_encode_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 compression (r7): product-quantization encoding of the corpus —
+    each 64-dim embedding becomes _PQ_M small int codes (argmin
+    squared-L2 per subspace against plan-literal codebooks; Jégou et al.
+    TPAMI 2011). Row-local native projection, no shuffle, no corpus x
+    codebook join; at 100 TB this single scan builds the compressed
+    index and cuts per-vector storage ~32x (m ints vs dim floats)."""
+    from ralf_spark.operators.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    out = pq_encode(
+        emb.df.select("vec_id", "embedding"), books
+    )
+    return out.orderBy("vec_id")
+
+
+@query("similarity_topk_pq", pq_adc_oracle_sql(k=5))
+def similarity_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 PQ-ADC search (r7): approximate top-k by asymmetric distance —
+    the query side builds an m x k LUT of subspace distances natively;
+    a candidate's distance is m element_at lookups + adds over its code
+    columns. This gate uses the one-shot spelling (encodes inline, one
+    raw-vector scan); production persists the code table once and
+    searches via ``pq_adc_topk_precoded``, scanning m ints per row
+    instead of dim floats. Same benchmark query set as the brute-force/
+    LSH/IVF gates, so the four E3 strategies are directly comparable.
+    The oracle replays codebooks, encoding, LUTs, and ranking with the
+    identical fold association."""
+    from ralf_spark.operators.similarity import pq_adc_topk
+    from ralf_spark.queries import _query_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    out = pq_adc_topk(emb, _query_vectors(spark, sf_dir), books, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_dist", 4).alias("approx_dist"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

@@ -840,3 +840,109 @@ def test_minhash_meta_committed_read_failure_raises(spark, tmp_path):
     idx2 = MinHashIndex(str(tmp_path / "mh2"), hash_fn="md5")
     with pytest.raises(Exception):
         idx2._check_or_write_meta(spark)
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    """PQ (r7): encoding is the per-subspace squared-L2 argmin and ADC
+    reproduces the LUT-sum distances — checked against an independent
+    numpy implementation; precoded and one-shot spellings agree."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_precoded,
+        pq_encode,
+    )
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(7)
+    n, dim, m, kcodes = 40, 8, 2, 3
+    dsub = dim // m
+    X = rng.randn(n, dim).round(3)
+    books = [rng.randn(kcodes, dsub).round(3).tolist() for _ in range(m)]
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    codes_np = np.zeros((n, m), dtype=int)
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        d = ((sub[:, None, :] - np.array(books[j])[None, :, :]) ** 2).sum(-1)
+        codes_np[:, j] = d.argmin(1)
+    enc = pq_encode(df, books)
+    assert enc.columns == ["vec_id", "code_0", "code_1"]  # vector pruned
+    got = np.array(
+        [[r.code_0, r.code_1] for r in enc.orderBy("vec_id").collect()]
+    )
+    assert (got == codes_np).all()
+
+    q0 = X[0]
+    lut = np.array(
+        [
+            [((q0[j * dsub:(j + 1) * dsub] - np.array(c)) ** 2).sum()
+             for c in books[j]]
+            for j in range(m)
+        ]
+    )
+    ad = np.array([lut[range(m), codes_np[i]].sum() for i in range(n)])
+    want = [
+        (i, round(d, 6))
+        for d, i in sorted((ad[i], i) for i in range(1, n))[:5]
+    ]
+    qdf = df.where("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    one_shot = [
+        (r.neighbor_id, round(r.approx_dist, 6))
+        for r in pq_adc_topk(
+            FeatureTable(df, key="vec_id"), qdf, books, k=5
+        ).orderBy("rank").collect()
+    ]
+    assert one_shot == want
+    precoded = [
+        (r.neighbor_id, round(r.approx_dist, 6))
+        for r in pq_adc_topk_precoded(
+            enc.withColumnRenamed("vec_id", "neighbor_id"), qdf, books, k=5
+        ).orderBy("rank").collect()
+    ]
+    assert precoded == want
+
+
+def test_pq_fit_reduces_quantization_error_and_validates(spark):
+    """pq_fit is per-subspace Lloyd's: total quantization error must not
+    increase; ragged codebooks are rejected."""
+    import numpy as np
+    import pytest
+
+    from ralf_spark.operators.similarity import pq_encode, pq_fit
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(11)
+    n, dim, m, kcodes = 60, 8, 2, 3
+    dsub = dim // m
+    X = rng.randn(n, dim).round(3)
+    books = [rng.randn(kcodes, dsub).round(3).tolist() for _ in range(m)]
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    fitted = pq_fit(FeatureTable(df, key="vec_id"), books, max_iter=3)
+    assert len(fitted) == m and all(len(b) == kcodes for b in fitted)
+
+    def qerr(bks):
+        e = 0.0
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            d = (
+                (sub[:, None, :] - np.array(bks[j])[None, :, :]) ** 2
+            ).sum(-1)
+            e += d.min(1).sum()
+        return e
+
+    assert qerr(fitted) <= qerr(books) + 1e-9
+
+    with pytest.raises(ValueError):
+        pq_encode(df, [books[0], books[1][:1]])  # ragged k
+    with pytest.raises(ValueError):
+        pq_encode(df, [])
