@@ -955,3 +955,90 @@ def pq_fit(
             ]
         )
     return out
+
+
+def ivf_pq_topk(
+    corpus: FeatureTable,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """IVF-PQ: the canonical large-scale ANN composition (Jégou et al.
+    TPAMI 2011 §V) — the coarse quantizer prunes the corpus to the
+    query's ``nprobe`` cells, and candidates inside a probed cell are
+    scored by PQ asymmetric distance instead of full-vector math.
+
+    Cost per query: |probed cells' rows| LUT lookups (m adds each) —
+    both the candidate COUNT (IVF pruning) and the candidate WIDTH (m
+    ints, not dim floats) shrink, which is why this layout serves
+    billion-vector corpora. Cell assignment and encoding are row-local
+    projections against plan literals; the probe is a broadcast
+    equi-join on the cell id (Σ probed-cell sizes, never n²); ranking is
+    asc approx_dist, ties -> smallest neighbor id. Deployment spelling:
+    persist the (cell, codes) table — ``IvfIndex``'s layout with
+    ``pq_encode`` columns — and this plan's scan prunes to probed cell
+    partitions AND reads only int columns."""
+    idc = corpus.key
+    if idc is None:
+        raise ValueError("ivf_pq_topk needs a keyed corpus")
+    m = len(codebooks)
+    _, dsub = _check_codebooks(codebooks)
+    cen_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id, centroid_vec).collect()
+    ]
+    if not cen_rows:
+        raise ValueError("ivf_pq_topk needs a non-empty centroid set")
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    ).withColumn("_cell", nearest_cells(cen_rows, F.col("_v"), 1)[0])
+    enc = pq_encode(emb, codebooks, vec_col="_v")  # keeps neighbor_id,_cell
+    qv = F.col(query_vec).cast("array<double>")
+    q = queries.select(F.col(query_id), qv.alias("_qv")).withColumn(
+        "_cell", F.explode(nearest_cells(cen_rows, F.col("_qv"), nprobe))
+    )
+    qsub = q.select(
+        query_id,
+        "_cell",
+        *[
+            F.slice(F.col("_qv"), j * dsub + 1, dsub).alias(f"_qs{j}")
+            for j in range(m)
+        ],
+    )
+    qlut = qsub.select(
+        query_id,
+        "_cell",
+        *[
+            F.array(
+                *[_sq_l2_lit(F.col(f"_qs{j}"), cv) for cv in codebooks[j]]
+            ).alias(f"_lut{j}")
+            for j in range(m)
+        ],
+    )
+    dist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_lut{j}"), F.col(f"code_{j}") + 1)
+        dist = term if dist is None else dist + term
+    scored = (
+        enc.join(F.broadcast(qlut), "_cell")
+        .where(F.col("neighbor_id") != F.col(query_id))
+        .select(query_id, "neighbor_id", dist.alias("approx_dist"))
+        .distinct()  # nprobe>1 can reach the same pair via two cells
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

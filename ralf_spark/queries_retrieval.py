@@ -498,6 +498,93 @@ def similarity_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def ivf_pq_oracle_sql(k: int = 5) -> str:
+    """DuckDB replay of the full IVF-PQ composition: one cen CTE serves
+    both roles (the per-label vector is the coarse centroid; its slices
+    are the subspace codebooks), cells assigned by max cosine (ties ->
+    smallest code), candidates restricted to the query's cell, scored by
+    the PQ LUT sum with the identical fold association."""
+    cos = (
+        "list_dot_product(e.v, cv) / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(cv, cv)))"
+    )
+    joins = "\n      ".join(
+        f"JOIN cen c{j} ON c{j}.code = enc.code_{j}" for j in range(_PQ_M)
+    )
+    terms = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+        terms.append(_pq_sq_sql(f"q.qv[{lo}:{hi}]", f"c{j}.cv[{lo}:{hi}]"))
+    dist = " + ".join(terms)
+    return f"""{_pq_common_sql()},
+    ecell AS (
+      SELECT vec_id,
+             (SELECT code FROM cen ORDER BY {cos} DESC, code LIMIT 1)
+               AS cell
+      FROM e
+    ),
+    q AS (
+      SELECT e.vec_id AS query_id, e.v AS qv, ecell.cell
+      FROM e JOIN ecell USING (vec_id) WHERE e.vec_id < 5
+    ),
+    pairs AS (
+      SELECT q.query_id, enc.vec_id AS neighbor_id,
+             {dist} AS approx_dist
+      FROM q
+      JOIN ecell ON ecell.cell = q.cell
+      JOIN enc ON enc.vec_id = ecell.vec_id
+      {joins}
+      WHERE enc.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id
+             ) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, round(approx_dist, 4) AS approx_dist, rnk
+    FROM r WHERE rnk <= {k} ORDER BY query_id, rnk"""
+
+
+@query("similarity_topk_ivf_pq", ivf_pq_oracle_sql(k=5))
+def similarity_topk_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 IVF-PQ (r7): the canonical billion-vector ANN composition —
+    the coarse quantizer prunes candidates to the query's cell (IVF),
+    and PQ asymmetric distance scores them over m int codes instead of
+    full vectors. Both the candidate COUNT and the candidate WIDTH
+    shrink; at 100 TB the persisted layout is cell-partitioned code
+    columns (partition pruning + column pruning at the same scan). Same
+    quantizer recipe and query set as the sibling E3 gates."""
+    from ralf_spark.operators.similarity import ivf_pq_topk
+    from ralf_spark.queries import _query_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    # coarse centroids: the SAME per-label vectors the codebooks slice,
+    # with dense ids in label order (matching the oracle's row_number)
+    rows = emb.df.groupBy("label").agg(
+        F.min_by("embedding", "vec_id").alias("cv")
+    ).collect()
+    cen = sorted(
+        (int(r["label"]), [float(x) for x in r["cv"]]) for r in rows
+    )
+    centroids = spark.createDataFrame(
+        [(pos, cv) for pos, (_, cv) in enumerate(cen)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    out = ivf_pq_topk(
+        emb, _query_vectors(spark, sf_dir), centroids, books,
+        k=5, nprobe=1,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_dist", 4).alias("approx_dist"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

@@ -946,3 +946,67 @@ def test_pq_fit_reduces_quantization_error_and_validates(spark):
         pq_encode(df, [books[0], books[1][:1]])  # ragged k
     with pytest.raises(ValueError):
         pq_encode(df, [])
+
+
+def test_ivf_pq_topk_matches_numpy_composition(spark):
+    """IVF-PQ (r7): candidates pruned to the query's max-cosine cell,
+    then ADC-scored — checked against an independent numpy composition
+    of the same two stages."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import ivf_pq_topk
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(3)
+    n, dim, m, kcodes = 50, 8, 2, 3
+    dsub = dim // m
+    X = rng.randn(n, dim).round(3)
+    books = [rng.randn(kcodes, dsub).round(3).tolist() for _ in range(m)]
+    cen = rng.randn(3, dim).round(3)  # 3 coarse cells
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(c, cen[c].tolist()) for c in range(3)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+
+    def cell_of(v):
+        cos = (cen @ v) / (np.linalg.norm(cen, axis=1) * np.linalg.norm(v))
+        return int(cos.argmax())  # ties impossible on random floats
+
+    cells = np.array([cell_of(X[i]) for i in range(n)])
+    codes = np.zeros((n, m), dtype=int)
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        d = ((sub[:, None, :] - np.array(books[j])[None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d.argmin(1)
+
+    qi = 0
+    q = X[qi]
+    lut = np.array(
+        [
+            [((q[j * dsub:(j + 1) * dsub] - np.array(c)) ** 2).sum()
+             for c in books[j]]
+            for j in range(m)
+        ]
+    )
+    cand = [
+        i for i in range(n) if i != qi and cells[i] == cell_of(q)
+    ]
+    ad = {i: lut[range(m), codes[i]].sum() for i in cand}
+    want = [
+        (i, round(d, 6)) for d, i in sorted((ad[i], i) for i in cand)[:5]
+    ]
+
+    qdf = df.where(f"vec_id = {qi}").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got = [
+        (r.neighbor_id, round(r.approx_dist, 6))
+        for r in ivf_pq_topk(
+            FeatureTable(df, key="vec_id"), qdf, cdf, books, k=5, nprobe=1
+        ).orderBy("rank").collect()
+    ]
+    assert got == want
