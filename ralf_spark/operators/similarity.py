@@ -1042,3 +1042,53 @@ def ivf_pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    corpus: FeatureTable,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Exact-cosine re-ranking of an ANN shortlist — the standard
+    refine step after a compressed/pruned first pass (IVF-PQ + refine):
+    the approximate search (PQ ADC, LSH, IVF) produces |q| x R candidate
+    ids; this joins their RAW vectors back and ranks by true cosine,
+    returning top-``k``. Costs one corpus scan filtered by a broadcast
+    of the (tiny) shortlist — the expensive float math runs on |q| x R
+    rows, not the corpus, so the compressed scan's IO win survives while
+    the approximation error of the final ranking drops to zero WITHIN
+    the shortlist (recall is still bounded by what the first pass
+    surfaced). Ties -> smallest neighbor id, as everywhere in E3."""
+    idc = corpus.key
+    if idc is None:
+        raise ValueError("exact_rerank needs a keyed corpus")
+    short = candidates.select(F.col(query_id), F.col(id_col))
+    emb = corpus.df.select(
+        F.col(idc).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    )
+    scored = (
+        emb.join(F.broadcast(short), id_col)
+        .join(F.broadcast(q), query_id)
+        .select(
+            query_id,
+            id_col,
+            cosine_similarity(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

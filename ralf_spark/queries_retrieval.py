@@ -585,6 +585,80 @@ def similarity_topk_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def pq_rerank_oracle_sql(r: int = 20, k: int = 5) -> str:
+    """DuckDB replay of PQ-ADC shortlist (top ``r`` by approx distance)
+    + exact-cosine refine (top ``k``)."""
+    joins = "\n      ".join(
+        f"JOIN cen c{j} ON c{j}.code = enc.code_{j}" for j in range(_PQ_M)
+    )
+    terms = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+        terms.append(_pq_sq_sql(f"q.qv[{lo}:{hi}]", f"c{j}.cv[{lo}:{hi}]"))
+    dist = " + ".join(terms)
+    cos = (
+        "list_dot_product(q.qv, ev.v) /"
+        " (sqrt(list_dot_product(q.qv, q.qv))"
+        " * sqrt(list_dot_product(ev.v, ev.v)))"
+    )
+    return f"""{_pq_common_sql()},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, enc.vec_id AS neighbor_id,
+             {dist} AS approx_dist
+      FROM q CROSS JOIN enc
+      {joins}
+      WHERE enc.vec_id <> q.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY approx_dist ASC, neighbor_id
+               ) AS arnk
+        FROM pairs
+      ) WHERE arnk <= {r}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id, {cos} AS cos,
+             row_number() OVER (
+               PARTITION BY s.query_id ORDER BY {cos} DESC, s.neighbor_id
+             ) AS rnk
+      FROM shortlist s
+      JOIN e ev ON ev.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rnk
+    FROM rer WHERE rnk <= {k} ORDER BY query_id, rnk"""
+
+
+@query("similarity_topk_pq_rerank", pq_rerank_oracle_sql(r=20, k=5))
+def similarity_topk_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 PQ + refine (r7): the production two-pass search — the
+    compressed ADC scan surfaces a top-R shortlist (m int lookups per
+    candidate), then ``exact_rerank`` joins the R raw vectors back and
+    ranks by true cosine. The expensive float math runs on |q| x R rows,
+    never the corpus, so the IO win of the compressed first pass
+    survives while the final ranking's approximation error drops to
+    zero within the shortlist."""
+    from ralf_spark.operators.similarity import exact_rerank, pq_adc_topk
+    from ralf_spark.queries import _query_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    qv = _query_vectors(spark, sf_dir)
+    shortlist = pq_adc_topk(emb, qv, books, k=20)
+    out = exact_rerank(shortlist, emb, qv, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

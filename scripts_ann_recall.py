@@ -1,13 +1,19 @@
-"""ANN quality benchmark: IVF recall@k vs exact brute-force, by nprobe.
+"""ANN quality benchmark: IVF / PQ / IVF-PQ recall@k vs exact brute force.
 
-Correctness gates pin that ivf_topk returns the right vectors FOR ITS
-CELLS; this measures the quality knob itself — what fraction of the true
-top-k an nprobe-bounded search recovers, and what it costs — so the
-recall/latency tradeoff the operator docs claim has recorded numbers
-(BENCH_NOTES r6). Centroids come from the production path: label-seeded
-``kmeans_fit`` to convergence.
+Correctness gates pin that each strategy returns the right vectors FOR
+ITS CANDIDATES; this measures the quality knobs themselves — what
+fraction of the true top-k an nprobe-bounded / PQ-compressed search
+recovers, and what it costs — so the recall/latency tradeoffs the
+operator docs claim have recorded numbers (BENCH_NOTES r6, r7).
+Centroids and codebooks come from the production paths: label-seeded
+``kmeans_fit`` to convergence; ``pq_fit`` per-subspace Lloyd's.
 
-Run: ``python scripts_ann_recall.py`` (sf0.1 embeddings, 2000x32-dim,
+Caveat carried from r6: PQ ranks by approximate squared L2 while the
+exact baseline ranks by cosine — on these unnormalized synthetic
+vectors the two orders genuinely differ, so PQ recall here mixes metric
+mismatch with quantization loss (both reported honestly).
+
+Run: ``python scripts_ann_recall.py`` (sf0.1 embeddings, 2000x64-dim,
 100 query vectors, k=10).
 """
 
@@ -17,7 +23,14 @@ import time
 
 from pyspark.sql import functions as F
 
-from ralf_spark.operators.similarity import cosine_topk, ivf_topk, kmeans_fit
+from ralf_spark.operators.similarity import (
+    cosine_topk,
+    ivf_pq_topk,
+    ivf_topk,
+    kmeans_fit,
+    pq_adc_topk,
+    pq_fit,
+)
 from ralf_spark.session import get_spark
 from ralf_spark.sources.fixtures import load_fixture
 
@@ -73,6 +86,90 @@ def main() -> None:
             base = nprobe / n_cells
             print(f"| IVF {n_cells} cells, nprobe={nprobe} | {recall:.3f} "
                   f"| {base:.3f} | {wall:.2f}s |")
+
+    # PQ rows: codebooks trained by per-subspace Lloyd's on label seeds,
+    # m=4 subspaces of 16 dims, k codes = 10 (the gate recipe, fitted)
+    seeds = (
+        emb.df.groupBy("label")
+        .agg(F.min_by("embedding", "vec_id").alias("cv"))
+        .orderBy("label")
+        .collect()
+    )
+    m, dsub = 4, 16
+    init_books = [
+        [
+            [float(x) for x in r["cv"]][j * dsub:(j + 1) * dsub]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    books = pq_fit(emb, init_books, max_iter=10)
+
+    def recall_of(got, base=None):
+        base = base if base is not None else truth
+        hits = sum(len(base[q] & got.get(q, set())) for q in base)
+        return hits / (len(base) * K)
+
+    # exact squared-L2 truth: PQ ranks by L2, the cosine truth above
+    # mixes metric mismatch into its recall — report both
+    from pyspark.sql import Window
+
+    emb2 = emb.df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    qd = queries.select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("_qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    wl2 = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), "neighbor_id"
+    )
+    l2_truth = topk_set(
+        emb2.join(F.broadcast(qd), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("_d"))
+        .withColumn("rank", F.row_number().over(wl2))
+        .where(F.col("rank") <= K)
+    )
+
+    t0 = time.perf_counter()
+    got = topk_set(pq_adc_topk(emb, queries, books, k=K))
+    wall = time.perf_counter() - t0
+    print(f"| PQ m={m} ADC vs L2 truth (quantization loss only) "
+          f"| {recall_of(got, l2_truth):.3f} | — | {wall:.2f}s |")
+    print(f"| PQ m={m} ADC vs cosine truth (+ metric mismatch) "
+          f"| {recall_of(got):.3f} | — | |")
+
+    from ralf_spark.operators.similarity import exact_rerank
+
+    for r_short in (20, 50):
+        t0 = time.perf_counter()
+        shortlist = pq_adc_topk(emb, queries, books, k=r_short)
+        got = topk_set(exact_rerank(shortlist, emb, queries, k=K))
+        wall = time.perf_counter() - t0
+        print(f"| PQ ADC top-{r_short} + exact cosine rerank "
+              f"| {recall_of(got):.3f} | — | {wall:.2f}s |")
+
+    cen10 = kmeans_fit(
+        emb,
+        emb.df.groupBy(F.col("label").alias("_g"))
+        .agg(F.min_by("embedding", "vec_id").alias("centroid_vec"))
+        .select(F.col("_g").cast("int").alias("centroid_id"),
+                "centroid_vec"),
+        max_iter=10,
+    )
+    for nprobe in (1, 2, 4):
+        t0 = time.perf_counter()
+        got = topk_set(
+            ivf_pq_topk(emb, queries, cen10, books, k=K, nprobe=nprobe)
+        )
+        wall = time.perf_counter() - t0
+        print(f"| IVF-PQ 10 cells, nprobe={nprobe}, m={m} "
+              f"| {recall_of(got):.3f} | {nprobe / 10:.3f} | {wall:.2f}s |")
     spark.stop()
 
 

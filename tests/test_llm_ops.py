@@ -1010,3 +1010,41 @@ def test_ivf_pq_topk_matches_numpy_composition(spark):
         ).orderBy("rank").collect()
     ]
     assert got == want
+
+
+def test_exact_rerank_full_shortlist_equals_bruteforce(spark):
+    """exact_rerank (r7): re-ranking a shortlist that contains EVERY
+    candidate must reproduce the brute-force cosine top-k exactly
+    (scores, order, ties) — the refine step adds no approximation of
+    its own."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import cosine_topk, exact_rerank
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(5)
+    n, dim = 30, 6
+    X = rng.randn(n, dim).round(3)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    ft = FeatureTable(df, key="vec_id")
+    qdf = df.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    want = [
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 9), r.rank)
+        for r in cosine_topk(ft, qdf, k=4)
+        .orderBy("query_id", "rank").collect()
+    ]
+    # the "shortlist" is every (query, candidate) pair
+    full = df.selectExpr("vec_id AS neighbor_id").crossJoin(
+        qdf.select("query_id")
+    ).where("neighbor_id <> query_id")
+    got = [
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 9), r.rank)
+        for r in exact_rerank(full, ft, qdf, k=4)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert got == want
