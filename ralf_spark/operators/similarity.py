@@ -457,6 +457,17 @@ class IvfIndex:
     Complements :func:`ivf_topk` (one-shot, in-memory cell assignment):
     same cell/probe semantics, so the one-shot oracle gates this index's
     query path bit-for-bit.
+
+    **IVF-PQ mode** (r7): pass ``codebooks`` to ``build`` and the cells
+    additionally store the ``pq_encode`` code columns next to the raw
+    vector; ``query(method="adc")`` then scans ONLY (id, codes) inside
+    the probed cell partitions — partition pruning and column pruning at
+    the same scan, the on-disk layout the one-shot :func:`ivf_pq_topk`
+    models (its oracle gates the semantics). ``rerank=R`` refines the
+    ADC top-R shortlist by exact cosine over the raw vectors of the
+    probed cells (|q| x R float rows — the standard two-pass search).
+    The codebooks are frozen at ``build`` alongside the quantizer and
+    reused by ``add``.
     """
 
     def __init__(self, path: str, vec_col: str = "embedding"):
@@ -469,6 +480,30 @@ class IvfIndex:
             (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
             for r in rows
         )
+
+    def _load_books(self, spark) -> list[list[list[float]]] | None:
+        """Stored PQ codebooks, or None for a plain-IVF index."""
+        from ralf_spark.connectors import _hadoop_fs
+
+        books_path = f"{self.path}/pq_books"
+        fs, jbooks = _hadoop_fs(spark, books_path)
+        if not fs.exists(jbooks):
+            return None
+        rows = spark.read.parquet(books_path).collect()
+        by_sub: dict[int, dict[int, list[float]]] = {}
+        for r in rows:
+            by_sub.setdefault(int(r["subspace"]), {})[int(r["code"])] = [
+                float(x) for x in r["vec"]
+            ]
+        return [
+            [by_sub[j][c] for c in sorted(by_sub[j])]
+            for j in sorted(by_sub)
+        ]
+
+    def _encode(self, assigned: DataFrame, books) -> DataFrame:
+        """Attach PQ code columns to an assigned projection (raw vector
+        kept: it serves the exact path and the rerank refine)."""
+        return pq_encode(assigned, books, vec_col="_v", keep_vec=True)
 
     def _assign(self, table: FeatureTable, cen_rows) -> DataFrame:
         idc = table.key
@@ -495,9 +530,16 @@ class IvfIndex:
             .parquet(f"{self.path}/cells")
         )
 
-    def build(self, table: FeatureTable, centroids: DataFrame) -> None:
+    def build(
+        self,
+        table: FeatureTable,
+        centroids: DataFrame,
+        codebooks: list[list[list[float]]] | None = None,
+    ) -> None:
         """Freeze the quantizer and write the corpus partitioned by cell.
         ``centroids``: (centroid_id, centroid_vec) — small by contract.
+        ``codebooks`` (optional) turns on IVF-PQ mode: the codebooks are
+        stored alongside and every cell row carries its PQ codes.
 
         A re-``build`` (periodic re-clustering) REPLACES the whole index:
         the cells tree is cleared first, because the dynamic-overwrite
@@ -505,7 +547,8 @@ class IvfIndex:
         present in the NEW assignment — without the delete, prior
         ``add()`` batches and cells the new quantizer no longer produces
         would survive with stale assignments under the OLD centroids and
-        leak into every later ``query()`` (reviewed r7)."""
+        leak into every later ``query()`` (reviewed r7). The stored
+        codebooks are likewise replaced (or removed on a plain rebuild)."""
         from ralf_spark.connectors import _hadoop_fs
 
         centroids.select(
@@ -517,12 +560,31 @@ class IvfIndex:
         fs, jcells = _hadoop_fs(spark, cells_path)
         if fs.exists(jcells):
             fs.delete(jcells, True)
+        books_path = f"{self.path}/pq_books"
+        if codebooks is not None:
+            _check_codebooks(codebooks)
+            spark.createDataFrame(
+                [
+                    (j, c, cv)
+                    for j, book in enumerate(codebooks)
+                    for c, cv in enumerate(book)
+                ],
+                "subspace int, code int, vec array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(books_path)
+        else:
+            fs2, jbooks = _hadoop_fs(spark, books_path)
+            if fs2.exists(jbooks):
+                fs2.delete(jbooks, True)  # plain rebuild drops PQ mode
         cen_rows = self._cen_rows(spark)
-        self._write_cells(self._assign(table, cen_rows), "base", "overwrite")
+        assigned = self._assign(table, cen_rows)
+        if codebooks is not None:
+            assigned = self._encode(assigned, codebooks)
+        self._write_cells(assigned, "base", "overwrite")
 
     def add(self, table: FeatureTable, batch_tag: str | None = None) -> None:
         """Assign a new batch with the stored quantizer and fold it into
-        the cell layout — only the batch is assigned and written.
+        the cell layout — only the batch is assigned and written (encoded
+        with the STORED codebooks when the index is in IVF-PQ mode).
 
         ``batch_tag`` names the batch's partition: re-running ``add``
         with the same tag (a micro-batch replay after failure) REPLACES
@@ -533,7 +595,11 @@ class IvfIndex:
         spark = table.df.sparkSession
         cen_rows = self._cen_rows(spark)
         tag = batch_tag if batch_tag is not None else uuid.uuid4().hex[:12]
-        self._write_cells(self._assign(table, cen_rows), tag, "overwrite")
+        assigned = self._assign(table, cen_rows)
+        books = self._load_books(spark)
+        if books is not None:
+            assigned = self._encode(assigned, books)
+        self._write_cells(assigned, tag, "overwrite")
 
     def query(
         self,
@@ -542,12 +608,25 @@ class IvfIndex:
         nprobe: int = 1,
         query_id: str = "query_id",
         query_vec: str = "query_vec",
+        method: str = "exact",
+        rerank: int | None = None,
     ) -> DataFrame:
-        """Top-k cosine neighbors reading ONLY the probed cells. The probe
-        set is resolved at plan-build time (queries are small by the same
+        """Top-k neighbors reading ONLY the probed cells. The probe set is
+        resolved at plan-build time (queries are small by the same
         broadcast contract as ivf_topk), so the cell filter is a literal
         IN over the partition column and the parquet scan prunes to those
-        directories."""
+        directories.
+
+        ``method="exact"`` (default): true cosine over the stored raw
+        vectors — (query_id, neighbor_id, cos_sim, rank).
+        ``method="adc"`` (IVF-PQ indexes only): PQ asymmetric distance
+        over the stored CODE columns — the probed-cell scan reads m ints
+        per row, never the float vector (column pruning, asserted in
+        tests) — (query_id, neighbor_id, approx_dist, rank); add
+        ``rerank=R`` to refine the ADC top-R by exact cosine (output
+        shape as "exact"), the standard two-pass search."""
+        if method not in ("exact", "adc"):
+            raise ValueError(f"unknown query method {method!r}")
         spark = queries.sparkSession
         cen_rows = self._cen_rows(spark)
         q = queries.select(
@@ -559,11 +638,73 @@ class IvfIndex:
         probed = sorted(
             {int(r["_cell"]) for r in q.select("_cell").distinct().collect()}
         )
-        emb = spark.read.parquet(f"{self.path}/cells").where(
+        cells = spark.read.parquet(f"{self.path}/cells").where(
             F.col("cell").isin(probed)
         )
+        if method == "adc":
+            books = self._load_books(spark)
+            if books is None:
+                raise ValueError(
+                    f"IvfIndex at {self.path} stores no PQ codebooks; "
+                    "build(..., codebooks=...) enables method='adc'"
+                )
+            m = len(books)
+            _, dsub = _check_codebooks(books)
+            enc = cells.select(
+                F.col("_id").alias("neighbor_id"),
+                "cell",
+                *[f"code_{j}" for j in range(m)],
+            )
+            qsub = q.select(
+                query_id,
+                "_cell",
+                *[
+                    F.slice(F.col("_qv"), j * dsub + 1, dsub).alias(f"_qs{j}")
+                    for j in range(m)
+                ],
+            )
+            qlut = qsub.select(
+                query_id,
+                "_cell",
+                *[
+                    F.array(
+                        *[_sq_l2_lit(F.col(f"_qs{j}"), cv) for cv in books[j]]
+                    ).alias(f"_lut{j}")
+                    for j in range(m)
+                ],
+            )
+            dist = None
+            for j in range(m):
+                term = F.element_at(
+                    F.col(f"_lut{j}"), F.col(f"code_{j}") + 1
+                )
+                dist = term if dist is None else dist + term
+            scored = (
+                enc.join(F.broadcast(qlut), enc.cell == qlut._cell)
+                .where(F.col("neighbor_id") != F.col(query_id))
+                .select(query_id, "neighbor_id", dist.alias("approx_dist"))
+                .distinct()
+            )
+            w = Window.partitionBy(query_id).orderBy(
+                F.col("approx_dist").asc(), F.col("neighbor_id")
+            )
+            out = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= (rerank or k))
+            )
+            if rerank is None:
+                return out
+            corpus = FeatureTable(
+                cells.select("_id", F.col("_v").alias(self.vec_col)),
+                key="_id",
+            )
+            return exact_rerank(
+                out, corpus, queries, k=k,
+                vec_col=self.vec_col, query_id=query_id,
+                query_vec=query_vec,
+            )
         scored = (
-            emb.join(F.broadcast(q), emb.cell == q._cell)
+            cells.join(F.broadcast(q), cells.cell == q._cell)
             .where(F.col("_id") != F.col(query_id))
             .select(
                 query_id,

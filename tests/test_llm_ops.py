@@ -1048,3 +1048,82 @@ def test_exact_rerank_full_shortlist_equals_bruteforce(spark):
         .orderBy("query_id", "rank").collect()
     ]
     assert got == want
+
+
+def test_ivf_index_pq_mode_adc_and_rerank(spark, tmp_path):
+    """IVF-PQ persistent index (r7): codes stored next to the vectors,
+    adc query equals the one-shot ivf_pq_topk, the adc scan READS ONLY
+    the code columns (column pruning — no _v in ReadSchema) inside the
+    probed cell partitions, rerank refines by exact cosine, and add()
+    encodes with the STORED codebooks."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import IvfIndex, ivf_pq_topk
+    from ralf_spark.plans.explain import explain_str
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(13)
+    n, dim, m, kcodes = 40, 8, 2, 3
+    dsub = dim // m
+    X = rng.randn(n, dim).round(3)
+    books = [rng.randn(kcodes, dsub).round(3).tolist() for _ in range(m)]
+    cen = rng.randn(3, dim).round(3)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    ft = FeatureTable(df, key="vec_id")
+    cdf = spark.createDataFrame(
+        [(c, cen[c].tolist()) for c in range(3)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    idx = IvfIndex(str(tmp_path / "ivfpq"))
+    idx.build(ft, cdf, codebooks=books)
+    qdf = df.where("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+
+    out = idx.query(qdf, k=5, nprobe=1, method="adc")
+    plan = explain_str(out)
+    assert "PartitionFilters" in plan
+    # column pruning: the adc scan must not read the raw vector
+    scan_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "_v" not in scan_schema and "code_0" in scan_schema
+    got = [
+        (r.neighbor_id, round(r.approx_dist, 6))
+        for r in out.orderBy("rank").collect()
+    ]
+    want = [
+        (r.neighbor_id, round(r.approx_dist, 6))
+        for r in ivf_pq_topk(ft, qdf, cdf, books, k=5, nprobe=1)
+        .orderBy("rank").collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # rerank: exact cosine order within the ADC shortlist
+    rer = idx.query(qdf, k=3, nprobe=1, method="adc", rerank=10)
+    rows = rer.orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    # add() must encode with the stored codebooks
+    extra = FeatureTable(
+        spark.createDataFrame(
+            [(100, X[1].tolist())], "vec_id long, embedding array<double>"
+        ),
+        key="vec_id",
+    )
+    idx.add(extra, batch_tag="b1")
+    cells = spark.read.parquet(str(tmp_path / "ivfpq" / "cells"))
+    row = cells.where("_id = 100").collect()[0]
+    ref = cells.where("_id = 1").collect()[0]
+    assert (row.code_0, row.code_1) == (ref.code_0, ref.code_1)
+
+    # plain-IVF index refuses adc with a clear message
+    import pytest
+
+    plain = IvfIndex(str(tmp_path / "plain"))
+    plain.build(ft, cdf)
+    with pytest.raises(ValueError, match="codebooks"):
+        plain.query(qdf, method="adc")
