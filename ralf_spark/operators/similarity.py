@@ -233,6 +233,11 @@ def ivf_topk(
         F.col(query_id),
         F.col(query_vec).cast("array<double>").alias("_qv"),
     ).withColumn("_cell", F.explode(top_cells(F.col("_qv"), nprobe)))
+    # no distinct needed: each corpus row lands in exactly ONE cell and
+    # a query's probe cells are distinct, so the equi-join emits each
+    # (query, neighbor) pair at most once even under nprobe>1 (a distinct
+    # here cost a full-width hash-agg over the largest intermediate —
+    # removed r7)
     scored = (
         emb.join(F.broadcast(q), "_cell")
         .where(F.col("neighbor_id") != F.col(query_id))
@@ -241,7 +246,6 @@ def ivf_topk(
             "neighbor_id",
             cosine_similarity(F.col("_qv"), F.col("_v")).alias("cos_sim"),
         )
-        .distinct()  # nprobe>1 can reach the same pair via two cells
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -551,6 +555,11 @@ class IvfIndex:
         codebooks are likewise replaced (or removed on a plain rebuild)."""
         from ralf_spark.connectors import _hadoop_fs
 
+        if codebooks is not None:
+            # validate BEFORE any destructive I/O: a rejected call must
+            # not have overwritten the quantizer or cleared the cells of
+            # a working index (reviewed r7)
+            _check_codebooks(codebooks)
         centroids.select(
             F.col("centroid_id").cast("long"),
             F.col("centroid_vec").cast("array<double>"),
@@ -562,7 +571,6 @@ class IvfIndex:
             fs.delete(jcells, True)
         books_path = f"{self.path}/pq_books"
         if codebooks is not None:
-            _check_codebooks(codebooks)
             spark.createDataFrame(
                 [
                     (j, c, cv)
@@ -627,6 +635,15 @@ class IvfIndex:
         shape as "exact"), the standard two-pass search."""
         if method not in ("exact", "adc"):
             raise ValueError(f"unknown query method {method!r}")
+        if rerank is not None:
+            if method != "adc":
+                raise ValueError(
+                    "rerank refines an ADC shortlist; method='exact' is "
+                    "already exact — silently ignoring the knob would "
+                    "mislead a caller who thinks they widened the search"
+                )
+            if rerank < 1:
+                raise ValueError("rerank must be >= 1")
         spark = queries.sparkSession
         cen_rows = self._cen_rows(spark)
         q = queries.select(
@@ -649,48 +666,29 @@ class IvfIndex:
                     "build(..., codebooks=...) enables method='adc'"
                 )
             m = len(books)
-            _, dsub = _check_codebooks(books)
             enc = cells.select(
                 F.col("_id").alias("neighbor_id"),
                 "cell",
                 *[f"code_{j}" for j in range(m)],
             )
-            qsub = q.select(
-                query_id,
-                "_cell",
-                *[
-                    F.slice(F.col("_qv"), j * dsub + 1, dsub).alias(f"_qs{j}")
-                    for j in range(m)
-                ],
-            )
-            qlut = qsub.select(
-                query_id,
-                "_cell",
-                *[
-                    F.array(
-                        *[_sq_l2_lit(F.col(f"_qs{j}"), cv) for cv in books[j]]
-                    ).alias(f"_lut{j}")
-                    for j in range(m)
-                ],
-            )
-            dist = None
-            for j in range(m):
-                term = F.element_at(
-                    F.col(f"_lut{j}"), F.col(f"code_{j}") + 1
-                )
-                dist = term if dist is None else dist + term
+            qlut = _adc_qlut(q, books, query_id, extra=("_cell",))
             scored = (
                 enc.join(F.broadcast(qlut), enc.cell == qlut._cell)
                 .where(F.col("neighbor_id") != F.col(query_id))
-                .select(query_id, "neighbor_id", dist.alias("approx_dist"))
-                .distinct()
+                .select(
+                    query_id,
+                    "neighbor_id",
+                    _adc_dist(m).alias("approx_dist"),
+                )
+                .distinct()  # defensive: duplicate _ids across add()
+                # batches are possible (unlike the one-shot operators)
             )
             w = Window.partitionBy(query_id).orderBy(
                 F.col("approx_dist").asc(), F.col("neighbor_id")
             )
             out = (
                 scored.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= (rerank or k))
+                .where(F.col("rank") <= (rerank if rerank is not None else k))
             )
             if rerank is None:
                 return out
@@ -915,6 +913,51 @@ def _check_codebooks(codebooks: list[list[list[float]]]) -> tuple[int, int]:
     return k, dsub
 
 
+def _adc_qlut(
+    q: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: str,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-query ADC lookup tables over a projection carrying ``_qv``:
+    one array column per subspace, position c+1 holding
+    d²(q_sub_j, codebooks[j][c]). Let-binds the query subvectors first
+    (interpreted higher-order lambdas re-evaluate referenced expressions
+    per element). ``extra`` columns (e.g. the probe cell) pass through.
+    Shared by every ADC spelling so the LUT/tie-break discipline cannot
+    diverge between them."""
+    m = len(codebooks)
+    _, dsub = _check_codebooks(codebooks)
+    qsub = q.select(
+        F.col(query_id),
+        *extra,
+        *[
+            F.slice(F.col("_qv"), j * dsub + 1, dsub).alias(f"_qs{j}")
+            for j in range(m)
+        ],
+    )
+    return qsub.select(
+        query_id,
+        *extra,
+        *[
+            F.array(
+                *[_sq_l2_lit(F.col(f"_qs{j}"), cv) for cv in codebooks[j]]
+            ).alias(f"_lut{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def _adc_dist(m: int) -> Column:
+    """Approximate squared distance: m LUT lookups + adds over the
+    ``code_j`` columns."""
+    dist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_lut{j}"), F.col(f"code_{j}") + 1)
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -926,7 +969,9 @@ def pq_encode(
     (``code_0 .. code_{m-1}``), one per subspace — the PQ compression
     step. Codebooks are position-indexed (``codebooks[j][c]`` is code
     ``c`` of subspace ``j``); vectors must have exactly ``m * dsub``
-    dims. Row-local projection: no shuffle, no join; at 100 TB this is
+    dims — mismatched rows raise at execution instead of silently
+    encoding garbage (a short slice would null-pad every distance).
+    Row-local projection: no shuffle, no join; at 100 TB this is
     the one full scan that builds the compressed index, and everything
     after reads codes only (``keep_vec=False`` drops the float vector)."""
     m = len(codebooks)
@@ -949,6 +994,25 @@ def pq_encode(
         )
         for j in range(m)
     ]
+    # dim guard on the first code column (one per row suffices): without
+    # it a 32-dim vector under 64-dim codebooks silently encodes code 0
+    # everywhere and ADC returns a confident, meaningless top-k
+    expected = m * dsub
+    codes[0] = (
+        F.when(F.size(v) == expected, codes[0])
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"pq_encode: {vec_col} must have exactly "
+                        f"{expected} dims (m={m} x dsub={dsub}), got "
+                    ),
+                    F.size(v).cast("string"),
+                )
+            )
+        )
+        .alias(f"{code_prefix}0")
+    )
     return sliced.select(*keep, *codes)
 
 
@@ -1007,36 +1071,23 @@ def pq_adc_topk_precoded(
     reaches the parquet scan). ``pq_adc_topk`` is the one-shot
     convenience that encodes inline (scans raw vectors)."""
     m = len(codebooks)
-    _, dsub = _check_codebooks(codebooks)
+    _check_codebooks(codebooks)
     enc = codes.select(
         F.col(id_col).alias("neighbor_id"),
         *[F.col(f"{code_prefix}{j}").alias(f"code_{j}") for j in range(m)],
     )
-    qv = F.col(query_vec).cast("array<double>")
-    # let-bind query subvectors, then build each subspace's LUT as one
-    # array column: position c+1 holds d^2(q_sub_j, codebooks[j][c])
-    qsub = queries.select(
-        F.col(query_id),
-        *[F.slice(qv, j * dsub + 1, dsub).alias(f"_qs{j}") for j in range(m)],
-    )
-    qlut = qsub.select(
+    qlut = _adc_qlut(
+        queries.select(
+            F.col(query_id),
+            F.col(query_vec).cast("array<double>").alias("_qv"),
+        ),
+        codebooks,
         query_id,
-        *[
-            F.array(
-                *[_sq_l2_lit(F.col(f"_qs{j}"), cv) for cv in codebooks[j]]
-            ).alias(f"_lut{j}")
-            for j in range(m)
-        ],
     )
-    scored = enc.crossJoin(F.broadcast(qlut)).where(
-        F.col("neighbor_id") != F.col(query_id)
-    )
-    dist = None
-    for j in range(m):
-        term = F.element_at(F.col(f"_lut{j}"), F.col(f"code_{j}") + 1)
-        dist = term if dist is None else dist + term
-    scored = scored.select(
-        query_id, "neighbor_id", dist.alias("approx_dist")
+    scored = (
+        enc.crossJoin(F.broadcast(qlut))
+        .where(F.col("neighbor_id") != F.col(query_id))
+        .select(query_id, "neighbor_id", _adc_dist(m).alias("approx_dist"))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
@@ -1057,11 +1108,11 @@ def pq_fit(
 ) -> list[list[list[float]]]:
     """Train the PQ codebooks: an independent Lloyd's k-means per
     subspace over the sliced corpus, reusing :func:`kmeans_fit` (same
-    convergence, determinism, and quantize-lattice contract). m corpus
-    scans total (one per subspace, each over dsub of the dims); at scale
-    the standard move is fitting on a sample — pass a sampled
-    FeatureTable. Returns position-indexed codebooks shaped like the
-    input."""
+    convergence, determinism, and quantize-lattice contract). Cost: m
+    independent fits, EACH up to ``max_iter`` corpus scans (over dsub of
+    the dims) — up to m x max_iter scans total, not m; at scale the
+    standard move is fitting on a sample — pass a sampled FeatureTable.
+    Returns position-indexed codebooks shaped like the input."""
     m = len(init_codebooks)
     _, dsub = _check_codebooks(init_codebooks)
     idc = corpus.key
@@ -1130,7 +1181,7 @@ def ivf_pq_topk(
     if idc is None:
         raise ValueError("ivf_pq_topk needs a keyed corpus")
     m = len(codebooks)
-    _, dsub = _check_codebooks(codebooks)
+    _check_codebooks(codebooks)
     cen_rows = [
         (int(r[0]), [float(x) for x in r[1]])
         for r in centroids.select(centroid_id, centroid_vec).collect()
@@ -1148,33 +1199,14 @@ def ivf_pq_topk(
     q = queries.select(F.col(query_id), qv.alias("_qv")).withColumn(
         "_cell", F.explode(nearest_cells(cen_rows, F.col("_qv"), nprobe))
     )
-    qsub = q.select(
-        query_id,
-        "_cell",
-        *[
-            F.slice(F.col("_qv"), j * dsub + 1, dsub).alias(f"_qs{j}")
-            for j in range(m)
-        ],
-    )
-    qlut = qsub.select(
-        query_id,
-        "_cell",
-        *[
-            F.array(
-                *[_sq_l2_lit(F.col(f"_qs{j}"), cv) for cv in codebooks[j]]
-            ).alias(f"_lut{j}")
-            for j in range(m)
-        ],
-    )
-    dist = None
-    for j in range(m):
-        term = F.element_at(F.col(f"_lut{j}"), F.col(f"code_{j}") + 1)
-        dist = term if dist is None else dist + term
+    qlut = _adc_qlut(q, codebooks, query_id, extra=("_cell",))
+    # no distinct needed: each corpus row lands in exactly ONE cell and
+    # a query's probe cells are distinct, so the equi-join emits each
+    # (query, neighbor) pair at most once even under nprobe>1
     scored = (
         enc.join(F.broadcast(qlut), "_cell")
         .where(F.col("neighbor_id") != F.col(query_id))
-        .select(query_id, "neighbor_id", dist.alias("approx_dist"))
-        .distinct()  # nprobe>1 can reach the same pair via two cells
+        .select(query_id, "neighbor_id", _adc_dist(m).alias("approx_dist"))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")

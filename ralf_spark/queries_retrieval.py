@@ -366,21 +366,35 @@ _PQ_M = 4  # subspaces over the 64-dim embeddings -> dsub = 16
 _PQ_DSUB = 16
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
-    """Deterministic position-indexed PQ codebooks for the gates: the
-    per-label min-vec_id embedding (the same representative-set recipe
-    the IVF gates use), sliced into _PQ_M subspaces, codes ordered by
-    label. Small by the codebook contract (10 x 64 doubles), collected
-    at plan-build time like every quantizer literal in E3."""
+def _pq_seed_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The per-label min-vec_id embeddings in label order (the same
+    representative-set recipe the IVF gates use) — ONE scan + collect,
+    shared by codebooks and coarse centroids so the IVF-PQ gate does not
+    run the aggregation twice (reviewed r7)."""
     emb = _t(spark, sf_dir, "embeddings")
     rows = emb.df.groupBy("label").agg(
         F.min_by("embedding", "vec_id").alias("cv")
     ).collect()
-    cen = sorted(
-        (int(r["label"]), [float(x) for x in r["cv"]]) for r in rows
-    )
     return [
-        [cv[j * _PQ_DSUB:(j + 1) * _PQ_DSUB] for _, cv in cen]
+        cv
+        for _, cv in sorted(
+            (int(r["label"]), [float(x) for x in r["cv"]]) for r in rows
+        )
+    ]
+
+
+def _pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    seeds: list[list[float]] | None = None,
+) -> list:
+    """Deterministic position-indexed PQ codebooks for the gates: the
+    seed vectors sliced into _PQ_M subspaces, codes ordered by label.
+    Small by the codebook contract (10 x 64 doubles), collected at
+    plan-build time like every quantizer literal in E3."""
+    cen = seeds if seeds is not None else _pq_seed_vectors(spark, sf_dir)
+    return [
+        [cv[j * _PQ_DSUB:(j + 1) * _PQ_DSUB] for cv in cen]
         for j in range(_PQ_M)
     ]
 
@@ -560,17 +574,13 @@ def similarity_topk_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ralf_spark.queries import _query_vectors
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = _pq_codebooks(spark, sf_dir)
-    # coarse centroids: the SAME per-label vectors the codebooks slice,
-    # with dense ids in label order (matching the oracle's row_number)
-    rows = emb.df.groupBy("label").agg(
-        F.min_by("embedding", "vec_id").alias("cv")
-    ).collect()
-    cen = sorted(
-        (int(r["label"]), [float(x) for x in r["cv"]]) for r in rows
-    )
+    # ONE scan+collect serves both roles: the per-label vectors ARE the
+    # coarse centroids (dense ids in label order, matching the oracle's
+    # row_number) and their slices are the codebooks
+    seeds = _pq_seed_vectors(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir, seeds=seeds)
     centroids = spark.createDataFrame(
-        [(pos, cv) for pos, (_, cv) in enumerate(cen)],
+        [(pos, cv) for pos, cv in enumerate(seeds)],
         "centroid_id long, centroid_vec array<double>",
     )
     out = ivf_pq_topk(

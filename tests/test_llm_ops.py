@@ -1127,3 +1127,57 @@ def test_ivf_index_pq_mode_adc_and_rerank(spark, tmp_path):
     plain.build(ft, cdf)
     with pytest.raises(ValueError, match="codebooks"):
         plain.query(qdf, method="adc")
+
+
+def test_pq_encode_dim_mismatch_raises(spark):
+    """r7 review: a vector whose dims don't match m*dsub must raise at
+    execution, not silently encode code 0 everywhere (a short slice
+    null-pads every distance)."""
+    import pytest
+
+    from ralf_spark.operators.similarity import pq_encode
+
+    books = [[[0.0, 0.0], [1.0, 1.0]]] * 2  # m=2, dsub=2 -> expects 4
+    bad = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="exactly 4 dims"):
+        pq_encode(bad, books).collect()
+
+
+def test_ivf_index_query_rerank_validation(spark, tmp_path):
+    """r7 review: rerank with method='exact' raises (it would silently
+    do nothing), rerank < 1 raises, and a ragged-codebook build fails
+    BEFORE destroying the existing index."""
+    import numpy as np
+    import pytest
+
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(2)
+    X = rng.randn(10, 4).round(3)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    ft = FeatureTable(df, key="vec_id")
+    cdf = spark.createDataFrame(
+        [(0, X[0].tolist()), (1, X[1].tolist())],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    books = [rng.randn(2, 2).round(3).tolist() for _ in range(2)]
+    idx = IvfIndex(str(tmp_path / "v"))
+    idx.build(ft, cdf, codebooks=books)
+    qdf = df.where("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    with pytest.raises(ValueError, match="rerank"):
+        idx.query(qdf, method="exact", rerank=10)
+    with pytest.raises(ValueError, match="rerank"):
+        idx.query(qdf, method="adc", rerank=0)
+
+    # ragged rebuild must fail fast and leave the index intact
+    with pytest.raises(ValueError, match="ragged"):
+        idx.build(ft, cdf, codebooks=[books[0], books[1][:1]])
+    assert idx.query(qdf, k=2, method="adc").count() > 0  # still serving
