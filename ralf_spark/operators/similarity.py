@@ -167,11 +167,40 @@ def ann_topk(
 
 
 def nearest_cells(
-    cen_rows: list[tuple[int, list[float]]], vec: Column, n: int
+    cen_rows: list[tuple[int, list[float]]], vec: Column | str, n: int
 ) -> Column:
     """ids of the ``n`` max-cosine centroids for ``vec`` against the
     plan-literal centroid set (ties -> smallest id) — a pure row-local
-    expression, no shuffle, no corpus × centroid join."""
+    expression, no shuffle, no corpus × centroid join.
+
+    Pass ``vec`` as a COLUMN NAME to take the ``F.expr`` construction
+    path: the Column-API spelling costs ~30ms of py4j lambda conversion
+    PER centroid at plan-build time (k-means pays it k times per
+    iteration), while one parsed SQL string is <1ms with bit-identical
+    semantics (equality pinned in tests). The Column overload remains
+    for composed expressions."""
+    if isinstance(vec, str):
+
+        def cos_sql(cv: list[float]) -> str:
+            lit = "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")"
+            dot = (
+                f"aggregate(zip_with({vec}, {lit}, (x, y) -> x * y), "
+                "0.0D, (acc, v) -> acc + v)"
+            )
+            na = f"sqrt(aggregate({vec}, 0.0D, (acc, v) -> acc + v * v))"
+            nb = f"sqrt(aggregate({lit}, 0.0D, (acc, v) -> acc + v * v))"
+            return f"{dot} / ({na} * {nb})"
+
+        entries = ",".join(
+            "named_struct('s', " + cos_sql(cv)
+            + f", 'nc', CAST({-cid} AS DOUBLE))"
+            for cid, cv in cen_rows
+        )
+        # sort asc by (score, -id), reverse => desc score, asc id on ties
+        return F.expr(
+            f"transform(slice(reverse(array_sort(array({entries}))), 1, "
+            f"{int(n)}), e -> CAST(-e.nc AS BIGINT))"
+        )
     entries = [
         F.struct(
             cosine_similarity(
@@ -518,7 +547,7 @@ class IvfIndex:
                 F.col(idc).alias("_id"),
                 F.col(self.vec_col).cast("array<double>").alias("_v"),
             )
-        ).withColumn("cell", nearest_cells(cen_rows, F.col("_v"), 1)[0])
+        ).withColumn("cell", nearest_cells(cen_rows, "_v", 1)[0])
 
     def _write_cells(self, assigned: DataFrame, tag: str, mode: str) -> None:
         """Fold an assigned projection into its ``_batch=<tag>`` subtree.
@@ -650,7 +679,7 @@ class IvfIndex:
             F.col(query_id),
             F.col(query_vec).cast("array<double>").alias("_qv"),
         ).withColumn(
-            "_cell", F.explode(nearest_cells(cen_rows, F.col("_qv"), nprobe))
+            "_cell", F.explode(nearest_cells(cen_rows, "_qv", nprobe))
         )
         probed = sorted(
             {int(r["_cell"]) for r in q.select("_cell").distinct().collect()}
@@ -792,7 +821,7 @@ def kmeans_fit(
     counts: dict[int, int] = {}
     for _ in range(max_iter):
         assigned = emb.withColumn(
-            "_cell", nearest_cells(cen_rows, F.col("_v"), 1)[0]
+            "_cell", nearest_cells(cen_rows, "_v", 1)[0]
         )
         mean_expr = F.avg("_x")
         if quantize_decimals is not None:
@@ -869,34 +898,44 @@ def kmeans_fit(
 # --------------------------------------------------------------------------
 
 
-def _sq_l2_lit(sub: Column, lit_vec: list[float]) -> Column:
-    """Squared L2 distance between a (pre-projected) subvector column and a
-    plan-literal subvector, as one native fold. Callers must let-bind
-    ``sub`` to a plain column reference first — interpreted higher-order
-    lambdas re-evaluate referenced expressions per element."""
-    arr = F.array(*[F.lit(float(x)) for x in lit_vec])
-    return F.aggregate(
-        F.zip_with(sub, arr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _fmt_d(x: float) -> str:
+    """Python float -> Spark SQL double literal. ``repr`` is the shortest
+    round-tripping decimal, so the parsed double is bit-identical."""
+    return f"{float(x)!r}D"
+
+
+def _arr_sql(vec: list[float]) -> str:
+    return "array(" + ",".join(_fmt_d(x) for x in vec) + ")"
+
+
+def _sq_l2_sql(sub: str, lit_vec: list[float]) -> str:
+    """Squared L2 distance between a (pre-projected, let-bound) subvector
+    COLUMN NAME and a plan-literal subvector — the identical fold the old
+    Column-API spelling built (`zip_with` square + left `aggregate`), as
+    a SQL string. Why SQL: each Column-API higher-order call costs
+    ~25-30ms of py4j lambda conversion at PLAN BUILD time; a gate builds
+    ~100 of them (measured ~5s/build at m=4, k=10). One `F.expr` parses
+    the whole tree JVM-side in <1ms with bit-identical semantics
+    (equality pinned in tests)."""
+    return (
+        f"aggregate(zip_with({sub}, {_arr_sql(lit_vec)}, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
     )
 
 
-def nearest_code(book: list[list[float]], sub: Column) -> Column:
-    """0-based index of the min-squared-L2 codebook entry for ``sub``
-    (ties -> smallest code) — a pure row-local expression, the PQ analog
-    of :func:`nearest_cells` (which is max-cosine for the IVF coarse
-    quantizer; PQ quantizes residual geometry, where L2 is the standard
-    metric)."""
-    entries = [
-        F.struct(
-            _sq_l2_lit(sub, cv).alias("d"),
-            F.lit(float(c)).alias("c"),
-        )
+def nearest_code(book: list[list[float]], sub: str) -> Column:
+    """0-based index of the min-squared-L2 codebook entry for the
+    subvector column named ``sub`` (ties -> smallest code) — a pure
+    row-local expression, the PQ analog of :func:`nearest_cells` (which
+    is max-cosine for the IVF coarse quantizer; PQ quantizes residual
+    geometry, where L2 is the standard metric). Built as one ``F.expr``
+    (see :func:`_sq_l2_sql` for why)."""
+    entries = ",".join(
+        f"named_struct('d', {_sq_l2_sql(sub, cv)}, 'c', {_fmt_d(c)})"
         for c, cv in enumerate(book)
-    ]
+    )
     # array_sort on struct: asc by (d, c) -> [0] is the argmin
-    return F.array_sort(F.array(*entries))[0]["c"].cast("int")
+    return F.expr(f"CAST(array_sort(array({entries}))[0].c AS INT)")
 
 
 def _check_codebooks(codebooks: list[list[list[float]]]) -> tuple[int, int]:
@@ -940,8 +979,12 @@ def _adc_qlut(
         query_id,
         *extra,
         *[
-            F.array(
-                *[_sq_l2_lit(F.col(f"_qs{j}"), cv) for cv in codebooks[j]]
+            F.expr(
+                "array("
+                + ",".join(
+                    _sq_l2_sql(f"_qs{j}", cv) for cv in codebooks[j]
+                )
+                + ")"
             ).alias(f"_lut{j}")
             for j in range(m)
         ],
@@ -989,9 +1032,7 @@ def pq_encode(
     )
     keep = [c for c in df.columns if keep_vec or c != vec_col]
     codes = [
-        nearest_code(codebooks[j], F.col(f"_sub{j}")).alias(
-            f"{code_prefix}{j}"
-        )
+        nearest_code(codebooks[j], f"_sub{j}").alias(f"{code_prefix}{j}")
         for j in range(m)
     ]
     # dim guard on the first code column (one per row suffices): without
@@ -1193,11 +1234,11 @@ def ivf_pq_topk(
             F.col(idc).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
-    ).withColumn("_cell", nearest_cells(cen_rows, F.col("_v"), 1)[0])
+    ).withColumn("_cell", nearest_cells(cen_rows, "_v", 1)[0])
     enc = pq_encode(emb, codebooks, vec_col="_v")  # keeps neighbor_id,_cell
     qv = F.col(query_vec).cast("array<double>")
     q = queries.select(F.col(query_id), qv.alias("_qv")).withColumn(
-        "_cell", F.explode(nearest_cells(cen_rows, F.col("_qv"), nprobe))
+        "_cell", F.explode(nearest_cells(cen_rows, "_qv", nprobe))
     )
     qlut = _adc_qlut(q, codebooks, query_id, extra=("_cell",))
     # no distinct needed: each corpus row lands in exactly ONE cell and
