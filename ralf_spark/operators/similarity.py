@@ -55,9 +55,24 @@ def _signed_dot(vec: Column, signs: list[int]) -> Column:
     )
 
 
-def sign_lsh_bucket(vec: Column, nbits: int, dim: int) -> Column:
-    """Bucket id in [0, 2^nbits): bit p set iff dot(vec, plane_p) >= 0."""
+def sign_lsh_bucket(vec: Column | str, nbits: int, dim: int) -> Column:
+    """Bucket id in [0, 2^nbits): bit p set iff dot(vec, plane_p) >= 0.
+
+    Pass ``vec`` as a COLUMN NAME to build the whole expression as one
+    parsed SQL string instead of nbits py4j lambda conversions (the
+    plan-BUILD cost class measured on the quantizers — BENCH_NOTES r7);
+    semantics identical, equality pinned in tests."""
     planes = hyperplane_signs(nbits, dim)
+    if isinstance(vec, str):
+        parts = []
+        for p, signs in enumerate(planes):
+            lit = "array(" + ",".join(f"{float(s)!r}D" for s in signs) + ")"
+            d = (
+                f"aggregate(zip_with({vec}, {lit}, (x, y) -> x * y), "
+                "0.0D, (acc, v) -> acc + v)"
+            )
+            parts.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END)")
+        return F.expr("CAST(0 + " + " + ".join(parts) + " AS INT)")
     total = F.lit(0)
     for p, signs in enumerate(planes):
         total = total + F.when(
@@ -143,11 +158,11 @@ def ann_topk(
             F.col(idc).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
-    ).withColumn("_bucket", sign_lsh_bucket(F.col("_v"), nbits, dim))
+    ).withColumn("_bucket", sign_lsh_bucket("_v", nbits, dim))
     q = queries.select(
         F.col(query_id),
         F.col(query_vec).cast("array<double>").alias("_qv"),
-    ).withColumn("_bucket", sign_lsh_bucket(F.col("_qv"), nbits, dim))
+    ).withColumn("_bucket", sign_lsh_bucket("_qv", nbits, dim))
     scored = (
         emb.join(F.broadcast(q), "_bucket")
         .where(F.col("neighbor_id") != F.col(query_id))
@@ -305,7 +320,7 @@ def embedding_near_dup(
             F.col(idc).alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
-    ).withColumn("_bucket", sign_lsh_bucket(F.col("_v"), nbits, dim))
+    ).withColumn("_bucket", sign_lsh_bucket("_v", nbits, dim))
     a, b = emb.alias("a"), emb.alias("b")
     return (
         a.join(
@@ -444,7 +459,7 @@ def knn_graph(
             F.col(idc).alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
-    ).withColumn("_bucket", sign_lsh_bucket(F.col("_v"), nbits, dim))
+    ).withColumn("_bucket", sign_lsh_bucket("_v", nbits, dim))
     a, b = emb.alias("a"), emb.alias("b")
     scored = a.join(
         b,

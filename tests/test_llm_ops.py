@@ -1181,3 +1181,53 @@ def test_ivf_index_query_rerank_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="ragged"):
         idx.build(ft, cdf, codebooks=[books[0], books[1][:1]])
     assert idx.query(qdf, k=2, method="adc").count() > 0  # still serving
+
+
+def test_sign_lsh_bucket_expr_path_equals_column_path(spark):
+    """r7: the name-based (parsed-SQL) construction of the LSH bucket
+    must equal the Column-API overload bit-for-bit — same planes, same
+    fold, same NULL handling."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import sign_lsh_bucket
+
+    rng = np.random.RandomState(4)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).round(3).tolist()) for i in range(100)],
+        "id long, _v array<double>",
+    )
+    a = df.select(
+        "id", sign_lsh_bucket(F.col("_v"), 5, 8).alias("b")
+    ).orderBy("id").collect()
+    b = df.select(
+        "id", sign_lsh_bucket("_v", 5, 8).alias("b")
+    ).orderBy("id").collect()
+    assert a == b
+
+
+def test_nearest_cells_expr_path_equals_column_path(spark):
+    """r7: same pin for the quantizer — the F.expr construction path
+    (plan-build fast path) must reproduce the Column-API results
+    including the (score, id) tie-break."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import nearest_cells
+
+    rng = np.random.RandomState(6)
+    cen = [(i, rng.randn(8).round(3).tolist()) for i in range(7)]
+    # include an exact duplicate centroid to force a score tie
+    cen.append((9, cen[0][1]))
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).round(3).tolist()) for i in range(60)]
+        + [(999, cen[0][1])],  # exact centroid hit -> tie between 0 and 9
+        "id long, _v array<double>",
+    )
+    a = df.select(
+        "id", nearest_cells(cen, F.col("_v"), 3).alias("c")
+    ).orderBy("id").collect()
+    b = df.select(
+        "id", nearest_cells(cen, "_v", 3).alias("c")
+    ).orderBy("id").collect()
+    assert a == b
+    tie = [r.c for r in b if r.id == 999][0]
+    assert tie[0] == 0  # smallest id wins the tie
