@@ -55,6 +55,48 @@ def _signed_dot(vec: Column, signs: list[int]) -> Column:
     )
 
 
+# ---- shared SQL-string builders for the parsed-expression fast path ----
+# (one F.expr parses JVM-side in <1ms vs ~25-30ms of py4j lambda
+# conversion PER Column-API higher-order call — BENCH_NOTES r7)
+
+
+def _fmt_d(x: float) -> str:
+    """Python float -> Spark SQL double literal. ``repr`` is the shortest
+    round-tripping decimal, so the parsed double is bit-identical.
+    Non-finite values raise a clear error instead of emitting invalid
+    SQL ('nanD'): a NaN/Inf centroid or codebook entry means the
+    upstream fit consumed garbage — quantizing against it silently is
+    never what the caller wants (reviewed r7)."""
+    import math
+
+    f = float(x)
+    if not math.isfinite(f):
+        raise ValueError(
+            f"non-finite plan literal {f!r}: centroids/codebooks must be "
+            "finite (a NaN here usually means the k-means corpus "
+            "contained NaN components)"
+        )
+    return f"{f!r}D"
+
+
+def _arr_sql(vec: list[float]) -> str:
+    return "array(" + ",".join(_fmt_d(x) for x in vec) + ")"
+
+
+def _ident(name: str) -> str:
+    """Backtick-quote a column name for generated SQL (keywords, odd
+    characters)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dot_sql(vec_name: str, lit: str) -> str:
+    """Σ vᵢ·litᵢ as the identical fold ``functions.arrays.dot`` builds."""
+    return (
+        f"aggregate(zip_with({_ident(vec_name)}, {lit}, (x, y) -> x * y), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def sign_lsh_bucket(vec: Column | str, nbits: int, dim: int) -> Column:
     """Bucket id in [0, 2^nbits): bit p set iff dot(vec, plane_p) >= 0.
 
@@ -66,12 +108,10 @@ def sign_lsh_bucket(vec: Column | str, nbits: int, dim: int) -> Column:
     if isinstance(vec, str):
         parts = []
         for p, signs in enumerate(planes):
-            lit = "array(" + ",".join(f"{float(s)!r}D" for s in signs) + ")"
-            d = (
-                f"aggregate(zip_with({vec}, {lit}, (x, y) -> x * y), "
-                "0.0D, (acc, v) -> acc + v)"
-            )
+            d = _dot_sql(vec, _arr_sql([float(s) for s in signs]))
             parts.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END)")
+        if not parts:  # nbits=0: single-bucket degenerate config
+            return F.expr("CAST(0 AS INT)")
         return F.expr("CAST(0 + " + " + ".join(parts) + " AS INT)")
     total = F.lit(0)
     for p, signs in enumerate(planes):
@@ -195,16 +235,13 @@ def nearest_cells(
     semantics (equality pinned in tests). The Column overload remains
     for composed expressions."""
     if isinstance(vec, str):
+        vq = _ident(vec)
 
         def cos_sql(cv: list[float]) -> str:
-            lit = "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")"
-            dot = (
-                f"aggregate(zip_with({vec}, {lit}, (x, y) -> x * y), "
-                "0.0D, (acc, v) -> acc + v)"
-            )
-            na = f"sqrt(aggregate({vec}, 0.0D, (acc, v) -> acc + v * v))"
+            lit = _arr_sql([float(x) for x in cv])
+            na = f"sqrt(aggregate({vq}, 0.0D, (acc, v) -> acc + v * v))"
             nb = f"sqrt(aggregate({lit}, 0.0D, (acc, v) -> acc + v * v))"
-            return f"{dot} / ({na} * {nb})"
+            return f"{_dot_sql(vec, lit)} / ({na} * {nb})"
 
         entries = ",".join(
             "named_struct('s', " + cos_sql(cv)
@@ -913,16 +950,6 @@ def kmeans_fit(
 # --------------------------------------------------------------------------
 
 
-def _fmt_d(x: float) -> str:
-    """Python float -> Spark SQL double literal. ``repr`` is the shortest
-    round-tripping decimal, so the parsed double is bit-identical."""
-    return f"{float(x)!r}D"
-
-
-def _arr_sql(vec: list[float]) -> str:
-    return "array(" + ",".join(_fmt_d(x) for x in vec) + ")"
-
-
 def _sq_l2_sql(sub: str, lit_vec: list[float]) -> str:
     """Squared L2 distance between a (pre-projected, let-bound) subvector
     COLUMN NAME and a plan-literal subvector — the identical fold the old
@@ -933,7 +960,7 @@ def _sq_l2_sql(sub: str, lit_vec: list[float]) -> str:
     the whole tree JVM-side in <1ms with bit-identical semantics
     (equality pinned in tests)."""
     return (
-        f"aggregate(zip_with({sub}, {_arr_sql(lit_vec)}, "
+        f"aggregate(zip_with({_ident(sub)}, {_arr_sql(lit_vec)}, "
         "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
     )
 

@@ -1193,7 +1193,8 @@ def test_sign_lsh_bucket_expr_path_equals_column_path(spark):
 
     rng = np.random.RandomState(4)
     df = spark.createDataFrame(
-        [(i, rng.randn(8).round(3).tolist()) for i in range(100)],
+        [(i, rng.randn(8).round(3).tolist()) for i in range(100)]
+        + [(998, None)],  # NULL vector: both paths must bucket it as 0
         "id long, _v array<double>",
     )
     a = df.select(
@@ -1203,6 +1204,10 @@ def test_sign_lsh_bucket_expr_path_equals_column_path(spark):
         "id", sign_lsh_bucket("_v", 5, 8).alias("b")
     ).orderBy("id").collect()
     assert a == b
+    assert [r.b for r in b if r.id == 998] == [0]
+    # nbits=0 degenerate single-bucket config parses and returns 0
+    z = df.select(sign_lsh_bucket("_v", 0, 8).alias("b")).distinct()
+    assert [r.b for r in z.collect()] == [0]
 
 
 def test_nearest_cells_expr_path_equals_column_path(spark):
@@ -1231,3 +1236,19 @@ def test_nearest_cells_expr_path_equals_column_path(spark):
     assert a == b
     tie = [r.c for r in b if r.id == 999][0]
     assert tie[0] == 0  # smallest id wins the tie
+
+
+def test_sql_literal_builder_rejects_non_finite(spark):
+    """r7 review: a NaN/Inf centroid or codebook entry raises a clear
+    error at plan build instead of emitting invalid SQL ('nanD')."""
+    import pytest
+
+    from ralf_spark.operators.similarity import nearest_cells, pq_encode
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "id long, _v array<double>"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        df.select(nearest_cells([(0, [float("nan"), 1.0])], "_v", 1))
+    with pytest.raises(ValueError, match="non-finite"):
+        pq_encode(df, [[[float("inf")], [0.0]], [[0.0], [1.0]]], vec_col="_v")
