@@ -170,6 +170,17 @@ def main() -> None:
         wall = time.perf_counter() - t0
         print(f"| IVF-PQ 10 cells, nprobe={nprobe}, m={m} "
               f"| {recall_of(got):.3f} | {nprobe / 10:.3f} | {wall:.2f}s |")
+
+    # the full production composition: IVF prune -> ADC shortlist ->
+    # exact cosine rerank (recall bounded by the probed cells, i.e. the
+    # matching IVF row above is its ceiling)
+    for nprobe in (1, 4):
+        t0 = time.perf_counter()
+        short = ivf_pq_topk(emb, queries, cen10, books, k=50, nprobe=nprobe)
+        got = topk_set(exact_rerank(short, emb, queries, k=K))
+        wall = time.perf_counter() - t0
+        print(f"| IVF-PQ nprobe={nprobe} top-50 + exact rerank "
+              f"| {recall_of(got):.3f} | {nprobe / 10:.3f} | {wall:.2f}s |")
     spark.stop()
 
 
