@@ -122,6 +122,8 @@ class Rule:
             base += f", {self.lo}, {self.hi}"
         elif self.kind == "accepted_values":
             base += ", {" + ", ".join(map(str, self.values or ())) + "}"
+        elif self.kind == "freshness":
+            base += f", {self.hi} min @ {self.lo}"
         base += ")"
         if self.min_frac < 1.0:
             base += f" >= {self.min_frac}"
@@ -143,6 +145,25 @@ def in_range(column: str, lo, hi, min_frac: float = 1.0) -> Rule:
 def accepted_values(column: str, values, min_frac: float = 1.0) -> Rule:
     return Rule(
         "accepted_values", column, values=tuple(values), min_frac=min_frac
+    )
+
+
+def freshness(column: str, max_lag_minutes: float, as_of: str) -> Rule:
+    """The staleness gate — the reference's founding concern (features
+    decay as data ages) as a declarative expectation: ``max(column)``
+    must lie within ``max_lag_minutes`` of ``as_of``.
+
+    ``as_of`` is an explicit ISO timestamp string (the evaluation
+    instant) rather than now(): the check stays deterministic, so it is
+    replayable in tests/oracles and auditable after the fact — a
+    monitoring job passes its scheduled run time. Unlike the fraction
+    rules, ``measured`` is the OBSERVED LAG IN MINUTES and ``passed``
+    is ``measured <= threshold`` (smaller is better); an empty table or
+    all-NULL column FAILS with measured NULL — a silently-empty write
+    is exactly the failure this gate exists to catch, the opposite of
+    the vacuous pass the fraction rules apply."""
+    return Rule(
+        "freshness", column, lo=str(as_of), hi=float(max_lag_minutes)
     )
 
 
@@ -274,6 +295,9 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
             aggs.append(F.count_distinct(col).alias(f"_r{i}"))
             aggs.append(F.count(col).alias(f"_nn{i}"))  # non-null count
             continue
+        elif rule.kind == "freshness":
+            aggs.append(F.max(col).alias(f"_r{i}"))
+            continue
         else:
             raise ValueError(f"unknown rule kind {rule.kind!r}")
         aggs.append(F.sum(ok.cast("long")).alias(f"_r{i}"))
@@ -281,6 +305,33 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     n = int(r["_n"])
     out = []
     for i, rule in enumerate(rules):
+        if rule.kind == "freshness":
+            # measured = observed lag in MINUTES; smaller is better, so
+            # passed = measured <= threshold (inverted vs the fraction
+            # rules); empty/all-NULL FAILS (measured NULL) by contract
+            import datetime as _dt
+
+            threshold = float(rule.hi)
+            mx = r[f"_r{i}"]
+            if mx is None:
+                out.append((rule.name(), False, None, threshold))
+                continue
+            as_of = _dt.datetime.fromisoformat(str(rule.lo))
+            delta = as_of - mx
+            # exact integer microseconds, ONE float division — the same
+            # arithmetic a SQL replay does (date_diff µs / 6e7), so the
+            # two engines agree bit-for-bit
+            us = (
+                delta.days * 86_400_000_000
+                + delta.seconds * 1_000_000
+                + delta.microseconds
+            )
+            measured = round(us / 60_000_000, 6)
+            out.append(
+                (rule.name(), bool(measured <= threshold), measured,
+                 threshold)
+            )
+            continue
         if rule.kind == "unique":
             nn = int(r[f"_nn{i}"])
             measured = 1.0 if nn == 0 else round(int(r[f"_r{i}"]) / nn, 6)

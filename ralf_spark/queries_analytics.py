@@ -660,6 +660,53 @@ def events_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_constraints(ev.df, rules).orderBy("rule")
 
 
+_FRESH_AS_OF = "2024-02-01 00:00:00"
+
+
+@query(
+    "events_freshness_gate",
+    f"""
+    WITH s AS (SELECT max(ts) AS mx FROM events),
+    m AS (
+      SELECT round(date_diff('microsecond', mx,
+                   TIMESTAMP '{_FRESH_AS_OF}') / 60000000.0, 6) AS lag
+      FROM s
+    )
+    SELECT 'freshness(ts, 60.0 min @ {_FRESH_AS_OF})' AS rule,
+           lag <= 60.0 AS passed, lag AS measured,
+           CAST(60.0 AS DOUBLE) AS threshold
+    FROM m
+    UNION ALL
+    SELECT 'freshness(ts, 2880.0 min @ {_FRESH_AS_OF})',
+           lag <= 2880.0, lag, CAST(2880.0 AS DOUBLE)
+    FROM m
+    ORDER BY rule
+    """,
+)
+def events_freshness_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-freshness gate (r7): the reference's founding concern
+    (features decay as data ages) as a declarative expectation —
+    ``max(ts)`` must lie within the lag budget of an EXPLICIT ``as_of``
+    instant (deterministic/replayable; a monitoring job passes its run
+    time). Two budgets against the same observed lag show both
+    verdicts: the fixture's newest event is ~1 day before as_of, so the
+    60-minute SLO fails and the 2-day budget passes. ``measured`` is
+    the observed lag in minutes (smaller is better — passed =
+    measured <= threshold, inverted vs the fraction rules); an EMPTY
+    table fails rather than passing vacuously, since a silently-empty
+    write is exactly what this gate exists to catch. One max() per
+    rule inside the same single-scan aggregate as every other rule
+    (``operators.quality.freshness``)."""
+    from ralf_spark.operators.quality import check_constraints, freshness
+
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        freshness("ts", 60.0, _FRESH_AS_OF),
+        freshness("ts", 2880.0, _FRESH_AS_OF),
+    ]
+    return check_constraints(ev.df, rules).orderBy("rule")
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

@@ -235,3 +235,34 @@ def test_psi_drift_empty_side_is_null_not_eps_score(spark):
     empty = spark.createDataFrame([], "g string, v double")
     row = psi_drift(base, empty, "v", bins=4, lo=0.0, hi=4.0).first()
     assert row.psi is None
+
+
+def test_freshness_rule_lag_and_failure_modes(spark):
+    """r7: freshness measures observed lag in minutes against an
+    explicit as_of (passed = measured <= threshold, inverted vs the
+    fraction rules); empty tables and all-NULL columns FAIL instead of
+    passing vacuously."""
+    from ralf_spark.operators.quality import freshness
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-01 11:30:00",)],
+        "ts_s string",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP_NTZ) AS ts")
+    rows = check_constraints(
+        df,
+        [
+            freshness("ts", 60.0, "2024-01-01 12:00:00"),   # lag 30 ok
+            freshness("ts", 15.0, "2024-01-01 12:00:00"),   # lag 30 fail
+        ],
+    ).collect()
+    by = {r.rule: r for r in rows}
+    ok = by["freshness(ts, 60.0 min @ 2024-01-01 12:00:00)"]
+    assert (ok.passed, ok.measured, ok.threshold) == (True, 30.0, 60.0)
+    bad = by["freshness(ts, 15.0 min @ 2024-01-01 12:00:00)"]
+    assert (bad.passed, bad.measured) == (False, 30.0)
+
+    empty = spark.createDataFrame([], "ts timestamp_ntz")
+    r = check_constraints(
+        empty, [freshness("ts", 60.0, "2024-01-01 12:00:00")]
+    ).collect()[0]
+    assert (r.passed, r.measured) == (False, None)
