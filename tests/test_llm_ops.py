@@ -1252,3 +1252,48 @@ def test_sql_literal_builder_rejects_non_finite(spark):
         df.select(nearest_cells([(0, [float("nan"), 1.0])], "_v", 1))
     with pytest.raises(ValueError, match="non-finite"):
         pq_encode(df, [[[float("inf")], [0.0]], [[0.0], [1.0]]], vec_col="_v")
+
+
+def test_pq_precoded_parquet_scan_prunes_vector_column(spark, tmp_path):
+    """r7: the deployment claim for pq_adc_topk_precoded — searching a
+    PERSISTED code table must read only (id, codes) at the parquet scan
+    even when the raw vector column is stored alongside (column
+    pruning), and the results equal the one-shot spelling."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_precoded,
+        pq_encode,
+    )
+    from ralf_spark.plans.explain import explain_str
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(17)
+    n, dim, m, kcodes = 30, 8, 2, 3
+    X = rng.randn(n, dim).round(3)
+    books = [
+        rng.randn(kcodes, dim // m).round(3).tolist() for _ in range(m)
+    ]
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "codes")
+    pq_encode(df, books, keep_vec=True).write.parquet(path)
+    stored = spark.read.parquet(path).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qdf = df.where("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    out = pq_adc_topk_precoded(stored, qdf, books, k=5)
+    plan = explain_str(out)
+    scan_schema = plan.split("ReadSchema", 1)[1][:250]
+    assert "embedding" not in scan_schema and "code_0" in scan_schema
+    got = [(r.neighbor_id, round(r.approx_dist, 6))
+           for r in out.orderBy("rank").collect()]
+    want = [(r.neighbor_id, round(r.approx_dist, 6))
+            for r in pq_adc_topk(FeatureTable(df, key="vec_id"), qdf,
+                                 books, k=5).orderBy("rank").collect()]
+    assert got == want
