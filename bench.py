@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ralf_spark.operators.util import unpersist_cached  # noqa: E402
 from ralf_spark.queries import QUERIES, headline_queries  # noqa: E402
 from ralf_spark.session import get_spark  # noqa: E402
 
@@ -122,13 +123,19 @@ def main() -> None:
     times: dict[str, float] = {}
     for name, q in targets.items():
         t0 = time.perf_counter()
-        drain(q.fn(spark, sf_dir))
+        df = q.fn(spark, sf_dir)
+        drain(df)
         times[name] = round(time.perf_counter() - t0, 4)
+        # some queries persist() intermediates (winnow pairs, LSH dedup,
+        # curation/semdedup/textrank via attach_cached); release after
+        # EVERY drain — including the headline path — so storage blocks
+        # don't accumulate across the run and skew later timings
+        # (mirrors scripts_sweep.py; ADVICE r7)
+        unpersist_cached(df)
         if bench_all or named:
-            # some queries persist() intermediates (winnow pairs, LSH
-            # dedup); release between queries so multi-query runs don't
-            # accumulate cached blocks or reuse a sibling query's
-            # matching persisted subtree (which would misattribute time)
+            # ...and in multi-query runs additionally clear the whole
+            # cache so a sibling query can't reuse a matching persisted
+            # subtree (which would misattribute time)
             spark.catalog.clearCache()
     total = round(sum(times.values()), 4)
     print(

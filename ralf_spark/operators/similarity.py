@@ -761,8 +761,12 @@ class IvfIndex:
                     "neighbor_id",
                     _adc_dist(m).alias("approx_dist"),
                 )
-                .distinct()  # defensive: duplicate _ids across add()
-                # batches are possible (unlike the one-shot operators)
+                # duplicate _ids across add() batches are possible
+                # (unlike the one-shot operators), and a RE-added id may
+                # carry NEW codes — keep one row per pair, best distance
+                # (row-level distinct can't collapse changed vectors)
+                .groupBy(query_id, "neighbor_id")
+                .agg(F.min("approx_dist").alias("approx_dist"))
             )
             w = Window.partitionBy(query_id).orderBy(
                 F.col("approx_dist").asc(), F.col("neighbor_id")
@@ -790,7 +794,12 @@ class IvfIndex:
                 F.col("_id").alias("neighbor_id"),
                 cosine_similarity(F.col("_qv"), F.col("_v")).alias("cos_sim"),
             )
-            .distinct()  # nprobe>1 can reach the same pair via two cells
+            # nprobe>1 can reach the same pair via two cells, and an id
+            # re-added under a new batch_tag may carry a NEW vector —
+            # keep one row per pair, best similarity (same contract as
+            # the ADC path; row-level distinct misses changed vectors)
+            .groupBy(query_id, "neighbor_id")
+            .agg(F.max("cos_sim").alias("cos_sim"))
         )
         w = Window.partitionBy(query_id).orderBy(
             F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -1319,7 +1328,13 @@ def exact_rerank(
     rows, not the corpus, so the compressed scan's IO win survives while
     the approximation error of the final ranking drops to zero WITHIN
     the shortlist (recall is still bounded by what the first pass
-    surfaced). Ties -> smallest neighbor id, as everywhere in E3."""
+    surfaced). Ties -> smallest neighbor id, as everywhere in E3.
+
+    A corpus carrying duplicate ids (e.g. ``IvfIndex`` cells where an id
+    was re-added under a new batch tag with an updated vector) yields one
+    output row per (query, neighbor) pair — best similarity wins, same
+    keep-best contract as ``IvfIndex.query``; for a properly keyed corpus
+    the dedup is a no-op."""
     idc = corpus.key
     if idc is None:
         raise ValueError("exact_rerank needs a keyed corpus")
@@ -1340,6 +1355,11 @@ def exact_rerank(
             id_col,
             cosine_similarity(F.col("_qv"), F.col("_v")).alias("cos_sim"),
         )
+        # keep-best per pair for duplicate-id corpora (no-op otherwise;
+        # see docstring) — ALSO collapses a shortlist that itself named
+        # the same neighbor twice
+        .groupBy(query_id, id_col)
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(id_col)

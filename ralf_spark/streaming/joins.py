@@ -2,8 +2,13 @@
 
 The reference's ``Join`` operator enriches each arriving left record with
 the right table's CURRENT per-key state at that moment
-(``ralf/operators/join.py:41-50`` — actor state mutated by right updates,
-read by left events). The engine's other streaming join spellings cover
+(``ralf/operators/join.py:41-50``). One deliberate divergence: the
+reference BUFFERS an unmatched left record and emits it later once the
+right side arrives (then deletes the buffered copy) — it never emits a
+NULL-enriched row; this operator instead emits the left record
+immediately with a NULL value, per the as-of contract (so output order
+follows left arrival order and unmatched lefts are never held in state
+indefinitely). The engine's other streaming join spellings cover
 the two declarative regimes (stream-static broadcast enrichment;
 watermarked stream-stream interval join); this module is the per-record
 regime itself: both streams union into one keyed stateful operator, right
@@ -134,7 +139,11 @@ def streaming_asof_enrich(
         ):
             if _side == -1:  # right update: fold if newer
                 if ts_us is None or (_us, _seq) > (ts_us, seq):
-                    ts_us, val = int(_us), float(_val)
+                    ts_us = int(_us)
+                    # a NULL-valued right update stores/emits NULL, as
+                    # the batch as-of oracle would — float() would turn
+                    # it into NaN, a silent divergence (ADVICE r7)
+                    val = None if pd.isna(_val) else float(_val)
                     seq = int(_seq) if seq_is_int else _seq
                     changed = True
             else:  # left event: emit with current state

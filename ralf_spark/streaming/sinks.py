@@ -107,11 +107,15 @@ def foreach_batch_kv_upsert(
 #: moments/EWMA/decayed folds are NOT idempotent under replay, so
 #: exactly-once relies on skipping already-applied checkpoint batch ids.
 #: Storing the id IN the state table (every row stamped with the batch
-#: that produced this table version) makes the skip-check atomic with
-#: the state write itself — ``_staged_overwrite`` publishes data and
-#: marker in one directory swap, on ANY filesystem (VERDICT r6 #4; the
-#: previous driver-local ``.__last_batch__`` file was non-atomic and
-#: local-path-only).
+#: that produced this table version) means the marker commits with the
+#: data in the same write — it can never disagree with the data it
+#: describes (VERDICT r6 #4; the previous driver-local
+#: ``.__last_batch__`` file could). Note the residual crash window:
+#: ``_staged_overwrite``'s final publish is a parquet overwrite (delete
+#: + rewrite), not a filesystem rename, so a crash mid-publish can
+#: leave a partial state table; recovery is "restart the stream from
+#: the checkpoint" (the staging copy re-derives the same batch), not
+#: marker/data divergence.
 LAST_BATCH_COL = "_last_batch_id"
 
 
@@ -136,8 +140,9 @@ def _load_state(spark: SparkSession, path: str):
 def _store_state(
     spark: SparkSession, merged: DataFrame, path: str, batch_id: int
 ) -> None:
-    """Stamp every row with ``batch_id`` and atomically replace the state
-    directory — data and exactly-once marker commit together."""
+    """Stamp every row with ``batch_id`` and replace the state directory
+    — data and exactly-once marker commit in the same write (see the
+    ``LAST_BATCH_COL`` note for the residual non-atomic-publish window)."""
     from ralf_spark.connectors import _staged_overwrite
 
     _staged_overwrite(

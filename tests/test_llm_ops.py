@@ -773,6 +773,57 @@ def test_ivf_index_add_replay_idempotent(spark, tmp_path):
     assert got == [(3, 1), (1, 2)]
 
 
+def test_ivf_index_readd_updated_vector_dedups_all_paths(spark, tmp_path):
+    """ADVICE r7: an id re-added under a NEW batch_tag with an UPDATED
+    vector exists in two _batch partitions with different values —
+    row-level distinct can't collapse the pair, so every query path
+    (exact, adc, adc+rerank) must dedup per (query, neighbor), keeping
+    the best score, or a neighbor occupies two top-k slots."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(7)
+    dim, m, kcodes = 4, 2, 3
+    books = [rng.randn(kcodes, dim // m).round(3).tolist() for _ in range(m)]
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+
+    def ft(rows):
+        return FeatureTable(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ),
+            key="vec_id",
+        )
+
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(
+        ft([(1, [0.9, 0.1, 0.0, 0.0]), (2, [0.8, 0.2, 0.0, 0.0])]),
+        cen,
+        codebooks=books,
+    )
+    # id 1 re-added with an UPDATED embedding under a new tag: both
+    # versions now live in cells/ (different _v AND different codes)
+    idx.add(ft([(1, [0.7, 0.3, 0.0, 0.0])]), batch_tag="update1")
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    for kwargs in (
+        {"method": "exact"},
+        {"method": "adc"},
+        {"method": "adc", "rerank": 10},
+    ):
+        rows = idx.query(q, k=5, nprobe=1, **kwargs).collect()
+        ids = [r.neighbor_id for r in rows]
+        assert len(ids) == len(set(ids)) == 2, (kwargs, ids)
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]
+
+
 def test_ivf_index_rebuild_replaces_everything(spark, tmp_path):
     """r7 review: a re-build (periodic re-clustering) must clear the
     whole cells tree — the dynamic-overwrite write only touches the

@@ -1927,6 +1927,53 @@ def test_streaming_asof_enrich_event_time_ttl(spark, tmp_path):
     assert results["ttl"] == {5: None}
 
 
+def test_streaming_asof_enrich_null_right_value(spark, tmp_path):
+    """ADVICE r7: a right update whose value is NULL must store and emit
+    NULL — not NaN via float() coercion — matching what the batch as-of
+    oracle surfaces. The NULL update still ADVANCES the key's as-of
+    position (it is the latest right record), shadowing an older
+    non-NULL value."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_asof_enrich,
+        write_memory,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = ("event_id long, ts timestamp, user_id long, value double, "
+              "event_type string")
+    rows = [
+        (1, t(10), 7, 50.0, "click"),
+        (2, t(11), 7, None, "click"),      # NULL update shadows 50.0
+        (3, t(12), 7, None, "purchase"),   # enriches NULL, not NaN
+        (4, t(10), 8, None, "click"),      # key 8 only ever saw NULL
+        (5, t(11), 8, None, "purchase"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    s = file_events(spark, src, schema=schema)
+    out = streaming_asof_enrich(
+        s.where(F.col("event_type") == "purchase"),
+        s.where(F.col("event_type") == "click"),
+    )
+    run_bounded(
+        write_memory(out, "asof_null"),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=2,
+    )
+    got = {r.event_id: r.right_value
+           for r in spark.table("asof_null").collect()}
+    # true NULLs: NaN would fail `is None` (NaN != None) and poison
+    # downstream arithmetic silently
+    assert got == {3: None, 5: None}
+    assert all(v is None for v in got.values())
+
+
 def test_decayed_state_batch_backfill_handoff(spark, tmp_path):
     """r7 ops story: a state table BACKFILLED by the batch operator
     (time_decayed_sum over history, written as-is) seeds the streaming
