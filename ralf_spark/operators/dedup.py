@@ -259,9 +259,32 @@ def near_dup_pairs(
         )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
+        # referenced three times below (the pair join + both id columns of
+        # the shingle prefilter); without the barrier the bucket self-join
+        # + distinct re-executes per reference
+        .persist()
     )
 
-    sh = docs.select(F.col("_id"), F.col("_sh"))
+    # Verification prefilter (scale probe r8): only docs that appear in
+    # >=1 candidate pair need their shingle sets in the verify join. The
+    # raw spelling shuffled the FULL corpus-sized shingle table on BOTH
+    # join sides once the candidate set outgrew broadcast (48x probe:
+    # 2 x 102 MiB exchanges of 240k fat rows for 26k pairs); the
+    # semi-join keeps the corpus scan shuffle-free (candidate ids
+    # broadcast under AQE) and the verify exchanges proportional to
+    # CANDIDATE volume, which bounded dup-cluster sizes keep ∝ dups,
+    # not ∝ corpus.
+    # the id set is broadcast by contract (ids are 8 bytes and bounded
+    # dup rates keep the set ≪ corpus); if a corpus ever breaks that,
+    # drop the hint and the same plan shuffle-semi-joins, still correct
+    cand_ids = (
+        cand.select(F.col("id1").alias("_id"))
+        .unionByName(cand.select(F.col("id2").alias("_id")))
+        .distinct()
+    )
+    sh = docs.select(F.col("_id"), F.col("_sh")).join(
+        F.broadcast(cand_ids), "_id", "left_semi"
+    )
     verified = (
         cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
         .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))
@@ -275,7 +298,7 @@ def near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return attach_cached(verified, [docs, buckets])
+    return attach_cached(verified, [docs, buckets, cand])
 
 
 def jaccard_pairs_inverted(
@@ -586,6 +609,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     shingle_n: int = 3,
     hash_fn: str | None = None,
+    blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup PAIRS via Hamming-pigeonhole banding — the
     web-crawl dedup of Manku, Jain & Das Sarma, "Detecting Near-Duplicates
@@ -604,12 +628,40 @@ def simhash_near_dup_pairs(
     join (the registry-wide plan net asserts no CartesianProduct).
     Zero fingerprints (empty/short docs) are excluded — they are
     "no content", not mutual near-dups.
+
+    ``blocks`` (default ``max_hamming + 1``) is the scale knob the 48x
+    probe motivated (SCALEPROBE.md): with the minimum block count, each
+    table is keyed on only ``bits/(h+1)`` bits (12 at the defaults), so
+    UNRELATED fingerprints collide at rate n²/2^12 — an intrinsic
+    quadratic candidate floor that dominated the probe's largest scale
+    point. Manku §3's generalization: split into ``blocks`` > h+1
+    blocks and build one table per (blocks−h)-subset, keyed on the
+    CONCATENATION of those blocks — any pair within Hamming distance h
+    still agrees exactly on some subset (pigeonhole over the ≤h damaged
+    blocks), but the key now carries ``(blocks−h)/blocks × bits`` bits,
+    pushing random collisions out by orders of magnitude. Cost:
+    C(blocks, h) tables instead of h+1 (explode volume × C/h+1); at
+    e.g. bits=60, h=3, blocks=8 that is 56 tables keyed on ~37 bits —
+    the right trade once n² / 2^(bits/(h+1)) outgrows C(blocks,h)·n.
+    Output is IDENTICAL for any valid ``blocks`` (candidates are always
+    verified by exact popcount; the knob only changes candidate count).
     """
+    import itertools
+
     from ralf_spark.operators.text_analysis import simhash_fingerprints_agg
 
     if not 0 < bits <= 60:
         raise ValueError("bits must be in (0, 60] (stable_hash64 width)")
     bands = max_hamming + 1
+    if blocks is None:
+        blocks = bands
+    if blocks < bands:
+        raise ValueError(
+            f"blocks must be >= max_hamming + 1 = {bands} (pigeonhole "
+            "needs at least one undamaged block per table key)"
+        )
+    if blocks > bits:
+        raise ValueError("blocks must be <= bits (each block needs a bit)")
     idc = table.key
     if idc is None:
         raise ValueError("simhash_near_dup_pairs needs a keyed table")
@@ -636,17 +688,30 @@ def simhash_near_dup_pairs(
         .where(F.col("_fp") != 0)
         .persist()
     )
-    base, rem = divmod(bits, bands)
-    widths = [base + (1 if i < rem else 0) for i in range(bands)]
-    offsets = [sum(widths[:i]) for i in range(bands)]
+    base, rem = divmod(bits, blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    combos = list(itertools.combinations(range(blocks), blocks - max_hamming))
+
+    def _combo_key(combo: tuple[int, ...]):
+        # concatenate the chosen blocks' values into ONE long (total
+        # selected width <= bits <= 60, so it always fits)
+        key = F.lit(0).cast("long")
+        shift = 0
+        for i in combo:
+            block = F.shiftright("_fp", offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            key = key.bitwiseOR(F.shiftleft(block, shift))
+            shift += widths[i]
+        return key
+
     entries = [
         F.struct(
-            F.lit(i).alias("band"),
-            F.shiftright("_fp", offsets[i])
-            .bitwiseAND(F.lit((1 << widths[i]) - 1))
-            .alias("key"),
+            F.lit(t).alias("band"),
+            _combo_key(combo).alias("key"),
         )
-        for i in range(bands)
+        for t, combo in enumerate(combos)
     ]
     buckets = fp.select(
         "_id", F.explode(F.array(*entries)).alias("_b")

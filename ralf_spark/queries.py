@@ -2715,6 +2715,13 @@ def headline_queries() -> dict[str, Query]:
 # streaming_interval_join (the stream-stream watermarked join gate, new
 # operator family r7); out — cms_token_heavy_hitters (E6 keeps
 # hll_distinct_event_ids + kmv_distinct_users as driver reps).
+# Round-8 rotation (VERDICT r7 #2/#5): in — events_quality_gate +
+# feature_drift_psi (the r7 data-quality family's first driver-green
+# rows) and streaming_hll_state (E6's streaming maintained-sketch half).
+# Out (all stay registered + sweep-gated): dedup_keep_best (E2 keeps 4
+# driver reps), funnel_view_click_purchase (E9 keeps bm25 + ewma + both
+# composition gates), kmv_distinct_users (E6 keeps the batch HLL row and
+# gains the streaming one).
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
@@ -2752,7 +2759,7 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "streaming_interval_join",
     # dedup family (§2.10 E1/E2) + decontamination + incremental index
     "exact_dedup", "near_dup_minhash", "dedup_clusters",
-    "dedup_keep_best", "incremental_minhash_index",
+    "incremental_minhash_index",
     "decontaminate_against_eval",
     # similarity search (E3): one-shot, persistent index, quantizer fit
     "similarity_topk_bruteforce", "ivf_index_query",
@@ -2760,10 +2767,13 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # text analysis + quality filtering (E4)
     "text_profile", "text_quality", "doc_fingerprint_simhash",
     "gopher_repetition",
-    # cardinality/frequency sketches (E6: HLL + KMV + CMS)
-    "hll_distinct_event_ids", "kmv_distinct_users",
+    # cardinality/frequency sketches (E6: batch HLL + streaming
+    # maintained-sketch state, r8 rotation)
+    "hll_distinct_event_ids", "streaming_hll_state",
     # retrieval/curation (E9)
-    "bm25_keyword_search", "ewma_per_user", "funnel_view_click_purchase",
+    "bm25_keyword_search", "ewma_per_user",
+    # data quality (r7 family, first driver-green rows — r8 rotation)
+    "events_quality_gate", "feature_drift_psi",
     # storage layout (E8)
     "layout_partitioned_write_stats",
     # multimodal binary columns (E5)

@@ -360,6 +360,24 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
+@query("simhash_block_pairs", simhash_pairs_oracle_sql())
+def simhash_block_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 SimHash dedup, Manku block-combination tables (r8): the same
+    48-bit fingerprints and radius, but candidates come from C(6,3)=20
+    tables each keyed on a 24-bit THREE-block concatenation instead of 4
+    tables keyed on 12 bits — the configuration that removes the
+    n²/2^12 random-collision candidate floor the 48x scale probe
+    exposed (SCALEPROBE.md). Output is identical to
+    ``simhash_near_dup_pairs`` by construction (exact popcount
+    verification; only the candidate set changes), so the gate reuses
+    the SAME DuckDB oracle — a hash-match here proves the pigeonhole
+    argument for the wider keys end-to-end."""
+    docs = _docs_par(spark, sf_dir)
+    return simhash_near_dup_pairs(
+        docs, bits=48, max_hamming=3, blocks=6
+    ).orderBy("id1", "id2")
+
+
 def _curation_pipeline_oracle_sql(
     q_min: float = 0.35,
     jaccard_threshold: float = 0.5,

@@ -617,6 +617,44 @@ def test_simhash_near_dup_pairs_pigeonhole_recall_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_block_tables_equal_default_banding(spark):
+    """r8: the Manku block-combination generalization (``blocks`` knob)
+    must produce IDENTICAL output to the minimum-band spelling for every
+    valid block count — candidates are always popcount-verified, so only
+    the candidate set (and its n²/2^keywidth collision floor) changes.
+    Invalid block counts are rejected (pigeonhole needs blocks > h)."""
+    import pytest
+
+    from ralf_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain falls softly on the quiet grey town tonight")
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, base.replace("quick", "rapid").replace("lazy", "idle")),
+        (4, "completely different words about catalyst shuffle plans and "
+            "arrow batches in a distributed engine running somewhere else"),
+    ]
+    t = _docs(spark, rows)
+    want = sorted(
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_near_dup_pairs(t, bits=48, max_hamming=3).collect()
+    )
+    for blocks in (5, 6, 8):
+        got = sorted(
+            (r.id1, r.id2, r.hamming)
+            for r in simhash_near_dup_pairs(
+                t, bits=48, max_hamming=3, blocks=blocks
+            ).collect()
+        )
+        assert got == want, blocks
+    with pytest.raises(ValueError, match="blocks must be >="):
+        simhash_near_dup_pairs(t, bits=48, max_hamming=3, blocks=3)
+    with pytest.raises(ValueError, match="blocks must be <="):
+        simhash_near_dup_pairs(t, bits=48, max_hamming=3, blocks=49)
+
+
 def test_shingle_expressions_let_bind_token_pipeline(spark):
     """Regression canary for the r5 shingle blowup: the token pipeline
     (split+filter) must appear EXACTLY ONCE in each shingle expression
