@@ -124,10 +124,64 @@ class Rule:
             base += ", {" + ", ".join(map(str, self.values or ())) + "}"
         elif self.kind == "freshness":
             base += f", {self.hi} min @ {self.lo}"
+        elif self.kind == "schema_matches":
+            import hashlib
+
+            digest = hashlib.md5(
+                repr(sorted(self.values or ())).encode()
+            ).hexdigest()[:8]
+            base += f", {len(self.values or ())} ref cols @{digest}"
         base += ")"
         if self.min_frac < 1.0:
             base += f" >= {self.min_frac}"
         return base
+
+
+def schema_diff(df: DataFrame, reference) -> DataFrame:
+    """Schema-drift check — column added / dropped / type-changed vs a
+    reference schema (yesterday's table, a contract file): the OTHER
+    thing a 100 TB nightly gate must catch besides value expectations,
+    and the one check that costs literally nothing — it reads only
+    metadata, no scan, no job.
+
+    ``reference`` is a DDL string (``"a bigint, b string"``), a
+    ``StructType``, or a ``{name: type_string}`` dict. Returns one row
+    per column across BOTH schemas, ordered by name:
+    ``(column, status, ref_type, cur_type)`` with status in
+    ``match | added | dropped | type_changed`` — filter
+    ``status != 'match'`` for the diff, or gate on the
+    :func:`schema_matches` rule. Name→type comparison is
+    order-insensitive and nullability-insensitive (Spark nullability is
+    advisory); types compare by ``simpleString``. The reference's Schema
+    check validates the name set only (``ralf/record.py:36-42``); this
+    adds types and the direction of each drift.
+    """
+    from pyspark.sql.types import StructType
+
+    if isinstance(reference, StructType):
+        ref = {f.name: f.dataType.simpleString() for f in reference.fields}
+    elif isinstance(reference, dict):
+        ref = {str(k): str(v).lower() for k, v in reference.items()}
+    else:
+        parsed = StructType.fromDDL(str(reference))
+        ref = {f.name: f.dataType.simpleString() for f in parsed.fields}
+    cur = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for name in sorted(set(ref) | set(cur)):
+        r, c = ref.get(name), cur.get(name)
+        if r is None:
+            status = "added"
+        elif c is None:
+            status = "dropped"
+        elif r != c:
+            status = "type_changed"
+        else:
+            status = "match"
+        rows.append((name, status, r, c))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, status string, ref_type string, cur_type string",
+    )
 
 
 def not_null(column: str, min_frac: float = 1.0) -> Rule:
@@ -146,6 +200,28 @@ def accepted_values(column: str, values, min_frac: float = 1.0) -> Rule:
     return Rule(
         "accepted_values", column, values=tuple(values), min_frac=min_frac
     )
+
+
+def schema_matches(reference) -> Rule:
+    """Declarative form of :func:`schema_diff` for the constraint gate:
+    ``measured`` is the fraction of columns (union of both schemas) whose
+    name AND type match; ``passed`` requires exactly 1.0. Pure metadata —
+    contributes nothing to the gate's single scan. ``reference`` as in
+    :func:`schema_diff` (DDL string / StructType / name→type dict)."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(reference, StructType):
+        ref = tuple(
+            (f.name, f.dataType.simpleString()) for f in reference.fields
+        )
+    elif isinstance(reference, dict):
+        ref = tuple((str(k), str(v).lower()) for k, v in reference.items())
+    else:
+        parsed = StructType.fromDDL(str(reference))
+        ref = tuple(
+            (f.name, f.dataType.simpleString()) for f in parsed.fields
+        )
+    return Rule("schema_matches", "*", values=ref)
 
 
 def freshness(column: str, max_lag_minutes: float, as_of: str) -> Rule:
@@ -298,6 +374,8 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
         elif rule.kind == "freshness":
             aggs.append(F.max(col).alias(f"_r{i}"))
             continue
+        elif rule.kind == "schema_matches":
+            continue  # pure metadata — no scan contribution
         else:
             raise ValueError(f"unknown rule kind {rule.kind!r}")
         aggs.append(F.sum(ok.cast("long")).alias(f"_r{i}"))
@@ -331,6 +409,18 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 (rule.name(), bool(measured <= threshold), measured,
                  threshold)
             )
+            continue
+        if rule.kind == "schema_matches":
+            # fraction of union-columns matching by (name, type); the
+            # gate passes only on exact schema equality
+            ref = dict(rule.values or ())
+            cur = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
+            union = set(ref) | set(cur)
+            n_match = sum(1 for c in union if ref.get(c) == cur.get(c))
+            measured = round(n_match / len(union), 6) if union else 1.0
+            out.append((rule.name(), measured >= 1.0, measured, 1.0))
             continue
         if rule.kind == "unique":
             nn = int(r[f"_nn{i}"])

@@ -23,6 +23,7 @@ codegen'd JVM loops — no Python in the hot path):
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -416,6 +417,108 @@ def assign_to_seeds(
     )
 
 
+def assign_to_seeds_two_level(
+    corpus: FeatureTable,
+    seeds: DataFrame,
+    n_coarse: int | None = None,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    seed_id: str = "seed_id",
+    seed_vec: str = "seed_vec",
+) -> DataFrame:
+    """Two-level nearest-seed assignment — the scale path for
+    :func:`assign_to_seeds` once the seed count k grows with the corpus
+    (SemDeDup's k ∝ n contract): the brute broadcast scan scores n·k
+    cosines, O(n²) when k ∝ n (measured: the 48× scale-probe tail,
+    SCALEPROBE.md finding 3).
+
+    Route each vector through a coarse quantizer over the SEEDS — the
+    first ``n_coarse`` seeds by id (default ⌈√k⌉), the same
+    deterministic-subset seeding everywhere else in E3 — then score only
+    the probed groups' seeds: n·(G + k/G)·nprobe cosines ≈ 2n√k at the
+    default, the IVF trade applied to assignment. Deterministic given
+    (seeds, n_coarse, nprobe) — this is a RESTRICTION of the argmax to
+    probed groups, not a randomized approximation — so a SQL engine
+    replays it bit-for-bit; like IVF search, a vector whose true nearest
+    seed lives in an unprobed group gets its best PROBED seed (raise
+    ``nprobe`` to trade compute for assignment recall; ``nprobe >= G``
+    degenerates to the exact scan).
+
+    Output schema equals :func:`assign_to_seeds`:
+    (key, _v, cluster, seed_cos); ties -> lowest seed id at both levels.
+    The per-vector argmax is a map-side-partial max over a
+    (cos, -seed_id) struct — no window sort, the exchange carries one
+    row per vector.
+    """
+    idc = corpus.key
+    if idc is None:
+        raise ValueError("assign_to_seeds_two_level needs a keyed table")
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    s = seeds.select(
+        F.col(seed_id).cast("long").alias("_sid"),
+        F.col(seed_vec).cast("array<double>").alias("_sv"),
+    ).persist()
+    k = s.count()
+    if k == 0:
+        raise ValueError("assign_to_seeds_two_level needs >= 1 seed")
+    if n_coarse is None:
+        n_coarse = max(1, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    coarse_rows = sorted(
+        (int(r["_sid"]), [float(x) for x in r["_sv"]])
+        for r in s.orderBy("_sid").limit(n_coarse).collect()
+    )
+    # level 1: every seed joins its nearest coarse group (k × G, tiny)
+    grouped = s.withColumn(
+        "_grp", nearest_cells(coarse_rows, "_sv", 1)[0]
+    )
+    # duplicate seed vectors can leave a coarse center's own group empty
+    # (its seed ties at cos 1.0 with a lower-id center); probing an
+    # empty group would strand a vector, so the probe set is the
+    # NON-EMPTY groups — G ids, one tiny distinct
+    live = sorted(
+        int(r["_grp"]) for r in grouped.select("_grp").distinct().collect()
+    )
+    probe_rows = [(g, v) for g, v in coarse_rows if g in set(live)]
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    )
+    probed = emb.withColumn(
+        "_grp", F.explode(nearest_cells(probe_rows, "_v", nprobe))
+    )
+    scored = probed.join(F.broadcast(grouped), "_grp").select(
+        idc,
+        "_v",
+        "_sid",
+        cosine_similarity(F.col("_v"), F.col("_sv")).alias("_cos"),
+    )
+    # argmax by (cos desc, sid asc) as ONE map-side-partial max: struct
+    # compare is lexicographic, (cos, -sid) is unique per (vector, seed),
+    # so the trailing payload fields can never decide a comparison
+    best = scored.groupBy(idc).agg(
+        F.max(
+            F.struct(
+                F.col("_cos"),
+                (-F.col("_sid")).alias("_neg"),
+                F.col("_sid"),
+                F.col("_v"),
+            )
+        ).alias("_b")
+    )
+    return attach_cached(
+        best.select(
+            F.col(idc),
+            F.col("_b._v").alias("_v"),
+            F.col("_b._sid").alias("cluster"),
+            F.col("_b._cos").alias("seed_cos"),
+        ),
+        [s],
+    )
+
+
 def semdedup_prune(
     corpus: FeatureTable,
     seeds: DataFrame,
@@ -423,6 +526,9 @@ def semdedup_prune(
     vec_col: str = "embedding",
     seed_id: str = "seed_id",
     seed_vec: str = "seed_vec",
+    two_level: bool = False,
+    n_coarse: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
     cluster by nearest seed, then inside each cluster drop any vector whose
@@ -436,6 +542,16 @@ def semdedup_prune(
     Pruning against lower ids (not "any member") makes the kept set
     deterministic and order-insensitive — exactly one survivor per dup
     group, no tie-break races.
+
+    ``two_level=True`` swaps the brute n·k nearest-seed scan for
+    :func:`assign_to_seeds_two_level` (coarse-probed assignment,
+    ~2n√k·nprobe cosines) — the spelling for the k ∝ n regime where the
+    brute assignment is O(n²) (SCALEPROBE.md finding 3). Cluster
+    membership can differ from the exact scan exactly where IVF search
+    differs from brute force (a vector whose true nearest seed lives in
+    an unprobed group); the within-cluster prune semantics are
+    unchanged, and the whole composition stays deterministic and
+    SQL-replayable (``semdedup_two_level`` gate).
     """
     idc = corpus.key
     # persist the assignment: it feeds BOTH self-join sides and the final
@@ -443,9 +559,19 @@ def semdedup_prune(
     # projection runs three times (r7: 9.5s -> ~4s at sf0.1). Release
     # with unpersist_cached after the caller's action; cluster spelling
     # = checkpoint the assignment to parquet.
-    assigned = assign_to_seeds(
-        corpus, seeds, vec_col=vec_col, seed_id=seed_id, seed_vec=seed_vec
-    ).persist()
+    extra_cached: list[DataFrame] = []
+    if two_level:
+        assigned = assign_to_seeds_two_level(
+            corpus, seeds, n_coarse=n_coarse, nprobe=nprobe,
+            vec_col=vec_col, seed_id=seed_id, seed_vec=seed_vec,
+        )
+        extra_cached = list(getattr(assigned, "_ralf_cached", []))
+        assigned = assigned.persist()
+    else:
+        assigned = assign_to_seeds(
+            corpus, seeds, vec_col=vec_col, seed_id=seed_id,
+            seed_vec=seed_vec,
+        ).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     pruned_ids = (
         a.join(
@@ -468,7 +594,7 @@ def semdedup_prune(
             F.coalesce(F.col("_p"), F.lit(False)).alias("pruned"),
         )
     )
-    return attach_cached(out, [assigned])
+    return attach_cached(out, [assigned, *extra_cached])
 
 
 def knn_graph(

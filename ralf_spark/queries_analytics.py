@@ -707,6 +707,60 @@ def events_freshness_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_constraints(ev.df, rules).orderBy("rule")
 
 
+#: yesterday's events contract, with three deliberate drifts vs the real
+#: table: `value` recorded as float (type change), `session_id` present
+#: (dropped since), `props` absent (added since)
+_SCHEMA_REF = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint,"
+    " event_type string, value float, session_id bigint"
+)
+
+
+@query(
+    "events_schema_drift",
+    """
+    WITH cur AS (
+      SELECT column_name AS col,
+             CASE lower(column_type)
+               WHEN 'bigint' THEN 'bigint'
+               WHEN 'varchar' THEN 'string'
+               WHEN 'double' THEN 'double'
+               WHEN 'float' THEN 'float'
+               WHEN 'timestamp' THEN 'timestamp_ntz'
+               ELSE lower(column_type)
+             END AS cur_type
+      FROM (DESCRIBE SELECT * FROM events)
+    ),
+    ref(col, ref_type) AS (VALUES
+      ('event_id', 'bigint'), ('ts', 'timestamp_ntz'),
+      ('user_id', 'bigint'), ('event_type', 'string'),
+      ('value', 'float'), ('session_id', 'bigint')
+    )
+    SELECT coalesce(r.col, c.col) AS "column",
+           CASE WHEN r.col IS NULL THEN 'added'
+                WHEN c.col IS NULL THEN 'dropped'
+                WHEN r.ref_type <> c.cur_type THEN 'type_changed'
+                ELSE 'match' END AS status,
+           r.ref_type, c.cur_type
+    FROM ref r FULL OUTER JOIN cur c ON r.col = c.col
+    ORDER BY "column"
+    """,
+)
+def events_schema_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift gate (r8, VERDICT r7 #7): column added / dropped /
+    type-changed vs yesterday's contract — pure metadata, zero scan
+    (``operators.quality.schema_diff``). The fixture contract drifts in
+    all three directions: ``props`` was added, ``session_id`` dropped,
+    ``value`` widened float→double. The reference's Schema check is the
+    name-set half of this (``ralf/record.py:36-42``); the oracle
+    replays the diff from DuckDB's catalog metadata (DESCRIBE), types
+    normalized to Spark's simpleString names."""
+    from ralf_spark.operators.quality import schema_diff
+
+    ev = _t(spark, sf_dir, "events")
+    return schema_diff(ev.df, _SCHEMA_REF).orderBy("column")
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

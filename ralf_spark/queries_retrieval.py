@@ -129,6 +129,82 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(emb, seeds, threshold=0.4).orderBy("vec_id")
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@query(
+    "semdedup_two_level",
+    f"""
+    WITH s AS (
+      SELECT vec_id AS sid, embedding::DOUBLE[] AS sv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (  -- coarse quantizer: first ceil(sqrt(8)) = 3 seeds by id
+      SELECT sid AS gid, sv AS cv FROM s ORDER BY sid LIMIT 3
+    ),
+    g AS (  -- level 1: every seed joins its max-cos coarse group
+      SELECT sid, sv, gid AS grp FROM (
+        SELECT s.sid, s.sv, c.gid,
+               row_number() OVER (
+                 PARTITION BY s.sid
+                 ORDER BY {_cos_sql('s.sv', 'c.cv')} DESC, c.gid
+               ) AS rk
+        FROM s, c
+      ) WHERE rk = 1
+    ),
+    vg AS (  -- each vector probes its nearest NON-EMPTY group
+      SELECT vec_id, v, grp FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.gid AS grp,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding::DOUBLE[]', 'c.cv')}
+                          DESC, c.gid
+               ) AS rk
+        FROM embeddings e, c
+        WHERE c.gid IN (SELECT DISTINCT grp FROM g)
+      ) WHERE rk = 1
+    ),
+    assigned AS (  -- level 2: argmax over the probed group's seeds only
+      SELECT vec_id, v, sid AS cluster FROM (
+        SELECT vg.vec_id, vg.v, g.sid,
+               row_number() OVER (
+                 PARTITION BY vg.vec_id
+                 ORDER BY {_cos_sql('vg.v', 'g.sv')} DESC, g.sid
+               ) AS rk
+        FROM vg JOIN g ON vg.grp = g.grp
+      ) WHERE rk = 1
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+    )
+    SELECT a.vec_id, a.cluster,
+           (a.vec_id IN (SELECT vec_id FROM pruned)) AS pruned
+    FROM assigned a ORDER BY a.vec_id
+    """,
+)
+def semdedup_two_level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the two-level (coarse-probed) nearest-seed
+    assignment (r8, SCALEPROBE.md finding 3): the k ∝ n scale spelling —
+    assignment costs ~2n√k cosines instead of n·k. Deterministic
+    restriction of the argmax, so the whole composition (coarse argmax →
+    within-group argmax → pair prune) replays bit-for-bit in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("seed_vec"),
+    )
+    return semdedup_prune(
+        emb, seeds, threshold=0.4, two_level=True
+    ).orderBy("vec_id")
+
+
 @query(
     "hard_negative_mining",
     f"""

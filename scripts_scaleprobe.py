@@ -286,7 +286,7 @@ def op_sliding_explode(spark, m: int):
     ).df
 
 
-def _semdedup(spark, m: int, k: int):
+def _semdedup(spark, m: int, k: int, **kw):
     from ralf_spark.operators.similarity import semdedup_prune
     from ralf_spark.table import FeatureTable
 
@@ -299,7 +299,7 @@ def _semdedup(spark, m: int, k: int):
         .selectExpr("vec_id AS seed_id", "embedding AS seed_vec")
     )
     return semdedup_prune(
-        FeatureTable(emb, key="vec_id"), seeds, threshold=0.9
+        FeatureTable(emb, key="vec_id"), seeds, threshold=0.9, **kw
     )
 
 
@@ -311,6 +311,14 @@ def op_semdedup_k_sqrt(spark, m: int):
     return _semdedup(spark, m, k=max(8, int(math.sqrt(BASE_VECS * m))))
 
 
+def op_semdedup_two_level(spark, m: int):
+    """k ∝ n with the coarse-probed assignment (r8 fix): ~2n√k cosines
+    instead of the brute n·k scan."""
+    return _semdedup(
+        spark, m, k=max(8, BASE_VECS * m // 250), two_level=True
+    )
+
+
 OPS = {
     "lsh_near_dup": (op_lsh_near_dup, "documents", 1.0),
     "simhash_pairs": (op_simhash_pairs, "documents", 2.0),
@@ -319,6 +327,7 @@ OPS = {
     "sliding_explode": (op_sliding_explode, "events", 1.0),
     "semdedup_k_lin": (op_semdedup_k_lin, "embeddings", 1.0),
     "semdedup_k_sqrt": (op_semdedup_k_sqrt, "embeddings", 1.5),
+    "semdedup_two_level": (op_semdedup_two_level, "embeddings", 1.0),
 }
 
 
@@ -335,10 +344,73 @@ def _fit_exponent(mults: list[int], vals: list[float]) -> float | None:
     return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 2)
 
 
+def candidate_volumes(mults: list[int]) -> dict:
+    """Σ_buckets C(size, 2) for both SimHash banding configs — the raw
+    quantity the collision floor inflates, measured without running the
+    join (one groupBy per config)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.text_analysis import simhash_fingerprints_agg
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict[str, int]] = {}
+    try:
+        for m in mults:
+            docs = spark.read.parquet(_docs_path(m))
+            ids = docs.select(
+                F.col("doc_id").alias("_id"), F.col("text").alias("_text")
+            )
+            fp = (
+                simhash_fingerprints_agg(
+                    ids, id_col="_id", text_col="_text",
+                    bits=48, shingle_n=3, hash_fn="xxhash64",
+                )
+                .select("_id", F.col("fp").alias("_fp"))
+                .where(F.col("_fp") != 0)
+                .persist()
+            )
+            for blocks in (4, 6):
+                base, rem = divmod(48, blocks)
+                widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+                offsets = [sum(widths[:i]) for i in range(blocks)]
+                combos = list(itertools.combinations(range(blocks), blocks - 3))
+                entries = []
+                for t, c in enumerate(combos):
+                    key = F.lit(0).cast("long")
+                    shift = 0
+                    for i in c:
+                        key = key.bitwiseOR(F.shiftleft(
+                            F.shiftright("_fp", offsets[i]).bitwiseAND(
+                                F.lit((1 << widths[i]) - 1)
+                            ), shift))
+                        shift += widths[i]
+                    entries.append(
+                        F.struct(F.lit(t).alias("band"), key.alias("key"))
+                    )
+                b = fp.select(
+                    "_id", F.explode(F.array(*entries)).alias("_b")
+                ).select("_id", "_b.band", "_b.key")
+                n = b.groupBy("band", "key").agg(
+                    F.count("*").alias("sz")
+                ).agg(F.sum(F.expr("sz*(sz-1)/2"))).first()[0]
+                out.setdefault(f"simhash_blocks{blocks}", {})[str(m)] = int(n)
+                print(f"# candidates x{m} blocks={blocks}: {int(n)}",
+                      flush=True)
+            fp.unpersist()
+    finally:
+        spark.stop()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,4,16,48")
     ap.add_argument("--ops", default=",".join(OPS))
+    ap.add_argument("--candidates", action="store_true",
+                    help="measure SimHash candidate volumes instead")
     args = ap.parse_args()
     mults = [int(x) for x in args.mults.split(",")]
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
@@ -351,6 +423,17 @@ def main() -> None:
         gen_events(m)
         gen_embeddings(m)
         print(f"# fixtures x{m} ready", flush=True)
+
+    if args.candidates:
+        vols = candidate_volumes(mults)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data["simhash_candidate_volumes"] = vols
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(vols, indent=1))
+        return
 
     out: dict[str, dict] = {}
     spark = _session()

@@ -266,3 +266,61 @@ def test_freshness_rule_lag_and_failure_modes(spark):
         empty, [freshness("ts", 60.0, "2024-01-01 12:00:00")]
     ).collect()[0]
     assert (r.passed, r.measured) == (False, None)
+
+
+def test_schema_diff_all_directions(spark):
+    """r8 (VERDICT r7 #7): added / dropped / type_changed / match rows,
+    ordered by column; pure metadata (accepts every reference form)."""
+    from pyspark.sql.types import StructType
+
+    from ralf_spark.operators.quality import schema_diff
+
+    df = _df(spark)  # id long, cat string, v double
+    ref_ddl = "id bigint, cat int, gone string"
+    want = [
+        ("cat", "type_changed", "int", "string"),
+        ("gone", "dropped", "string", None),
+        ("id", "match", "bigint", "bigint"),
+        ("v", "added", None, "double"),
+    ]
+    for ref in (
+        ref_ddl,
+        StructType.fromDDL(ref_ddl),
+        {"id": "BIGINT", "cat": "int", "gone": "string"},
+    ):
+        got = [
+            (r.column, r.status, r.ref_type, r.cur_type)
+            for r in schema_diff(df, ref).collect()
+        ]
+        assert got == want, ref
+    # identical schemas: all match, empty diff after the filter
+    same = schema_diff(df, df.schema)
+    assert {r.status for r in same.collect()} == {"match"}
+    assert same.where("status != 'match'").count() == 0
+
+
+def test_schema_matches_rule_composes_with_scan_rules(spark):
+    """The declarative form rides in check_constraints without adding
+    any scan work: measured = matching fraction over the column union,
+    passed only at exactly 1.0."""
+    from ralf_spark.operators.quality import schema_matches
+
+    df = _df(spark)
+    rows = {
+        r.rule: r
+        for r in check_constraints(
+            df,
+            [
+                not_null("id"),
+                schema_matches("id bigint, cat string, v double"),
+                schema_matches("id bigint, cat int, gone string"),
+            ],
+        ).collect()
+    }
+    ok = [r for r in rows.values() if r.measured == 1.0
+          and r.rule.startswith("schema_matches")]
+    assert len(ok) == 1 and ok[0].passed
+    # drifted reference: union = {id, cat, v, gone}, only id matches
+    bad = [r for r in rows.values() if r.measured == 0.25]
+    assert len(bad) == 1 and not bad[0].passed
+    assert rows["not_null(id)"].passed  # scan rules unaffected

@@ -163,6 +163,78 @@ def test_semdedup_seed_join_is_broadcast(spark):
     assert "broadcast" in plan.lower()
 
 
+def test_assign_two_level_matches_brute_and_probes_nearest_group(spark):
+    """r8 (SCALEPROBE finding 3): the coarse-probed assignment. With
+    well-separated groups (or nprobe >= G) it equals the brute argmax;
+    output schema and tie rules match assign_to_seeds exactly."""
+    from ralf_spark.operators.similarity import assign_to_seeds_two_level
+
+    # 9 seeds in three angular clumps; coarse = first ceil(sqrt(9)) = 3
+    # seeds by id = one per clump
+    seeds = spark.createDataFrame(
+        [(0, _unit(0.0)), (1, _unit(1.5)), (2, _unit(3.0)),
+         (3, _unit(0.05)), (4, _unit(0.10)), (5, _unit(1.55)),
+         (6, _unit(1.60)), (7, _unit(3.05)), (8, _unit(3.10))],
+        "seed_id long, seed_vec array<double>",
+    )
+    corpus = _emb(
+        spark,
+        [(10, "x", _unit(0.07)), (11, "x", _unit(1.52)),
+         (12, "x", _unit(3.08)), (13, "x", _unit(0.02))],
+    )
+    brute = {
+        (r.vec_id, r.cluster, round(r.seed_cos, 9))
+        for r in assign_to_seeds(corpus, seeds).collect()
+    }
+    two = {
+        (r.vec_id, r.cluster, round(r.seed_cos, 9))
+        for r in assign_to_seeds_two_level(corpus, seeds).collect()
+    }
+    assert two == brute
+    # nprobe >= G always degenerates to the exact scan regardless of
+    # cluster separation
+    allp = {
+        (r.vec_id, r.cluster, round(r.seed_cos, 9))
+        for r in assign_to_seeds_two_level(
+            corpus, seeds, nprobe=3
+        ).collect()
+    }
+    assert allp == brute
+    # and semdedup_prune(two_level=True) composes it end-to-end
+    from ralf_spark.operators.similarity import semdedup_prune
+
+    rows = {
+        r.vec_id: (r.cluster, r.pruned)
+        for r in semdedup_prune(
+            corpus, seeds, 0.999, two_level=True
+        ).collect()
+    }
+    assert set(rows) == {10, 11, 12, 13}
+
+
+def test_assign_two_level_survives_duplicate_seed_vectors(spark):
+    """Duplicate seed vectors can empty a coarse center's own group (its
+    seed ties at cos 1.0 with a lower-id center); the probe set must
+    restrict to NON-EMPTY groups so no vector strands."""
+    from ralf_spark.operators.similarity import assign_to_seeds_two_level
+
+    seeds = spark.createDataFrame(
+        [(0, _unit(0.0)), (1, _unit(0.0)), (2, _unit(0.0)),
+         (3, _unit(1.5))],
+        "seed_id long, seed_vec array<double>",
+    )
+    corpus = _emb(spark, [(10, "x", _unit(0.01)), (11, "x", _unit(1.49))])
+    rows = {
+        r.vec_id: r.cluster
+        for r in assign_to_seeds_two_level(
+            corpus, seeds, n_coarse=3, nprobe=1
+        ).collect()
+    }
+    # every vector assigned; ties at cos 1.0 go to the lowest seed id
+    assert set(rows) == {10, 11}
+    assert rows[10] == 0
+
+
 # --------------------------------------------------------- hard negatives
 def test_hard_negatives_excludes_same_label(spark):
     corpus = _emb(
