@@ -15,10 +15,20 @@ mismatch with quantization loss (both reported honestly).
 
 Run: ``python scripts_ann_recall.py`` (sf0.1 embeddings, 2000x64-dim,
 100 query vectors, k=10).
+
+``--clustered`` (r8, VERDICT r7 #4) swaps the fixture for a seeded
+mixture-of-Gaussians set of the same shape (2000x64, 10 well-separated
+centers, sigma 0.3/dim -> intra-cluster distance ~2.4 vs inter-center
+~11.3): the regime the IVF/PQ family's premise actually targets. On the
+structureless fixture the r7 tables honestly showed recall ceilings of
+0.23-0.70 — proving knob response, not discrimination; the clustered run
+demonstrates the family recovers ~1.0 recall where cluster structure
+exists (committed table in BENCH_NOTES r8).
 """
 
 from __future__ import annotations
 
+import sys
 import time
 
 from pyspark.sql import functions as F
@@ -39,11 +49,36 @@ K = 10
 N_QUERIES = 100
 
 
+def _clustered_embeddings(spark):
+    """Deterministic mixture-of-Gaussians, fixture-shaped: 2000 vectors,
+    64 dims, 10 centers drawn N(0,1), per-dim noise sigma=0.3. The label
+    column carries the TRUE cluster id, so the label-seeded kmeans /
+    codebook recipes below train on honest structure."""
+    import numpy as np
+
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(20240)
+    n, dim, k_true = 2000, 64, 10
+    centers = rng.randn(k_true, dim)
+    labels = rng.randint(0, k_true, size=n)
+    X = (centers[labels] + 0.3 * rng.randn(n, dim)).round(4)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), int(labels[i])) for i in range(n)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    return FeatureTable(df, key="vec_id")
+
+
 def main() -> None:
     spark = get_spark(app_name="ann_recall",
                       extra_confs={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_fixture(spark, "embeddings", SF_DIR)
+    if "--clustered" in sys.argv:
+        print("# clustered mixture-of-Gaussians set (seed 20240)")
+        emb = _clustered_embeddings(spark)
+    else:
+        emb = load_fixture(spark, "embeddings", SF_DIR)
     queries = (
         emb.df.orderBy(F.rand(11)).limit(N_QUERIES)
         .select(F.col("vec_id").alias("query_id"),
@@ -88,7 +123,12 @@ def main() -> None:
                   f"| {base:.3f} | {wall:.2f}s |")
 
     # PQ rows: codebooks trained by per-subspace Lloyd's on label seeds,
-    # m=4 subspaces of 16 dims, k codes = 10 (the gate recipe, fitted)
+    # m=4 subspaces of 16 dims, k codes = 10 (the gate recipe, fitted).
+    # On CLUSTERED data 10 codes ≈ cluster count, so every member of a
+    # cluster quantizes to the same code tuple and ADC cannot rank
+    # WITHIN a cluster (recall ~ k/cluster_size by construction) — the
+    # 64-code block below is the resolution that matters in production
+    # (FAISS default is 256 codes/subspace).
     seeds = (
         emb.df.groupBy("label")
         .agg(F.min_by("embedding", "vec_id").alias("cv"))
@@ -104,6 +144,20 @@ def main() -> None:
         for j in range(m)
     ]
     books = pq_fit(emb, init_books, max_iter=10)
+
+    # higher-resolution codebooks: 64 codes/subspace, init from the
+    # first 64 vectors' subvectors (deterministic), Lloyd-fitted
+    first64 = (
+        emb.df.orderBy("vec_id").limit(64)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    init_books64 = [
+        [[float(x) for x in r["v"]][j * dsub:(j + 1) * dsub]
+         for r in first64]
+        for j in range(m)
+    ]
+    books64 = pq_fit(emb, init_books64, max_iter=10)
 
     def recall_of(got, base=None):
         base = base if base is not None else truth
@@ -136,23 +190,27 @@ def main() -> None:
         .where(F.col("rank") <= K)
     )
 
-    t0 = time.perf_counter()
-    got = topk_set(pq_adc_topk(emb, queries, books, k=K))
-    wall = time.perf_counter() - t0
-    print(f"| PQ m={m} ADC vs L2 truth (quantization loss only) "
-          f"| {recall_of(got, l2_truth):.3f} | — | {wall:.2f}s |")
-    print(f"| PQ m={m} ADC vs cosine truth (+ metric mismatch) "
-          f"| {recall_of(got):.3f} | — | |")
-
     from ralf_spark.operators.similarity import exact_rerank
 
-    for r_short in (20, 50):
+    for label, bks in ((f"{len(init_books[0])} codes", books),
+                       ("64 codes", books64)):
         t0 = time.perf_counter()
-        shortlist = pq_adc_topk(emb, queries, books, k=r_short)
-        got = topk_set(exact_rerank(shortlist, emb, queries, k=K))
+        got = topk_set(pq_adc_topk(emb, queries, bks, k=K))
         wall = time.perf_counter() - t0
-        print(f"| PQ ADC top-{r_short} + exact cosine rerank "
-              f"| {recall_of(got):.3f} | — | {wall:.2f}s |")
+        print(f"| PQ m={m} {label} ADC vs L2 truth (quantization only) "
+              f"| {recall_of(got, l2_truth):.3f} | — | {wall:.2f}s |")
+        print(f"| PQ m={m} {label} ADC vs cosine truth (+ metric mismatch) "
+              f"| {recall_of(got):.3f} | — | |")
+        # rerank width is THE recall knob once codes resolve clusters:
+        # inside a Gaussian blob all ~200 members are nearly equidistant
+        # (distance concentration), so the shortlist must cover the blob
+        for r_short in (20, 50, 200):
+            t0 = time.perf_counter()
+            shortlist = pq_adc_topk(emb, queries, bks, k=r_short)
+            got = topk_set(exact_rerank(shortlist, emb, queries, k=K))
+            wall = time.perf_counter() - t0
+            print(f"| PQ {label} ADC top-{r_short} + exact cosine rerank "
+                  f"| {recall_of(got):.3f} | — | {wall:.2f}s |")
 
     cen10 = kmeans_fit(
         emb,
@@ -162,25 +220,31 @@ def main() -> None:
                 "centroid_vec"),
         max_iter=10,
     )
-    for nprobe in (1, 2, 4):
-        t0 = time.perf_counter()
-        got = topk_set(
-            ivf_pq_topk(emb, queries, cen10, books, k=K, nprobe=nprobe)
-        )
-        wall = time.perf_counter() - t0
-        print(f"| IVF-PQ 10 cells, nprobe={nprobe}, m={m} "
-              f"| {recall_of(got):.3f} | {nprobe / 10:.3f} | {wall:.2f}s |")
+    for blabel, bks in ((f"{len(init_books[0])} codes", books),
+                        ("64 codes", books64)):
+        for nprobe in (1, 2, 4):
+            t0 = time.perf_counter()
+            got = topk_set(
+                ivf_pq_topk(emb, queries, cen10, bks, k=K, nprobe=nprobe)
+            )
+            wall = time.perf_counter() - t0
+            print(f"| IVF-PQ 10 cells, nprobe={nprobe}, m={m}, {blabel} "
+                  f"| {recall_of(got):.3f} | {nprobe / 10:.3f} "
+                  f"| {wall:.2f}s |")
 
-    # the full production composition: IVF prune -> ADC shortlist ->
-    # exact cosine rerank (recall bounded by the probed cells, i.e. the
-    # matching IVF row above is its ceiling)
-    for nprobe in (1, 4):
-        t0 = time.perf_counter()
-        short = ivf_pq_topk(emb, queries, cen10, books, k=50, nprobe=nprobe)
-        got = topk_set(exact_rerank(short, emb, queries, k=K))
-        wall = time.perf_counter() - t0
-        print(f"| IVF-PQ nprobe={nprobe} top-50 + exact rerank "
-              f"| {recall_of(got):.3f} | {nprobe / 10:.3f} | {wall:.2f}s |")
+        # the full production composition: IVF prune -> ADC shortlist ->
+        # exact cosine rerank (recall bounded by the probed cells, i.e.
+        # the matching IVF row above is its ceiling)
+        for nprobe in (1, 4):
+            t0 = time.perf_counter()
+            short = ivf_pq_topk(
+                emb, queries, cen10, bks, k=50, nprobe=nprobe
+            )
+            got = topk_set(exact_rerank(short, emb, queries, k=K))
+            wall = time.perf_counter() - t0
+            print(f"| IVF-PQ nprobe={nprobe} top-50 + exact rerank, "
+                  f"{blabel} | {recall_of(got):.3f} | {nprobe / 10:.3f} "
+                  f"| {wall:.2f}s |")
     spark.stop()
 
 
