@@ -40,6 +40,10 @@ from ralf_spark.streaming.sources import (
     kinesis_events,
     rate_events,
 )
+from ralf_spark.streaming.chained import (
+    chained_window_change,
+    tws_available,
+)
 from ralf_spark.streaming.joins import (
     streaming_asof_enrich,
 )
@@ -61,6 +65,8 @@ __all__ = [
     "kafka_events",
     "kinesis_events",
     "rate_events",
+    "chained_window_change",
+    "tws_available",
     "streaming_asof_enrich",
     "streaming_change_detection_filter",
     "cms_upsert_batch",

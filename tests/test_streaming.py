@@ -2148,3 +2148,147 @@ def test_streaming_count_window_docstrings_present():
     for fn in (streaming_tumbling_count_window,
                streaming_sliding_count_window):
         assert fn.__doc__ and "idle_ttl_minutes" in fn.__doc__
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def _chained_reference(batches, size, threshold):
+    """Independent reference: run the WINDOW loop then the CHANGE loop
+    as two separate passes (the composed-pipeline semantics)."""
+    windows = []
+    wid, buf = 0, []
+    for batch in batches:
+        for _, v in sorted(batch):
+            buf.append(float(v))
+            if len(buf) == size:
+                windows.append((wid, float(sum(buf))))
+                wid += 1
+                buf = []
+    out, last = [], None
+    for w, s in windows:
+        if last is None or abs(s - last) >= threshold:
+            out.append((w, s))
+            last = s
+    return out
+
+
+def test_chained_processor_equals_composed_stages_any_batching():
+    """r8 (VERDICT r7 #3): the transformWithStateInPandas processor —
+    window buffer + change baseline as TWO state variables in ONE
+    operator — must emit exactly what the composed two-stage pipeline
+    emits, for any micro-batch split (state carries across batches).
+    Driven through a fake handle so the logic is verified in-process;
+    the Spark integration run is gated on a protobuf-capable runtime."""
+    import pandas as pd
+
+    from ralf_spark.streaming.chained import make_window_change_processor
+
+    rows = [(i, float(((i * 7919) % 97) - 48)) for i in range(137)]
+    size, threshold = 5, 60.0
+    want = _chained_reference([rows], size, threshold)
+    assert len(want) > 2  # the policy must shed something AND emit some
+    assert len(want) < len(rows) // size
+
+    for n_chunks in (1, 3, 7):
+        proc = make_window_change_processor(
+            size, threshold, "user_id", "value", "event_id"
+        )
+        proc.init(_FakeHandle())
+        step = max(1, len(rows) // n_chunks)
+        got = []
+        for lo in range(0, len(rows), step):
+            chunk = rows[lo:lo + step]
+            pdf = pd.DataFrame(
+                {"event_id": [r[0] for r in chunk],
+                 "value": [r[1] for r in chunk]}
+            )
+            for frame in proc.handleInputRows((7,), [pdf], None):
+                got.extend(
+                    (int(w), float(s))
+                    for w, s in zip(frame["window_id"], frame["w_sum"])
+                )
+        assert got == want, n_chunks
+
+
+def test_chained_window_change_spark_integration(spark, tmp_path):
+    """Env-gated (like the real-backend suite): the single-query chained
+    spelling replays the SAME rows as the composed window->policy
+    pipeline. Skips where the runtime lacks google.protobuf."""
+    import pytest
+
+    from ralf_spark.streaming.chained import (
+        chained_window_change,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf "
+                    "(absent in this env; no network, no installs)")
+    import pyspark.sql.functions as F
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_change_detection_filter,
+        streaming_tumbling_count_window,
+        write_memory,
+    )
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_id", "user_id", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    schema = "event_id long, user_id long, value double"
+
+    win = streaming_tumbling_count_window(
+        file_events(spark, src, schema=schema), size=5
+    )
+    mid = str(tmp_path / "mid")
+    from ralf_spark.streaming import write_parquet
+    run_bounded(write_parquet(win, mid, str(tmp_path / "ck1")),
+                shuffle_partitions=4)
+    topic = spark.readStream.schema(
+        "user_id long, window_id long, w_sum double, w_avg double"
+    ).parquet(mid)
+    emitted = streaming_change_detection_filter(
+        topic, value_col="w_sum", key_col="user_id",
+        order_cols=("window_id",), threshold=120.0,
+    )
+    run_bounded(write_memory(emitted, "composed"),
+                checkpoint=str(tmp_path / "ck2"), shuffle_partitions=4)
+    want = {
+        (r.user_id, r.window_id, round(r.w_sum, 6))
+        for r in spark.table("composed").collect()
+    }
+
+    chained = chained_window_change(
+        file_events(spark, src, schema=schema), size=5, threshold=120.0
+    )
+    run_bounded(write_memory(chained, "chained"),
+                checkpoint=str(tmp_path / "ck3"), shuffle_partitions=4)
+    got = {
+        (r.user_id, r.window_id, round(r.w_sum, 6))
+        for r in spark.table("chained").collect()
+    }
+    assert got == want and len(got) > 0
