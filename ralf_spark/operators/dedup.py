@@ -265,26 +265,7 @@ def near_dup_pairs(
         .persist()
     )
 
-    # Verification prefilter (scale probe r8): only docs that appear in
-    # >=1 candidate pair need their shingle sets in the verify join. The
-    # raw spelling shuffled the FULL corpus-sized shingle table on BOTH
-    # join sides once the candidate set outgrew broadcast (48x probe:
-    # 2 x 102 MiB exchanges of 240k fat rows for 26k pairs); the
-    # semi-join keeps the corpus scan shuffle-free (candidate ids
-    # broadcast under AQE) and the verify exchanges proportional to
-    # CANDIDATE volume, which bounded dup-cluster sizes keep ∝ dups,
-    # not ∝ corpus.
-    # the id set is broadcast by contract (ids are 8 bytes and bounded
-    # dup rates keep the set ≪ corpus); if a corpus ever breaks that,
-    # drop the hint and the same plan shuffle-semi-joins, still correct
-    cand_ids = (
-        cand.select(F.col("id1").alias("_id"))
-        .unionByName(cand.select(F.col("id2").alias("_id")))
-        .distinct()
-    )
-    sh = docs.select(F.col("_id"), F.col("_sh")).join(
-        F.broadcast(cand_ids), "_id", "left_semi"
-    )
+    sh = _candidate_shingles(docs, cand)
     verified = (
         cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
         .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))
@@ -299,6 +280,30 @@ def near_dup_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return attach_cached(verified, [docs, buckets, cand])
+
+
+def _candidate_shingles(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Verification prefilter (scale probe r8, SCALEPROBE.md finding 1):
+    only docs that appear in >= 1 candidate pair carry their (fat)
+    shingle arrays into the exact-verification join. The raw spelling
+    shuffled the FULL corpus-sized shingle table on BOTH join sides once
+    the candidate set outgrew broadcast (48x probe: 2 x 102 MiB
+    exchanges of 240k fat rows for 26k pairs); the semi-join keeps the
+    corpus scan shuffle-free (candidate ids broadcast) and the verify
+    exchanges proportional to CANDIDATE volume, which bounded
+    dup-cluster sizes keep ∝ dups, not ∝ corpus. The id set is broadcast
+    by contract (8-byte ids, ≪ corpus under bounded dup rates); if a
+    corpus ever breaks that, drop the hint and the same plan
+    shuffle-semi-joins, still correct. ``cand`` must be persisted by the
+    caller — it feeds the pair join AND both id columns here."""
+    cand_ids = (
+        cand.select(F.col("id1").alias("_id"))
+        .unionByName(cand.select(F.col("id2").alias("_id")))
+        .distinct()
+    )
+    return docs.select(F.col("_id"), F.col("_sh")).join(
+        F.broadcast(cand_ids), "_id", "left_semi"
+    )
 
 
 def jaccard_pairs_inverted(
@@ -353,8 +358,10 @@ def jaccard_pairs_inverted(
         )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
+        .persist()  # pair join + both prefilter id columns
     )
-    sh = docs.select(F.col("_id"), F.col("_sh"))
+    cached.append(cand)
+    sh = _candidate_shingles(docs, cand)
     out = (
         cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
         .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))
@@ -844,8 +851,10 @@ def containment_pairs(
         )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
+        .persist()  # pair join + both prefilter id columns
     )
-    sh = docs.select(F.col("_id"), F.col("_sh"))
+    cached.append(cand)
+    sh = _candidate_shingles(docs, cand)
     scored = (
         cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
         .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))

@@ -28,6 +28,7 @@ oracle-checked like every other operator.
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass
 from typing import Any
 
@@ -49,6 +50,13 @@ def column_profile(
     ``exact_distinct=False`` swaps ``count_distinct`` for
     ``approx_count_distinct`` (HLL++) — the extreme-cardinality
     spelling; everything else is identical.
+
+    EAGER, unlike every other operator here: the single scan runs AT
+    CALL TIME (the per-table result row collects to the driver and
+    unpivots to one row per column — O(columns) driver traffic, fine at
+    any table size), so the returned DataFrame is a small local one.
+    Composing it into a larger lazy pipeline re-triggers nothing — it is
+    already computed. Same contract for :func:`check_constraints`.
     """
     if cols is None:
         cols = df.columns
@@ -355,6 +363,10 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     failing fraction really means duplicates), ``passed`` is
     ``measured >= threshold`` (unique requires exactly 1.0). Empty
     tables (and all-NULL columns under ``unique``) pass vacuously.
+
+    EAGER like :func:`column_profile`: the one scan runs at call time
+    and the returned verdict DataFrame is a small local one (one row per
+    rule) — already computed, nothing re-triggers downstream.
     """
     if not rules:
         raise ValueError("check_constraints needs at least one rule")
@@ -387,8 +399,6 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
             # measured = observed lag in MINUTES; smaller is better, so
             # passed = measured <= threshold (inverted vs the fraction
             # rules); empty/all-NULL FAILS (measured NULL) by contract
-            import datetime as _dt
-
             threshold = float(rule.hi)
             mx = r[f"_r{i}"]
             if mx is None:
