@@ -92,7 +92,10 @@ def test_near_dup_unpersist_cached_releases_storage(spark):
     t = _docs(spark, [(1, "a b c d e"), (2, "a b c d f")])
     out = near_dup_pairs(t)
     out.collect()
-    assert len(out._ralf_cached) == 2
+    # three persisted intermediates since r8: shingle projection, band
+    # buckets, and the candidate pairs (the verification prefilter reads
+    # the pair set three times)
+    assert len(out._ralf_cached) == 3
     assert all(df.storageLevel.useMemory for df in out._ralf_cached)
     unpersist_cached(out, blocking=True)
     assert not any(df.storageLevel.useMemory for df in out._ralf_cached)

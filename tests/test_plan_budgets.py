@@ -71,7 +71,10 @@ BUDGETS = {
     # the audited r6 values (12/24/0 and 2/4/0): a lost broadcast, an
     # extra pipeline-stage shuffle, or Python leaking into the chain
     # fails here before it ships as a composed-scan slowdown.
-    "curation_pipeline_end2end": (2, 13, 0),
+    # r8: +1 shuffle — the near-dup verification prefilter's candidate-id
+    # distinct (SCALEPROBE finding 1); it buys corpus-fat verify
+    # exchanges down to candidate volume
+    "curation_pipeline_end2end": (2, 14, 0),
     "feature_pipeline_end2end": (2, 4, 0),
 }
 
