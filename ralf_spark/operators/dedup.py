@@ -259,50 +259,68 @@ def near_dup_pairs(
         )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
-        # referenced three times below (the pair join + both id columns of
-        # the shingle prefilter); without the barrier the bucket self-join
-        # + distinct re-executes per reference
-        .persist()
     )
 
-    sh = _candidate_shingles(docs, cand)
     verified = (
-        cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
-        .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))
+        _verify_join(docs, cand)
         .select(
             "id1",
             "id2",
             (
-                F.size(F.array_intersect("s1._sh", "s2._sh"))
-                / F.size(F.array_union("s1._sh", "s2._sh"))
+                F.size(F.array_intersect("_sh1", "_sh2"))
+                / F.size(F.array_union("_sh1", "_sh2"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        # output barrier: pairs are tiny (∝ dups) and consumers (cluster
+        # closure, keep-best, the curation pipeline) reference the pair
+        # set several times — without it every reference re-executes the
+        # bucket join + verification chain (r8 A/B: 1.7x on consumers)
+        .persist()
     )
-    return attach_cached(verified, [docs, buckets, cand])
+    return attach_cached(verified, [docs, buckets, verified])
 
 
-def _candidate_shingles(docs: DataFrame, cand: DataFrame) -> DataFrame:
-    """Verification prefilter (scale probe r8, SCALEPROBE.md finding 1):
-    only docs that appear in >= 1 candidate pair carry their (fat)
-    shingle arrays into the exact-verification join. The raw spelling
-    shuffled the FULL corpus-sized shingle table on BOTH join sides once
-    the candidate set outgrew broadcast (48x probe: 2 x 102 MiB
-    exchanges of 240k fat rows for 26k pairs); the semi-join keeps the
-    corpus scan shuffle-free (candidate ids broadcast) and the verify
-    exchanges proportional to CANDIDATE volume, which bounded
-    dup-cluster sizes keep ∝ dups, not ∝ corpus. The id set is broadcast
-    by contract (8-byte ids, ≪ corpus under bounded dup rates); if a
-    corpus ever breaks that, drop the hint and the same plan
-    shuffle-semi-joins, still correct. ``cand`` must be persisted by the
-    caller — it feeds the pair join AND both id columns here."""
-    cand_ids = (
-        cand.select(F.col("id1").alias("_id"))
-        .unionByName(cand.select(F.col("id2").alias("_id")))
-        .distinct()
+def _verify_join(
+    docs: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Shuffle-free exact-verification join (scale probe r8, SCALEPROBE.md
+    finding 1): pair each candidate (id1, id2) with BOTH documents'
+    shingle sets without ever shuffling the corpus-sized shingle table.
+    The raw spelling joined candidates against the full ``docs``
+    projection twice; once the candidate set outgrew the broadcast
+    estimate the planner fell to SMJ and shuffled 2 x corpus-fat
+    exchanges (48x probe: 2 x 102 MiB of 240k fat rows for 26k pairs).
+
+    Spelling: two chained broadcast joins — broadcast the (slim)
+    candidate pairs into the shingle scan on id1, then broadcast the
+    HALF-JOINED result (pairs + one shingle array, ∝ candidates) into a
+    second shingle scan on id2. The corpus streams map-side through both
+    joins from the persisted projection; the only broadcast payloads are
+    candidate-proportional, which bounded dup-cluster sizes keep ∝ dups,
+    not ∝ corpus. Output: (id1, id2, _sh1, _sh2).
+
+    Tuning history (r8 A/B, BENCH_NOTES): a broadcast-SEMI prefilter of
+    the shingle table needed a SECOND execution of the candidate subtree
+    for its id set (two broadcast builds -> the bucket self-join shuffle
+    twice, 315 vs 171 MB/pass at 48x), and persisting ``cand`` to share
+    that work froze its size estimate (InMemoryRelation), flipping the
+    verify joins to SMJ at scale and adding 2.7x DRIVER-side latency on
+    composed consumers at sf0.1 (jobs ~1s, wall 6.4s — analyzed-plan
+    blow-up). The chained-broadcast spelling executes ``cand`` exactly
+    once, embeds it once, and persists nothing. If candidates ever
+    outgrow broadcast, drop the hints and the planner reverts to the SMJ
+    corpus shuffle — still correct."""
+    sh = docs.select(F.col("_id"), F.col("_sh"))
+    half = (
+        F.broadcast(cand)
+        .join(sh, F.col("id1") == F.col("_id"))
+        .select("id1", "id2", F.col("_sh").alias("_sh1"))
     )
-    return docs.select(F.col("_id"), F.col("_sh")).join(
-        F.broadcast(cand_ids), "_id", "left_semi"
+    return (
+        F.broadcast(half)
+        .join(sh, F.col("id2") == F.col("_id"))
+        .select("id1", "id2", "_sh1", F.col("_sh").alias("_sh2"))
     )
 
 
@@ -358,23 +376,21 @@ def jaccard_pairs_inverted(
         )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
-        .persist()  # pair join + both prefilter id columns
     )
-    cached.append(cand)
-    sh = _candidate_shingles(docs, cand)
     out = (
-        cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
-        .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))
+        _verify_join(docs, cand)
         .select(
             "id1",
             "id2",
             (
-                F.size(F.array_intersect("s1._sh", "s2._sh"))
-                / F.size(F.array_union("s1._sh", "s2._sh"))
+                F.size(F.array_intersect("_sh1", "_sh2"))
+                / F.size(F.array_union("_sh1", "_sh2"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .persist()  # output barrier, same rationale as near_dup_pairs
     )
+    cached.append(out)
     return attach_cached(out, cached)
 
 
@@ -851,19 +867,15 @@ def containment_pairs(
         )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
-        .persist()  # pair join + both prefilter id columns
     )
-    cached.append(cand)
-    sh = _candidate_shingles(docs, cand)
     scored = (
-        cand.join(sh.alias("s1"), F.col("id1") == F.col("s1._id"))
-        .join(sh.alias("s2"), F.col("id2") == F.col("s2._id"))
+        _verify_join(docs, cand)
         .select(
             "id1",
             "id2",
-            F.size(F.array_intersect("s1._sh", "s2._sh")).alias("_i"),
-            F.size("s1._sh").alias("_n1"),
-            F.size("s2._sh").alias("_n2"),
+            F.size(F.array_intersect("_sh1", "_sh2")).alias("_i"),
+            F.size("_sh1").alias("_n1"),
+            F.size("_sh2").alias("_n2"),
         )
     )
     fwd = scored.select(
@@ -876,7 +888,10 @@ def containment_pairs(
         F.col("id1").alias("dst_id"),
         (F.col("_i") / F.col("_n2")).alias("containment"),
     )
-    out = fwd.unionByName(rev).where(F.col("containment") >= threshold)
+    out = fwd.unionByName(rev).where(
+        F.col("containment") >= threshold
+    ).persist()  # output barrier, same rationale as near_dup_pairs
+    cached.append(out)
     return attach_cached(out, cached)
 
 

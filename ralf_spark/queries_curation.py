@@ -545,10 +545,24 @@ def curation_pipeline(
     pairs = near_dup_pairs(
         t3, num_perm=num_perm, bands=bands, threshold=jaccard_threshold
     )
-    st4 = st3.join(
-        pairs.select(F.col("id2").alias("doc_id")).distinct(),
-        "doc_id", "left_anti",
-    ).persist()
+    # The pipeline consumes ONLY the (tiny) duplicate-id set; checkpoint
+    # it eagerly so the whole LSH subtree (shingles + signatures +
+    # bucket join + verification, ~2x bigger since the r8 verify
+    # prefilter) becomes a LEAF for every downstream stage's analysis —
+    # the same lineage-severing dedup_clusters uses per closure round
+    # (r8 A/B: the composed plan's DRIVER-side analysis was the
+    # regression, jobs were flat). The dedup-stage caches release right
+    # here: nothing re-reads them once the id set is materialized. On a
+    # cluster, flip to reliable checkpoint — identical shape.
+    from ralf_spark.operators.util import unpersist_cached as _release
+
+    dup_ids = (
+        pairs.select(F.col("id2").alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    _release(pairs)
+    st4 = st3.join(dup_ids, "doc_id", "left_anti").persist()
     is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < eval_pct
     ev_grams = (
         df.where(is_eval)
@@ -591,9 +605,8 @@ def curation_pipeline(
         )
         .orderBy("source")
     )
-    return attach_cached(
-        out, [st2, st3, st4, *getattr(pairs, "_ralf_cached", [])]
-    )
+    # pairs' caches were already released at the checkpoint above
+    return attach_cached(out, [st2, st3, st4])
 
 
 @query("curation_pipeline_end2end", _curation_pipeline_oracle_sql())

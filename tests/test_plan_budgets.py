@@ -71,10 +71,14 @@ BUDGETS = {
     # the audited r6 values (12/24/0 and 2/4/0): a lost broadcast, an
     # extra pipeline-stage shuffle, or Python leaking into the chain
     # fails here before it ships as a composed-scan slowdown.
-    # r8: +1 shuffle — the near-dup verification prefilter's candidate-id
-    # distinct (SCALEPROBE finding 1); it buys corpus-fat verify
-    # exchanges down to candidate volume
-    "curation_pipeline_end2end": (2, 14, 0),
+    # r8: the chained-broadcast verification (SCALEPROBE finding 1)
+    # embeds the candidate subtree in TWO broadcast builds, so the
+    # STATIC distinct-id count rises 13 -> 21 while runtime reuses the
+    # exchanges — measured wall 10.3 -> 5.8s at sf0.1 and shuffle
+    # 331 -> 139 MB/pass at 48x (BENCH_NOTES r8). The ceiling pins the
+    # audited static shape; the python==0 and scans<=2 halves are the
+    # load-bearing regressions guards.
+    "curation_pipeline_end2end": (2, 21, 0),
     "feature_pipeline_end2end": (2, 4, 0),
 }
 
