@@ -1272,14 +1272,24 @@ class MinHashIndex:
             )
             .distinct()
         )
+        # chained-broadcast verification (r8, same shape as
+        # dedup._verify_join): candidates ∝ batch dups broadcast into the
+        # signature scans, so the stored (corpus-sized) signature table
+        # never shuffles for scoring — it streams map-side through two
+        # BHJs from its parquet snapshot
         s1 = all_s.select(
             F.col("_id").alias("id1"), F.col("_sig").alias("_sig1")
         )
         s2 = all_s.select(
             F.col("_id").alias("id2"), F.col("_sig").alias("_sig2")
         )
+        half = (
+            F.broadcast(cand)
+            .join(s1, "id1")
+            .select("id1", "id2", "_sig1")
+        )
         pairs = (
-            cand.join(s1, "id1")
+            F.broadcast(half)
             .join(s2, "id2")
             .select(
                 "id1",

@@ -63,8 +63,11 @@ BUDGETS = {
     "dedup_keep_best": (1, 5, 0),
     # index add round: batch projections (cached) + stored-side snapshot
     # reads; exactly the bucket equi-join + pair-distinct shuffles,
-    # never a corpus x batch join
-    "incremental_minhash_index": (3, 3, 0),
+    # never a corpus x batch join. r8: +1 scan — the chained-broadcast
+    # scoring streams the stored signature snapshot through TWO map-side
+    # BHJs instead of shuffling it onto both sides of the verify join
+    # (scan twice < shuffle once at corpus scale)
+    "incremental_minhash_index": (4, 3, 0),
     # ----- the end-to-end composition gates (VERDICT r5 #4): the most
     # regression-prone plans in the registry — 8 chained curation
     # operators resp. the 4-stage feature pipeline. Ceilings pinned at
