@@ -319,6 +319,34 @@ def op_semdedup_two_level(spark, m: int):
     )
 
 
+def op_minhash_index_add(spark, m: int):
+    """Incremental dedup: add a FIXED 5k-doc batch to a MinHash index
+    whose store grew with m — the per-crawl-batch cost claim. Expected:
+    shuffle ∝ batch + slim store buckets (16B rows); the fat signature
+    snapshot only ever SCANS (chained-broadcast scoring, r8). The add is
+    replayed under a fixed batch_tag, so re-running replaces itself
+    (idempotent — the same property the exactly-once tests pin)."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.dedup import MinHashIndex
+    from ralf_spark.table import FeatureTable
+
+    idx_path = os.path.join(DATA_ROOT, f"x{m}", "mhidx")
+    idx = MinHashIndex(idx_path, hash_fn="xxhash64")
+    if not os.path.exists(os.path.join(idx_path, "_meta")):
+        store = FeatureTable(
+            spark.read.parquet(_docs_path(m)), key="doc_id"
+        )
+        idx.build(store)
+    batch = FeatureTable(
+        spark.read.parquet(_docs_path(1))
+        .where(F.col("doc_id") < 5000)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000),
+        key="doc_id",
+    )
+    return idx.add(batch, batch_tag="probe")
+
+
 OPS = {
     "lsh_near_dup": (op_lsh_near_dup, "documents", 1.0),
     "simhash_pairs": (op_simhash_pairs, "documents", 2.0),
@@ -328,6 +356,7 @@ OPS = {
     "semdedup_k_lin": (op_semdedup_k_lin, "embeddings", 1.0),
     "semdedup_k_sqrt": (op_semdedup_k_sqrt, "embeddings", 1.5),
     "semdedup_two_level": (op_semdedup_two_level, "embeddings", 1.0),
+    "minhash_index_add": (op_minhash_index_add, "documents", 0.0),
 }
 
 
