@@ -347,6 +347,39 @@ def op_minhash_index_add(spark, m: int):
     return idx.add(batch, batch_tag="probe")
 
 
+def op_ivf_index_query(spark, m: int):
+    """Serving read at scale: top-k query against a persistent IVF index
+    whose corpus AND cell count grow with m (cells ∝ n keeps ~250
+    vectors/cell). Expected ~flat: the probed-cell partition filter
+    prunes the scan to nprobe cells regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.similarity import IvfIndex, kmeans_fit
+    from ralf_spark.table import FeatureTable
+
+    idx_path = os.path.join(DATA_ROOT, f"x{m}", "ivfidx")
+    idx = IvfIndex(idx_path)
+    emb = spark.read.parquet(
+        os.path.join(DATA_ROOT, f"x{m}", "embeddings.parquet")
+    )
+    ft = FeatureTable(emb, key="vec_id")
+    if not os.path.exists(os.path.join(idx_path, "centroids")):
+        k = max(8, BASE_VECS * m // 250)
+        seeds = (
+            emb.orderBy("vec_id").limit(k)
+            .selectExpr("vec_id AS centroid_id",
+                        "embedding AS centroid_vec")
+        )
+        cen = kmeans_fit(ft, seeds, max_iter=4)
+        idx.build(ft, cen)
+    q = (
+        emb.orderBy("vec_id").limit(16)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    )
+    return idx.query(q, k=10, nprobe=2)
+
+
 OPS = {
     "lsh_near_dup": (op_lsh_near_dup, "documents", 1.0),
     "simhash_pairs": (op_simhash_pairs, "documents", 2.0),
@@ -357,6 +390,7 @@ OPS = {
     "semdedup_k_sqrt": (op_semdedup_k_sqrt, "embeddings", 1.5),
     "semdedup_two_level": (op_semdedup_two_level, "embeddings", 1.0),
     "minhash_index_add": (op_minhash_index_add, "documents", 0.0),
+    "ivf_index_query": (op_ivf_index_query, "embeddings", 0.0),
 }
 
 
