@@ -98,6 +98,59 @@ def _dot_sql(vec_name: str, lit: str) -> str:
     )
 
 
+def _cos_fold(a: list[float], b: list[float]) -> float:
+    """Bit-identical Python replication of ``cosine_similarity``'s fold
+    arithmetic (dot = left-to-right sum of pairwise products from 0.0;
+    norms = left-to-right sums of squares; cos = dot / (sqrt·sqrt)) —
+    Python floats are the same IEEE doubles evaluated in the same order,
+    so a driver-side selection agrees with the JVM expression (and the
+    DuckDB list_reduce oracle) to the last bit. Do NOT 'optimize' this
+    to numpy: pairwise/SIMD summation changes the association and the
+    knife-edge argmax with it."""
+    import math
+
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return acc / (math.sqrt(na) * math.sqrt(nb))
+
+
+def nearest_cells_driver(
+    cen_rows: list[tuple[int, list[float]]], vec: list[float], n: int
+) -> list[int]:
+    """Driver-side twin of :func:`nearest_cells` for the SERVING path
+    (SCALEPROBE.md finding 7): the expression spelling embeds all k
+    centroids as plan literals, so plan parse/analyze grows O(k·dim) per
+    query batch — measured 1.5 → 5.4 s across a 48× index while scan IO
+    stayed flat. When the query set is collected anyway (IvfIndex.query
+    collects the probed-cell set for partition pruning), selecting cells
+    driver-side is O(q·k·dim) Python flops with ZERO plan growth.
+
+    Tie rules mirror the expression exactly: max cosine, ties → lowest
+    cell id; NaN scores (zero-norm vectors — out of contract but
+    possible) order ABOVE any real score, Spark's NaN-greatest ordering.
+    """
+
+    def key(scored: tuple[float, int]):
+        import math
+
+        s, cid = scored
+        if math.isnan(s):
+            return (0, 0.0, cid)  # NaN sorts greatest in Spark
+        return (1, -s, cid)
+
+    scored = sorted(
+        ((_cos_fold(vec, cv), cid) for cid, cv in cen_rows), key=key
+    )
+    return [cid for _, cid in scored[:n]]
+
+
 def sign_lsh_bucket(vec: Column | str, nbits: int, dim: int) -> Column:
     """Bucket id in [0, 2^nbits): bit p set iff dot(vec, plane_p) >= 0.
 
@@ -853,15 +906,31 @@ class IvfIndex:
                 raise ValueError("rerank must be >= 1")
         spark = queries.sparkSession
         cen_rows = self._cen_rows(spark)
+        # serving-path cell selection runs DRIVER-side (the queries are
+        # collected for partition pruning anyway): bit-identical to the
+        # nearest_cells expression, but the plan no longer embeds k
+        # centroid literals — O(1) plan size in k (SCALEPROBE finding 7)
+        qid_type = {
+            f.name: f.dataType.simpleString() for f in queries.schema.fields
+        }[query_id]
+        qrows = queries.select(
+            F.col(query_id), F.col(query_vec).cast("array<double>")
+        ).collect()
+        cell_pairs = [
+            (r[0], int(c))
+            for r in qrows
+            for c in nearest_cells_driver(
+                cen_rows, [float(x) for x in r[1]], nprobe
+            )
+        ]
+        cell_df = spark.createDataFrame(
+            cell_pairs, f"{query_id} {qid_type}, _cell long"
+        )
         q = queries.select(
             F.col(query_id),
             F.col(query_vec).cast("array<double>").alias("_qv"),
-        ).withColumn(
-            "_cell", F.explode(nearest_cells(cen_rows, "_qv", nprobe))
-        )
-        probed = sorted(
-            {int(r["_cell"]) for r in q.select("_cell").distinct().collect()}
-        )
+        ).join(F.broadcast(cell_df), query_id)
+        probed = sorted({c for _, c in cell_pairs})
         cells = spark.read.parquet(f"{self.path}/cells").where(
             F.col("cell").isin(probed)
         )
