@@ -89,24 +89,30 @@ def make_window_change_processor(
                 wid, buf = 0, []
             last = float(self.base.get()[0]) if self.base.exists() else None
             out = {key_col: [], "window_id": [], "w_sum": [], "w_avg": []}
-            for pdf in rows:
-                pdf = pdf.sort_values(order_col, kind="mergesort")
-                for v in pdf[value_col]:
-                    buf.append(float(v))
-                    if len(buf) < size:
-                        continue
-                    s = float(sum(buf))
-                    buf = []
-                    this_wid, wid = wid, wid + 1
-                    # policy stage, inline: first window always emits;
-                    # later ones only on |s - last| >= threshold
-                    if last is not None and abs(s - last) < threshold:
-                        continue
-                    last = s
-                    out[key_col].append(key[0])
-                    out["window_id"].append(this_wid)
-                    out["w_sum"].append(s)
-                    out["w_avg"].append(s / size)
+            # A key's micro-batch arrives as MULTIPLE Arrow chunks in no
+            # guaranteed order — concat them all, then one stable sort on
+            # order_col, exactly like streaming/windows.py's composed
+            # window stage. Sorting each chunk independently would
+            # consume values in chunk order, not order_col order.
+            pdf = pd.concat(list(rows)).sort_values(
+                order_col, kind="mergesort"
+            )
+            for v in pdf[value_col]:
+                buf.append(float(v))
+                if len(buf) < size:
+                    continue
+                s = float(sum(buf))
+                buf = []
+                this_wid, wid = wid, wid + 1
+                # policy stage, inline: first window always emits;
+                # later ones only on |s - last| >= threshold
+                if last is not None and abs(s - last) < threshold:
+                    continue
+                last = s
+                out[key_col].append(key[0])
+                out["window_id"].append(this_wid)
+                out["w_sum"].append(s)
+                out["w_avg"].append(s / size)
             self.win.update((wid, buf))
             if last is not None:
                 self.base.update((last,))

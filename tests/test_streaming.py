@@ -2230,6 +2230,50 @@ def test_chained_processor_equals_composed_stages_any_batching():
         assert got == want, n_chunks
 
 
+def test_chained_processor_multi_chunk_single_call():
+    """ADVICE r8 (high): transformWithStateInPandas delivers a key's
+    micro-batch as MULTIPLE Arrow chunks (default 10k rows) in no
+    guaranteed order within ONE handleInputRows call. The processor must
+    concat all chunks and sort ONCE on order_col — sorting each chunk
+    independently consumes values in chunk order and diverges from the
+    composed pipeline. Drive one call with interleaved, shuffled chunks."""
+    import pandas as pd
+
+    from ralf_spark.streaming.chained import make_window_change_processor
+
+    rows = [(i, float(((i * 7919) % 97) - 48)) for i in range(137)]
+    size, threshold = 5, 60.0
+    want = _chained_reference([rows], size, threshold)
+
+    # chunk splits that interleave order_col across chunks, in
+    # non-monotonic chunk order — the adversarial Arrow delivery
+    splits = [
+        # round-robin into 3 chunks, delivered 2,0,1
+        [rows[2::3], rows[0::3], rows[1::3]],
+        # back half before front half
+        [rows[70:], rows[:70]],
+        # strided singles mixed with a big tail, reversed
+        [rows[120:], rows[1:120:2], rows[0:120:2]],
+    ]
+    for chunks in splits:
+        proc = make_window_change_processor(
+            size, threshold, "user_id", "value", "event_id"
+        )
+        proc.init(_FakeHandle())
+        pdfs = [
+            pd.DataFrame({"event_id": [r[0] for r in c],
+                          "value": [r[1] for r in c]})
+            for c in chunks if c
+        ]
+        got = []
+        for frame in proc.handleInputRows((7,), pdfs, None):
+            got.extend(
+                (int(w), float(s))
+                for w, s in zip(frame["window_id"], frame["w_sum"])
+            )
+        assert got == want
+
+
 def test_chained_window_change_spark_integration(spark, tmp_path):
     """Env-gated (like the real-backend suite): the single-query chained
     spelling replays the SAME rows as the composed window->policy
