@@ -169,6 +169,7 @@ def near_dup_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     hash_fn: str | None = None,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -182,6 +183,16 @@ def near_dup_pairs(
     signature hashing dominates wall time). Candidate RECALL can differ
     between modes (different permutations); the exact-Jaccard verification
     makes precision identical.
+
+    ``broadcast_candidates`` picks the verification spelling: ``True`` =
+    chained-broadcast (corpus streams map-side; candidates must fit the
+    broadcast cap), ``False`` = plain shuffle join, ``None`` (default) =
+    AUTO — the Σ c·(c−1)/2 pair bound over the persisted bucket table
+    chooses, so an adversarial corpus (one giant dup cluster) degrades to
+    the shuffle join instead of failing at Spark's 8 GB broadcast cap.
+    Auto runs one cheap aggregation job at plan-construction time, which
+    materializes the persisted shingle/bucket projections — work the first
+    consumer action needed anyway (the persists are reused).
 
     Returns (id1, id2, jaccard). No cross join anywhere: candidate
     generation is a bucket equi-join, so cost is Σ bucket² not n².
@@ -260,9 +271,13 @@ def near_dup_pairs(
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
+    hint = _choose_broadcast(
+        broadcast_candidates,
+        lambda: _pair_bound_from_buckets(buckets, "_band", "_key"),
+    )
 
     verified = (
-        _verify_join(docs, cand)
+        _verify_join(docs, cand, hint_broadcast=hint)
         .select(
             "id1",
             "id2",
@@ -281,8 +296,51 @@ def near_dup_pairs(
     return attach_cached(verified, [docs, buckets, verified])
 
 
+#: Auto-spelling threshold for the verification joins (r9, VERDICT r8 #1):
+#: when the bucket-stats pair bound exceeds this, the chained-broadcast
+#: spelling is abandoned for plain joins so the planner can shuffle instead
+#: of driving a data-dependent broadcast into Spark's 8 GB hard cap (a
+#: hard FAILURE, not a slowdown). The half-joined broadcast payload is
+#: ~0.2-1 KB/pair (pair ids + one shingle/signature array), so the cap sits
+#: near 10-30 M pairs; 5 M leaves driver-memory headroom for concurrent
+#: queries. Module attribute so probes/operators can tighten it.
+BROADCAST_CANDIDATE_LIMIT = 5_000_000
+
+
+def _pair_bound_from_buckets(bucket_like: DataFrame, *group_cols: str) -> int:
+    """Upper bound on distinct candidate pairs from bucket statistics:
+    Σ over groups of c·(c−1)/2. One aggregation job over the (persisted)
+    bucket / posting table — map-side partial counts, a single scalar out;
+    no corpus re-scan. It is an upper bound because ``distinct`` collapses
+    pairs colliding in several bands, and exact because of ``id1 < id2``."""
+    row = (
+        bucket_like.groupBy(*[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            F.sum(F.col("_c") * (F.col("_c") - F.lit(1)) / F.lit(2)).alias(
+                "_pairs"
+            )
+        )
+        .first()
+    )
+    return int(row["_pairs"] or 0)
+
+
+def _choose_broadcast(choice: bool | None, bound_fn) -> bool:
+    """Resolve the tri-state ``broadcast_candidates`` knob: explicit
+    True/False wins (no stats job); None = auto — run ``bound_fn`` and
+    broadcast only while the pair bound stays under
+    :data:`BROADCAST_CANDIDATE_LIMIT`. Auto turns the one documented scale
+    hazard (forced broadcast of a data-dependent candidate set) into
+    graceful degradation: above the limit the verification joins carry no
+    hints and the planner falls back to a shuffle join — slower, alive."""
+    if choice is not None:
+        return bool(choice)
+    return bound_fn() <= BROADCAST_CANDIDATE_LIMIT
+
+
 def _verify_join(
-    docs: DataFrame, cand: DataFrame
+    docs: DataFrame, cand: DataFrame, hint_broadcast: bool = True
 ) -> DataFrame:
     """Shuffle-free exact-verification join (scale probe r8, SCALEPROBE.md
     finding 1): pair each candidate (id1, id2) with BOTH documents'
@@ -308,18 +366,23 @@ def _verify_join(
     verify joins to SMJ at scale and adding 2.7x DRIVER-side latency on
     composed consumers at sf0.1 (jobs ~1s, wall 6.4s — analyzed-plan
     blow-up). The chained-broadcast spelling executes ``cand`` exactly
-    once, embeds it once, and persists nothing. If candidates ever
-    outgrow broadcast, drop the hints and the planner reverts to the SMJ
-    corpus shuffle — still correct."""
+    once, embeds it once, and persists nothing.
+
+    ``hint_broadcast=False`` (r9): the SAME join tree with no hints — the
+    planner shuffles the corpus (SMJ) instead of broadcasting a candidate
+    set that would blow Spark's 8 GB broadcast cap. Callers resolve the
+    choice from bucket statistics via :func:`_choose_broadcast`; output is
+    identical either way (equality pinned in tests + the adversarial
+    SCALEPROBE row)."""
     sh = docs.select(F.col("_id"), F.col("_sh"))
+    c = F.broadcast(cand) if hint_broadcast else cand
     half = (
-        F.broadcast(cand)
-        .join(sh, F.col("id1") == F.col("_id"))
+        c.join(sh, F.col("id1") == F.col("_id"))
         .select("id1", "id2", F.col("_sh").alias("_sh1"))
     )
+    h = F.broadcast(half) if hint_broadcast else half
     return (
-        F.broadcast(half)
-        .join(sh, F.col("id2") == F.col("_id"))
+        h.join(sh, F.col("id2") == F.col("_id"))
         .select("id1", "id2", "_sh1", F.col("_sh").alias("_sh2"))
     )
 
@@ -330,6 +393,7 @@ def jaccard_pairs_inverted(
     threshold: float = 0.5,
     max_df: int = 5,
     shingle_n: int = 3,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup via INVERTED-INDEX blocking — the classic
     alternative to MinHash/LSH: candidate pairs share at least one *rare*
@@ -339,6 +403,10 @@ def jaccard_pairs_inverted(
     postings — never n². Recall caveat (same class as single-probe LSH): a
     pair whose every shared shingle is hot is missed; near-dups share many
     shingles, so in practice some shared shingle is rare.
+
+    ``broadcast_candidates``: verification-spelling knob, same tri-state
+    contract as :func:`near_dup_pairs` — auto (None) bounds candidates by
+    Σ df·(df−1)/2 over the persisted rare-posting table.
     """
     idc = table.key
     if idc is None:
@@ -377,8 +445,12 @@ def jaccard_pairs_inverted(
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
+    hint = _choose_broadcast(
+        broadcast_candidates,
+        lambda: _pair_bound_from_buckets(posting_r, "_s"),
+    )
     out = (
-        _verify_join(docs, cand)
+        _verify_join(docs, cand, hint_broadcast=hint)
         .select(
             "id1",
             "id2",
@@ -822,6 +894,7 @@ def containment_pairs(
     threshold: float = 0.5,
     max_df: int = 5,
     shingle_n: int = 3,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """Directed n-gram CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A|.
 
@@ -834,7 +907,8 @@ def containment_pairs(
     Candidate generation and the Σdf²-bounded cost model are identical to
     :func:`jaccard_pairs_inverted` (rare-shingle inverted index, hot
     shingles pruned); only the verification ratio differs — the denominator
-    is the SOURCE's shingle set, not the union.
+    is the SOURCE's shingle set, not the union. ``broadcast_candidates``:
+    same tri-state verification-spelling knob as the other pair operators.
     """
     idc = table.key
     if idc is None:
@@ -868,8 +942,12 @@ def containment_pairs(
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
+    hint = _choose_broadcast(
+        broadcast_candidates,
+        lambda: _pair_bound_from_buckets(posting_r, "_s"),
+    )
     scored = (
-        _verify_join(docs, cand)
+        _verify_join(docs, cand, hint_broadcast=hint)
         .select(
             "id1",
             "id2",
@@ -1229,6 +1307,7 @@ class MinHashIndex:
         text_col: str = "text",
         threshold: float = 0.5,
         batch_tag: str | None = None,
+        broadcast_candidates: bool | None = None,
     ) -> DataFrame:
         """Dedup-check ``table`` against the index AND itself, then fold it
         in. Returns (id1, id2, est_jaccard) with id1 < id2, covering every
@@ -1237,7 +1316,17 @@ class MinHashIndex:
         ``batch_tag`` names the batch's partition in the store: re-running
         ``add`` with the same tag (a micro-batch replay after failure)
         REPLACES the batch's rows instead of duplicating them. Unnamed
-        batches get a unique tag (plain append semantics)."""
+        batches get a unique tag (plain append semantics).
+
+        ``broadcast_candidates``: verification-spelling knob (r9, same
+        tri-state contract as :func:`near_dup_pairs`). Auto (None) bounds
+        the candidate pairs by Σₖ nₖ·aₖ — per-(band,key) counts of the new
+        batch's buckets (tiny, broadcast) summed against one pass over the
+        stored∪new bucket table. That pass costs one extra store scan per
+        add; the scoring join already scans the store once, so the
+        per-batch contract stays O(store-scan), and SCALEPROBE re-measures
+        the flat exponent. Batches with known-bounded dup volume can pass
+        ``True`` to skip the stats pass entirely (the pre-r9 behavior)."""
         import uuid
 
         spark = table.df.sparkSession
@@ -1272,11 +1361,29 @@ class MinHashIndex:
             )
             .distinct()
         )
+        def _add_pair_bound() -> int:
+            # Σₖ nₖ·aₖ: per-key counts of the NEW buckets (batch-sized,
+            # persisted → cheap, broadcast) against one streaming pass
+            # over stored∪new buckets; each matching store row contributes
+            # its key's new-count. Upper-bounds |cand| (includes self
+            # matches and double-counts the within-batch n² pairs).
+            new_counts = new_buckets.groupBy("_band", "_key").agg(
+                F.count(F.lit(1)).alias("_nc")
+            )
+            row = (
+                all_b.join(F.broadcast(new_counts), ["_band", "_key"])
+                .select(F.sum("_nc").alias("_pairs"))
+                .first()
+            )
+            return int(row["_pairs"] or 0)
+
+        hint = _choose_broadcast(broadcast_candidates, _add_pair_bound)
         # chained-broadcast verification (r8, same shape as
         # dedup._verify_join): candidates ∝ batch dups broadcast into the
         # signature scans, so the stored (corpus-sized) signature table
         # never shuffles for scoring — it streams map-side through two
-        # BHJs from its parquet snapshot
+        # BHJs from its parquet snapshot. r9: hints dropped when the
+        # bucket-stats bound says candidates would blow the broadcast cap.
         s1 = all_s.select(
             F.col("_id").alias("id1"), F.col("_sig").alias("_sig1")
         )
@@ -1284,12 +1391,12 @@ class MinHashIndex:
             F.col("_id").alias("id2"), F.col("_sig").alias("_sig2")
         )
         half = (
-            F.broadcast(cand)
+            (F.broadcast(cand) if hint else cand)
             .join(s1, "id1")
             .select("id1", "id2", "_sig1")
         )
         pairs = (
-            F.broadcast(half)
+            (F.broadcast(half) if hint else half)
             .join(s2, "id2")
             .select(
                 "id1",

@@ -86,6 +86,99 @@ def test_near_dup_xxhash64_fast_mode_matches_md5_pairs(spark):
     assert set(md5_pairs) == {(1, 2), (4, 5)}
 
 
+def test_pair_bound_from_buckets_sums_c_choose_2(spark):
+    """r9: the Σ c·(c−1)/2 bucket-stats bound the auto verification
+    spelling decides on — exact over a handcrafted bucket table."""
+    from ralf_spark.operators.dedup import _pair_bound_from_buckets
+
+    rows = (
+        [(i, 0, "k0") for i in range(4)]      # c=4 -> 6 pairs
+        + [(i, 1, "k1") for i in range(3)]    # c=3 -> 3 pairs
+        + [(9, 0, "k2")]                      # c=1 -> 0 pairs
+    )
+    b = spark.createDataFrame(rows, "_id long, _band int, _key string")
+    assert _pair_bound_from_buckets(b, "_band", "_key") == 9
+
+
+def test_verify_spelling_knob_output_identical(spark, monkeypatch):
+    """r9 (VERDICT r8 #1 / ADVICE): the broadcast_candidates tri-state —
+    forced chained-broadcast, forced shuffle join, and auto under a limit
+    so tight auto MUST pick the shuffle spelling — all emit identical
+    verified pairs. The hints change the physical join strategy only."""
+    import ralf_spark.operators.dedup as dd
+    from ralf_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs_inverted,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "completely different words about spark catalyst plans here"),
+        (4, "sphinx of black quartz judge my vow said the typist slowly"),
+        (5, "sphinx of black quartz judge my vow said the typist quickly"),
+    ]
+    t = _docs(spark, rows)
+
+    def run(op, **kw):
+        outs = []
+        for bc in (True, False, None):
+            df = op(t, threshold=0.4, broadcast_candidates=bc, **kw)
+            outs.append(sorted(map(tuple, df.collect())))
+        return outs
+
+    monkeypatch.setattr(dd, "BROADCAST_CANDIDATE_LIMIT", 0)
+    for op in (near_dup_pairs, jaccard_pairs_inverted, containment_pairs):
+        forced_b, forced_s, auto = run(op)
+        assert forced_b == forced_s == auto and len(auto) > 0, op.__name__
+
+
+def test_choose_broadcast_tristate():
+    """Explicit True/False never runs the stats job; auto compares the
+    bound against the module limit."""
+    import ralf_spark.operators.dedup as dd
+
+    def boom():
+        raise AssertionError("stats job must not run on explicit choice")
+
+    assert dd._choose_broadcast(True, boom) is True
+    assert dd._choose_broadcast(False, boom) is False
+    assert dd._choose_broadcast(None, lambda: dd.BROADCAST_CANDIDATE_LIMIT) \
+        is True
+    assert dd._choose_broadcast(
+        None, lambda: dd.BROADCAST_CANDIDATE_LIMIT + 1
+    ) is False
+
+
+def test_minhash_index_add_spelling_knob_identical(spark, tmp_path):
+    """r9: MinHashIndex.add under forced-broadcast, forced-shuffle and
+    auto-with-zero-limit returns the same pair set as the default."""
+    import ralf_spark.operators.dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    first = _docs(spark, [(1, base), (3, "alpha beta gamma delta epsilon "
+                                         "zeta eta theta iota kappa")])
+    second = _docs(spark, [(2, base + " tonight")])
+    got = {}
+    for name, bc in (("bcast", True), ("smj", False), ("auto0", None)):
+        idx = dd.MinHashIndex(str(tmp_path / name))
+        idx.build(first)
+        old = dd.BROADCAST_CANDIDATE_LIMIT
+        if bc is None:
+            dd.BROADCAST_CANDIDATE_LIMIT = 0
+        try:
+            pairs = idx.add(second, broadcast_candidates=bc)
+            got[name] = sorted(
+                (r.id1, r.id2, round(r.est_jaccard, 6))
+                for r in pairs.collect()
+            )
+        finally:
+            dd.BROADCAST_CANDIDATE_LIMIT = old
+    assert got["bcast"] == got["smj"] == got["auto0"]
+    assert [(p[0], p[1]) for p in got["bcast"]] == [(1, 2)]
+
+
 def test_near_dup_unpersist_cached_releases_storage(spark):
     from ralf_spark.operators.util import unpersist_cached
 
