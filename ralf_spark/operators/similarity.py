@@ -732,6 +732,20 @@ class IvfIndex:
     probed cells (|q| x R float rows — the standard two-pass search).
     The codebooks are frozen at ``build`` alongside the quantizer and
     reused by ``add``.
+
+    **Versioning contract (r9, ADVICE r8):** the index is APPEND-ONLY and
+    multi-version — re-``add``-ing an id under a NEW ``batch_tag`` does
+    NOT supersede the old row. ``query`` collapses duplicate ids
+    keep-BEST (min approx_dist / max cos_sim across versions), so a stale
+    vector that scores better than its replacement can still supply the
+    winning row. To genuinely UPDATE vectors, replay their ORIGINAL
+    ``batch_tag``: the dynamic partition overwrite replaces exactly that
+    batch's rows in place (the same exactly-once mechanism micro-batch
+    replays use), leaving a single version. Keep-best (not keep-latest)
+    is deliberate: batch tags carry no ordering (callers pick arbitrary
+    strings; unnamed adds draw uuids), so "latest" is undefined without a
+    registration log, and scoring-side dedup keeps the serving plan free
+    of an extra per-query window over versions.
     """
 
     def __init__(self, path: str, vec_col: str = "embedding"):
@@ -906,9 +920,11 @@ class IvfIndex:
                 raise ValueError("rerank must be >= 1")
         spark = queries.sparkSession
         cen_rows = self._cen_rows(spark)
-        # serving-path cell selection runs DRIVER-side (the queries are
-        # collected for partition pruning anyway): bit-identical to the
-        # nearest_cells expression, but the plan no longer embeds k
+        # serving-path cell selection runs DRIVER-side (r8; before that
+        # only the DISTINCT probed cell ids crossed the driver — this
+        # widens the collect to the full query batch, fine under the
+        # documented small-query broadcast contract): bit-identical to
+        # the nearest_cells expression, but the plan no longer embeds k
         # centroid literals — O(1) plan size in k (SCALEPROBE finding 7)
         qid_type = {
             f.name: f.dataType.simpleString() for f in queries.schema.fields
@@ -916,6 +932,15 @@ class IvfIndex:
         qrows = queries.select(
             F.col(query_id), F.col(query_vec).cast("array<double>")
         ).collect()
+        # per-row probing requires unique ids: a duplicated query_id would
+        # equi-join every duplicate against BOTH rows' probe cells (a
+        # per-key cross product) and the final per-query top-k would mix
+        # two vectors' neighbors under one id — reject early, driver-side
+        if len({r[0] for r in qrows}) != len(qrows):
+            raise ValueError(
+                f"IvfIndex.query needs unique {query_id!r} values; the "
+                "query batch contains duplicates"
+            )
         cell_pairs = [
             (r[0], int(c))
             for r in qrows

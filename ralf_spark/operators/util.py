@@ -120,6 +120,25 @@ def attach_cached(df: DataFrame, cached: list[DataFrame]) -> DataFrame:
     return df
 
 
+class CheckpointHandle:
+    """Release handle for a ``localCheckpoint``-ed DataFrame (r9, ADVICE
+    r8): ``DataFrame.unpersist`` only talks to the cache manager and never
+    frees checkpoint BLOCKS, so a long-lived session leaks them until the
+    RDD is garbage-collected. The handle reaches the ``LogicalRDD`` under
+    the checkpointed plan and unpersists its RDD directly. Duck-typed to
+    sit in an ``attach_cached`` list next to plain persisted frames."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            plan = self._df._jdf.queryExecution().analyzed()
+            plan.rdd().unpersist(blocking)
+        except Exception:
+            pass  # best-effort: GC + ContextCleaner remain the backstop
+
+
 def unpersist_cached(df: DataFrame, blocking: bool = False) -> None:
     """Release intermediates persisted by the operator that built ``df``.
 

@@ -546,22 +546,24 @@ def curation_pipeline(
         t3, num_perm=num_perm, bands=bands, threshold=jaccard_threshold
     )
     # The pipeline consumes ONLY the (tiny) duplicate-id set; checkpoint
-    # it eagerly so the whole LSH subtree (shingles + signatures +
-    # bucket join + verification, ~2x bigger since the r8 verify
-    # prefilter) becomes a LEAF for every downstream stage's analysis —
-    # the same lineage-severing dedup_clusters uses per closure round
-    # (r8 A/B: the composed plan's DRIVER-side analysis was the
-    # regression, jobs were flat). The dedup-stage caches release right
-    # here: nothing re-reads them once the id set is materialized. On a
-    # cluster, flip to reliable checkpoint — identical shape.
-    from ralf_spark.operators.util import unpersist_cached as _release
-
+    # it so the whole LSH subtree (shingles + signatures + bucket join +
+    # verification, ~2x bigger since the r8 verify prefilter) becomes a
+    # LEAF for every downstream stage's analysis — the same
+    # lineage-severing dedup_clusters uses per closure round (r8 A/B:
+    # the composed plan's DRIVER-side analysis was the regression, jobs
+    # were flat). r9 (ADVICE): eager=False — the checkpointed PLAN is
+    # substituted at call time (analysis stays leaf-cheap) but the job
+    # runs at the caller's first action, not at plan construction; the
+    # LSH caches therefore stay attached until the caller releases them
+    # (the checkpoint job is their last reader), and the checkpoint
+    # blocks themselves get a release handle in the same list. Local
+    # checkpoint blocks are executor-local (a lost executor loses them);
+    # on a cluster flip to reliable .checkpoint() — identical shape.
     dup_ids = (
         pairs.select(F.col("id2").alias("doc_id"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    _release(pairs)
     st4 = st3.join(dup_ids, "doc_id", "left_anti").persist()
     is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < eval_pct
     ev_grams = (
@@ -605,8 +607,17 @@ def curation_pipeline(
         )
         .orderBy("source")
     )
-    # pairs' caches were already released at the checkpoint above
-    return attach_cached(out, [st2, st3, st4])
+    # r9: the LSH caches ride along until the caller's action materializes
+    # the (lazy) dup_ids checkpoint — their last reader — and the
+    # checkpoint blocks get their own release handle
+    from ralf_spark.operators.util import CheckpointHandle
+
+    return attach_cached(
+        out,
+        [st2, st3, st4]
+        + list(getattr(pairs, "_ralf_cached", []))
+        + [CheckpointHandle(dup_ids)],
+    )
 
 
 @query("curation_pipeline_end2end", _curation_pipeline_oracle_sql())

@@ -109,6 +109,39 @@ def gen_documents(m: int) -> str:
     return path
 
 
+def gen_documents_adversarial(m: int) -> str:
+    """Adversarial corpus (r9, VERDICT r8 #1): 5000·m background docs PLUS
+    one giant duplicate cluster of 100·m near-copies of a single base doc
+    (5% token mutation each). Candidate pairs inside the cluster grow
+    ~c²/2 — the shape that breaks every Σ bucket² bound and, pre-r9, drove
+    the forced candidate broadcast toward Spark's 8 GB hard cap."""
+    path = os.path.join(DATA_ROOT, f"adv{m}", "documents.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.RandomState(1337 + m)
+    n_bg = BASE_DOCS * m
+    texts: list[str] = []
+    for _ in range(n_bg):
+        ln = rng.randint(40, 71)
+        texts.append(" ".join(
+            f"w{w}" for w in rng.randint(0, VOCAB, size=ln)
+        ))
+    base = [f"w{w}" for w in rng.randint(0, VOCAB, size=60)]
+    for _ in range(100 * m):
+        doc = list(base)
+        for j in rng.choice(60, size=3, replace=False):
+            doc[j] = f"w{rng.randint(VOCAB)}"
+        texts.append(" ".join(doc))
+    n = len(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, path)
+    return path
+
+
 def gen_events(m: int) -> str:
     """n = 100k·m events over 1500·m users — per-key history CONSTANT
     (~67 events/user), the documented scaling direction for the window
@@ -468,18 +501,110 @@ def candidate_volumes(mults: list[int]) -> dict:
     return out
 
 
+def adversarial_probe(mults: list[int]) -> dict:
+    """r9 (VERDICT r8 #1): one giant duplicate cluster — the corpus every
+    Σ bucket² argument disclaims — against near_dup_pairs' AUTO spelling.
+    The probe tightens BROADCAST_CANDIDATE_LIMIT to 200k pairs so the
+    auto→shuffle transition happens inside a tractable fixture (the
+    mechanism is identical at the real 5M default; only the fixture size
+    needed to cross it changes). Per point it records the bucket-stats
+    pair bound, the spelling auto chose, wall + shuffle, and — while the
+    bound stays under FORCED_CAP — a forced-broadcast twin run proving
+    the two spellings emit the same rows."""
+    import ralf_spark.operators.dedup as dd
+    from ralf_spark.table import FeatureTable
+
+    PROBE_LIMIT = 200_000
+    FORCED_CAP = 2_000_000  # don't force multi-GB broadcasts locally
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    orig_limit = dd.BROADCAST_CANDIDATE_LIMIT
+    orig_choose = dd._choose_broadcast
+    rec: dict = {}
+
+    def spy(choice, bound_fn):
+        if choice is not None:
+            return bool(choice)
+        bound = bound_fn()
+        rec["bound"] = bound
+        rec["broadcast"] = bound <= dd.BROADCAST_CANDIDATE_LIMIT
+        return rec["broadcast"]
+
+    dd.BROADCAST_CANDIDATE_LIMIT = PROBE_LIMIT
+    dd._choose_broadcast = spy
+    try:
+        for m in mults:
+            path = gen_documents_adversarial(m)
+            print(f"# adversarial fixture adv{m} ready "
+                  f"(cluster {100 * m} dups)", flush=True)
+
+            def build_auto(s, _p=path):
+                docs = s.read.parquet(_p)
+                return dd.near_dup_pairs(
+                    FeatureTable(docs, key="doc_id"), hash_fn="xxhash64"
+                )
+
+            r = _measure(build_auto, spark)
+            r["cluster"] = 100 * m
+            r["pair_bound"] = rec.get("bound")
+            r["chose_broadcast"] = rec.get("broadcast")
+            print(f"# adversarial x{m}: bound {r['pair_bound']} -> "
+                  f"{'broadcast' if r['chose_broadcast'] else 'SHUFFLE'}, "
+                  f"{r['sec']}s shuffleW {r['shuffle_write_mb']}MB "
+                  f"rows {r['rows']}", flush=True)
+
+            if r["pair_bound"] is not None and r["pair_bound"] <= FORCED_CAP:
+                def build_forced(s, _p=path):
+                    docs = s.read.parquet(_p)
+                    return dd.near_dup_pairs(
+                        FeatureTable(docs, key="doc_id"),
+                        hash_fn="xxhash64", broadcast_candidates=True,
+                    )
+
+                rf = _measure(build_forced, spark)
+                r["forced"] = {k: rf[k] for k in
+                               ("sec", "shuffle_write_mb", "rows")}
+                r["rows_match_forced"] = rf["rows"] == r["rows"]
+                print(f"#   forced-broadcast twin: {rf['sec']}s "
+                      f"shuffleW {rf['shuffle_write_mb']}MB rows "
+                      f"{rf['rows']} match={r['rows_match_forced']}",
+                      flush=True)
+            out[str(m)] = r
+    finally:
+        dd.BROADCAST_CANDIDATE_LIMIT = orig_limit
+        dd._choose_broadcast = orig_choose
+        spark.stop()
+    return {"probe_limit": PROBE_LIMIT, "runs": out}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,4,16,48")
     ap.add_argument("--ops", default=",".join(OPS))
     ap.add_argument("--candidates", action="store_true",
                     help="measure SimHash candidate volumes instead")
+    ap.add_argument("--adversarial", action="store_true",
+                    help="giant-dup-cluster probe of the auto verification "
+                         "spelling (near_dup_pairs)")
     args = ap.parse_args()
     mults = [int(x) for x in args.mults.split(",")]
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
     unknown = [o for o in ops if o not in OPS]
     if unknown:
         raise SystemExit(f"unknown ops {unknown}")
+
+    if args.adversarial:
+        adv = adversarial_probe(mults)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data["adversarial_lsh"] = adv
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(adv, indent=1))
+        return
 
     for m in mults:
         gen_documents(m)

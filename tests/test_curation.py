@@ -427,3 +427,42 @@ def test_pipeline_oracles_honor_non_default_parameters(spark):
         shed_rate_bp=5000, change_threshold=2.0
     )).fetchall()))
     assert feat == feat_o and len(feat) == 3
+
+
+def test_curation_release_frees_all_blocks_including_checkpoint(spark):
+    """r9 (ADVICE r8): curation_pipeline's dup-id localCheckpoint is lazy
+    (no job at plan construction... beyond the dedup stats agg) and its
+    blocks — plus every persisted stage AND the LSH caches that now ride
+    along until the checkpoint materializes — release through the single
+    attach_cached list. A long-lived session must end at zero cached RDDs."""
+    from ralf_spark.operators.util import unpersist_cached
+    from ralf_spark.queries_curation import curation_pipeline
+
+    sc = spark.sparkContext
+    # tolerate stray blocks from earlier tests in the shared session
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    out = curation_pipeline(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    mid = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    assert len(mid - before) > 0  # stages + checkpoint blocks are resident
+    unpersist_cached(out, blocking=True)
+    after = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    assert after - before == set()
+
+
+def test_checkpoint_handle_releases_blocks(spark):
+    """CheckpointHandle reaches the LogicalRDD under a localCheckpoint'ed
+    plan and unpersists it — DataFrame.unpersist alone cannot."""
+    from ralf_spark.operators.util import CheckpointHandle
+
+    sc = spark.sparkContext
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    df = spark.range(500).selectExpr("id", "id * 2 AS v").localCheckpoint(
+        eager=False
+    )
+    assert df.count() == 500
+    mid = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    assert len(mid - before) == 1
+    CheckpointHandle(df).unpersist(True)
+    after = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    assert after - before == set()
