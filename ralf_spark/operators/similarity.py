@@ -151,6 +151,59 @@ def nearest_cells_driver(
     return [cid for _, cid in scored[:n]]
 
 
+class TwoLevelCells:
+    """Two-level DRIVER-side cell selection for IVF serving (r9, VERDICT
+    r8 #2): the flat scan in :func:`nearest_cells_driver` is an honest
+    O(q·k) — fine to k ~ 10³–10⁴, the wrong slope once cells ∝ corpus.
+    This is the :func:`assign_to_seeds_two_level` structure applied to the
+    serving path, entirely in Python: a coarse level of the first
+    ``n_coarse`` (default ⌈√k⌉) centroids by id; every centroid joins its
+    nearest coarse group at build time (O(k·√k), ONCE per index open —
+    cached by ``IvfIndex``); a query scans the √k coarse centers, takes
+    its best ``coarse_probe`` groups, and runs the exact flat selection
+    over only those groups' members — O(√k·(1 + coarse_probe·dim)) per
+    query.
+
+    Same contract as ``assign_to_seeds_two_level``: a RESTRICTION of the
+    exact argsort to probed groups — deterministic (same tie rules as
+    :func:`nearest_cells_driver` at both levels, so bit-replayable), not
+    randomized; a query whose true nearest cell lives in an unprobed
+    group gets its best probed cells. ``coarse_probe >= n_coarse``
+    degenerates to the exact scan (pinned by test)."""
+
+    def __init__(
+        self,
+        cen_rows: list[tuple[int, list[float]]],
+        n_coarse: int | None = None,
+    ):
+        if not cen_rows:
+            raise ValueError("TwoLevelCells needs >= 1 centroid")
+        k = len(cen_rows)
+        self.n_coarse = n_coarse or max(1, math.isqrt(k - 1) + 1)
+        cen_sorted = sorted(cen_rows)
+        self.coarse = cen_sorted[: self.n_coarse]
+        self.groups: dict[int, list[tuple[int, list[float]]]] = {}
+        for cid, cv in cen_sorted:
+            g = nearest_cells_driver(self.coarse, cv, 1)[0]
+            self.groups.setdefault(g, []).append((cid, cv))
+        # duplicate centroid vectors can leave a coarse center's own group
+        # empty (ties at cos 1.0 go to the lower id) — probe only LIVE
+        # groups, mirroring assign_to_seeds_two_level's non-empty rule
+        self.live_coarse = [(g, v) for g, v in self.coarse
+                            if g in self.groups]
+
+    def query(
+        self, vec: list[float], n: int, coarse_probe: int = 1
+    ) -> list[int]:
+        if coarse_probe < 1:
+            raise ValueError("coarse_probe must be >= 1")
+        gs = nearest_cells_driver(self.live_coarse, vec, coarse_probe)
+        members: list[tuple[int, list[float]]] = []
+        for g in sorted(gs):
+            members.extend(self.groups[g])
+        return nearest_cells_driver(members, vec, n)
+
+
 def sign_lsh_bucket(vec: Column | str, nbits: int, dim: int) -> Column:
     """Bucket id in [0, 2^nbits): bit p set iff dot(vec, plane_p) >= 0.
 
@@ -794,6 +847,41 @@ class IvfIndex:
             )
         ).withColumn("cell", nearest_cells(cen_rows, "_v", 1)[0])
 
+    def _read_probed_cells(self, spark, probed: list[int]) -> DataFrame:
+        """Scan of the probed cells with O(probed) PLAN-time metadata
+        (r9): ``spark.read.parquet(cells/)`` builds its file index by
+        listing ALL k cell directories before the partition filter prunes
+        any of them — a parallel listing job whose cost grows with the
+        CELL COUNT, not the probe set (measured: the residual wall slope
+        of the serving probe after finding 7, 0.97 s of plan-time listing
+        at 48×). Passing the probed ``cell=<id>`` directories as explicit
+        read paths (with ``basePath`` preserving the partition columns)
+        lists only ``len(probed)`` directories. Cells with no directory
+        (a centroid that never received a vector) are skipped by a cheap
+        driver-side existence check — semantics identical to the pruned
+        full listing. At warehouse scale the same O(probed) listing comes
+        from a catalog's partition index; this is the path-API spelling.
+        The ``where`` filter stays on the scan: redundant for pruning,
+        but it keeps the plan's PartitionFilters self-describing."""
+        from ralf_spark.connectors import _hadoop_fs
+
+        root = f"{self.path}/cells"
+        paths = []
+        for c in probed:
+            p = f"{root}/cell={c}"
+            fs, jp = _hadoop_fs(spark, p)
+            if fs.exists(jp):
+                paths.append(p)
+        if not paths:
+            # no probed cell has data: fall back to the (empty after
+            # filter) full listing — rare, and only as large as the store
+            return spark.read.parquet(root).where(F.col("cell").isin(probed))
+        return (
+            spark.read.option("basePath", root)
+            .parquet(*paths)
+            .where(F.col("cell").isin(probed))
+        )
+
     def _write_cells(self, assigned: DataFrame, tag: str, mode: str) -> None:
         """Fold an assigned projection into its ``_batch=<tag>`` subtree.
         Dynamic overwrite touches only the ``(cell, _batch)`` directories
@@ -892,12 +980,25 @@ class IvfIndex:
         query_vec: str = "query_vec",
         method: str = "exact",
         rerank: int | None = None,
+        coarse_probe: int | None = None,
     ) -> DataFrame:
         """Top-k neighbors reading ONLY the probed cells. The probe set is
         resolved at plan-build time (queries are small by the same
         broadcast contract as ivf_topk), so the cell filter is a literal
         IN over the partition column and the parquet scan prunes to those
         directories.
+
+        ``coarse_probe`` (r9): cell selection strategy. ``None``
+        (default) = the exact flat scan — O(q·k) driver flops, right to
+        k ~ 10³–10⁴. An integer enables the TWO-LEVEL coarse search
+        (:class:`TwoLevelCells`, built once per index open and cached):
+        a query scans ⌈√k⌉ coarse centers, then only its best
+        ``coarse_probe`` groups' centroids — O(q·√k) — the scale path
+        once cells ∝ corpus. Two-level selection is deterministic but a
+        RESTRICTION: a query whose true nearest cell sits in an unprobed
+        coarse group probes its best covered cells instead (raise
+        ``coarse_probe`` for selection recall; ``>= ⌈√k⌉`` degenerates
+        to exact).
 
         ``method="exact"`` (default): true cosine over the stored raw
         vectors — (query_id, neighbor_id, cos_sim, rank).
@@ -941,12 +1042,22 @@ class IvfIndex:
                 f"IvfIndex.query needs unique {query_id!r} values; the "
                 "query batch contains duplicates"
             )
+        if coarse_probe is not None:
+            # two-level structure cached per index open: the quantizer is
+            # frozen at build(), so the grouping never changes
+            tl = getattr(self, "_two_level", None)
+            if tl is None or tl[0] != len(cen_rows):
+                tl = (len(cen_rows), TwoLevelCells(cen_rows))
+                self._two_level = tl
+            select = lambda v: tl[1].query(v, nprobe, coarse_probe)  # noqa: E731
+        else:
+            select = lambda v: nearest_cells_driver(  # noqa: E731
+                cen_rows, v, nprobe
+            )
         cell_pairs = [
             (r[0], int(c))
             for r in qrows
-            for c in nearest_cells_driver(
-                cen_rows, [float(x) for x in r[1]], nprobe
-            )
+            for c in select([float(x) for x in r[1]])
         ]
         cell_df = spark.createDataFrame(
             cell_pairs, f"{query_id} {qid_type}, _cell long"
@@ -956,9 +1067,7 @@ class IvfIndex:
             F.col(query_vec).cast("array<double>").alias("_qv"),
         ).join(F.broadcast(cell_df), query_id)
         probed = sorted({c for _, c in cell_pairs})
-        cells = spark.read.parquet(f"{self.path}/cells").where(
-            F.col("cell").isin(probed)
-        )
+        cells = self._read_probed_cells(spark, probed)
         if method == "adc":
             books = self._load_books(spark)
             if books is None:

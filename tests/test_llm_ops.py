@@ -1482,3 +1482,92 @@ def test_pq_precoded_parquet_scan_prunes_vector_column(spark, tmp_path):
             for r in pq_adc_topk(FeatureTable(df, key="vec_id"), qdf,
                                  books, k=5).orderBy("rank").collect()]
     assert got == want
+
+
+# ------------------------------------------------- r9: two-level cell select
+
+def test_two_level_cells_degenerates_to_exact_scan():
+    """coarse_probe >= n_coarse probes every live group, so selection must
+    equal the flat nearest_cells_driver scan — over many random vectors
+    and a centroid set with duplicate vectors (the live-group edge)."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import (
+        TwoLevelCells,
+        nearest_cells_driver,
+    )
+
+    rng = np.random.RandomState(7)
+    cen = [(i, [float(x) for x in rng.randn(8)]) for i in range(100)]
+    cen.append((100, list(cen[0][1])))  # duplicate vector, higher id
+    tl = TwoLevelCells(cen)
+    assert tl.n_coarse == 11  # ceil(sqrt(101))
+    for _ in range(25):
+        v = [float(x) for x in rng.randn(8)]
+        exact = nearest_cells_driver(cen, v, 3)
+        assert tl.query(v, 3, coarse_probe=tl.n_coarse) == exact
+
+
+def test_two_level_cells_restriction_is_deterministic_and_covering():
+    """coarse_probe=1 output is a deterministic restriction: selected ids
+    are the exact argsort of the probed groups' members, every centroid
+    belongs to exactly one group, and repeated structures agree."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import (
+        TwoLevelCells,
+        nearest_cells_driver,
+    )
+
+    rng = np.random.RandomState(11)
+    cen = [(i, [float(x) for x in rng.randn(4)]) for i in range(64)]
+    a, b = TwoLevelCells(cen), TwoLevelCells(cen)
+    assert sum(len(m) for m in a.groups.values()) == 64
+    assert {c for m in a.groups.values() for c, _ in m} == set(range(64))
+    v = [1.0, -0.5, 0.25, 0.0]
+    assert a.query(v, 2, 1) == b.query(v, 2, 1)
+    g = nearest_cells_driver(a.live_coarse, v, 1)[0]
+    assert a.query(v, 2, 1) == nearest_cells_driver(a.groups[g], v, 2)
+
+
+def test_ivf_index_query_two_level_matches_exact_on_clustered(spark, tmp_path):
+    """End-to-end: IvfIndex.query(coarse_probe=...) — wide coarse_probe
+    must return EXACTLY the default flat-scan results; coarse_probe=1 on
+    well-separated cells also agrees (the true cell's group wins)."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(3)
+    k, per = 16, 12
+    centers = rng.randn(k, 6) * 4
+    rows, cen_rows = [], []
+    for c in range(k):
+        cen_rows.append((c, [float(x) for x in centers[c]]))
+        for j in range(per):
+            rows.append((c * per + j,
+                         [float(x) for x in centers[c] + 0.05 * rng.randn(6)]))
+    corpus = FeatureTable(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        key="vec_id",
+    )
+    cen = spark.createDataFrame(
+        cen_rows, "centroid_id long, centroid_vec array<double>"
+    )
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(corpus, cen)
+    q = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in centers[i] + 0.05 * rng.randn(6)])
+         for i in range(4)],
+        "query_id long, query_vec array<double>",
+    )
+    base = sorted(map(tuple, idx.query(q, k=5, nprobe=2).collect()))
+    wide = sorted(map(tuple, idx.query(
+        q, k=5, nprobe=2, coarse_probe=99
+    ).collect()))
+    narrow = sorted(map(tuple, idx.query(
+        q, k=5, nprobe=2, coarse_probe=1
+    ).collect()))
+    assert wide == base and len(base) == 20
+    assert narrow == base  # well-separated: the true group is probed
