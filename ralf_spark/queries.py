@@ -2588,6 +2588,176 @@ def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+# --------------------------------------------------- E3 recall (clustered)
+# r9 (VERDICT r8 #3): the fixture embeddings are near-structureless (the
+# honest r7/r8 finding — raw ANN recall on them measures only knob
+# response), so the clustered-recall evidence lived in a script artifact.
+# This makes the seeded mixture-of-Gaussians a FIRST-CLASS deterministic
+# fixture derived from vec_id via md5 arithmetic — both engines construct
+# identical vectors, so recall@10 itself is hash-gated: a regression that
+# tanks IVF recall on clustered data turns this gate red.
+
+_MOG_K, _MOG_DIM, _MOG_NOISE = 16, 8, 0.35
+
+
+def _mog_centers() -> list[list[float]]:
+    """Cluster centers on the 0.001 lattice in [-1, 1]^dim, md5-derived —
+    sf-independent constants shared by the Spark plan (double literals)
+    and the DuckDB oracle (identical literal text, identical parse)."""
+    import hashlib
+
+    def unit(s: str) -> float:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    return [
+        [unit(f"mog|{c}|{j}") for j in range(_MOG_DIM)]
+        for c in range(_MOG_K)
+    ]
+
+
+def _mog_corpus(spark: SparkSession, sf_dir: str) -> FeatureTable:
+    """Clustered vectors: vec ∈ cluster (vec_id % 16), vec[j] =
+    center[c][j] + 0.35·noise with noise md5(vec_id, j)-derived in
+    [-1, 1] — every arithmetic step spelled identically in both engines
+    (text-identical double literals, same op order)."""
+    cen = _mog_centers()
+    items = []
+    for j in range(_MOG_DIM):
+        arr = "array(" + ", ".join(f"{repr(c[j])}D" for c in cen) + ")"
+        noise = (
+            "(CAST(conv(substring(md5(concat('nz|', CAST(vec_id AS STRING),"
+            f" '|{j}')), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0D"
+        )
+        items.append(
+            f"element_at({arr}, CAST(vec_id % {_MOG_K} AS INT) + 1)"
+            f" + {_MOG_NOISE}D * ({noise})"
+        )
+    df = _t(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("array(" + ", ".join(items) + ")").alias("embedding")
+    )
+    return FeatureTable(df, key="vec_id")
+
+
+def _ivf_recall_oracle_sql() -> str:
+    cen = _mog_centers()
+    cen_vals = ", ".join(
+        f"({c}, [{', '.join(repr(v) for v in vec)}])"
+        for c, vec in enumerate(cen)
+    )
+    dims = []
+    for j in range(_MOG_DIM):
+        arr = "[" + ", ".join(repr(c[j]) for c in cen) + "]"
+        noise = (
+            "(CAST(('0x' || substring(md5('nz|' || CAST(vec_id AS VARCHAR)"
+            f" || '|{j}'), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0"
+        )
+        dims.append(
+            f"{arr}[CAST(vec_id % {_MOG_K} AS BIGINT) + 1]"
+            f" + {_MOG_NOISE} * ({noise})"
+        )
+    cos_cv = (
+        "list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) *"
+        " sqrt(list_dot_product(cv, cv)))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, [{', '.join(dims)}] AS v FROM embeddings
+    ),
+    cen AS (SELECT * FROM (VALUES {cen_vals}) AS t(cid, cv)),
+    ecell AS (
+      SELECT vec_id, v,
+             (SELECT cid FROM cen
+              ORDER BY {cos_cv} DESC, cid LIMIT 1) AS cell
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, cell
+      FROM ecell WHERE vec_id % 25 = 0
+    ),
+    bc AS (
+      SELECT query_id, e.vec_id AS neighbor_id, qv, e.v
+      FROM q, v e WHERE e.vec_id <> query_id
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY {_COS_SQL} DESC, neighbor_id
+               ) AS rnk
+        FROM bc
+      ) WHERE rnk <= 10
+    ),
+    ic AS (
+      SELECT query_id, e.vec_id AS neighbor_id, qv, e.v
+      FROM q JOIN ecell e USING (cell) WHERE e.vec_id <> query_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY {_COS_SQL} DESC, neighbor_id
+               ) AS rnk
+        FROM ic
+      ) WHERE rnk <= 10
+    ),
+    hits AS (
+      SELECT b.query_id, count(*) AS n_hits
+      FROM brute b JOIN ivf i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0 AS recall
+    FROM (SELECT DISTINCT query_id FROM q) q
+    LEFT JOIN hits USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@query("ivf_recall_clustered", _ivf_recall_oracle_sql())
+def ivf_recall_clustered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 recall gate on CLUSTERED data: recall@10 of nprobe=1 IVF search
+    vs brute-force cosine, per query, over the deterministic
+    mixture-of-Gaussians corpus (16 clusters, dim 8, noise 0.35 — knobs
+    documented in BENCH_NOTES r9). The quantizer is the true center set,
+    isolating the SEARCH path: ~0.95 mean recall with a few boundary
+    queries below it is the expected texture; a broken cell assignment,
+    probe filter, or ranking collapses it. Both engines derive the
+    corpus, the brute baseline, AND the IVF shortlist independently —
+    the recall numbers themselves hash-match."""
+    corpus = _mog_corpus(spark, sf_dir)
+    qdf = corpus.df.where(F.expr("vec_id % 25 = 0")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cen_df = spark.createDataFrame(
+        [(c, vec) for c, vec in enumerate(_mog_centers())],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    ivf = ivf_topk(corpus, qdf, cen_df, k=10, nprobe=1)
+    brute = cosine_topk(corpus, qdf, k=10)
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(brute.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        qdf.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(10.0))
+            .alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @query(
     "skew_safe_distinct_count",
     """
@@ -2758,15 +2928,19 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # streaming joins (J1a stream-static + interval stream-stream, r7)
     "streaming_interval_join",
     # dedup family (§2.10 E1/E2) + decontamination + incremental index
-    "exact_dedup", "near_dup_minhash", "dedup_clusters",
+    # (r9 rotation: dedup_clusters to the sweep; E2 keeps 4 driver rows)
+    "exact_dedup", "near_dup_minhash",
     "incremental_minhash_index",
     "decontaminate_against_eval",
-    # similarity search (E3): one-shot, persistent index, quantizer fit
+    # similarity search (E3): one-shot, persistent index, quantizer fit,
+    # PQ encode + ADC/rerank two-pass (r9 rotation in, per VERDICT r8 #4;
+    # embedding_near_dup_lsh to the sweep)
     "similarity_topk_bruteforce", "ivf_index_query",
-    "kmeans_fit_centroids", "embedding_near_dup_lsh",
-    # text analysis + quality filtering (E4)
+    "kmeans_fit_centroids",
+    "pq_encode_codes", "similarity_topk_pq_rerank",
+    # text analysis + quality filtering (E4; r9 rotation:
+    # gopher_repetition to the sweep, E4 keeps 3 driver rows)
     "text_profile", "text_quality", "doc_fingerprint_simhash",
-    "gopher_repetition",
     # cardinality/frequency sketches (E6: batch HLL + streaming
     # maintained-sketch state, r8 rotation)
     "hll_distinct_event_ids", "streaming_hll_state",
@@ -2774,8 +2948,9 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "bm25_keyword_search", "ewma_per_user",
     # data quality (r7 family, first driver-green rows — r8 rotation)
     "events_quality_gate", "feature_drift_psi",
-    # storage layout (E8)
-    "layout_partitioned_write_stats",
+    # storage layout (E8: partitioned-write stats + Z-order roundtrip,
+    # r9 rotation in)
+    "layout_partitioned_write_stats", "layout_zorder_roundtrip",
     # multimodal binary columns (E5)
     "multimodal_image_features", "multimodal_frame_sample",
 ]

@@ -564,7 +564,15 @@ def curation_pipeline(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    st4 = st3.join(dup_ids, "doc_id", "left_anti").persist()
+    # The lazy checkpoint's LogicalRDD has no size statistics until it
+    # materializes, which would flip this anti join (and everything
+    # downstream) to SMJ in the STATIC plan — AQE re-converts at runtime,
+    # but the id set is tiny BY CONTRACT (∝ verified duplicates, ids
+    # only), so hint it explicitly; same for the contamination id set
+    # below. Unlike the dedup verify join (bucket-stats-guarded, r9),
+    # these are id-only projections: even 10⁸ dup ids broadcast at ~1 GB,
+    # and a corpus that duplicate-heavy has bigger problems upstream.
+    st4 = st3.join(F.broadcast(dup_ids), "doc_id", "left_anti").persist()
     is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < eval_pct
     ev_grams = (
         df.where(is_eval)
@@ -582,7 +590,7 @@ def curation_pipeline(
         .select("doc_id")
         .distinct()
     )
-    st5 = st4.where(~is_eval).join(contam, "doc_id", "left_anti")
+    st5 = st4.where(~is_eval).join(F.broadcast(contam), "doc_id", "left_anti")
     st6 = (
         domain_quota_cap(
             FeatureTable(st5, key="doc_id"), "source", cap=cap,

@@ -1571,3 +1571,22 @@ def test_ivf_index_query_two_level_matches_exact_on_clustered(spark, tmp_path):
     ).collect()))
     assert wide == base and len(base) == 20
     assert narrow == base  # well-separated: the true group is probed
+
+
+def test_ivf_recall_clustered_gate_floor(spark):
+    """r9 (VERDICT r8 #3): the clustered-recall evidence is now a gate,
+    not a script artifact — assert the documented floor so a regression
+    that tanks IVF recall on clustered data (broken cell assignment,
+    probe filter, ranking) fails HERE even if structureless-fixture
+    hashes stay green. Knobs: 16 clusters, dim 8, noise 0.35, nprobe=1."""
+    import statistics
+
+    from ralf_spark.queries import QUERIES
+
+    rows = QUERIES["ivf_recall_clustered"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    recalls = [r.recall for r in rows]
+    assert len(recalls) == 20
+    assert statistics.mean(recalls) >= 0.9
+    assert max(recalls) == 1.0  # well-inside-cluster queries are exact
