@@ -118,3 +118,67 @@ def salted_join(
     )
     out = l_s.join(r_s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def salted_asof_join(
+    left: FeatureTable,
+    right: FeatureTable,
+    salt_on: str,
+    salt_buckets: int = 8,
+    left_on: str | None = None,
+    right_on: str | None = None,
+    tolerance: Column | None = None,
+    right_payload: list[str] | None = None,
+    direction: str = "backward",
+) -> FeatureTable:
+    """Skew-safe as-of join (r9, VERDICT r8 #5): the plain
+    :func:`~ralf_spark.operators.joins.asof_join` is one window over
+    ``PARTITION BY key`` — a hot key funnels ALL its rows (both sides)
+    through one task, and AQE's skew split cannot divide a window
+    partition the way it divides a sort-merge join. Salting CAN, because
+    as-of state is replayable per subset: salt each LEFT row by hashing
+    ``salt_on`` (value-hash — replays identically), replicate every RIGHT
+    row to all ``salt_buckets`` salts, and run the identical window over
+    the composite (key, salt) partition. Each left row still sees the
+    FULL right history of its key, so the result is row-identical to the
+    unsalted join (pinned by test and probe); the hot key's left rows now
+    spread across ``salt_buckets`` tasks. Cost: right side ×
+    ``salt_buckets`` — the fact⋈dim-history shape, same trade as
+    :func:`salted_join`.
+
+    ``tolerance`` / ``direction`` / ``right_payload`` pass through with
+    :func:`asof_join` semantics; tie order within a (key, salt) subset is
+    unchanged (same (ts, seq, side) comparator over the same rows).
+    """
+    from ralf_spark.operators.joins import asof_join
+
+    lk = left_on or left.key
+    rk = right_on or right.key
+    if lk is None or rk is None:
+        raise ValueError("salted_asof_join needs keyed tables")
+    rp = right_payload or [
+        c for c in right.df.columns if c not in (rk, right.ts)
+    ]
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets)).cast("int")
+    l2 = left.df.withColumn("_salt", salt).withColumn(
+        "_sk", F.struct(F.col(lk).alias("k"), F.col("_salt").alias("s"))
+    )
+    r2 = right.df.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn(
+        "_sk", F.struct(F.col(rk).alias("k"), F.col("_salt").alias("s"))
+    )
+    out = asof_join(
+        FeatureTable(l2, key="_sk", ts=left.ts, seq=left.seq),
+        FeatureTable(r2, key="_sk", ts=right.ts, seq=right.seq),
+        tolerance=tolerance,
+        right_payload=rp,
+        direction=direction,
+    )
+    df = out.df.drop("_salt", "_sk")
+    return FeatureTable(
+        df,
+        key=lk if lk in df.columns else None,
+        ts=left.ts if left.ts and left.ts in df.columns else None,
+        seq=left.seq if left.seq and left.seq in df.columns else None,
+    )

@@ -2124,6 +2124,50 @@ def salted_enrichment_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_asof_join_state",
+    """
+    SELECT l.event_id, l.user_id, st.state_value, st.state_event_id
+    FROM events l
+    LEFT JOIN LATERAL (
+      SELECT round(r.value, 4) AS state_value, r.event_id AS state_event_id
+      FROM events r
+      WHERE r.user_id = l.user_id AND r.event_type = 'view'
+        AND (r.ts < l.ts OR (r.ts = l.ts AND r.event_id <= l.event_id))
+      ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+    ) st ON true
+    ORDER BY l.event_id
+    """,
+)
+def salted_asof_join_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-SAFE as-of join (r9): identical semantics and ORACLE to
+    ``asof_join_latest_state``, spelled through ``salted_asof_join`` —
+    left rows value-hash salted 8 ways, the right state history
+    replicated per salt, the window over (key, salt). The hot-key window
+    partition AQE cannot split is the reason this spelling exists
+    (SCALEPROBE.md finding 10: plain straggler 244× the median task at
+    48×, salted 1.3×); salting must be result-invariant, which the plain
+    join's oracle enforces."""
+    from ralf_spark.operators.skew import salted_asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    right = FeatureTable(
+        ev.df.where(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id",
+            F.round("value", 4).alias("state_value"),
+            F.col("event_id").alias("state_event_id"),
+        ),
+        key="user_id", ts="ts", seq="event_id",
+    )
+    out = salted_asof_join(
+        ev, right, salt_on="event_id", salt_buckets=8,
+        right_payload=["state_value", "state_event_id"],
+    )
+    return out.df.select(
+        "event_id", "user_id", "state_value", "state_event_id"
+    ).orderBy("event_id")
+
+
+@query(
     "streaming_dedup_replay",
     """
     SELECT event_id, user_id, round(value, 4) AS value

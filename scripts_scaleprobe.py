@@ -173,6 +173,30 @@ def gen_events(m: int) -> str:
     return path
 
 
+def gen_events_skewed(m: int) -> str:
+    """Skewed events (r9, VERDICT r8 #5): 100k·m events over 1500·m
+    users, but user 0 holds ~25% of ALL rows — the hot-key shape that
+    funnels a join/window partition through one task."""
+    path = os.path.join(DATA_ROOT, f"skew{m}", "events.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.RandomState(555 + m)
+    n = BASE_EVENTS * m
+    users = BASE_USERS * m
+    uid = rng.randint(1, users, size=n)
+    uid[rng.rand(n) < 0.25] = 0  # the hot key
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "t": pa.array(np.sort(rng.randint(0, 10_000_000, size=n)),
+                      pa.int64()),
+        "value": pa.array(rng.rand(n) * 100.0, pa.float64()),
+    })
+    pq.write_table(tbl, path)
+    return path
+
+
 def gen_embeddings(m: int) -> str:
     """n = 2000·m vectors, dim 16, Gaussian mixture whose true-center
     count scales with n (cluster STRUCTURE density is scale-invariant,
@@ -527,6 +551,294 @@ def candidate_volumes(mults: list[int]) -> dict:
     return out
 
 
+def _max_stage_id() -> int:
+    try:
+        base = f"http://localhost:{UI_PORT}/api/v1/applications"
+        apps = json.load(urllib.request.urlopen(base, timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"{base}/{app_id}/stages", timeout=10))
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:
+        return -1
+
+
+def _heaviest_stage_quantiles(
+    min_stage_id: int, min_tasks: int = 0
+) -> dict | None:
+    """Among stages completed after ``min_stage_id`` with at least
+    ``min_tasks`` tasks (= the POST-SHUFFLE join/window stages when
+    min_tasks is the shuffle partition count — scan stages have
+    input-split task counts and would otherwise win on raw task time),
+    pick the one holding the longest single task and return its per-task
+    executorRunTime AND shuffle-read-record median/max (REST taskSummary
+    quantiles). Record skew is the deterministic evidence; task time the
+    observable cost."""
+    try:
+        base = f"http://localhost:{UI_PORT}/api/v1/applications"
+        apps = json.load(urllib.request.urlopen(base, timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"{base}/{app_id}/stages?status=complete", timeout=10))
+        mine = [s for s in stages
+                if s["stageId"] > min_stage_id
+                and s.get("numTasks", 0) >= min_tasks]
+        if not mine:
+            return None
+        best = None
+        for s in sorted(mine, key=lambda s: -s.get("executorRunTime", 0)):
+            ts = json.load(urllib.request.urlopen(
+                f"{base}/{app_id}/stages/{s['stageId']}/"
+                f"{s['attemptId']}/taskSummary?quantiles=0.5,1.0",
+                timeout=10))
+            med, mx = [float(x) for x in ts["executorRunTime"]]
+            rr = (ts.get("shuffleReadMetrics") or {}).get("readRecords")
+            rec = {
+                "stage_id": s["stageId"],
+                "n_tasks": s.get("numTasks"),
+                "task_ms_median": round(med, 1),
+                "task_ms_max": round(mx, 1),
+                "max_over_median": round(mx / med, 1) if med > 0 else None,
+            }
+            if rr:
+                rmed, rmax = float(rr[0]), float(rr[1])
+                rec["rows_median"] = int(rmed)
+                rec["rows_max"] = int(rmax)
+                rec["rows_max_over_median"] = (
+                    round(rmax / rmed, 1) if rmed > 0 else None
+                )
+            if best is None or rec["task_ms_max"] > best["task_ms_max"]:
+                best = rec
+        return best
+    except Exception:
+        return None
+
+
+def gen_stream_topic(m: int) -> str:
+    """Two-batch replay topic (r9, VERDICT r8 #6): file 0 = history,
+    100k·m events over 1500·m keys (streaming STATE rows ∝ m after the
+    drain — each key retains a partial window buffer); file 1 = the FIXED
+    batch, 10k events over keys 0..499 (byte-identical at every m).
+    File mtimes force history-first micro-batch order."""
+    d = os.path.join(DATA_ROOT, f"stream{m}", "topic")
+    if os.path.exists(d):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(999 + m)
+    n, users = BASE_EVENTS * m, BASE_USERS * m
+
+    def write(path, ids, uids, vals, age):
+        tbl = pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array(uids, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        })
+        pq.write_table(tbl, path)
+        now = time.time()
+        os.utime(path, (now - age, now - age))
+
+    write(os.path.join(d, "part-0-history.parquet"),
+          range(n), rng.randint(0, users, size=n), rng.rand(n) * 100.0,
+          age=100)
+    rng2 = np.random.RandomState(77)  # m-independent: identical fixed batch
+    write(os.path.join(d, "part-1-fixed.parquet"),
+          range(10_000_000, 10_010_000), rng2.randint(0, 500, size=10_000),
+          rng2.rand(10_000) * 100.0, age=0)
+    return d
+
+
+def streaming_state_probe(mults: list[int]) -> dict:
+    """r9 (VERDICT r8 #6): per-micro-batch cost vs STATE-STORE size — the
+    MinHashIndex flat-batch contract, streaming edition. One availableNow
+    run per point with maxFilesPerTrigger=1: micro-batch 0 drains the
+    history (builds state for 1500·m keys), micro-batch 1 is the fixed
+    10k-event batch; the recorded metric is batch 1's triggerExecution
+    wall + the state operator's numRowsTotal from the SAME progress
+    event. Probed for the applyInPandasWithState tumbling count window
+    under BOTH state-store backends (the HDFS-backed provider
+    materializes each partition's full state map, RocksDB pages), and
+    for the foreachBatch HLL sketch sink (whose per-batch cost is an
+    O(groups) register-table merge+rewrite BY DESIGN — measured to
+    document the trade, not to pass a flatness bar)."""
+    from pyspark.sql import SparkSession
+
+    from ralf_spark.streaming import (
+        file_events,
+        run_bounded,
+        streaming_tumbling_count_window,
+        write_parquet,
+    )
+    from ralf_spark.streaming.sinks import foreach_batch_hll_upsert
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("streamprobe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "100g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    schema = "event_id long, user_id long, value double"
+    out: dict[str, dict] = {}
+
+    def last_batch_stats(q) -> dict:
+        prog = [p for p in q.recentProgress if p.get("numInputRows")]
+        last = prog[-1]
+        ops = last.get("stateOperators") or [{}]
+        return {
+            "batches": len(prog),
+            "batch1_rows": last.get("numInputRows"),
+            "batch1_ms": (last.get("durationMs") or {}).get(
+                "triggerExecution"
+            ),
+            "state_rows": ops[0].get("numRowsTotal"),
+            "state_bytes": ops[0].get("memoryUsedBytes"),
+        }
+
+    try:
+        import shutil
+        import tempfile
+
+        for m in mults:
+            topic = gen_stream_topic(m)
+            for backend in ("hdfs", "rocksdb"):
+                work = tempfile.mkdtemp(prefix=f"sp_{m}_{backend}_")
+                src = file_events(spark, topic, schema=schema,
+                                  max_files_per_trigger=1)
+                win = streaming_tumbling_count_window(src, size=5)
+                t0 = time.perf_counter()
+                q = run_bounded(
+                    write_parquet(win, os.path.join(work, "out"),
+                                  os.path.join(work, "ck")),
+                    shuffle_partitions=32, state_store=backend,
+                )
+                wall = round(time.perf_counter() - t0, 2)
+                rec = {"total_s": wall, **last_batch_stats(q)}
+                out.setdefault(f"window_{backend}", {})[str(m)] = rec
+                print(f"# stream window/{backend} x{m}: batch1 "
+                      f"{rec['batch1_ms']}ms over {rec['batch1_rows']} rows,"
+                      f" state_rows {rec['state_rows']}, run {wall}s",
+                      flush=True)
+                shutil.rmtree(work, ignore_errors=True)
+
+            work = tempfile.mkdtemp(prefix=f"sp_{m}_hll_")
+            src = file_events(spark, topic, schema=schema,
+                              max_files_per_trigger=1)
+            t0 = time.perf_counter()
+            q = run_bounded(
+                foreach_batch_hll_upsert(
+                    src, os.path.join(work, "hll"), ["user_id"], "event_id"
+                ).option("checkpointLocation", os.path.join(work, "ck")),
+                shuffle_partitions=32,
+            )
+            wall = round(time.perf_counter() - t0, 2)
+            prog = [p for p in q.recentProgress if p.get("numInputRows")]
+            rec = {
+                "total_s": wall,
+                "batches": len(prog),
+                "batch1_rows": prog[-1].get("numInputRows"),
+                "batch1_ms": (prog[-1].get("durationMs") or {}).get(
+                    "triggerExecution"
+                ),
+                "groups": BASE_USERS * m,
+            }
+            out.setdefault("hll_sink", {})[str(m)] = rec
+            print(f"# stream hll_sink x{m}: batch1 {rec['batch1_ms']}ms "
+                  f"({rec['groups']} groups), run {wall}s", flush=True)
+            shutil.rmtree(work, ignore_errors=True)
+    finally:
+        spark.stop()
+    return out
+
+
+def skew_probe(mults: list[int]) -> dict:
+    """r9 (VERDICT r8 #5): hot-key join probe. One key holds 25% of the
+    events; shuffle partitions scale with data (P = 16·m — a cluster
+    sized to its input, so the MEDIAN task stays constant and skew shows
+    up as max/median growth); salt buckets scale as B = P/4 (the
+    operational rule: split the hot key down to ~partition granularity).
+    AQE and auto-broadcast are DISABLED in the probe session: AQE's
+    skew split would mask the SMJ case at runtime — but it cannot split
+    a WINDOW partition, which is exactly why salted_asof_join exists;
+    the unsalted-SMJ row therefore doubles as "what AQE would have had
+    to fix", and the window rows show the skew AQE never touches.
+
+    Four ops per scale: enrichment equi-join and as-of join, plain vs
+    salted. Recorded per run: wall, and the heaviest stage's per-task
+    executorRunTime median/max + ratio (REST taskSummary)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.joins import asof_join
+    from ralf_spark.operators.skew import salted_asof_join, salted_join
+    from ralf_spark.table import FeatureTable
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("skewprobe")
+        .config("spark.driver.memory", "100g")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    try:
+        for m in mults:
+            path = gen_events_skewed(m)
+            P, B = 16 * m, max(4, 4 * m)
+            spark.conf.set("spark.sql.shuffle.partitions", str(P))
+            ev = spark.read.parquet(path)
+            users = BASE_USERS * m
+            dim = spark.range(users).select(
+                F.col("id").alias("user_id"),
+                (F.col("id") % 7).alias("segment"),
+                F.md5(F.col("id").cast("string")).alias("attrs"),
+            )
+            upd = spark.range(users * 3).select(
+                F.col("id").alias("upd_id"),
+                (F.col("id") % users).alias("user_id"),
+                (F.col("id") * 37 % 10_000_000).alias("t"),
+                (F.col("id") % 1000).cast("double").alias("state"),
+            )
+            lt = FeatureTable(ev, key="user_id", ts="t", seq="event_id")
+            rt = FeatureTable(upd, key="user_id", ts="t", seq="upd_id")
+            builds = {
+                "enrich_plain": lambda s: ev.join(dim, "user_id"),
+                "enrich_salted": lambda s: salted_join(
+                    ev, dim, key="user_id", salt_on="event_id",
+                    salt_buckets=B,
+                ),
+                "asof_plain": lambda s: asof_join(lt, rt).df,
+                "asof_salted": lambda s: salted_asof_join(
+                    lt, rt, salt_on="event_id", salt_buckets=B
+                ).df,
+            }
+            for name, build in builds.items():
+                _drain(build(spark))  # warm-up
+                sid0 = _max_stage_id()
+                t0 = time.perf_counter()
+                df = build(spark)
+                _drain(df)
+                sec = round(time.perf_counter() - t0, 2)
+                stats = _heaviest_stage_quantiles(sid0, min_tasks=P) or {}
+                rec = {"sec": sec, "P": P, "B": B, **stats}
+                out.setdefault(name, {})[str(m)] = rec
+                print(f"# skew {name} x{m}: {sec}s P={P} B={B} "
+                      f"rows max/med={rec.get('rows_max_over_median')} "
+                      f"({rec.get('rows_max')}/{rec.get('rows_median')}) "
+                      f"time max/med={rec.get('max_over_median')} "
+                      f"(max {rec.get('task_ms_max')}ms)", flush=True)
+    finally:
+        spark.stop()
+    return out
+
+
 def adversarial_probe(mults: list[int]) -> dict:
     """r9 (VERDICT r8 #1): one giant duplicate cluster — the corpus every
     Σ bucket² argument disclaims — against near_dup_pairs' AUTO spelling.
@@ -614,12 +926,26 @@ def main() -> None:
     ap.add_argument("--adversarial", action="store_true",
                     help="giant-dup-cluster probe of the auto verification "
                          "spelling (near_dup_pairs)")
+    ap.add_argument("--skew", action="store_true",
+                    help="hot-key join probe: enrichment + as-of, plain "
+                         "vs salted, per-task max/median ratios")
     args = ap.parse_args()
     mults = [int(x) for x in args.mults.split(",")]
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
     unknown = [o for o in ops if o not in OPS]
     if unknown:
         raise SystemExit(f"unknown ops {unknown}")
+
+    if args.skew:
+        sk = skew_probe(mults)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data["skewed_joins"] = sk
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(sk, indent=1))
+        return
 
     if args.adversarial:
         adv = adversarial_probe(mults)

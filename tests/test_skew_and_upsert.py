@@ -298,3 +298,45 @@ def test_delta_merge_statement_pinned_to_plan_spec(spark):
     assert got == {("a", 20.0), ("b", 5.0)}
     plan = src._jdf.queryExecution().analyzed().toString()
     assert "s" in plan.split("SubqueryAlias")[1][:10]
+
+
+def test_salted_asof_join_equals_plain_asof(spark):
+    """r9: the salted as-of spelling must be ROW-IDENTICAL to the plain
+    one — hot-key fixture with ties at equal ts, tolerance, both
+    directions, and a key that never matches."""
+    from ralf_spark.operators.joins import asof_join
+    from ralf_spark.operators.skew import salted_asof_join
+
+    left_rows = []
+    # user 1 is hot: 60 of 80 left rows
+    for i in range(80):
+        u = 1 if i % 4 != 3 else 2 + (i % 3)
+        left_rows.append((i, u, 10 * (i % 9), float(i)))
+    right_rows = [
+        (100 + j, u, 10 * j + (j % 2), float(100 * u + j))
+        for u in (1, 2, 3) for j in range(7)
+    ]
+    lt = FeatureTable(
+        spark.createDataFrame(
+            left_rows, "event_id long, user_id long, t long, v double"
+        ),
+        key="user_id", ts="t", seq="event_id",
+    )
+    rt = FeatureTable(
+        spark.createDataFrame(
+            right_rows, "upd_id long, user_id long, t long, state double"
+        ),
+        key="user_id", ts="t", seq="upd_id",
+    )
+    for direction in ("backward", "forward"):
+        for tol in (None, F.lit(15)):
+            plain = sorted(map(tuple, asof_join(
+                lt, rt, tolerance=tol, direction=direction
+            ).df.collect()))
+            for b in (3, 8):
+                salted = sorted(map(tuple, salted_asof_join(
+                    lt, rt, salt_on="event_id", salt_buckets=b,
+                    tolerance=tol, direction=direction,
+                ).df.collect()))
+                assert salted == plain, (direction, b)
+    assert len(plain) == 80
