@@ -929,12 +929,29 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true",
                     help="hot-key join probe: enrichment + as-of, plain "
                          "vs salted, per-task max/median ratios")
+    ap.add_argument("--streaming", action="store_true",
+                    help="streaming state-growth probe: fixed micro-batch "
+                         "cost vs state-store size, both backends")
     args = ap.parse_args()
     mults = [int(x) for x in args.mults.split(",")]
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
     unknown = [o for o in ops if o not in OPS]
     if unknown:
         raise SystemExit(f"unknown ops {unknown}")
+
+    if args.streaming:
+        st = streaming_state_probe(mults)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        merged_st = data.get("streaming_state", {})
+        for op, runs in st.items():  # merge per scale point, don't clobber
+            merged_st.setdefault(op, {}).update(runs)
+        data["streaming_state"] = merged_st
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(st, indent=1))
+        return
 
     if args.skew:
         sk = skew_probe(mults)
