@@ -697,6 +697,38 @@ def duplicated_spans(
     )
 
 
+def choose_simhash_blocks(
+    n_docs: int, bits: int = 48, max_hamming: int = 3
+) -> int:
+    """Pick the SimHash block count from the corpus size (r9, VERDICT r8
+    #7) using the cost model SCALEPROBE.md finding 2 measured: the
+    minimum-band spelling (blocks = h+1) keys each table on bits/(h+1)
+    bits, so UNRELATED fingerprints collide at n²/2^(bits/(h+1)) — a
+    quadratic floor (measured ×16 candidates per ×4 docs); the Manku
+    block-combination generalization pays C(blocks, h) tables of explode
+    volume to key on (blocks−h)/blocks × bits bits. Chosen blocks =
+    argmin over b of  C(b,h)·n  +  n²/2^(bits·(b−h)/b)  — table volume
+    plus the random-collision candidate floor, the two measured terms.
+    At bits=48/h=3 this keeps b = h+1 = 4 through ~2.5·10⁴ docs and
+    steps up as the floor starts to dominate: 5·10³→4, 10⁵→5, 10⁶→5,
+    10⁷→6, 10⁸→6 (crossovers 4→5 at ~2.5·10⁴, 5→6 at ~6.2·10⁶ — inside
+    the probe's empirically bracketed 10⁵–10⁶-scale crossover REGION for
+    4→more; the model steps earlier than the measured 6-block A/B
+    because 5 blocks, which the probe didn't run, already buys 19-bit
+    keys for 2.5× the tables). Pinned in tests."""
+    import math as _math
+
+    h = max_hamming
+    best_b, best_cost = h + 1, None
+    for b in range(h + 1, min(bits, 16) + 1):
+        cost = _math.comb(b, h) * n_docs + (
+            n_docs * n_docs / 2 ** (bits * (b - h) / b)
+        )
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b
+
+
 def simhash_near_dup_pairs(
     table: FeatureTable,
     text_col: str = "text",
@@ -705,6 +737,7 @@ def simhash_near_dup_pairs(
     shingle_n: int = 3,
     hash_fn: str | None = None,
     blocks: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup PAIRS via Hamming-pigeonhole banding — the
     web-crawl dedup of Manku, Jain & Das Sarma, "Detecting Near-Duplicates
@@ -724,8 +757,9 @@ def simhash_near_dup_pairs(
     Zero fingerprints (empty/short docs) are excluded — they are
     "no content", not mutual near-dups.
 
-    ``blocks`` (default ``max_hamming + 1``) is the scale knob the 48x
-    probe motivated (SCALEPROBE.md): with the minimum block count, each
+    ``blocks`` (default: AUTO from the corpus count — r9) is the scale
+    knob the 48x probe motivated (SCALEPROBE.md): with the minimum block
+    count, each
     table is keyed on only ``bits/(h+1)`` bits (12 at the defaults), so
     UNRELATED fingerprints collide at rate n²/2^12 — an intrinsic
     quadratic candidate floor that dominated the probe's largest scale
@@ -740,6 +774,14 @@ def simhash_near_dup_pairs(
     the right trade once n² / 2^(bits/(h+1)) outgrows C(blocks,h)·n.
     Output is IDENTICAL for any valid ``blocks`` (candidates are always
     verified by exact popcount; the knob only changes candidate count).
+
+    ``blocks=None`` resolves via :func:`choose_simhash_blocks` from
+    ``n_docs`` when passed (a catalog/planning estimate — order of
+    magnitude suffices, the cost curve is flat near the optimum) or one
+    cheap ``count()`` of the source otherwise. Crossover table at
+    bits=48/h=3: ≤2.5·10⁴ docs → 4 (the minimum-band spelling), →5 from
+    there, →6 past ~6.2·10⁶. Pass an explicit ``blocks`` to pin the
+    spelling.
     """
     import itertools
 
@@ -749,7 +791,8 @@ def simhash_near_dup_pairs(
         raise ValueError("bits must be in (0, 60] (stable_hash64 width)")
     bands = max_hamming + 1
     if blocks is None:
-        blocks = bands
+        n = n_docs if n_docs is not None else table.df.count()
+        blocks = choose_simhash_blocks(n, bits, max_hamming)
     if blocks < bands:
         raise ValueError(
             f"blocks must be >= max_hamming + 1 = {bands} (pigeonhole "

@@ -355,8 +355,10 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc instead of a MinHash signature vector - the cheap global-radius
     dedup index."""
     docs = _docs_par(spark, sf_dir)
+    # blocks pinned to the minimum-band spelling this gate documents
+    # (r9: the default auto-selects from the corpus count)
     return simhash_near_dup_pairs(
-        docs, bits=48, max_hamming=3
+        docs, bits=48, max_hamming=3, blocks=4
     ).orderBy("id1", "id2")
 
 

@@ -299,8 +299,10 @@ def op_simhash_pairs(spark, m: int):
     from ralf_spark.table import FeatureTable
 
     docs = spark.read.parquet(_docs_path(m))
+    # pin the MINIMUM-band spelling (r9: default is now auto-selected
+    # from the corpus count) — this row exists to measure its floor
     return simhash_near_dup_pairs(
-        FeatureTable(docs, key="doc_id"), hash_fn="xxhash64"
+        FeatureTable(docs, key="doc_id"), hash_fn="xxhash64", blocks=4
     )
 
 

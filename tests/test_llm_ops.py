@@ -750,6 +750,42 @@ def test_simhash_block_tables_equal_default_banding(spark):
     with pytest.raises(ValueError, match="blocks must be <="):
         simhash_near_dup_pairs(t, bits=48, max_hamming=3, blocks=49)
 
+    # r9 (VERDICT r8 #7): blocks=None auto-selects from the corpus count
+    # (here 4 docs -> the minimum-band spelling) or a passed n_docs
+    # estimate — both output-identical to every pinned spelling
+    auto = sorted(
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_near_dup_pairs(t, bits=48, max_hamming=3,
+                                        blocks=None).collect()
+    )
+    assert auto == want
+    est = sorted(
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_near_dup_pairs(t, bits=48, max_hamming=3,
+                                        n_docs=1_000_000).collect()
+    )
+    assert est == want
+
+
+def test_choose_simhash_blocks_crossover_table():
+    """r9: the auto-selection cost model — C(b,h)·n table volume plus the
+    n²/2^(bits·(b−h)/b) collision floor — pinned at the documented
+    crossovers (bits=48, h=3): minimum-band through ~2.5·10⁴ docs, 5
+    blocks through ~6.2·10⁶, 6 beyond; never below the pigeonhole
+    minimum, and a tiny corpus always gets the cheapest spelling."""
+    from ralf_spark.operators.dedup import choose_simhash_blocks
+
+    assert choose_simhash_blocks(500) == 4
+    assert choose_simhash_blocks(5_000) == 4
+    assert choose_simhash_blocks(100_000) == 5
+    assert choose_simhash_blocks(1_000_000) == 5
+    assert choose_simhash_blocks(10_000_000) == 6
+    for n in (1, 100, 10**4, 10**6, 10**8):
+        b = choose_simhash_blocks(n)
+        assert 4 <= b <= 16
+    # other geometries stay above their pigeonhole minimum too
+    assert choose_simhash_blocks(10**6, bits=60, max_hamming=2) >= 3
+
 
 def test_shingle_expressions_let_bind_token_pipeline(spark):
     """Regression canary for the r5 shingle blowup: the token pipeline
