@@ -1626,3 +1626,19 @@ def test_ivf_recall_clustered_gate_floor(spark):
     assert len(recalls) == 20
     assert statistics.mean(recalls) >= 0.9
     assert max(recalls) == 1.0  # well-inside-cluster queries are exact
+
+
+def test_pq_rerank_recall_clustered_gate_floor(spark):
+    """r9 companion to the IVF recall gate: PQ ADC top-50 + exact rerank
+    top-10 on the clustered MoG corpus must keep mean recall@10 >= 0.9 —
+    the rerank-width lever's documented operating point."""
+    import statistics
+
+    from ralf_spark.queries import QUERIES
+
+    rows = QUERIES["pq_rerank_recall_clustered"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    recalls = [r.recall for r in rows]
+    assert len(recalls) == 20
+    assert statistics.mean(recalls) >= 0.9
