@@ -751,3 +751,103 @@ def similarity_topk_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ralf_spark.queries import finalize_registry as _finalize  # noqa: E402
 
 _finalize()
+
+
+def _ivf_twolevel_oracle_sql(k: int = 5) -> str:
+    """DuckDB replay of the TWO-LEVEL serving cell selection (r9,
+    ``TwoLevelCells``): coarse level = the ⌈√k_cells⌉ = 4 smallest-id
+    centroids; every centroid joins its max-cosine coarse group (ties →
+    lowest id); a query picks its best LIVE group, then its best cell
+    among that group's members (coarse_probe = nprobe = 1), and searches
+    that cell exactly like the flat gate. Replays the restriction
+    algorithm itself — a selection bug (wrong grouping, dead-group probe,
+    tie order) hash-mismatches here even when the flat gate stays green."""
+    def cos(a: str, b: str) -> str:
+        return (f"list_dot_product({a}, {b}) / (sqrt(list_dot_product"
+                f"({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+    cos_q = (
+        "list_dot_product(qv, v) /"
+        " (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+    )
+    return f"""
+    WITH cen AS (
+      SELECT CAST(label AS BIGINT) AS cid,
+             (arg_min(embedding, vec_id)::DOUBLE[]) AS cv
+      FROM embeddings GROUP BY label
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ecell AS (
+      SELECT vec_id, v,
+             (SELECT cid FROM cen
+              ORDER BY {cos('e.v', 'cv')} DESC, cid LIMIT 1) AS cell
+      FROM e
+    ),
+    coarse AS (SELECT cid, cv FROM cen ORDER BY cid LIMIT 4),
+    grp AS (
+      SELECT c.cid,
+             (SELECT g.cid FROM coarse g
+              ORDER BY {cos('c.cv', 'g.cv')} DESC, g.cid LIMIT 1) AS grp
+      FROM cen c
+    ),
+    live AS (SELECT DISTINCT grp FROM grp),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    qgrp AS (
+      SELECT query_id, qv,
+             (SELECT g.cid FROM coarse g JOIN live l ON l.grp = g.cid
+              ORDER BY {cos('q.qv', 'g.cv')} DESC, g.cid LIMIT 1) AS grp
+      FROM q
+    ),
+    qcell AS (
+      SELECT query_id, qv,
+             (SELECT m.cid FROM grp m JOIN cen c2 ON c2.cid = m.cid
+              WHERE m.grp = qgrp.grp
+              ORDER BY {cos('qgrp.qv', 'c2.cv')} DESC, m.cid LIMIT 1) AS cell
+      FROM qgrp
+    ),
+    c AS (
+      SELECT query_id, e.vec_id AS neighbor_id, qv, e.v
+      FROM qcell JOIN ecell e USING (cell)
+      WHERE e.vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, {cos_q} AS cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY {cos_q} DESC, neighbor_id
+             ) AS rnk
+      FROM c
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rnk
+    FROM r WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@query("ivf_index_query_twolevel", _ivf_twolevel_oracle_sql())
+def ivf_index_query_twolevel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 serving scale path (r9): the same persistent index as
+    ``ivf_index_query`` answered through the TWO-LEVEL coarse search
+    (``query(coarse_probe=1)``, O(q·√k) selection + O(probed) directory
+    listing — SCALEPROBE finding 9). The oracle independently replays the
+    two-level restriction (coarse grouping, live-group probe, member
+    argmax), so the selection algorithm itself is hash-gated, not just
+    its degenerate-exact case."""
+    import hashlib as _hl
+
+    from ralf_spark.queries import _query_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.df.groupBy("label").agg(
+        F.min_by("embedding", "vec_id").alias("centroid_vec")
+    ).select(F.col("label").alias("centroid_id"), "centroid_vec")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = IvfIndex(_scratch(f"ivf2l_{tag}_"))
+    idx.build(emb, centroids)
+    out = idx.query(
+        _query_vectors(spark, sf_dir), k=5, nprobe=1, coarse_probe=1
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
