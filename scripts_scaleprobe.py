@@ -259,21 +259,30 @@ def _drain(df) -> None:
 
 def _measure(build, spark) -> dict:
     """warm-up pass (plan compile + JIT), then the timed pass with
-    shuffle-byte attribution from the REST stage totals."""
+    shuffle-byte attribution from the REST stage totals. Releases are
+    BLOCKING + gc'd between passes (r9): lazily-released blocks and
+    broadcast remnants from earlier passes otherwise linger into later
+    scale points and inflate their walls by up to ~2x (measured — the
+    first lsh re-probe read 35 s at 48x where a hygienic session reads
+    ~8 s)."""
+    import gc
+
     from ralf_spark.operators.util import unpersist_cached
 
     df = build(spark)
     _drain(df)
-    unpersist_cached(df)
+    unpersist_cached(df, blocking=True)
     spark.catalog.clearCache()
+    gc.collect()
     rd0, wr0 = _rest_shuffle_totals()
     t0 = time.perf_counter()
     df = build(spark)
     _drain(df)
     sec = time.perf_counter() - t0
     rows = df.count()  # cheap re-run; excluded from the timing
-    unpersist_cached(df)
+    unpersist_cached(df, blocking=True)
     spark.catalog.clearCache()
+    gc.collect()
     rd1, wr1 = _rest_shuffle_totals()
     return {
         "sec": round(sec, 3),
