@@ -610,3 +610,94 @@ def mad_outliers(
         .withColumnRenamed("_med", "group_median")
         .withColumnRenamed("_mad", "group_mad")
     )
+
+
+def mixture_rates(
+    counts: dict[str, int],
+    weights: dict[str, int],
+    grain: int = 10_000,
+) -> dict[str, int]:
+    """Feasible per-source keep THRESHOLDS (out of ``grain``) that realize
+    a target mixture — the dataset-mixing staple (compose web/code/books
+    at w_web : w_code : w_books): keep every row of the most-constrained
+    source (the one with the smallest count/weight ratio) and sample the
+    others down so surviving counts sit in the target proportions, i.e.
+    the largest mixture the corpus can supply without up-sampling.
+
+    EXACT integer arithmetic throughout (r9): s* = argmin count_s/w_s by
+    cross-multiplied comparison (ties → smallest source name), and
+    threshold_s = min(grain, grain·w_s·count_{s*} // (w_{s*}·count_s)) —
+    a pure rational, so a SQL engine derives the identical thresholds
+    from the identical counts (the gate's oracle does). Float rates would
+    diverge in the last ulp across engines and flip hash rows.
+
+    Sources with weight but no rows are vacuously unconstrained
+    (threshold = grain) and excluded from the argmin. The realized mix
+    deviates from the target by at most 1/grain per source (floor) plus
+    hash-sampling noise O(1/√count)."""
+    if grain <= 0:
+        raise ValueError("grain must be positive")
+    live = {s: c for s, c in counts.items()
+            if s in weights and c > 0}
+    for s, w in weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"weight for {s!r} must be a positive int")
+    if not live:
+        return {s: grain for s in weights}
+    # exact argmin of count/weight via cross-multiplication
+    star = None
+    for s in sorted(live):
+        if star is None or (
+            live[s] * weights[star] < live[star] * weights[s]
+        ):
+            star = s
+    out = {}
+    for s in weights:
+        c = live.get(s)
+        if c is None:
+            out[s] = grain
+        else:
+            out[s] = min(
+                grain,
+                grain * weights[s] * live[star] // (weights[star] * c),
+            )
+    return out
+
+
+def mixture_sample(
+    table: FeatureTable,
+    source_col: str,
+    weights: dict[str, int],
+    on: str | Column | None = None,
+    grain: int = 10_000,
+) -> DataFrame:
+    """Deterministic source-mixture sampling: down-sample each source so
+    the SURVIVORS sit in the ``weights`` proportions (the largest such
+    mixture the corpus supports — see :func:`mixture_rates`). Returns
+    every input row of a weighted source plus a ``kept`` boolean (the
+    :func:`domain_quota_cap` audit contract); rows whose source carries
+    no weight are excluded (they are not part of the recipe).
+
+    Plan: ONE map-side-partial count per source (collected — source
+    cardinality is recipe-sized by contract), thresholds derived
+    driver-side in exact ints, then a row-local hash test — no shuffle
+    beyond the count; the sample itself never re-scans. Hash-based like
+    :func:`stratified_sample`: the surviving set is stable across runs,
+    engines, and partition layouts."""
+    idc = on if on is not None else (table.seq or table.key)
+    if idc is None:
+        raise ValueError("mixture_sample needs a column to hash")
+    if isinstance(idc, str):
+        idc = F.col(idc)
+    sc = F.col(source_col)
+    df = table.df.where(sc.isin(list(weights)))
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(sc).agg(F.count(F.lit(1))).collect()
+    }
+    thresholds = mixture_rates(counts, weights, grain)
+    thr = F.lit(0)
+    for s, t in thresholds.items():
+        thr = F.when(sc == s, F.lit(t)).otherwise(thr)
+    bucket = stable_hash64(idc.cast("string"), salt="mix") % grain
+    return df.withColumn("kept", bucket < thr)

@@ -1818,6 +1818,67 @@ def dataset_split_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_mixture_sample",
+    f"""
+    WITH w(source, wgt) AS (
+      VALUES ('src0', 5), ('src1', 3), ('src2', 2)
+    ),
+    d AS (
+      SELECT doc_id, documents.source FROM documents JOIN w USING (source)
+    ),
+    cnt AS (SELECT source, count(*) AS c FROM d GROUP BY source),
+    j AS (SELECT cnt.source, c, wgt FROM cnt JOIN w USING (source)),
+    star AS (
+      SELECT a.source AS s_star, a.c AS c_star, a.wgt AS w_star
+      FROM j a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM j b
+        WHERE b.c * a.wgt < a.c * b.wgt
+           OR (b.c * a.wgt = a.c * b.wgt AND b.source < a.source)
+      )
+    ),
+    thr AS (
+      SELECT j.source,
+             LEAST(10000, 10000 * j.wgt * star.c_star
+                          // (star.w_star * j.c)) AS t
+      FROM j, star
+    )
+    SELECT d.source,
+           count(*) AS n_rows,
+           CAST(count(*) FILTER (
+             WHERE {stable_hash64_sql('doc_id', salt='mix')} % 10000 < t
+           ) AS BIGINT) AS n_kept
+    FROM d JOIN thr USING (source)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def source_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset MIXING (r9): down-sample sources so the survivors sit in
+    a 5:3:2 recipe — the largest such mixture the corpus supports (the
+    scarcest count/weight source keeps everything; the others scale to
+    it — ``operators/policies.mixture_rates``). Thresholds are derived
+    in EXACT integer rationals from the per-source counts, so the DuckDB
+    oracle re-derives the identical thresholds from the identical counts
+    (cross-multiplied argmin + floor division — no float rate ever
+    exists to diverge). One count agg + a row-local hash test; the
+    recipe-sized threshold map is the only thing collected."""
+    from ralf_spark.operators.policies import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "source", {"src0": 5, "src1": 3, "src2": 2}, on="doc_id"
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "json_typed_parse",
     """
     SELECT user_id,

@@ -328,6 +328,17 @@ def op_simhash_blocks6(spark, m: int):
     )
 
 
+def op_jaccard_inverted(spark, m: int):
+    """r9: the rare-shingle inverted-index dedup path (Σ df² ≤ max_df ×
+    postings with hot shingles pruned — predicted ~linear) had never
+    been probed; runs under the r9 AUTO verification spelling."""
+    from ralf_spark.operators.dedup import jaccard_pairs_inverted
+    from ralf_spark.table import FeatureTable
+
+    docs = spark.read.parquet(_docs_path(m))
+    return jaccard_pairs_inverted(FeatureTable(docs, key="doc_id"))
+
+
 def op_decontaminate(spark, m: int):
     # the registry query itself (fixed-percent eval split, broadcast
     # gram set) pointed at the probe directory
@@ -475,6 +486,7 @@ OPS = {
     "lsh_near_dup": (op_lsh_near_dup, "documents", 1.0),
     "simhash_pairs": (op_simhash_pairs, "documents", 2.0),
     "simhash_blocks6": (op_simhash_blocks6, "documents", 1.0),
+    "jaccard_inverted": (op_jaccard_inverted, "documents", 1.0),
     "decontaminate": (op_decontaminate, "documents", 1.0),
     "sliding_explode": (op_sliding_explode, "events", 1.0),
     "semdedup_k_lin": (op_semdedup_k_lin, "embeddings", 1.0),

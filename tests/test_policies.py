@@ -308,3 +308,65 @@ def test_domain_quota_cap_null_domain_is_capped(spark):
     # NULL group over quota: top-2 by quality (docs 0, 1) survive
     assert [i for i in range(5) if out[i]] == [0, 1]
     assert out[10] and out[11]  # under-cap named domain untouched
+
+
+def test_mixture_rates_exact_rationals_and_edges():
+    """r9: waterfilling thresholds — the scarcest count/weight source
+    keeps everything, others scale by the exact integer rational;
+    zero-count and absent sources are vacuously unconstrained; ties in
+    the argmin break to the smallest source name."""
+    import pytest
+
+    from ralf_spark.operators.policies import mixture_rates
+
+    t = mixture_rates({"web": 1000, "code": 100, "books": 50},
+                      {"web": 5, "code": 3, "books": 2})
+    assert t == {"web": 1250, "code": 7500, "books": 10_000}
+    # tie: both ratios equal -> 'a' is the star; both keep everything
+    t2 = mixture_rates({"a": 10, "b": 20}, {"a": 1, "b": 2})
+    assert t2 == {"a": 10_000, "b": 10_000}
+    # zero-count source: unconstrained, and not the argmin
+    t3 = mixture_rates({"a": 100, "b": 0}, {"a": 1, "b": 1})
+    assert t3 == {"a": 10_000, "b": 10_000}
+    assert mixture_rates({}, {"a": 1}) == {"a": 10_000}
+    with pytest.raises(ValueError):
+        mixture_rates({"a": 1}, {"a": 0})
+    with pytest.raises(ValueError):
+        mixture_rates({"a": 1}, {"a": 1.5})  # type: ignore[dict-item]
+
+
+def test_mixture_sample_realizes_target_proportions(spark):
+    """End-to-end on a deliberately imbalanced corpus: survivors sit
+    within sampling noise of the 5:3:2 recipe, the scarcest source is
+    kept whole, unweighted sources are excluded, and the row set is
+    deterministic across invocations."""
+    from ralf_spark.operators.policies import mixture_sample
+    from ralf_spark.table import FeatureTable
+
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(10_000 + i, "code") for i in range(1200)]
+        + [(20_000 + i, "books") for i in range(300)]
+        + [(30_000 + i, "junk") for i in range(500)]
+    )
+    t = FeatureTable(
+        spark.createDataFrame(rows, "doc_id long, source string"),
+        key="doc_id",
+    )
+    out = mixture_sample(t, "source", {"web": 5, "code": 3, "books": 2})
+    kept = {
+        r[0]: r[1]
+        for r in out.where("kept").groupBy("source").count().collect()
+    }
+    assert "junk" not in kept and set(kept) == {"web", "code", "books"}
+    assert kept["books"] == 300  # scarcest (300/2=150): kept whole
+    # targets: web = 5/2*300 = 750, code = 3/2*300 = 450; hash noise
+    assert abs(kept["web"] - 750) < 80
+    assert abs(kept["code"] - 450) < 60
+    again = {
+        r[0]: r[1]
+        for r in mixture_sample(
+            t, "source", {"web": 5, "code": 3, "books": 2}
+        ).where("kept").groupBy("source").count().collect()
+    }
+    assert again == kept
