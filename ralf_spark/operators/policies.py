@@ -701,3 +701,88 @@ def mixture_sample(
         thr = F.when(sc == s, F.lit(t)).otherwise(thr)
     bucket = stable_hash64(idc.cast("string"), salt="mix") % grain
     return df.withColumn("kept", bucket < thr)
+
+
+def mixture_repeat_factors(
+    counts: dict[str, int],
+    weights: dict[str, int],
+    grain: int = 10_000,
+) -> dict[str, tuple[int, int]]:
+    """UP-sampling twin of :func:`mixture_rates`: per-source repeat
+    factors (full_copies, extra_copy_threshold) that realize the target
+    mixture by REPEATING scarce sources (the epoch-style recipe — books
+    seen ~3×/epoch) instead of discarding rich ones. The RICHEST
+    count/weight source is emitted exactly once; source s repeats
+    r_s = (w_s·c_big)/(w_big·c_s) ≥ 1 times — ``full_copies = ⌊r_s⌋``
+    copies always, plus one more iff the row's hash bucket falls under
+    ``extra_copy_threshold`` (= grain·frac(r_s), floored). All exact
+    integer rationals, same cross-engine contract as
+    :func:`mixture_rates`; zero-count / absent sources get (1, 0)."""
+    if grain <= 0:
+        raise ValueError("grain must be positive")
+    live = {s: c for s, c in counts.items() if s in weights and c > 0}
+    for s, w in weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"weight for {s!r} must be a positive int")
+    if not live:
+        return {s: (1, 0) for s in weights}
+    big = None  # exact argmax of count/weight, ties -> smallest name
+    for s in sorted(live):
+        if big is None or (live[s] * weights[big] > live[big] * weights[s]):
+            big = s
+    out = {}
+    for s in weights:
+        c = live.get(s)
+        if c is None:
+            out[s] = (1, 0)
+        else:
+            num, den = weights[s] * live[big], weights[big] * c
+            full = num // den
+            out[s] = (full, grain * (num - full * den) // den)
+    return out
+
+
+def mixture_upsample(
+    table: FeatureTable,
+    source_col: str,
+    weights: dict[str, int],
+    on: str | Column | None = None,
+    grain: int = 10_000,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Realize a target source mixture by REPETITION
+    (:func:`mixture_repeat_factors`): every row of a weighted source is
+    emitted ``full_copies`` times, plus one extra copy decided by the
+    row's content hash — deterministic fractional epochs. Output = the
+    input columns plus ``copy_col`` (0-based repeat index, so downstream
+    keys stay unique as (key, copy)); unweighted sources are excluded.
+
+    Plan: one map-side-partial count per source (collected — recipe-sized
+    by contract), then a row-local ``explode(sequence(...))`` whose
+    fan-out is the per-row copy count — output-sized, the same bounded
+    explode contract as the sliding-window explode strategy. No shuffle
+    beyond the count."""
+    idc = on if on is not None else (table.seq or table.key)
+    if idc is None:
+        raise ValueError("mixture_upsample needs a column to hash")
+    if isinstance(idc, str):
+        idc = F.col(idc)
+    sc = F.col(source_col)
+    df = table.df.where(sc.isin(list(weights)))
+    cnts = {
+        r[0]: r[1]
+        for r in df.groupBy(sc).agg(F.count(F.lit(1))).collect()
+    }
+    factors = mixture_repeat_factors(cnts, weights, grain)
+    full = F.lit(1)
+    thr = F.lit(0)
+    for s, (nf, t) in factors.items():
+        full = F.when(sc == s, F.lit(nf)).otherwise(full)
+        thr = F.when(sc == s, F.lit(t)).otherwise(thr)
+    bucket = stable_hash64(idc.cast("string"), salt="mix") % grain
+    # n_copies >= 1 always: the richest source's factor is exactly (1, 0)
+    # and every repeat factor is >= 1 by the argmax construction
+    n_copies = full + (bucket < thr).cast("int")
+    return df.withColumn(
+        copy_col, F.explode(F.sequence(F.lit(0), n_copies - 1))
+    )

@@ -1879,6 +1879,69 @@ def source_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_mixture_upsample",
+    f"""
+    WITH w(source, wgt) AS (
+      VALUES ('src0', 5), ('src1', 3), ('src2', 2)
+    ),
+    d AS (
+      SELECT doc_id, documents.source FROM documents JOIN w USING (source)
+    ),
+    cnt AS (SELECT source, count(*) AS c FROM d GROUP BY source),
+    j AS (SELECT cnt.source, c, wgt FROM cnt JOIN w USING (source)),
+    big AS (
+      SELECT a.source AS s_big, a.c AS c_big, a.wgt AS w_big
+      FROM j a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM j b
+        WHERE b.c * a.wgt > a.c * b.wgt
+           OR (b.c * a.wgt = a.c * b.wgt AND b.source < a.source)
+      )
+    ),
+    fac AS (
+      SELECT j.source,
+             (j.wgt * big.c_big) // (big.w_big * j.c) AS n_full,
+             10000 * (j.wgt * big.c_big
+                      - ((j.wgt * big.c_big) // (big.w_big * j.c))
+                        * (big.w_big * j.c))
+                   // (big.w_big * j.c) AS thr
+      FROM j, big
+    )
+    SELECT d.source,
+           count(*) AS n_rows,
+           CAST(sum(n_full) + count(*) FILTER (
+             WHERE {stable_hash64_sql('doc_id', salt='mix')} % 10000 < thr
+           ) AS BIGINT) AS n_emitted
+    FROM d JOIN fac USING (source)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def source_mixture_upsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by REPETITION (r9, the epoch-style complement of
+    ``source_mixture_sample``): scarce sources repeat — integer full
+    copies plus a content-hash-decided fractional copy — until the
+    emitted mix sits in the 5:3:2 recipe with the richest source seen
+    exactly once (``operators/policies.mixture_upsample``). Repeat
+    factors are exact integer rationals re-derived by the oracle from
+    the same counts; the fan-out is a row-local bounded explode
+    (output-sized, the sliding-explode contract)."""
+    from ralf_spark.operators.policies import mixture_upsample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_upsample(
+        docs, "source", {"src0": 5, "src1": 3, "src2": 2}, on="doc_id"
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "json_typed_parse",
     """
     SELECT user_id,

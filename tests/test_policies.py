@@ -370,3 +370,44 @@ def test_mixture_sample_realizes_target_proportions(spark):
         ).where("kept").groupBy("source").count().collect()
     }
     assert again == kept
+
+
+def test_mixture_upsample_factors_and_output(spark):
+    """r9: repeat factors are exact rationals (richest source exactly
+    once), the exploded output realizes the mix, copy indexes are dense
+    per row, and the emitted set is deterministic."""
+    from ralf_spark.operators.policies import (
+        mixture_repeat_factors,
+        mixture_upsample,
+    )
+    from ralf_spark.table import FeatureTable
+
+    assert mixture_repeat_factors(
+        {"web": 1000, "code": 100}, {"web": 5, "code": 3}
+    ) == {"web": (1, 0), "code": (6, 0)}
+    assert mixture_repeat_factors(
+        {"a": 300, "b": 100}, {"a": 2, "b": 1}
+    ) == {"a": (1, 0), "b": (1, 5000)}
+    assert mixture_repeat_factors({}, {"a": 1}) == {"a": (1, 0)}
+
+    rows = (
+        [(i, "web") for i in range(900)]
+        + [(10_000 + i, "books") for i in range(100)]
+    )
+    t = FeatureTable(
+        spark.createDataFrame(rows, "doc_id long, source string"),
+        key="doc_id",
+    )
+    out = mixture_upsample(t, "source", {"web": 3, "books": 2})
+    emitted = {
+        r[0]: r[1] for r in out.groupBy("source").count().collect()
+    }
+    assert emitted["web"] == 900  # richest: exactly once
+    # books repeat r = 2*900/(3*100) = 6 exactly -> 600 emitted
+    assert emitted["books"] == 600
+    copies = out.where("source = 'books'").groupBy("doc_id").count()
+    assert {r[1] for r in copies.collect()} == {6}
+    # fractional case: per-row copy index is dense 0..n-1
+    out2 = mixture_upsample(t, "source", {"web": 1, "books": 1})
+    one = out2.where("doc_id = 10000").select("copy").collect()
+    assert sorted(r[0] for r in one) == list(range(len(one)))
