@@ -305,7 +305,10 @@ def streaming_hll_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative and idempotent, so ANY micro-batching (and any replay)
     converges on the identical sketch, unlike the order-contracted fold
     sinks. State is O(groups x 64 registers) regardless of stream
-    length."""
+    length. r10: the state is hash-BUCKETED (``buckets=8`` — per-batch
+    cost ∝ touched buckets, not group count, SCALEPROBE finding 11's
+    fix); the merge algebra is layout-independent, so the oracle is
+    unchanged."""
     import hashlib as _hl
     import tempfile as _tf
 
@@ -313,6 +316,7 @@ def streaming_hll_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ralf_spark.streaming import (
         file_events,
         foreach_batch_hll_upsert,
+        read_bucketed_state,
         run_bounded,
     )
 
@@ -327,12 +331,13 @@ def streaming_hll_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_bounded(
         foreach_batch_hll_upsert(
-            stream, state, group_cols=["event_type"], value_col="event_id"
+            stream, state, group_cols=["event_type"], value_col="event_id",
+            buckets=8,
         ),
         checkpoint=_scratch(f"ck_hll_{tag}_"),
     )
     return hll_estimate(
-        spark.read.parquet(state), ["event_type"]
+        read_bucketed_state(spark, state), ["event_type"]
     ).orderBy("event_type")
 
 
@@ -345,7 +350,8 @@ def streaming_kmv_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 KMV as maintained STREAMING state (r7): 3 micro-batches through
     ``foreach_batch_kmv_upsert`` (min-k hash tables merged by
     union-distinct-keep-k — idempotent by algebra), final estimate gated
-    by the SAME oracle as the one-shot ``kmv_distinct_users``."""
+    by the SAME oracle as the one-shot ``kmv_distinct_users``. r10:
+    bucketed state layout (``buckets=8``), same estimates by algebra."""
     import hashlib as _hl
     import tempfile as _tf
 
@@ -353,6 +359,7 @@ def streaming_kmv_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ralf_spark.streaming import (
         file_events,
         foreach_batch_kmv_upsert,
+        read_bucketed_state,
         run_bounded,
     )
 
@@ -368,13 +375,12 @@ def streaming_kmv_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_bounded(
         foreach_batch_kmv_upsert(
             stream, state, group_cols=["event_type"], value_col="user_id",
-            k=32,
+            k=32, buckets=8,
         ),
         checkpoint=_scratch(f"ck_kmv_{tag}_"),
     )
     return kmv_estimate(
-        spark.read.parquet(state).drop("_last_batch_id"), ["event_type"],
-        k=32,
+        read_bucketed_state(spark, state), ["event_type"], k=32
     ).orderBy("event_type")
 
 
@@ -391,13 +397,16 @@ def streaming_cms_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix over the full table — counter sums are micro-batching-
     invariant, and replay safety rides the in-table batch marker (sums
     double-count, unlike the HLL register max). State is depth x width
-    cells whatever the stream length."""
+    cells whatever the stream length. r10: bucketed layout (per-bucket
+    replay marker — the non-idempotent sink exercising the per-bucket
+    skip), cell values unchanged by algebra."""
     import hashlib as _hl
     import tempfile as _tf
 
     from ralf_spark.streaming import (
         file_events,
         foreach_batch_cms_upsert,
+        read_bucketed_state,
         run_bounded,
     )
 
@@ -411,12 +420,12 @@ def streaming_cms_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_bounded(
         foreach_batch_cms_upsert(
-            stream, state, key_col="user_id", depth=4, width=64
+            stream, state, key_col="user_id", depth=4, width=64, buckets=4
         ),
         checkpoint=_scratch(f"ck_cms_{tag}_"),
     )
     return (
-        spark.read.parquet(state)
+        read_bucketed_state(spark, state)
         .select("r", "bucket", F.col("c").cast("bigint").alias("c"))
         .orderBy("r", "bucket")
     )

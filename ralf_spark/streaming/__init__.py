@@ -24,6 +24,7 @@ from ralf_spark.streaming.sinks import (
     foreach_batch_quality_log,
     hll_upsert_batch,
     kmv_upsert_batch,
+    read_bucketed_state,
     run_bounded,
     write_console,
     write_memory,
@@ -85,6 +86,7 @@ __all__ = [
     "kmv_upsert_batch",
     "foreach_batch_latest_upsert",
     "foreach_batch_quality_log",
+    "read_bucketed_state",
     "run_bounded",
     "write_console",
     "write_memory",

@@ -137,6 +137,216 @@ def _load_state(spark: SparkSession, path: str):
     return current.drop(LAST_BATCH_COL), last
 
 
+#: hash-bucket partition column of the bucketed sketch/fold state layout
+#: (``buckets=`` on the sketch/fold sinks). Named to never collide with
+#: user group columns (the HLL register table has its own ``bucket``).
+STATE_BUCKET_COL = "_state_bucket"
+
+#: layout sidecar inside the state directory. Leading underscore → the
+#: parquet file index ignores it, and dynamic partition overwrite never
+#: deletes it (only ``_state_bucket=…`` dirs are replaced).
+_STATE_META_NAME = "_ralf_state_meta.json"
+
+
+def _state_bucket_expr(group_cols: list[str], buckets: int):
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in group_cols]), F.lit(buckets)
+    )
+
+
+def _read_meta_json(spark: SparkSession, meta_path) -> dict:
+    import json
+
+    from ralf_spark.connectors import _hadoop_fs
+
+    fs, jmeta = _hadoop_fs(spark, meta_path)
+    stream = fs.open(jmeta)
+    try:
+        # py4j passes byte arrays one-way, so read JVM-side (commons-io
+        # ships with Spark) instead of filling a Python buffer
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(  # type: ignore[attr-defined]
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_meta_json(spark: SparkSession, meta_path, payload: dict) -> None:
+    import json
+
+    from ralf_spark.connectors import _hadoop_fs
+
+    fs, jmeta = _hadoop_fs(spark, meta_path)
+    out = fs.create(jmeta, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _check_bucket_layout(
+    spark: SparkSession, path: str, buckets: int
+) -> bool:
+    """Validate (or establish) the bucketed layout contract at ``path``.
+
+    Returns True when a bucketed state table already exists there. The
+    bucket count is pinned in a ``_ralf_state_meta.json`` sidecar —
+    reopening with a different ``buckets`` raises (the bucket assignment
+    is baked into the directory layout, like the state-store partition
+    count in a streaming checkpoint). A data-but-no-meta directory
+    self-heals if it already has ``_state_bucket=`` children (crash
+    between the first data write and the meta write); a plain unbucketed
+    state table is refused rather than silently misread."""
+    from ralf_spark.connectors import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    meta_path = f"{path}/{_STATE_META_NAME}"
+    _, jmeta = _hadoop_fs(spark, meta_path)
+    if fs.exists(jmeta):
+        meta = _read_meta_json(spark, meta_path)
+        if meta.get("buckets") != buckets:
+            raise ValueError(
+                f"state at {path!r} was written with "
+                f"buckets={meta.get('buckets')}; reopening with "
+                f"buckets={buckets} would split groups across layouts. "
+                "Pass the original value (the layout pins it)."
+            )
+        return True
+    names = [s.getPath().getName() for s in fs.listStatus(jpath)]
+    if any(n.startswith(f"{STATE_BUCKET_COL}=") for n in names):
+        # crash window between first data write and meta write — heal
+        _write_meta_json(spark, meta_path, {"buckets": buckets})
+        return True
+    if all(n.startswith(("_", ".")) for n in names):
+        return False  # markers only (e.g. _SUCCESS) — no data yet
+    raise ValueError(
+        f"existing state at {path!r} is not bucketed (no "
+        f"{STATE_BUCKET_COL}= partitions); buckets= cannot adopt a "
+        "legacy full-rewrite state table in place — start a new path"
+    )
+
+
+def _bucketed_fold_upsert(
+    spark: SparkSession,
+    path: str,
+    summary: DataFrame,
+    group_cols: list[str],
+    init,
+    merge,
+    batch_id: int,
+    buckets: int,
+) -> None:
+    """Fold one micro-batch summary into bucketed persisted state —
+    per-batch cost ∝ the batch's TOUCHED buckets, not total group count.
+
+    This is the scale fix for the fold/sketch sinks' full-table rewrite
+    (SCALEPROBE finding 11: O(groups) per batch, visible at 72k groups):
+    the same touched-partitions-only lever ``foreach_batch_index_add``
+    and the index sinks already use, applied to merged state. Layout:
+    ``path/_state_bucket=<pmod(xxhash64(group_cols), buckets)>/…`` — a
+    group's rows live entirely in one bucket, so merging a batch needs
+    only its buckets' current rows (partition-pruned read) and dynamic
+    partition overwrite replaces only those directories.
+
+    Exactly-once becomes PER-BUCKET: every row of a bucket directory is
+    stamped with the batch that last rewrote it (the directory rewrites
+    wholesale, so the stamp is uniform per bucket), and a replayed batch
+    folds only into buckets whose stamp is older. That is strictly
+    stronger than the legacy global marker under a crash mid-publish:
+    buckets the crashed attempt committed are skipped, buckets it missed
+    are folded — no double-count, no loss (the legacy staged overwrite
+    could only re-derive the whole table). ``init(summary)`` turns a
+    batch summary into first-write state rows; ``merge(current, summary)``
+    folds a summary into existing rows (both receive frames WITHOUT the
+    bucket/marker columns).
+    """
+    from ralf_spark.connectors import _hadoop_fs
+
+    exists = _check_bucket_layout(spark, path, buckets)
+    bexpr = _state_bucket_expr(group_cols, buckets)
+    summary = summary.withColumn(STATE_BUCKET_COL, bexpr).persist()
+    try:
+        touched = sorted(
+            r[0]
+            for r in summary.select(STATE_BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return  # empty batch — nothing to fold, nothing to stamp
+        if not exists:
+            merged = init(summary.drop(STATE_BUCKET_COL))
+            (
+                merged.withColumn(STATE_BUCKET_COL, bexpr)
+                .withColumn(LAST_BATCH_COL, F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy(STATE_BUCKET_COL)
+                .parquet(path)
+            )
+            _write_meta_json(
+                spark, f"{path}/{_STATE_META_NAME}", {"buckets": buckets}
+            )
+            return
+        stored = spark.read.parquet(path).where(
+            F.col(STATE_BUCKET_COL).isin(touched)
+        )
+        last_ids = {
+            r[0]: r[1]
+            for r in stored.groupBy(STATE_BUCKET_COL)
+            .agg(F.max(LAST_BATCH_COL))
+            .collect()
+        }
+        eligible = [
+            b
+            for b in touched
+            if last_ids.get(b) is None or last_ids[b] < batch_id
+        ]
+        if not eligible:
+            return  # replayed batch — every touched bucket already folded
+        cur = stored.where(F.col(STATE_BUCKET_COL).isin(eligible)).drop(
+            STATE_BUCKET_COL, LAST_BATCH_COL
+        )
+        bat = summary.where(F.col(STATE_BUCKET_COL).isin(eligible)).drop(
+            STATE_BUCKET_COL
+        )
+        merged = (
+            merge(cur, bat)
+            .withColumn(STATE_BUCKET_COL, bexpr)
+            .withColumn(LAST_BATCH_COL, F.lit(batch_id))
+        )
+        # staged: the merge reads path, and Spark (rightly) refuses an
+        # overwrite of a path that is also an input — double-writes only
+        # the eligible buckets, not the table
+        tmp = f"{path}.__staging__"
+        merged.write.mode("overwrite").partitionBy(
+            STATE_BUCKET_COL
+        ).parquet(tmp)
+        (
+            spark.read.parquet(tmp)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(STATE_BUCKET_COL)
+            .parquet(path)
+        )
+        fs, jtmp = _hadoop_fs(spark, tmp)
+        fs.delete(jtmp, True)
+    finally:
+        summary.unpersist()
+
+
+def read_bucketed_state(spark: SparkSession, path: str) -> DataFrame:
+    """Read a bucketed sink's state table with the layout columns
+    (bucket partition + per-bucket batch stamp) projected away — what
+    estimate read-outs consume. Also accepts a legacy unbucketed table
+    (drops whatever layout columns are present)."""
+    df = spark.read.parquet(path)
+    drop = [
+        c for c in (STATE_BUCKET_COL, LAST_BATCH_COL) if c in df.columns
+    ]
+    return df.drop(*drop)
+
+
 def _store_state(
     spark: SparkSession, merged: DataFrame, path: str, batch_id: int
 ) -> None:
@@ -155,6 +365,7 @@ def foreach_batch_moments_upsert(
     path: str,
     key: str,
     value_col: str,
+    buckets: int | None = None,
 ) -> DataStreamWriter:
     """Maintain a persisted per-key (n, mean, M2) moments state table from
     a stream — incremental mean/variance features without reprocessing
@@ -170,14 +381,19 @@ def foreach_batch_moments_upsert(
     table (``LAST_BATCH_COL``, every row stamped) so data and marker
     commit atomically in ``_staged_overwrite``'s directory swap on any
     filesystem. A transactional table format's (appId, version) txn API
-    is the equivalent lakehouse spelling."""
+    is the equivalent lakehouse spelling. ``buckets=N``: hash-bucketed
+    state layout — per-batch cost ∝ touched buckets, not key count, with
+    the marker (and replay skip) per bucket (see
+    :func:`_bucketed_fold_upsert`)."""
 
     return df.writeStream.foreachBatch(
-        moments_upsert_batch(path, key, value_col)
+        moments_upsert_batch(path, key, value_col, buckets)
     )
 
 
-def moments_upsert_batch(path: str, key: str, value_col: str):
+def moments_upsert_batch(
+    path: str, key: str, value_col: str, buckets: int | None = None
+):
     """The foreachBatch callback behind
     :func:`foreach_batch_moments_upsert`, exposed for direct use/testing:
     ``(batch_df, batch_id) -> None``, folding the batch into the state
@@ -187,10 +403,18 @@ def moments_upsert_batch(path: str, key: str, value_col: str):
         from ralf_spark.operators.moments import batch_moments, merge_moments
 
         spark = batch_df.sparkSession
+        summary = batch_moments(batch_df, key, value_col)
+        if buckets is not None:
+            _bucketed_fold_upsert(
+                spark, path, summary, [key],
+                init=lambda s: s,
+                merge=lambda cur, bat: merge_moments(cur, bat, key),
+                batch_id=batch_id, buckets=buckets,
+            )
+            return
         current, last = _load_state(spark, path)
         if last is not None and batch_id <= last:
             return  # replayed batch — already folded in
-        summary = batch_moments(batch_df, key, value_col)
         merged = (
             merge_moments(current, summary, key)
             if current is not None
@@ -209,6 +433,7 @@ def foreach_batch_ewma_upsert(
     value_col: str,
     alpha: float = 0.2,
     tiebreak_col: str | None = None,
+    buckets: int | None = None,
 ) -> DataStreamWriter:
     """Maintain a persisted per-key EWMA state table from a stream —
     the decayed feature the reference's actors fold per record, per
@@ -228,7 +453,9 @@ def foreach_batch_ewma_upsert(
     stateful operator here)."""
 
     return df.writeStream.foreachBatch(
-        ewma_upsert_batch(path, key, ts_col, value_col, alpha, tiebreak_col)
+        ewma_upsert_batch(
+            path, key, ts_col, value_col, alpha, tiebreak_col, buckets
+        )
     )
 
 
@@ -239,15 +466,26 @@ def ewma_upsert_batch(
     value_col: str,
     alpha: float = 0.2,
     tiebreak_col: str | None = None,
+    buckets: int | None = None,
 ):
     """The foreachBatch callback behind :func:`foreach_batch_ewma_upsert`,
     exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
+    step = lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc  # noqa: E731
+    # fresh keys: the first value seeds the fold over the tail
+    # (s_1 = x_1); seen keys: the stored smoothed value seeds the
+    # fold over the WHOLE batch sequence
+    fresh_fold = F.aggregate(
+        F.slice(
+            "_vals", F.lit(2), F.greatest(F.size("_vals") - 1, F.lit(0))
+        ),
+        F.element_at("_vals", 1).cast("double"),
+        step,
+    )
+    seeded_fold = F.aggregate(
+        F.col("_vals"), F.col("ewma").cast("double"), step
+    )
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        current, last = _load_state(spark, path)
-        if last is not None and batch_id <= last:
-            return  # replayed batch — already folded in
+    def summarize(batch_df: DataFrame) -> DataFrame:
         order = [F.col(ts_col)]
         if tiebreak_col is not None:
             order.append(F.col(tiebreak_col))
@@ -255,44 +493,44 @@ def ewma_upsert_batch(
         vals = F.transform(
             F.array_sort(F.collect_list(entry)), lambda e: e["_x"]
         )
-        summary = batch_df.groupBy(key).agg(
+        return batch_df.groupBy(key).agg(
             F.count(F.lit(1)).alias("_bn"), vals.alias("_vals")
         )
-        step = lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc  # noqa: E731
-        # fresh keys: the first value seeds the fold over the tail
-        # (s_1 = x_1); seen keys: the stored smoothed value seeds the
-        # fold over the WHOLE batch sequence
-        fresh_fold = F.aggregate(
-            F.slice(
-                "_vals", F.lit(2), F.greatest(F.size("_vals") - 1, F.lit(0))
-            ),
-            F.element_at("_vals", 1).cast("double"),
-            step,
+
+    def init(summary: DataFrame) -> DataFrame:
+        return summary.select(
+            F.col(key),
+            F.col("_bn").alias("n_events"),
+            fresh_fold.alias("ewma"),
         )
-        seeded_fold = F.aggregate(
-            F.col("_vals"), F.col("ewma").cast("double"), step
+
+    def merge(current: DataFrame, summary: DataFrame) -> DataFrame:
+        return current.join(summary, key, "full_outer").select(
+            F.col(key),
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("_bn"), F.lit(0))
+            ).alias("n_events"),
+            F.when(F.col("_vals").isNull(), F.col("ewma"))
+            .when(F.col("ewma").isNull(), fresh_fold)
+            .otherwise(seeded_fold)
+            .alias("ewma"),
         )
-        if current is None:
-            merged = summary.select(
-                F.col(key),
-                F.col("_bn").alias("n_events"),
-                fresh_fold.alias("ewma"),
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        summary = summarize(batch_df)
+        if buckets is not None:
+            _bucketed_fold_upsert(
+                spark, path, summary, [key],
+                init=init, merge=merge,
+                batch_id=batch_id, buckets=buckets,
             )
-        else:
-            merged = (
-                current.join(summary, key, "full_outer")
-                .select(
-                    F.col(key),
-                    (
-                        F.coalesce(F.col("n_events"), F.lit(0))
-                        + F.coalesce(F.col("_bn"), F.lit(0))
-                    ).alias("n_events"),
-                    F.when(F.col("_vals").isNull(), F.col("ewma"))
-                    .when(F.col("ewma").isNull(), fresh_fold)
-                    .otherwise(seeded_fold)
-                    .alias("ewma"),
-                )
-            )
+            return
+        current, last = _load_state(spark, path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already folded in
+        merged = init(summary) if current is None else merge(current, summary)
         _store_state(spark, merged, path, batch_id)
 
     return upsert
@@ -319,6 +557,7 @@ def foreach_batch_decayed_upsert(
     value_col: str,
     half_life_s: float,
     tiebreak_col: str | None = None,
+    buckets: int | None = None,
 ) -> DataStreamWriter:
     """Maintain a persisted per-key continuous-time decayed sum from a
     stream — the streaming twin of ``operators.moments.time_decayed_sum``
@@ -332,7 +571,7 @@ def foreach_batch_decayed_upsert(
 
     return df.writeStream.foreachBatch(
         decayed_upsert_batch(
-            path, key, ts_col, value_col, half_life_s, tiebreak_col
+            path, key, ts_col, value_col, half_life_s, tiebreak_col, buckets
         )
     )
 
@@ -344,6 +583,7 @@ def decayed_upsert_batch(
     value_col: str,
     half_life_s: float,
     tiebreak_col: str | None = None,
+    buckets: int | None = None,
 ):
     """The foreachBatch callback behind
     :func:`foreach_batch_decayed_upsert`, exposed for direct use/testing:
@@ -362,72 +602,86 @@ def decayed_upsert_batch(
             ).alias("s"),
         )
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+    first = F.element_at("_es", 1)
+    tail = F.slice(
+        "_es", F.lit(2), F.greatest(F.size("_es") - 1, F.lit(0))
+    )
+    # fresh keys: first event seeds the fold over the tail;
+    # seen keys: the STORED (t, s) seeds the fold over the whole batch
+    fresh = F.aggregate(
+        tail,
+        F.struct(first["_us"].alias("t"), first["_x"].alias("s")),
+        step,
+    )
+    seeded = F.aggregate(
+        F.col("_es"),
+        F.struct(
+            F.col("last_ts_us").alias("t"),
+            F.col("decayed_sum").alias("s"),
+        ),
+        step,
+    )
+
+    def summarize(batch_df: DataFrame) -> DataFrame:
         from ralf_spark.functions.timeutil import epoch_us
 
-        spark = batch_df.sparkSession
-        current, last = _load_state(spark, path)
-        if last is not None and batch_id <= last:
-            return  # replayed batch — already folded in
         order = [epoch_us(batch_df, ts_col).alias("_us")]
         if tiebreak_col is not None:
             order.append(F.col(tiebreak_col))
         entry = F.struct(
             *order, F.col(value_col).cast("double").alias("_x")
         )
-        summary = batch_df.groupBy(key).agg(
+        return batch_df.groupBy(key).agg(
             F.count(F.lit(1)).alias("_bn"),
             F.array_sort(F.collect_list(entry)).alias("_es"),
         )
-        first = F.element_at("_es", 1)
-        tail = F.slice(
-            "_es", F.lit(2), F.greatest(F.size("_es") - 1, F.lit(0))
+
+    def init(summary: DataFrame) -> DataFrame:
+        return summary.select(
+            F.col(key),
+            F.col("_bn").alias("n_events"),
+            fresh["s"].alias("decayed_sum"),
+            fresh["t"].alias("last_ts_us"),
         )
-        # fresh keys: first event seeds the fold over the tail;
-        # seen keys: the STORED (t, s) seeds the fold over the whole batch
-        fresh = F.aggregate(
-            tail,
-            F.struct(first["_us"].alias("t"), first["_x"].alias("s")),
-            step,
-        )
-        seeded = F.aggregate(
-            F.col("_es"),
-            F.struct(
-                F.col("last_ts_us").alias("t"),
-                F.col("decayed_sum").alias("s"),
-            ),
-            step,
-        )
-        if current is None:
-            merged = summary.select(
+
+    def merge(current: DataFrame, summary: DataFrame) -> DataFrame:
+        return (
+            current.join(summary, key, "full_outer")
+            .withColumn(
+                "_new",
+                F.when(F.col("_es").isNull(), F.lit(None))
+                .when(F.col("decayed_sum").isNull(), fresh)
+                .otherwise(seeded),
+            )
+            .select(
                 F.col(key),
-                F.col("_bn").alias("n_events"),
-                fresh["s"].alias("decayed_sum"),
-                fresh["t"].alias("last_ts_us"),
+                (
+                    F.coalesce(F.col("n_events"), F.lit(0))
+                    + F.coalesce(F.col("_bn"), F.lit(0))
+                ).alias("n_events"),
+                F.coalesce(
+                    F.col("_new")["s"], F.col("decayed_sum")
+                ).alias("decayed_sum"),
+                F.coalesce(
+                    F.col("_new")["t"], F.col("last_ts_us")
+                ).alias("last_ts_us"),
             )
-        else:
-            merged = (
-                current.join(summary, key, "full_outer")
-                .withColumn(
-                    "_new",
-                    F.when(F.col("_es").isNull(), F.lit(None))
-                    .when(F.col("decayed_sum").isNull(), fresh)
-                    .otherwise(seeded),
-                )
-                .select(
-                    F.col(key),
-                    (
-                        F.coalesce(F.col("n_events"), F.lit(0))
-                        + F.coalesce(F.col("_bn"), F.lit(0))
-                    ).alias("n_events"),
-                    F.coalesce(
-                        F.col("_new")["s"], F.col("decayed_sum")
-                    ).alias("decayed_sum"),
-                    F.coalesce(
-                        F.col("_new")["t"], F.col("last_ts_us")
-                    ).alias("last_ts_us"),
-                )
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        summary = summarize(batch_df)
+        if buckets is not None:
+            _bucketed_fold_upsert(
+                spark, path, summary, [key],
+                init=init, merge=merge,
+                batch_id=batch_id, buckets=buckets,
             )
+            return
+        current, last = _load_state(spark, path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already folded in
+        merged = init(summary) if current is None else merge(current, summary)
         _store_state(spark, merged, path, batch_id)
 
     return upsert
@@ -509,6 +763,7 @@ def foreach_batch_hll_upsert(
     path: str,
     group_cols: list[str],
     value_col: str,
+    buckets: int | None = None,
 ) -> DataStreamWriter:
     """Maintain a persisted per-group HyperLogLog register table from a
     stream (r7) — incremental distinct counting without distinct sets:
@@ -522,14 +777,25 @@ def foreach_batch_hll_upsert(
     Unlike the moments/EWMA/decayed folds, the HLL merge is IDEMPOTENT
     by algebra (max can't double-count), so a replayed batch is harmless
     even without the marker; the ``LAST_BATCH_COL`` stamp is still
-    written for the skip (saves the merge work) and observability."""
+    written for the skip (saves the merge work) and observability.
+
+    ``buckets=N`` switches the state to the hash-bucketed layout
+    (:func:`_bucketed_fold_upsert`): per-batch cost ∝ the batch's touched
+    buckets instead of total group count — the 100 TB spelling (r10,
+    SCALEPROBE finding 11). Same estimates, same oracle; read the table
+    back with :func:`read_bucketed_state`."""
 
     return df.writeStream.foreachBatch(
-        hll_upsert_batch(path, group_cols, value_col)
+        hll_upsert_batch(path, group_cols, value_col, buckets)
     )
 
 
-def hll_upsert_batch(path: str, group_cols: list[str], value_col: str):
+def hll_upsert_batch(
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    buckets: int | None = None,
+):
     """The foreachBatch callback behind :func:`foreach_batch_hll_upsert`,
     exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
 
@@ -540,10 +806,20 @@ def hll_upsert_batch(path: str, group_cols: list[str], value_col: str):
         )
 
         spark = batch_df.sparkSession
+        regs = hll_register_update(batch_df, group_cols, value_col)
+        if buckets is not None:
+            _bucketed_fold_upsert(
+                spark, path, regs, group_cols,
+                init=lambda s: s,
+                merge=lambda cur, bat: hll_merge_registers(
+                    cur, bat, group_cols
+                ),
+                batch_id=batch_id, buckets=buckets,
+            )
+            return
         current, last = _load_state(spark, path)
         if last is not None and batch_id <= last:
             return  # replayed batch (a merge would be harmless; skip work)
-        regs = hll_register_update(batch_df, group_cols, value_col)
         merged = (
             hll_merge_registers(current, regs, group_cols)
             if current is not None
@@ -560,6 +836,7 @@ def foreach_batch_kmv_upsert(
     group_cols: list[str],
     value_col: str,
     k: int = 32,
+    buckets: int | None = None,
 ) -> DataStreamWriter:
     """Maintain a persisted per-group KMV sketch (k smallest distinct
     value hashes) from a stream (r7): each micro-batch reduces to its own
@@ -568,15 +845,21 @@ def foreach_batch_kmv_upsert(
     the HLL register max, so replays are harmless even without the
     marker (still stamped, for the skip and observability). State is
     O(groups × k); the estimate reads out with ``kmv_estimate`` under
-    the same oracle as the one-shot ``kmv_distinct``."""
+    the same oracle as the one-shot ``kmv_distinct``. ``buckets=N``:
+    hash-bucketed state layout — per-batch cost ∝ touched buckets, not
+    group count (see :func:`_bucketed_fold_upsert`)."""
 
     return df.writeStream.foreachBatch(
-        kmv_upsert_batch(path, group_cols, value_col, k)
+        kmv_upsert_batch(path, group_cols, value_col, k, buckets)
     )
 
 
 def kmv_upsert_batch(
-    path: str, group_cols: list[str], value_col: str, k: int = 32
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+    buckets: int | None = None,
 ):
     """The foreachBatch callback behind :func:`foreach_batch_kmv_upsert`,
     exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
@@ -588,10 +871,20 @@ def kmv_upsert_batch(
         )
 
         spark = batch_df.sparkSession
+        batch = kmv_state_update(batch_df, group_cols, value_col, k)
+        if buckets is not None:
+            _bucketed_fold_upsert(
+                spark, path, batch, group_cols,
+                init=lambda s: s,
+                merge=lambda cur, bat: kmv_merge_state(
+                    cur, bat, group_cols, k
+                ),
+                batch_id=batch_id, buckets=buckets,
+            )
+            return
         current, last = _load_state(spark, path)
         if last is not None and batch_id <= last:
             return  # replayed batch (merge would be harmless; skip work)
-        batch = kmv_state_update(batch_df, group_cols, value_col, k)
         merged = (
             kmv_merge_state(current, batch, group_cols, k)
             if current is not None
@@ -608,6 +901,7 @@ def foreach_batch_cms_upsert(
     key_col: str,
     depth: int = 4,
     width: int = 256,
+    buckets: int | None = None,
 ) -> DataStreamWriter:
     """Maintain a persisted count-min counter matrix from a stream (r7) —
     incremental frequency bookkeeping in ``depth * width`` cells whatever
@@ -615,15 +909,22 @@ def foreach_batch_cms_upsert(
     (``operators.sketches.cms_counter_update``) and merges by
     counter-wise sum. Sums DO double-count on replay (unlike the HLL
     register max), so exactly-once rides the in-table batch marker —
-    data and marker commit atomically in the staged overwrite."""
+    data and marker commit atomically in the staged overwrite.
+    ``buckets=N``: hash-bucketed layout on the (r, bucket) cell key —
+    uniformity with the other sinks (and the per-bucket replay marker);
+    the CMS matrix itself is bounded, so this is never a scale need."""
 
     return df.writeStream.foreachBatch(
-        cms_upsert_batch(path, key_col, depth, width)
+        cms_upsert_batch(path, key_col, depth, width, buckets)
     )
 
 
 def cms_upsert_batch(
-    path: str, key_col: str, depth: int = 4, width: int = 256
+    path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    buckets: int | None = None,
 ):
     """The foreachBatch callback behind :func:`foreach_batch_cms_upsert`,
     exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
@@ -635,10 +936,18 @@ def cms_upsert_batch(
         )
 
         spark = batch_df.sparkSession
+        batch = cms_counter_update(batch_df, key_col, depth, width)
+        if buckets is not None:
+            _bucketed_fold_upsert(
+                spark, path, batch, ["r", "bucket"],
+                init=lambda s: s,
+                merge=cms_merge_counters,
+                batch_id=batch_id, buckets=buckets,
+            )
+            return
         current, last = _load_state(spark, path)
         if last is not None and batch_id <= last:
             return  # replayed batch — counters would double-count
-        batch = cms_counter_update(batch_df, key_col, depth, width)
         merged = (
             cms_merge_counters(current, batch)
             if current is not None
