@@ -74,6 +74,35 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     return out
 
 
+def read_json_sidecar(spark: SparkSession, path: str) -> dict:
+    """Read a small JSON sidecar through the Hadoop FS API (works on any
+    configured filesystem). py4j passes byte arrays one-way, so the bytes
+    are decoded JVM-side via commons-io (ships with Spark)."""
+    import json
+
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(  # type: ignore[attr-defined]
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def write_json_sidecar(spark: SparkSession, path: str, payload: dict) -> None:
+    """Write (overwrite) a small JSON sidecar through the Hadoop FS API."""
+    import json
+
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
 def upsert_into(
     path: str,
     batch: FeatureTable,

@@ -151,6 +151,25 @@ def nearest_cells_driver(
     return [cid for _, cid in scored[:n]]
 
 
+#: centroid count at which ``IvfIndex.query(coarse_probe="auto")`` flips
+#: from the exact flat cell selection to the two-level coarse search
+#: (r10, VERDICT r9 #2). From the finding-9 microbench (dim 16): the
+#: exact driver-side scan costs ~3.5 ms/query at k=1000 and grows ~k^1.05
+#: (278 ms at k=64k), the two-level path ~k^0.5 (0.34 → 2.9 ms) — raw
+#: speed crosses over near k≈16, but two-level is a RESTRICTION of the
+#: selection, so auto keeps the exact guarantee everywhere it stays
+#: cheap and escalates only where the O(k) slope starts to dominate
+#: serving. Explicit ``coarse_probe=None`` / ``coarse_probe=<int>`` pins
+#: either spelling regardless of k (every oracle gate pins).
+TWO_LEVEL_AUTO_MIN_K = 1024
+
+#: coarse groups the auto path probes — the configuration the r9
+#: evidence covers: `ivf_index_query_twolevel` (hash-gated vs DuckDB),
+#: recall ≥ 0.9 floors on the clustered MoG set, and the finding-9
+#: microbench column (cp=2).
+TWO_LEVEL_AUTO_PROBE = 2
+
+
 class TwoLevelCells:
     """Two-level DRIVER-side cell selection for IVF serving (r9, VERDICT
     r8 #2): the flat scan in :func:`nearest_cells_driver` is an honest
@@ -945,6 +964,12 @@ class IvfIndex:
             fs2, jbooks = _hadoop_fs(spark, books_path)
             if fs2.exists(jbooks):
                 fs2.delete(jbooks, True)  # plain rebuild drops PQ mode
+        # a re-build replaces the quantizer, so the cached two-level
+        # grouping (keyed on the OLD centroid set) must die with it —
+        # equal-cardinality rebuilds would otherwise serve queries
+        # through a stale coarse grouping (ADVICE r9). add() keeps the
+        # cache: it folds vectors under the FROZEN quantizer.
+        self._two_level = None
         cen_rows = self._cen_rows(spark)
         assigned = self._assign(table, cen_rows)
         if codebooks is not None:
@@ -971,6 +996,32 @@ class IvfIndex:
             assigned = self._encode(assigned, books)
         self._write_cells(assigned, tag, "overwrite")
 
+    def maintain(
+        self,
+        spark,
+        keep_last: int = 1,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict | None:
+        """Compact the per-batch cell-tree accretion (r10, VERDICT r9
+        #4): every ``add()`` writes one ``cell=<c>/_batch=<tag>``
+        directory per touched cell, so after 10³–10⁴ ingest batches each
+        cell holds O(batches) small files and the probed-cell read pays
+        per-batch file overhead even at fixed corpus size. Folds all but
+        the newest ``keep_last`` batch partitions into one compacted
+        partition per cell (``layout.compact_batch_partitions`` —
+        manifest-transactional; interrupted attempts finish or roll back
+        on the next call), preserving the ``cell=`` layout
+        ``_read_probed_cells`` prunes on and the ``_meta``/``centroids``/
+        ``pq_books`` sidecars. Query results are unchanged (pinned by
+        test). Single-writer, run between adds; ``keep_last >= 1`` keeps
+        the newest tag replayable for an in-flight micro-batch retry."""
+        from ralf_spark.layout import compact_batch_partitions
+
+        return compact_batch_partitions(
+            spark, f"{self.path}/cells", keep_last=keep_last,
+            target_file_bytes=target_file_bytes,
+        )
+
     def query(
         self,
         queries: DataFrame,
@@ -980,7 +1031,7 @@ class IvfIndex:
         query_vec: str = "query_vec",
         method: str = "exact",
         rerank: int | None = None,
-        coarse_probe: int | None = None,
+        coarse_probe: int | None | str = "auto",
     ) -> DataFrame:
         """Top-k neighbors reading ONLY the probed cells. The probe set is
         resolved at plan-build time (queries are small by the same
@@ -988,17 +1039,23 @@ class IvfIndex:
         IN over the partition column and the parquet scan prunes to those
         directories.
 
-        ``coarse_probe`` (r9): cell selection strategy. ``None``
-        (default) = the exact flat scan — O(q·k) driver flops, right to
-        k ~ 10³–10⁴. An integer enables the TWO-LEVEL coarse search
-        (:class:`TwoLevelCells`, built once per index open and cached):
-        a query scans ⌈√k⌉ coarse centers, then only its best
-        ``coarse_probe`` groups' centroids — O(q·√k) — the scale path
-        once cells ∝ corpus. Two-level selection is deterministic but a
-        RESTRICTION: a query whose true nearest cell sits in an unprobed
-        coarse group probes its best covered cells instead (raise
-        ``coarse_probe`` for selection recall; ``>= ⌈√k⌉`` degenerates
-        to exact).
+        ``coarse_probe`` (r9; auto r10, VERDICT r9 #2): cell selection
+        strategy. ``None`` pins the exact flat scan — O(q·k) driver
+        flops, right to k ~ 10³–10⁴. An integer pins the TWO-LEVEL
+        coarse search (:class:`TwoLevelCells`, built once per index
+        open and cached): a query scans ⌈√k⌉ coarse centers, then only
+        its best ``coarse_probe`` groups' centroids — O(q·√k) — the
+        scale path once cells ∝ corpus. ``"auto"`` (the default) picks
+        for you: exact below :data:`TWO_LEVEL_AUTO_MIN_K` centroids
+        (where the flat scan costs ≲ ms/query and selection is exact
+        for free), two-level with :data:`TWO_LEVEL_AUTO_PROBE` groups
+        at or above it — the same escalate-past-the-measured-threshold
+        discipline as ``choose_simhash_blocks`` and the dedup
+        ``broadcast_candidates="auto"``. Two-level selection is
+        deterministic but a RESTRICTION: a query whose true nearest
+        cell sits in an unprobed coarse group probes its best covered
+        cells instead (raise ``coarse_probe`` for selection recall;
+        ``>= ⌈√k⌉`` degenerates to exact).
 
         ``method="exact"`` (default): true cosine over the stored raw
         vectors — (query_id, neighbor_id, cos_sim, rank).
@@ -1042,9 +1099,21 @@ class IvfIndex:
                 f"IvfIndex.query needs unique {query_id!r} values; the "
                 "query batch contains duplicates"
             )
+        if coarse_probe == "auto":
+            coarse_probe = (
+                TWO_LEVEL_AUTO_PROBE
+                if len(cen_rows) >= TWO_LEVEL_AUTO_MIN_K
+                else None
+            )
+        elif isinstance(coarse_probe, str):
+            raise ValueError(
+                f"coarse_probe must be 'auto', None, or an int; got "
+                f"{coarse_probe!r}"
+            )
         if coarse_probe is not None:
             # two-level structure cached per index open: the quantizer is
-            # frozen at build(), so the grouping never changes
+            # frozen at build() (which clears the cache), so the grouping
+            # never changes between rebuilds
             tl = getattr(self, "_two_level", None)
             if tl is None or tl[0] != len(cen_rows):
                 tl = (len(cen_rows), TwoLevelCells(cen_rows))

@@ -15,10 +15,62 @@ combine per key. Two shuffles, each with bounded per-task state.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ralf_spark.table import FeatureTable
+
+#: hot-task tolerance of the auto salt sizing: salting turns on only when
+#: the hot key would exceed ``SALT_TARGET_RATIO`` × the average task's
+#: rows, and B is the smallest split that brings it back under.
+SALT_TARGET_RATIO = 2.0
+
+
+def choose_salt_buckets(
+    df: DataFrame,
+    key: str,
+    target_ratio: float = SALT_TARGET_RATIO,
+    partitions: int | None = None,
+) -> int:
+    """Size the salt from a measured hot-key share (r10, VERDICT r9 #3) —
+    the ``choose_simhash_blocks`` discipline applied to salting: measure
+    the quantity the cost model needs, pick the minimal knob that meets
+    the bound, let an explicit argument pin anything.
+
+    One column-pruned aggregation pass over ``df`` computes the top-1 key
+    share ``s`` (two-level: per-key counts reduce map-side, then a 2-long
+    driver row — never a per-key collect). With P shuffle partitions the
+    unsalted hot key funnels ``s·n`` rows through ONE task, ``s·P``× the
+    average; SCALEPROBE finding 10 measured that straggler at 254× while
+    its own trade note showed oversalting (B=P/4 always) pays B× right-
+    side replication even when skew doesn't dominate. So: return **1
+    (unsalted — no replication) when s·P <= target_ratio**, else the
+    smallest B with ``s·P/B <= target_ratio`` (hot task back under
+    ``target_ratio`` × average), capped at P (finer than the partition
+    count buys nothing).
+
+    The stats pass costs one scan of ``df``'s key column; it is paid to
+    avoid replicating the right side of a much heavier join. Callers who
+    already know their skew pass an int instead (every oracle gate pins).
+    """
+    if target_ratio <= 0:
+        raise ValueError("target_ratio must be positive")
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("top1"), F.sum("_c").alias("total"))
+        .head()
+    )
+    if not row or not row["total"]:
+        return 1  # empty input — nothing to balance
+    skew = (row["top1"] / row["total"]) * p
+    if skew <= target_ratio:
+        return 1
+    return min(p, math.ceil(skew / target_ratio))
 
 
 def salted_distinct_count(
@@ -89,7 +141,7 @@ def salted_join(
     right: DataFrame,
     key: str,
     salt_on: str,
-    salt_buckets: int = 8,
+    salt_buckets: int | str = "auto",
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the LEFT side's hot keys split ``salt_buckets`` ways.
@@ -101,6 +153,13 @@ def salted_join(
     (key, salt) pairs co-locate. Right-side cost is ``salt_buckets`` ×
     |right| — the technique fits fact⋈dim joins where the dim is modest.
 
+    ``salt_buckets="auto"`` (default, r10): size B from the measured
+    hot-key share — :func:`choose_salt_buckets` returns 1 (unsalted, no
+    replication) below the skew threshold and the minimal sufficient
+    split above it, so callers stop paying B× replication when skew
+    doesn't dominate (SCALEPROBE finding 10's trade). Costs one stats
+    pass over the left key column; pass an int to pin.
+
     Result is row-identical to the plain join (asserted in tests and by
     the registry oracle). AQE's skew-split covers sort-merge joins
     adaptively; explicit salting remains the tool for stateful/windowed
@@ -108,6 +167,12 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    if salt_buckets == "auto":
+        salt_buckets = choose_salt_buckets(left, key)
+    elif isinstance(salt_buckets, str):
+        raise ValueError(
+            f"salt_buckets must be 'auto' or an int; got {salt_buckets!r}"
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets)).cast("int")
     l_s = left.withColumn("_salt", salt)
     r_s = right.withColumn(
@@ -124,7 +189,7 @@ def salted_asof_join(
     left: FeatureTable,
     right: FeatureTable,
     salt_on: str,
-    salt_buckets: int = 8,
+    salt_buckets: int | str = "auto",
     left_on: str | None = None,
     right_on: str | None = None,
     tolerance: Column | None = None,
@@ -149,6 +214,11 @@ def salted_asof_join(
     ``tolerance`` / ``direction`` / ``right_payload`` pass through with
     :func:`asof_join` semantics; tie order within a (key, salt) subset is
     unchanged (same (ts, seq, side) comparator over the same rows).
+
+    ``salt_buckets="auto"`` (default, r10): B from the measured left
+    hot-key share via :func:`choose_salt_buckets` — 1 (no replication)
+    below the skew threshold, the minimal sufficient split above; an
+    int pins (the oracle gate pins 8).
     """
     from ralf_spark.operators.joins import asof_join
 
@@ -156,6 +226,12 @@ def salted_asof_join(
     rk = right_on or right.key
     if lk is None or rk is None:
         raise ValueError("salted_asof_join needs keyed tables")
+    if salt_buckets == "auto":
+        salt_buckets = choose_salt_buckets(left.df, lk)
+    elif isinstance(salt_buckets, str):
+        raise ValueError(
+            f"salt_buckets must be 'auto' or an int; got {salt_buckets!r}"
+        )
     rp = right_payload or [
         c for c in right.df.columns if c not in (rk, right.ts)
     ]

@@ -155,34 +155,15 @@ def _state_bucket_expr(group_cols: list[str], buckets: int):
 
 
 def _read_meta_json(spark: SparkSession, meta_path) -> dict:
-    import json
+    from ralf_spark.connectors import read_json_sidecar
 
-    from ralf_spark.connectors import _hadoop_fs
-
-    fs, jmeta = _hadoop_fs(spark, meta_path)
-    stream = fs.open(jmeta)
-    try:
-        # py4j passes byte arrays one-way, so read JVM-side (commons-io
-        # ships with Spark) instead of filling a Python buffer
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(  # type: ignore[attr-defined]
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-    return json.loads(text)
+    return read_json_sidecar(spark, meta_path)
 
 
 def _write_meta_json(spark: SparkSession, meta_path, payload: dict) -> None:
-    import json
+    from ralf_spark.connectors import write_json_sidecar
 
-    from ralf_spark.connectors import _hadoop_fs
-
-    fs, jmeta = _hadoop_fs(spark, meta_path)
-    out = fs.create(jmeta, True)
-    try:
-        out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
-        out.close()
+    write_json_sidecar(spark, meta_path, payload)
 
 
 def _check_bucket_layout(
@@ -264,6 +245,7 @@ def _bucketed_fold_upsert(
     bucket/marker columns).
     """
     from ralf_spark.connectors import _hadoop_fs
+    from ralf_spark.operators.util import CheckpointHandle
 
     exists = _check_bucket_layout(spark, path, buckets)
     bexpr = _state_bucket_expr(group_cols, buckets)
@@ -276,10 +258,15 @@ def _bucketed_fold_upsert(
         if not touched:
             return  # empty batch — nothing to fold, nothing to stamp
         if not exists:
-            merged = init(summary.drop(STATE_BUCKET_COL))
+            # first write: no read of path, plain partitioned write.
+            # repartition on the bucket column first — a partitionBy
+            # write otherwise emits one file per (task × bucket), and
+            # the small-file blowup compounds every later batch
             (
-                merged.withColumn(STATE_BUCKET_COL, bexpr)
+                init(summary.drop(STATE_BUCKET_COL))
+                .withColumn(STATE_BUCKET_COL, bexpr)
                 .withColumn(LAST_BATCH_COL, F.lit(batch_id))
+                .repartition(STATE_BUCKET_COL)
                 .write.mode("overwrite")
                 .partitionBy(STATE_BUCKET_COL)
                 .parquet(path)
@@ -288,15 +275,36 @@ def _bucketed_fold_upsert(
                 spark, f"{path}/{_STATE_META_NAME}", {"buckets": buckets}
             )
             return
-        stored = spark.read.parquet(path).where(
-            F.col(STATE_BUCKET_COL).isin(touched)
-        )
-        last_ids = {
-            r[0]: r[1]
-            for r in stored.groupBy(STATE_BUCKET_COL)
-            .agg(F.max(LAST_BATCH_COL))
-            .collect()
+        # touched-bucket read with O(touched) plan-time metadata: one
+        # top-level listing finds the live bucket dirs, the touched ones
+        # are passed as EXPLICIT read paths (basePath keeps the partition
+        # column) — `spark.read.parquet(path)` would list ALL bucket
+        # dirs before pruning (the finding-9 listing class)
+        fs, jpath = _hadoop_fs(spark, path)
+        live = {
+            int(n.split("=", 1)[1])
+            for n in (
+                s.getPath().getName() for s in fs.listStatus(jpath)
+            )
+            if n.startswith(f"{STATE_BUCKET_COL}=")
         }
+        dirs = [
+            f"{path}/{STATE_BUCKET_COL}={b}" for b in touched if b in live
+        ]
+        stored = (
+            spark.read.option("basePath", path).parquet(*dirs)
+            if dirs
+            else None
+        )
+        if stored is not None:
+            last_ids = {
+                r[0]: r[1]
+                for r in stored.groupBy(STATE_BUCKET_COL)
+                .agg(F.max(LAST_BATCH_COL))
+                .collect()
+            }
+        else:
+            last_ids = {}
         eligible = [
             b
             for b in touched
@@ -304,33 +312,38 @@ def _bucketed_fold_upsert(
         ]
         if not eligible:
             return  # replayed batch — every touched bucket already folded
-        cur = stored.where(F.col(STATE_BUCKET_COL).isin(eligible)).drop(
-            STATE_BUCKET_COL, LAST_BATCH_COL
-        )
         bat = summary.where(F.col(STATE_BUCKET_COL).isin(eligible)).drop(
             STATE_BUCKET_COL
         )
+        if stored is None:
+            merged = init(bat)  # all touched buckets are new
+        else:
+            cur = stored.where(
+                F.col(STATE_BUCKET_COL).isin(eligible)
+            ).drop(STATE_BUCKET_COL, LAST_BATCH_COL)
+            merged = merge(cur, bat)
         merged = (
-            merge(cur, bat)
-            .withColumn(STATE_BUCKET_COL, bexpr)
+            merged.withColumn(STATE_BUCKET_COL, bexpr)
             .withColumn(LAST_BATCH_COL, F.lit(batch_id))
+            .repartition(STATE_BUCKET_COL)
         )
-        # staged: the merge reads path, and Spark (rightly) refuses an
-        # overwrite of a path that is also an input — double-writes only
-        # the eligible buckets, not the table
-        tmp = f"{path}.__staging__"
-        merged.write.mode("overwrite").partitionBy(
-            STATE_BUCKET_COL
-        ).parquet(tmp)
-        (
-            spark.read.parquet(tmp)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(STATE_BUCKET_COL)
-            .parquet(path)
-        )
-        fs, jtmp = _hadoop_fs(spark, tmp)
-        fs.delete(jtmp, True)
+        # the merge plan reads path, and Spark (rightly) refuses an
+        # overwrite of a path that is also an input — an eager local
+        # checkpoint materializes the eligible buckets' rows (batch-
+        # bounded) and replaces the file sources in the plan, so ONE
+        # dynamic-overwrite write publishes them (the staging-directory
+        # spelling would write the data twice)
+        merged = merged.localCheckpoint(eager=True)
+        handle = CheckpointHandle(merged)
+        try:
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(STATE_BUCKET_COL)
+                .parquet(path)
+            )
+        finally:
+            handle.unpersist()
     finally:
         summary.unpersist()
 

