@@ -3219,14 +3219,16 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "topk_users_by_value",
     # sources as connectors (S3 DataSource plugin, S4 CSV stream replay)
     "datasource_fake_events", "csv_stream_replay",
-    # joins (§2.3 J1a/J1b/J1c + interval/point-in-time/SCD2)
+    # joins (§2.3 J1a/J1b/J1c + interval/point-in-time/SCD2; r10
+    # rotation: J1b's driver row is the SALTED as-of spelling — same
+    # oracle as asof_join_latest_state, which moves to the sweep)
     "enrichment_join", "semi_join_active_customers",
-    "asof_join_latest_state", "one_shot_join",
+    "salted_asof_join_state", "one_shot_join",
     "interval_join_clicks_before_purchase",
     "point_in_time_training_join", "scd2_user_value_history",
-    # execution policies (§2.9 P3/P5; the shed also runs inside the
-    # feature-pipeline gate)
-    "change_detection_last_emitted",
+    # execution policies (§2.9 P3/P5 + r9's source-mixture family, r10
+    # rotation in; the shed also runs inside the feature-pipeline gate)
+    "change_detection_last_emitted", "source_mixture_sample",
     # scalar JSON functions (§2.7)
     "json_props_extract",
     # state maintenance (S9: changelog apply over persisted state)
@@ -3246,11 +3248,13 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "exact_dedup", "near_dup_minhash",
     "incremental_minhash_index",
     "decontaminate_against_eval",
-    # similarity search (E3): one-shot, persistent index, quantizer fit,
-    # PQ encode + ADC/rerank two-pass (r9 rotation in, per VERDICT r8 #4;
-    # embedding_near_dup_lsh to the sweep)
-    "similarity_topk_bruteforce", "ivf_index_query",
-    "kmeans_fit_centroids",
+    # similarity search (E3): one-shot, persistent index (r10 rotation:
+    # the TWO-LEVEL serving spelling replaces the exact-path row, and the
+    # clustered recall@10 gate replaces kmeans_fit — ivf_index_query and
+    # kmeans_fit_centroids to the sweep), quantizer-backed recall,
+    # PQ encode + ADC/rerank two-pass
+    "similarity_topk_bruteforce", "ivf_index_query_twolevel",
+    "ivf_recall_clustered",
     "pq_encode_codes", "similarity_topk_pq_rerank",
     # text analysis + quality filtering (E4; r9 rotation:
     # gopher_repetition to the sweep, E4 keeps 3 driver rows)
@@ -3265,8 +3269,10 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # storage layout (E8: partitioned-write stats + Z-order roundtrip,
     # r9 rotation in)
     "layout_partitioned_write_stats", "layout_zorder_roundtrip",
-    # multimodal binary columns (E5)
-    "multimodal_image_features", "multimodal_frame_sample",
+    # multimodal binary columns (E5; r10 rotation: frame-sample donates
+    # its slot to the similarity family — both kernels share the Arrow
+    # plumbing, and the sweep keeps the identical oracle on it)
+    "multimodal_image_features",
 ]
 
 def finalize_registry() -> None:
