@@ -373,7 +373,18 @@ def _verify_join(
     set that would blow Spark's 8 GB broadcast cap. Callers resolve the
     choice from bucket statistics via :func:`_choose_broadcast`; output is
     identical either way (equality pinned in tests + the adversarial
-    SCALEPROBE row)."""
+    SCALEPROBE row).
+
+    One-store-scan contract in the no-hint spelling (ADVICE r9,
+    verified r10): ``sh`` appears in BOTH half-joins, but both SMJs
+    shuffle it by the same ``_id``, so the planner's exchange reuse
+    serves the second join from the first join's shuffle — the store
+    scans and shuffles ONCE per projection (plan-pinned in
+    ``tests/test_plan_budgets.py``: ReusedExchange present with AQE off;
+    AQE reuses the identical shuffle stage at runtime). ``cand`` is
+    referenced once in the tree and therefore executes once — no persist
+    needed (and r8's A/B showed persisting it actively harms: frozen
+    size estimates flip the broadcast spelling to SMJ)."""
     sh = docs.select(F.col("_id"), F.col("_sh"))
     c = F.broadcast(cand) if hint_broadcast else cand
     half = (
@@ -697,6 +708,33 @@ def duplicated_spans(
     )
 
 
+#: assumed on-disk bytes per document for the metadata-only corpus-size
+#: estimate (snappy parquet of ~55-token docs lands around 150-300 B) —
+#: only the ORDER of magnitude matters: the block-count crossovers sit
+#: 250x apart and the cost curve is flat near them, and any choice is
+#: output-identical (candidates are exact-verified).
+SIMHASH_EST_DOC_BYTES = 200
+
+
+def _corpus_row_estimate(df) -> int:
+    """Row estimate WITHOUT running a job (ADVICE r9): the optimizer's
+    rowCount when a catalog/CBO provides one, else plan sizeInBytes /
+    :data:`SIMHASH_EST_DOC_BYTES`. Returns -1 when neither is usable
+    (unknown-size sentinel) — the caller falls back to one eager
+    ``count()``."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        if 0 < size < (1 << 60):  # Long.MaxValue = unknown sentinel
+            return max(1, size // SIMHASH_EST_DOC_BYTES)
+    except Exception:
+        pass
+    return -1
+
+
 def choose_simhash_blocks(
     n_docs: int, bits: int = 48, max_hamming: int = 3
 ) -> int:
@@ -777,11 +815,16 @@ def simhash_near_dup_pairs(
 
     ``blocks=None`` resolves via :func:`choose_simhash_blocks` from
     ``n_docs`` when passed (a catalog/planning estimate — order of
-    magnitude suffices, the cost curve is flat near the optimum) or one
-    cheap ``count()`` of the source otherwise. Crossover table at
-    bits=48/h=3: ≤2.5·10⁴ docs → 4 (the minimum-band spelling), →5 from
-    there, →6 past ~6.2·10⁶. Pass an explicit ``blocks`` to pin the
-    spelling.
+    magnitude suffices, the cost curve is flat near the optimum), else
+    from a METADATA-ONLY estimate (optimizer rowCount, or plan
+    sizeInBytes / ~200 B per doc — ADVICE r9: no job at plan-build), and
+    only as a last resort (size unknown to the optimizer) one EAGER
+    ``count()`` of the source — a scan at plan-CONSTRUCTION time, paid
+    even if the returned plan is never executed; hot-path callers should
+    pass ``n_docs`` or pin ``blocks`` (the gates pin 4). Any resolution
+    is output-identical — the knob moves only candidate volume.
+    Crossover table at bits=48/h=3: ≤2.5·10⁴ docs → 4 (the minimum-band
+    spelling), →5 from there, →6 past ~6.2·10⁶.
     """
     import itertools
 
@@ -791,7 +834,9 @@ def simhash_near_dup_pairs(
         raise ValueError("bits must be in (0, 60] (stable_hash64 width)")
     bands = max_hamming + 1
     if blocks is None:
-        n = n_docs if n_docs is not None else table.df.count()
+        n = n_docs if n_docs is not None else _corpus_row_estimate(table.df)
+        if n < 0:
+            n = table.df.count()  # documented last resort: one eager scan
         blocks = choose_simhash_blocks(n, bits, max_hamming)
     if blocks < bands:
         raise ValueError(

@@ -87,6 +87,44 @@ def tumbling_count_window(
 LARGE_WINDOW_THRESHOLD = 64
 
 
+def _explode_emit(df, key: str, payload, window_size: int):
+    """The explode strategy's emit + rebuild half, shared by the plain
+    and the salted rank paths: ``df`` carries ``_rn`` (int per-key rank)
+    and ``_slide`` (long). Emit positions are pos = window_size + j*slide
+    (j >= 0); row ``_rn`` belongs to the window ending at pos iff
+    pos-window_size < _rn <= pos. Integer ``div`` spells ceil/floor
+    exactly (ANSI-safe). Everything here is (key, pos)-keyed — fine-
+    grained under a hot key, which is why only the RANK needs salting."""
+    j0 = F.when(
+        F.col("_rn") <= window_size, F.lit(0).cast("long")
+    ).otherwise(F.expr(f"(_rn - {window_size} + _slide - 1) div _slide"))
+    j1 = F.expr("(_rn - 1) div _slide")
+    # slide > window_size gaps: a row between emits is in NO window;
+    # sequence(j0, j1) with j1 < j0 would count DOWN, so emit empty.
+    seq = F.when(j1 >= j0, F.sequence(j0, j1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    df = df.withColumn("_j", F.explode(seq)).withColumn(
+        # int like the frame path's row_number-derived pos
+        "pos",
+        (F.lit(window_size) + F.col("_j") * F.col("_slide")).cast("int"),
+    )
+    return (
+        df.groupBy(key, "pos")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_rn").alias("_o"), payload.alias("p"))
+                )
+            ).alias("_w"),
+        )
+        # only FULL windows emit (tail positions never reach size)
+        .where(F.col("_n") == window_size)
+        .select(key, "pos", F.col("_w.p").alias("window"))
+    )
+
+
 def sliding_count_window(
     table: FeatureTable,
     window_size: int,
@@ -159,39 +197,11 @@ def sliding_count_window(
         else:
             slide = F.lit(slide_size)
         slide = _clamped(slide)
-        # Emit positions are pos = window_size + j*slide (j >= 0); row _rn
-        # belongs to the window ending at pos iff pos-window_size < _rn <=
-        # pos. Integer `div` spells ceil/floor exactly (ANSI-safe).
         df = df.withColumn("_slide", slide.cast("long"))
-        j0 = F.when(
-            F.col("_rn") <= window_size, F.lit(0).cast("long")
-        ).otherwise(F.expr(f"(_rn - {window_size} + _slide - 1) div _slide"))
-        j1 = F.expr("(_rn - 1) div _slide")
-        # slide > window_size gaps: a row between emits is in NO window;
-        # sequence(j0, j1) with j1 < j0 would count DOWN, so emit empty.
-        seq = F.when(j1 >= j0, F.sequence(j0, j1)).otherwise(
-            F.array().cast("array<long>")
+        return FeatureTable(
+            _explode_emit(df, table.key, payload, window_size),
+            key=table.key,
         )
-        df = df.withColumn("_j", F.explode(seq)).withColumn(
-            # int like the frame path's row_number-derived pos
-            "pos",
-            (F.lit(window_size) + F.col("_j") * F.col("_slide")).cast("int"),
-        )
-        out = (
-            df.groupBy(table.key, "pos")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("_rn").alias("_o"), payload.alias("p"))
-                    )
-                ).alias("_w"),
-            )
-            # only FULL windows emit (tail positions never reach size)
-            .where(F.col("_n") == window_size)
-            .select(table.key, "pos", F.col("_w.p").alias("window"))
-        )
-        return FeatureTable(out, key=table.key)
 
     frame = w.rowsBetween(-(window_size - 1), 0)
     df = (
@@ -212,3 +222,141 @@ def sliding_count_window(
         .select(table.key, F.col("_rn").alias("pos"), "window")
     )
     return FeatureTable(out, key=table.key)
+
+
+def salted_sliding_count_window(
+    table: FeatureTable,
+    window_size: int,
+    slide_size: int = 1,
+    payload_cols: Sequence[str] | None = None,
+    salt_buckets: int | str = "auto",
+    target_ratio: float = 2.0,
+) -> FeatureTable:
+    """Hot-key-safe sliding count window (r10, VERDICT r9 #7).
+
+    The window-skew probe measured the plain operator's hot-key straggler
+    at 226x the median task TIME at 48x (SCALEPROBE.md finding 13): both
+    payload strategies rank rows with ``row_number() OVER (PARTITION BY
+    key)``, and AQE cannot split a window partition. Salting a rank is
+    harder than salting a join — membership depends on the row's GLOBAL
+    per-key position — so the hot keys get a TWO-PHASE RANGE RANK
+    instead: order-preserving buckets on the first ordering column's
+    value (per-hot-key min/max from one tiny aggregate), per-(key,
+    bucket) local ``row_number`` (the hot key now sorts across
+    ``salt_buckets`` tasks), plus each bucket's cumulative row offset
+    (a hot_keys × buckets table, broadcast). Everything downstream of
+    the rank is the explode strategy's (key, pos) fine-grained path
+    (:func:`_explode_emit` — shared code, not a re-implementation).
+
+    Output is row-identical to ``sliding_count_window(...,
+    payload_strategy="explode")`` (pinned by test and by the registry
+    oracle): bucketing on the order value is monotone, ties share a
+    bucket (same value → same bucket), and the within-bucket comparator
+    is the same ``order_cols()`` total order.
+
+    ``salt_buckets="auto"`` (default): one per-key count pass finds the
+    hot keys (count > target_ratio × rows/partitions — the same skew
+    test as :func:`~ralf_spark.operators.skew.choose_salt_buckets`);
+    no hot keys → delegates to the plain explode spelling with no resalt
+    cost. Cold keys always take the plain single-window rank; only hot
+    keys pay the two-phase plumbing. Balance caveat: range buckets
+    follow the ORDER column's distribution (a hot key whose timestamps
+    all collide degrades to one bucket — pre-transform pathological
+    order columns). Fixed ``slide_size`` only (the per-key-slide plan
+    keeps the plain spelling).
+    """
+    if table.key is None:
+        raise ValueError("sliding window requires a keyed table")
+    if window_size <= 0 or slide_size <= 0:
+        raise ValueError("window_size and slide_size must be positive")
+    key = table.key
+    df = table.df
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def plain() -> FeatureTable:
+        return sliding_count_window(
+            table, window_size, slide_size,
+            payload_cols=payload_cols, payload_strategy="explode",
+        )
+
+    if salt_buckets == 1:
+        return plain()
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_c")).persist()
+    try:
+        row = counts.agg(
+            F.sum("_c").alias("t"), F.max("_c").alias("m")
+        ).first()
+        total = row["t"] or 0
+        if total == 0:
+            return plain()
+        thresh = target_ratio * total / p
+        hot = [r[0] for r in counts.where(F.col("_c") > thresh).collect()]
+    finally:
+        counts.unpersist()
+    if not hot:
+        return plain()
+    if salt_buckets == "auto":
+        import math
+
+        buckets = min(p, math.ceil((row["m"] / total) * p / target_ratio))
+    elif isinstance(salt_buckets, str):
+        raise ValueError(
+            f"salt_buckets must be 'auto' or an int; got {salt_buckets!r}"
+        )
+    else:
+        buckets = int(salt_buckets)
+    if buckets < 2:
+        return plain()
+
+    from ralf_spark.functions.timeutil import epoch_us
+
+    anchor_name = table.ts or table.seq
+    dtype = dict(df.dtypes)[anchor_name]
+    anchor = (
+        epoch_us(df, anchor_name).cast("double")
+        if dtype.startswith("timestamp")
+        else F.col(anchor_name).cast("double")
+    )
+    slide = min(slide_size, window_size)  # clamp, reference parity
+    cols = payload_cols or [c for c in df.columns if c != key]
+    payload = F.struct(*[F.col(c) for c in cols])
+
+    hdf = df.where(F.col(key).isin(hot)).persist()
+    rest = df.where(~F.col(key).isin(hot))
+    w = Window.partitionBy(key).orderBy(*table.order_cols())
+    ranked_rest = rest.withColumn("_rn", F.row_number().over(w))
+    stats = hdf.groupBy(key).agg(
+        F.min(anchor).alias("_mn"), F.max(anchor).alias("_mx")
+    )
+    span = F.col("_mx") - F.col("_mn")
+    rb = F.when(span <= 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((anchor - F.col("_mn")) / span * buckets).cast("long"),
+            F.lit(buckets - 1).cast("long"),
+        )
+    )
+    j = hdf.join(F.broadcast(stats), key).withColumn("_rb", rb)
+    bc = j.groupBy(key, "_rb").agg(F.count(F.lit(1)).alias("_bc"))
+    wofs = (
+        Window.partitionBy(key)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bc.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(wofs), F.lit(0))
+    ).select(key, "_rb", "_off")
+    wloc = Window.partitionBy(key, "_rb").orderBy(*table.order_cols())
+    ranked_hot = (
+        j.join(F.broadcast(offs), [key, "_rb"])
+        .withColumn(
+            "_rn", (F.col("_off") + F.row_number().over(wloc)).cast("int")
+        )
+        .select(*df.columns, "_rn")
+    )
+    ranked = ranked_rest.select(*df.columns, "_rn").unionByName(ranked_hot)
+    ranked = ranked.withColumn("_slide", F.lit(slide).cast("long"))
+    out = _explode_emit(ranked, key, payload, window_size)
+    from ralf_spark.operators.util import attach_cached
+
+    return FeatureTable(attach_cached(out, [hdf]), key=key)

@@ -926,6 +926,54 @@ def sliding_window_large_explode_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "salted_sliding_window",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS w_sum
+      FROM events
+    )
+    SELECT user_id, rn AS pos, round(w_sum, 4) AS w_sum
+    FROM ranked
+    WHERE rn >= 64 AND (rn - 64) % 4 = 0
+    ORDER BY user_id, pos
+    """,
+)
+def salted_sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2, HOT-KEY-SAFE spelling (r10, VERDICT r9 #7): the sliding window
+    whose per-key rank is computed with the two-phase range rank instead
+    of one window partition per key — the fix the window-skew probe
+    motivated (plain hot-key task 226× the median TIME at 48×,
+    SCALEPROBE finding 13; AQE cannot split a window partition). The
+    oracle is the PLAIN window SQL — salting must be result-invariant.
+    ``target_ratio=0.1`` forces every key down the two-phase path at this
+    fixture's uniform key distribution, so the gate exercises the salted
+    rank itself, not the no-hot-keys delegation."""
+    from ralf_spark.operators.windows import salted_sliding_count_window
+
+    ev = _t(spark, sf_dir, "events")
+    win = salted_sliding_count_window(
+        ev, window_size=64, slide_size=4, payload_cols=["value"],
+        target_ratio=0.1,
+    )
+    out = (
+        win.df.select(
+            "user_id",
+            "pos",
+            F.round(
+                F.aggregate("window", F.lit(0.0), lambda a, x: a + x["value"]),
+                4,
+            ).alias("w_sum"),
+        )
+        .orderBy("user_id", "pos")
+    )
+    out._ralf_cached = getattr(win.df, "_ralf_cached", [])
+    return out
+
+
+@query(
     "time_window_hourly",
     """
     SELECT user_id,

@@ -981,6 +981,195 @@ def adversarial_probe(mults: list[int]) -> dict:
     return {"probe_limit": PROBE_LIMIT, "runs": out}
 
 
+def window_skew_probe(mults: list[int]) -> dict:
+    """r10 (VERDICT r9 #7): the count-window family on the hot-key
+    fixture — finding 10 covered joins; a sliding window partitions by
+    key too, and AQE cannot split a window partition. Measures
+    ``sliding_count_window`` under BOTH payload strategies (same
+    window=48/slide=12 config): per-task shuffle-read rows and
+    executorRunTime quantiles of the heaviest stage, plain wall.
+
+    What distinguishes this from the join case: the hot key's rank pass
+    is a sort + counter per row (tiny per-row cost after the sort), and
+    the explode strategy's payload amplification lands on (key, pos)
+    FINE-GRAINED keys — so the row straggler may not be a time straggler.
+    The numbers decide whether a salted-window spelling is warranted."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ralf_spark.operators.windows import (
+        salted_sliding_count_window,
+        sliding_count_window,
+    )
+    from ralf_spark.table import FeatureTable
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("winskewprobe")
+        .config("spark.driver.memory", "100g")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    try:
+        for m in mults:
+            P = 16 * m
+            spark.conf.set("spark.sql.shuffle.partitions", str(P))
+            ev = spark.read.parquet(gen_events_skewed(m))
+            lt = FeatureTable(ev, key="user_id", ts="t", seq="event_id")
+            for strat in ("frame", "explode", "salted"):
+                def build(s, _st=strat):
+                    if _st == "salted":
+                        win = salted_sliding_count_window(
+                            lt, window_size=48, slide_size=12,
+                            payload_cols=["value"],
+                        )
+                    else:
+                        win = sliding_count_window(
+                            lt, window_size=48, slide_size=12,
+                            payload_cols=["value"], payload_strategy=_st,
+                        )
+                    return win.df.select(
+                        "user_id", "pos", F.size("window").alias("n")
+                    )
+
+                _drain(build(spark))  # warm-up
+                sid0 = _max_stage_id()
+                t0 = time.perf_counter()
+                _drain(build(spark))
+                sec = round(time.perf_counter() - t0, 2)
+                stats = _heaviest_stage_quantiles(sid0, min_tasks=P) or {}
+                rec = {"sec": sec, "P": P, **stats}
+                out.setdefault(f"slide_{strat}", {})[str(m)] = rec
+                print(f"# winskew slide_{strat} x{m}: {sec}s P={P} "
+                      f"rows max/med={rec.get('rows_max_over_median')} "
+                      f"({rec.get('rows_max')}/{rec.get('rows_median')}) "
+                      f"time max/med={rec.get('max_over_median')} "
+                      f"(max {rec.get('task_ms_max')}ms)", flush=True)
+    finally:
+        spark.stop()
+    return out
+
+
+def adversarial_add_probe(mults: list[int]) -> dict:
+    """r10 (VERDICT r9 #6): the giant-dup-cluster corpus against
+    ``MinHashIndex.add`` — the incremental path a crawler re-feeding
+    near-copies actually exercises. Per point: the stored index holds the
+    background corpus PLUS half the duplicate cluster; one ``add()``
+    batch delivers the other half, so the add's bucket-stats bound
+    (``_add_pair_bound``: stored-cluster × batch + within-batch pairs)
+    grows ~c² and crosses the probe's tightened broadcast limit exactly
+    where the cluster math says. Recorded: the bound, the spelling auto
+    chose, wall + shuffle, pair count, and — under the forced cap — a
+    forced-broadcast twin on a byte-identical copy of the index proving
+    the two spellings emit the same pairs (count + order-free checksum).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ralf_spark.operators.dedup as dd
+    from ralf_spark.table import FeatureTable
+
+    PROBE_LIMIT = 200_000
+    FORCED_CAP = 2_000_000
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    orig_limit = dd.BROADCAST_CANDIDATE_LIMIT
+    orig_choose = dd._choose_broadcast
+    rec: dict = {}
+
+    def spy(choice, bound_fn):
+        if choice is not None:
+            return bool(choice)
+        bound = bound_fn()
+        rec["bound"] = bound
+        rec["broadcast"] = bound <= dd.BROADCAST_CANDIDATE_LIMIT
+        return rec["broadcast"]
+
+    def pair_stats(pairs_df):
+        # order-free checksum; pmod bounds the terms so the ANSI sum
+        # cannot overflow a long
+        row = pairs_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64("id1", "id2", "est_jaccard"),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("chk"),
+        ).first()
+        return int(row["n"]), int(row["chk"] or 0)
+
+    dd.BROADCAST_CANDIDATE_LIMIT = PROBE_LIMIT
+    dd._choose_broadcast = spy
+    try:
+        for m in mults:
+            path = gen_documents_adversarial(m)
+            docs = spark.read.parquet(path)
+            n_bg, half = BASE_DOCS * m, 50 * m
+            stored = docs.where(F.col("doc_id") < n_bg + half)
+            batch = FeatureTable(
+                docs.where(F.col("doc_id") >= n_bg + half), key="doc_id"
+            )
+            work = tempfile.mkdtemp(prefix=f"advadd_{m}_")
+            idx = dd.MinHashIndex(f"{work}/idx", hash_fn="xxhash64")
+            idx.build(FeatureTable(stored, key="doc_id"))
+            shutil.copytree(f"{work}/idx", f"{work}/idx_forced")
+            rec.clear()
+            w0, r0 = _rest_shuffle_totals()
+            t0 = time.perf_counter()
+            pairs = idx.add(batch, threshold=0.5, batch_tag="adv")
+            n, chk = pair_stats(pairs)
+            sec = round(time.perf_counter() - t0, 2)
+            w1, r1 = _rest_shuffle_totals()
+            from ralf_spark.operators.util import unpersist_cached
+
+            unpersist_cached(pairs)
+            r = {
+                "sec": sec, "rows": n, "checksum": chk,
+                "cluster_stored": half, "cluster_batch": half,
+                "pair_bound": rec.get("bound"),
+                "chose_broadcast": rec.get("broadcast"),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+            }
+            print(f"# adversarial-add x{m}: bound {r['pair_bound']} -> "
+                  f"{'broadcast' if r['chose_broadcast'] else 'SHUFFLE'}, "
+                  f"{sec}s shuffleW {r['shuffle_write_mb']}MB rows {n}",
+                  flush=True)
+            if r["pair_bound"] is not None and r["pair_bound"] <= FORCED_CAP:
+                idxf = dd.MinHashIndex(
+                    f"{work}/idx_forced", hash_fn="xxhash64"
+                )
+                t0 = time.perf_counter()
+                pf = idxf.add(
+                    batch, threshold=0.5, batch_tag="adv",
+                    broadcast_candidates=True,
+                )
+                nf, chkf = pair_stats(pf)
+                secf = round(time.perf_counter() - t0, 2)
+                unpersist_cached(pf)
+                r["forced"] = {"sec": secf, "rows": nf}
+                r["pairs_match_forced"] = (nf, chkf) == (n, chk)
+                print(f"#   forced-broadcast twin: {secf}s rows {nf} "
+                      f"match={r['pairs_match_forced']}", flush=True)
+            out[str(m)] = r
+            shutil.rmtree(work, ignore_errors=True)
+    finally:
+        dd.BROADCAST_CANDIDATE_LIMIT = orig_limit
+        dd._choose_broadcast = orig_choose
+        spark.stop()
+    return {"probe_limit": PROBE_LIMIT, "runs": out}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,4,16,48")
@@ -990,6 +1179,12 @@ def main() -> None:
     ap.add_argument("--adversarial", action="store_true",
                     help="giant-dup-cluster probe of the auto verification "
                          "spelling (near_dup_pairs)")
+    ap.add_argument("--adversarial-add", action="store_true",
+                    help="giant-dup-cluster probe of MinHashIndex.add — "
+                         "the incremental crawl path (r10)")
+    ap.add_argument("--window-skew", action="store_true",
+                    help="hot-key probe for the sliding count window, "
+                         "both payload strategies (r10)")
     ap.add_argument("--skew", action="store_true",
                     help="hot-key join probe: enrichment + as-of, plain "
                          "vs salted, per-task max/median ratios")
@@ -1025,10 +1220,38 @@ def main() -> None:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "SCALEPROBE.json")
         data = json.load(open(path)) if os.path.exists(path) else {}
-        data["skewed_joins"] = sk
+        merged_sk = data.get("skewed_joins", {})
+        for op, runs in sk.items():  # merge per scale point, don't clobber
+            merged_sk.setdefault(op, {}).update(runs)
+        data["skewed_joins"] = merged_sk
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
         print(json.dumps(sk, indent=1))
+        return
+
+    if args.window_skew:
+        ws = window_skew_probe(mults)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        merged_ws = data.get("window_skew", {})
+        for op, runs in ws.items():
+            merged_ws.setdefault(op, {}).update(runs)
+        data["window_skew"] = merged_ws
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(ws, indent=1))
+        return
+
+    if args.adversarial_add:
+        adv = adversarial_add_probe(mults)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data["adversarial_add"] = adv
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(adv, indent=1))
         return
 
     if args.adversarial:

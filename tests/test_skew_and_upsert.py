@@ -419,3 +419,58 @@ def test_salted_join_auto_equals_plain(spark):
         lt, rt, salt_on="event_id"
     ).df.collect()))
     assert auto == plain and len(plain) == 200
+
+
+def test_salted_sliding_window_equals_plain(spark):
+    """r10 (VERDICT r9 #7): the two-phase-ranked sliding window is
+    row-identical to the plain explode spelling — hot key, ts ties,
+    several window/slide shapes, pinned and auto bucket counts."""
+    from ralf_spark.operators.windows import (
+        salted_sliding_count_window,
+        sliding_count_window,
+    )
+    from ralf_spark.table import FeatureTable
+
+    rows = []
+    eid = 0
+    for i in range(600):  # hot key 0: 600 rows with ts ties (i // 3)
+        rows.append((eid, 0, (i // 3) * 10, float(i)))
+        eid += 1
+    for k in range(1, 20):  # cold keys: 30 rows each
+        for i in range(30):
+            rows.append((eid, k, i * 7, float(eid)))
+            eid += 1
+    t = FeatureTable(
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, t long, value double"
+        ),
+        key="user_id", ts="t", seq="event_id",
+    )
+
+    def flat(ft):
+        return sorted(
+            (r["user_id"], r["pos"], tuple(x["value"] for x in r["window"]))
+            for r in ft.df.collect()
+        )
+
+    for ws, sl in ((7, 2), (64, 4), (5, 9)):  # incl. slide > window clamp
+        want = flat(sliding_count_window(
+            t, window_size=ws, slide_size=sl, payload_cols=["value"],
+            payload_strategy="explode",
+        ))
+        for buckets in ("auto", 5):
+            got = flat(salted_sliding_count_window(
+                t, window_size=ws, slide_size=sl, payload_cols=["value"],
+                salt_buckets=buckets, target_ratio=0.5,
+            ))
+            assert got == want, (ws, sl, buckets)
+    # uniform data: auto finds no hot keys and delegates — still identical
+    cold = FeatureTable(
+        t.df.where("user_id > 0"), key="user_id", ts="t", seq="event_id"
+    )
+    assert flat(salted_sliding_count_window(
+        cold, window_size=7, slide_size=2, payload_cols=["value"]
+    )) == flat(sliding_count_window(
+        cold, window_size=7, slide_size=2, payload_cols=["value"],
+        payload_strategy="explode",
+    ))
