@@ -906,9 +906,18 @@ class IvfIndex:
         Dynamic overwrite touches only the ``(cell, _batch)`` directories
         present in ``assigned`` — a replayed tag rewrites itself in place
         (idempotent: assignment under the frozen quantizer is
-        deterministic); other batches' partitions are untouched."""
+        deterministic); other batches' partitions are untouched.
+
+        ``repartition(cell)`` first (r10, finding 16): a partitionBy
+        write otherwise emits one file per (shuffle task × cell) — the
+        batch-count probe measured 6.2k files from four 4k-vector adds
+        at 64 cells. One shuffle of the (batch-sized) assignment buys
+        one file per touched (cell, batch); the write stays parallel
+        across cells, and at build scale a cell's file is its member
+        count (cells ∝ √corpus keeps that bounded)."""
         (
             assigned.withColumn("_batch", F.lit(tag))
+            .repartition(F.col("cell"))
             .write.mode(mode)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell", "_batch")

@@ -1056,6 +1056,164 @@ def window_skew_probe(mults: list[int]) -> dict:
     return out
 
 
+def batch_count_probe(batch_counts: list[int]) -> dict:
+    """r10 (VERDICT r9 #4): add/query cost vs BATCH COUNT at fixed store
+    size — the small-file axis finding 6 never varied (it scaled store
+    size in ONE batch). Fixed corpora are fed as B batches; the recorded
+    metrics are the wall of a STANDARD 500-doc probe add (its scoring
+    join reads the whole store) resp. a standard IvfIndex.query, plus
+    the store's data-file count — before and after ``maintain()``.
+    The claim under test: per-batch cost grows with accumulated batch
+    count even at fixed rows, and one compaction restores it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ralf_spark.operators.dedup as dd
+    from ralf_spark.connectors import _list_parquet_files
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.table import FeatureTable
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+
+    N_DOCS = 60_000   # 12x base, sliced into B add-batches
+    N_VECS = 16_000
+    K_CELLS = 64
+    try:
+        docs_all = spark.read.parquet(gen_documents(12)).select(
+            "doc_id", "text"
+        )
+        vec_src = spark.read.parquet(gen_embeddings(8))
+        vcols = vec_src.columns
+        for B in batch_counts:
+            # ---------------- MinHashIndex
+            work = tempfile.mkdtemp(prefix=f"bc_{B}_")
+            idx = dd.MinHashIndex(f"{work}/idx", hash_fn="xxhash64")
+            per = N_DOCS // B
+            t_build = time.perf_counter()
+            idx.build(FeatureTable(
+                docs_all.where(F.col("doc_id") < per), key="doc_id"
+            ))
+            for b in range(1, B):
+                lo, hi = b * per, (b + 1) * per
+                p = idx.add(
+                    FeatureTable(
+                        docs_all.where(
+                            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                        ),
+                        key="doc_id",
+                    ),
+                    batch_tag=f"b{b}",
+                )
+                p.count()
+                from ralf_spark.operators.util import unpersist_cached
+
+                unpersist_cached(p)
+            feed_s = round(time.perf_counter() - t_build, 1)
+
+            probe = FeatureTable(
+                docs_all.where(F.col("doc_id") >= N_DOCS).limit(500),
+                key="doc_id",
+            )
+
+            def probe_add(tag):
+                t0 = time.perf_counter()
+                pp = idx.add(probe, batch_tag=tag)
+                n = pp.count()
+                from ralf_spark.operators.util import unpersist_cached
+
+                unpersist_cached(pp)
+                return round(time.perf_counter() - t0, 2), n
+
+            files0 = len(_list_parquet_files(spark, f"{work}/idx/sigs")) + \
+                len(_list_parquet_files(spark, f"{work}/idx/buckets"))
+            add_before, n1 = probe_add("probe1")
+            t0 = time.perf_counter()
+            idx.maintain(spark)
+            maint_s = round(time.perf_counter() - t0, 2)
+            add_after, n2 = probe_add("probe2")
+            files1 = len(_list_parquet_files(spark, f"{work}/idx/sigs")) + \
+                len(_list_parquet_files(spark, f"{work}/idx/buckets"))
+            rec = {
+                "batches": B, "docs": N_DOCS, "feed_s": feed_s,
+                "files_before": files0, "files_after": files1,
+                "probe_add_before_s": add_before,
+                "probe_add_after_s": add_after,
+                "maintain_s": maint_s, "probe_pairs": n1,
+            }
+            out.setdefault("minhash_add", {})[str(B)] = rec
+            print(f"# batchcount minhash B={B}: probe-add "
+                  f"{add_before}s -> {add_after}s after maintain "
+                  f"({maint_s}s), files {files0} -> {files1}", flush=True)
+            shutil.rmtree(work, ignore_errors=True)
+
+            # ---------------- IvfIndex
+            work = tempfile.mkdtemp(prefix=f"bcivf_{B}_")
+            vecs = vec_src.select(
+                F.col(vcols[0]).alias("vec_id"),
+                F.col(vcols[1]).alias("embedding"),
+            ).where(F.col("vec_id") < N_VECS)
+            cen = vecs.where(F.col("vec_id") < K_CELLS).select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").cast("array<double>").alias(
+                    "centroid_vec"
+                ),
+            )
+            ivf = IvfIndex(f"{work}/ivf")
+            perv = N_VECS // B
+            ivf.build(
+                FeatureTable(
+                    vecs.where(F.col("vec_id") < perv), key="vec_id"
+                ),
+                cen,
+            )
+            for b in range(1, B):
+                lo, hi = b * perv, (b + 1) * perv
+                ivf.add(
+                    FeatureTable(
+                        vecs.where(
+                            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                        ),
+                        key="vec_id",
+                    ),
+                    batch_tag=f"b{b}",
+                )
+            q = vecs.where(F.col("vec_id") < 16).select(
+                (F.col("vec_id") + 1_000_000).alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("query_vec"),
+            )
+
+            def probe_query():
+                t0 = time.perf_counter()
+                n = ivf.query(q, k=10, nprobe=2).count()
+                return round(time.perf_counter() - t0, 2), n
+
+            dirs0 = len(_list_parquet_files(spark, f"{work}/ivf/cells"))
+            q_before, _ = probe_query()
+            t0 = time.perf_counter()
+            ivf.maintain(spark)
+            maint_s = round(time.perf_counter() - t0, 2)
+            q_after, _ = probe_query()
+            dirs1 = len(_list_parquet_files(spark, f"{work}/ivf/cells"))
+            rec = {
+                "batches": B, "vecs": N_VECS, "cells": K_CELLS,
+                "files_before": dirs0, "files_after": dirs1,
+                "query_before_s": q_before, "query_after_s": q_after,
+                "maintain_s": maint_s,
+            }
+            out.setdefault("ivf_query", {})[str(B)] = rec
+            print(f"# batchcount ivf B={B}: query {q_before}s -> "
+                  f"{q_after}s after maintain ({maint_s}s), files "
+                  f"{dirs0} -> {dirs1}", flush=True)
+            shutil.rmtree(work, ignore_errors=True)
+    finally:
+        spark.stop()
+    return out
+
+
 def adversarial_add_probe(mults: list[int]) -> dict:
     """r10 (VERDICT r9 #6): the giant-dup-cluster corpus against
     ``MinHashIndex.add`` — the incremental path a crawler re-feeding
@@ -1185,6 +1343,10 @@ def main() -> None:
     ap.add_argument("--window-skew", action="store_true",
                     help="hot-key probe for the sliding count window, "
                          "both payload strategies (r10)")
+    ap.add_argument("--batch-count", action="store_true",
+                    help="index add/query cost vs accumulated BATCH count "
+                         "at fixed store size, before/after maintain() "
+                         "(r10; --mults holds the batch counts)")
     ap.add_argument("--skew", action="store_true",
                     help="hot-key join probe: enrichment + as-of, plain "
                          "vs salted, per-task max/median ratios")
@@ -1227,6 +1389,20 @@ def main() -> None:
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
         print(json.dumps(sk, indent=1))
+        return
+
+    if args.batch_count:
+        bc = batch_count_probe(mults)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        merged_bc = data.get("batch_count", {})
+        for op, runs in bc.items():
+            merged_bc.setdefault(op, {}).update(runs)
+        data["batch_count"] = merged_bc
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(bc, indent=1))
         return
 
     if args.window_skew:
