@@ -245,6 +245,7 @@ def compact_batch_partitions(
     root: str,
     keep_last: int = 1,
     target_file_bytes: int = 128 * 1024 * 1024,
+    transform=None,
 ) -> dict | None:
     """Fold old ``_batch=<tag>`` partitions into ONE compacted partition
     (r10, VERDICT r9 #4) — the maintenance cadence for incrementally-fed
@@ -269,6 +270,15 @@ def compact_batch_partitions(
     (4) delete source dirs, (5) drop the manifest.
     :func:`recover_compaction` (run first) finishes or rolls back any
     interrupted attempt, so readers never see duplicate rows.
+
+    ``transform`` (r10, the sketch-log case): applied to the combined
+    source rows BEFORE the compacted write — a MERGING compaction for
+    append-only logs whose row algebra folds (HLL register max, KMV
+    keep-k, CMS sums): the compacted partition then holds the merged
+    state, not the concatenated history, so log size stays O(state) +
+    O(batches since last maintenance). Must be a pure row-set transform
+    (no reference to the batch column); the manifest transaction is
+    unchanged, so a crashed merging compaction heals the same way.
 
     Returns a summary dict, or None when fewer than two compactable tags
     exist."""
@@ -319,6 +329,8 @@ def compact_batch_partitions(
             {"ctag": ctag, "sources": sources, "done": False},
         )
         df = spark.read.option("basePath", root).parquet(*files)
+        if transform is not None:
+            df = transform(df.drop("_batch"))
         df = df.withColumn("_batch", F.lit(ctag))
         if len(pcols) > 1:
             df = df.repartition(*[F.col(c) for c in pcols[:-1]])

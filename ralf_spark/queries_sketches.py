@@ -342,6 +342,61 @@ def streaming_hll_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_hll_log_state",
+    hll_distinct_sql("events", ["event_type"], "event_id")
+    + " ORDER BY event_type",
+)
+def streaming_hll_log_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 streaming HLL as an APPEND LOG (r10) — the third state
+    spelling next to the legacy full-rewrite and the bucketed merge:
+    each micro-batch appends its (group, bucket, max-rho) registers
+    under its own ``_batch`` partition (O(batch) per batch, ZERO reads
+    of existing state — the strict-minimum write cost at any group
+    count), the estimate merges the log ON READ (register max is
+    associative/commutative/idempotent, so any batching, any replay and
+    any amount of compaction converge on the identical sketch), and
+    ``maintain_sketch_log`` MERGES all but the newest batch partition
+    in place mid-gate — the estimate must be unchanged by it. Same
+    oracle as ``streaming_hll_state``."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from ralf_spark.operators.sketches import hll_estimate
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_hll_append,
+        hll_log_state,
+        maintain_sketch_log,
+        run_bounded,
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    src = _scratch(f"hlog_src_{tag}_")
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "event_id")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    state = _scratch(f"hlog_state_{tag}_") + "/log"
+    stream = file_events(
+        spark, src, schema="event_type string, event_id long",
+        max_files_per_trigger=1,
+    )
+    run_bounded(
+        foreach_batch_hll_append(
+            stream, state, group_cols=["event_type"], value_col="event_id"
+        ),
+        checkpoint=_scratch(f"ck_hlog_{tag}_"),
+    )
+    maintain_sketch_log(
+        spark, state,
+        merge=lambda df: df.groupBy("event_type", "bucket").agg(
+            F.max("reg").alias("reg")
+        ),
+    )
+    return hll_estimate(
+        hll_log_state(spark, state, ["event_type"]), ["event_type"]
+    ).orderBy("event_type")
+
+
+@query(
     "streaming_kmv_state",
     kmv_distinct_sql("events", ["event_type"], "user_id", k=32)
     + " ORDER BY event_type",

@@ -15,15 +15,22 @@ from ralf_spark.streaming.sinks import (
     foreach_batch_enriched_write,
     foreach_batch_ewma_upsert,
     foreach_batch_index_add,
+    foreach_batch_cms_append,
     foreach_batch_cms_upsert,
+    foreach_batch_hll_append,
     foreach_batch_hll_upsert,
     foreach_batch_ivf_add,
+    foreach_batch_kmv_append,
     foreach_batch_kv_upsert,
     foreach_batch_kmv_upsert,
     foreach_batch_latest_upsert,
     foreach_batch_quality_log,
+    cms_log_state,
+    hll_log_state,
     hll_upsert_batch,
+    kmv_log_state,
     kmv_upsert_batch,
+    maintain_sketch_log,
     read_bucketed_state,
     run_bounded,
     write_console,
@@ -77,8 +84,15 @@ __all__ = [
     "foreach_batch_enriched_write",
     "foreach_batch_ewma_upsert",
     "foreach_batch_index_add",
+    "cms_log_state",
+    "foreach_batch_cms_append",
     "foreach_batch_cms_upsert",
+    "foreach_batch_hll_append",
     "foreach_batch_hll_upsert",
+    "foreach_batch_kmv_append",
+    "hll_log_state",
+    "kmv_log_state",
+    "maintain_sketch_log",
     "foreach_batch_ivf_add",
     "foreach_batch_kmv_upsert",
     "foreach_batch_kv_upsert",

@@ -348,6 +348,153 @@ def _bucketed_fold_upsert(
         summary.unpersist()
 
 
+def _append_log_batch(path: str, summarize):
+    """foreachBatch callback factory for the APPEND-LOG sketch sinks
+    (r10): the batch's summary rows land under their own
+    ``_batch=b<id>`` partition via dynamic overwrite — O(batch) work
+    with ZERO reads of existing state, the strict-minimum per-batch
+    cost (the LSM spelling next to the legacy full-rewrite and the
+    bucketed merge). Exactly-once needs no marker at all: a replayed
+    micro-batch rewrites its own partition in place (the
+    ``foreach_batch_index_add`` regime). The price moves to the READ
+    side — estimates merge the log on read (`hll_log_state` etc., exact
+    by the sketch algebra) — and is amortized by
+    :func:`maintain_sketch_log`'s MERGING compaction."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            summarize(batch_df)
+            .withColumn("_batch", F.lit(f"b{batch_id}"))
+            .repartition(1)  # batch summaries are sketch-sized
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(path)
+        )
+
+    return upsert
+
+
+def foreach_batch_hll_append(
+    df: DataFrame, path: str, group_cols: list[str], value_col: str
+) -> DataStreamWriter:
+    """Append-log spelling of the HLL sink (r10; see
+    :func:`_append_log_batch`): per-batch cost is O(batch registers) at
+    ANY total group count. Read the estimate from
+    ``hll_estimate(hll_log_state(spark, path, group_cols), group_cols)``;
+    compact with :func:`maintain_sketch_log`."""
+    from ralf_spark.operators.sketches import hll_register_update
+
+    return df.writeStream.foreachBatch(
+        _append_log_batch(
+            path, lambda b: hll_register_update(b, group_cols, value_col)
+        )
+    )
+
+
+def foreach_batch_kmv_append(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataStreamWriter:
+    """Append-log spelling of the KMV sink (r10); read with
+    ``kmv_log_state``, compact with :func:`maintain_sketch_log`."""
+    from ralf_spark.operators.sketches import kmv_state_update
+
+    return df.writeStream.foreachBatch(
+        _append_log_batch(
+            path, lambda b: kmv_state_update(b, group_cols, value_col, k)
+        )
+    )
+
+
+def foreach_batch_cms_append(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataStreamWriter:
+    """Append-log spelling of the CMS sink (r10). Counter sums are NOT
+    idempotent, but the log needs no marker anyway: each batch owns its
+    ``_batch`` partition and a replay rewrites it in place — the
+    partition itself is the exactly-once unit. Read with
+    ``cms_log_state``, compact with :func:`maintain_sketch_log`."""
+    from ralf_spark.operators.sketches import cms_counter_update
+
+    return df.writeStream.foreachBatch(
+        _append_log_batch(
+            path, lambda b: cms_counter_update(b, key_col, depth, width)
+        )
+    )
+
+
+def hll_log_state(
+    spark: SparkSession, path: str, group_cols: list[str]
+) -> DataFrame:
+    """Merge an HLL append log on read: register-wise max over every
+    logged row — associative/commutative/idempotent, so the result is
+    independent of batching AND of how much the log has been
+    compacted."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def kmv_log_state(
+    spark: SparkSession, path: str, group_cols: list[str], k: int = 32
+) -> DataFrame:
+    """Merge a KMV append log on read: union-distinct-keep-k."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        spark.read.parquet(path)
+        .select(*group_cols, "h")
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def cms_log_state(spark: SparkSession, path: str) -> DataFrame:
+    """Merge a CMS append log on read: counter-wise sum per cell."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def maintain_sketch_log(
+    spark: SparkSession,
+    path: str,
+    merge,
+    keep_last: int = 1,
+) -> dict | None:
+    """Compact a sketch append log by MERGING it (r10): all but the
+    newest ``keep_last`` batch partitions fold into one compacted
+    partition holding the merged state rows, via
+    ``layout.compact_batch_partitions(transform=merge)`` — the same
+    manifest transaction as the index maintenance (interrupted attempts
+    heal), so the log stays O(state) + O(batches since last
+    maintenance) whatever the stream length. ``merge`` is the log's
+    read-side fold over a row set, e.g. for HLL
+    ``lambda df: df.groupBy(*groups, "bucket").agg(F.max("reg").alias("reg"))``
+    — merging MUST be algebra-exact (it is, for all three sketches),
+    because estimates read the compacted log through the same fold."""
+    from ralf_spark.layout import compact_batch_partitions
+
+    return compact_batch_partitions(
+        spark, path, keep_last=keep_last, transform=merge
+    )
+
+
 def read_bucketed_state(spark: SparkSession, path: str) -> DataFrame:
     """Read a bucketed sink's state table with the layout columns
     (bucket partition + per-bucket batch stamp) projected away — what

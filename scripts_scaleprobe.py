@@ -695,7 +695,10 @@ def streaming_state_probe(mults: list[int], sink_only: bool = False) -> dict:
         streaming_tumbling_count_window,
         write_parquet,
     )
-    from ralf_spark.streaming.sinks import foreach_batch_hll_upsert
+    from ralf_spark.streaming.sinks import (
+        foreach_batch_hll_append,
+        foreach_batch_hll_upsert,
+    )
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -757,16 +760,26 @@ def streaming_state_probe(mults: list[int], sink_only: bool = False) -> dict:
             # so the batch's touched-bucket read+rewrite is bounded by
             # |batch keys| x bucket size whatever the total group count.
             for label, buckets in (("hll_sink", None),
-                                   ("hll_sink_bucketed", 16 * m)):
+                                   ("hll_sink_bucketed", 16 * m),
+                                   ("hll_sink_append", "append")):
                 work = tempfile.mkdtemp(prefix=f"sp_{m}_hll_")
                 src = file_events(spark, topic, schema=schema,
                                   max_files_per_trigger=1)
-                t0 = time.perf_counter()
-                q = run_bounded(
-                    foreach_batch_hll_upsert(
+                if buckets == "append":
+                    writer = foreach_batch_hll_append(
+                        src, os.path.join(work, "hll"), ["user_id"],
+                        "event_id",
+                    )
+                else:
+                    writer = foreach_batch_hll_upsert(
                         src, os.path.join(work, "hll"), ["user_id"],
                         "event_id", buckets=buckets,
-                    ).option("checkpointLocation", os.path.join(work, "ck")),
+                    )
+                t0 = time.perf_counter()
+                q = run_bounded(
+                    writer.option(
+                        "checkpointLocation", os.path.join(work, "ck")
+                    ),
                     shuffle_partitions=32,
                 )
                 wall = round(time.perf_counter() - t0, 2)

@@ -158,3 +158,114 @@ def test_partial_commit_heals_on_replay(spark, tmp_path, batches):
     assert _rows(
         read_bucketed_state(spark, f"{d}/c"), ["r", "bucket", "c"]
     ) == full
+
+
+def test_append_log_sinks_equal_legacy(spark, tmp_path, batches):
+    """r10 append-log spelling: O(batch) writes, merge-on-read estimates
+    equal the legacy merged state exactly; replay rewrites its own
+    partition (no marker needed); merging compaction preserves the
+    estimates and shrinks the log to O(state)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.sketches import hll_estimate, kmv_estimate
+    from ralf_spark.streaming.sinks import (
+        cms_log_state,
+        foreach_batch_cms_append,
+        foreach_batch_hll_append,
+        foreach_batch_kmv_append,
+        hll_log_state,
+        kmv_log_state,
+        maintain_sketch_log,
+    )
+
+    d = str(tmp_path)
+    # drive the raw callbacks directly (same ones the foreach_batch_*
+    # writers wrap)
+    from ralf_spark.operators.sketches import (
+        cms_counter_update,
+        hll_register_update,
+        kmv_state_update,
+    )
+    from ralf_spark.streaming.sinks import _append_log_batch
+
+    hll_cb = _append_log_batch(
+        f"{d}/hl", lambda b: hll_register_update(b, ["k"], "v"))
+    kmv_cb = _append_log_batch(
+        f"{d}/kl", lambda b: kmv_state_update(b, ["k"], "v", 16))
+    cms_cb = _append_log_batch(
+        f"{d}/cl", lambda b: cms_counter_update(b, "k", 4, 32))
+    for i, b in enumerate(batches):
+        hll_cb(b, i)
+        kmv_cb(b, i)
+        cms_cb(b, i)
+        hll_upsert_batch(f"{d}/href", ["k"], "v")(b, i)
+        kmv_upsert_batch(f"{d}/kref", ["k"], "v", k=16)(b, i)
+        cms_upsert_batch(f"{d}/cref", "k", depth=4, width=32)(b, i)
+
+    def est_hll(src):
+        return _rows(hll_estimate(src, ["k"]), ["k", "est_distinct"])
+
+    assert est_hll(hll_log_state(spark, f"{d}/hl", ["k"])) == est_hll(
+        spark.read.parquet(f"{d}/href")
+    )
+    assert _rows(
+        kmv_estimate(kmv_log_state(spark, f"{d}/kl", ["k"], 16), ["k"], 16),
+        ["k", "est_distinct"],
+    ) == _rows(
+        kmv_estimate(
+            spark.read.parquet(f"{d}/kref").drop("_last_batch_id"),
+            ["k"], k=16,
+        ),
+        ["k", "est_distinct"],
+    )
+    cms_want = _rows(
+        spark.read.parquet(f"{d}/cref").select(
+            "r", "bucket", F.col("c").cast("long").alias("c")
+        ),
+        ["r", "bucket", "c"],
+    )
+    assert _rows(
+        cms_log_state(spark, f"{d}/cl").select(
+            "r", "bucket", F.col("c").cast("long").alias("c")
+        ),
+        ["r", "bucket", "c"],
+    ) == cms_want
+
+    # replay of a committed batch: rewrites its own partition — no change
+    cms_cb(batches[1], 1)
+    assert _rows(
+        cms_log_state(spark, f"{d}/cl").select(
+            "r", "bucket", F.col("c").cast("long").alias("c")
+        ),
+        ["r", "bucket", "c"],
+    ) == cms_want
+
+    # merging compaction: estimates unchanged, log shrinks, dirs fold
+    before_dirs = len(glob.glob(f"{d}/cl/_batch=*"))
+    assert before_dirs == 3
+    out = maintain_sketch_log(
+        spark, f"{d}/cl",
+        merge=lambda df: df.groupBy("r", "bucket").agg(
+            F.sum("c").alias("c")
+        ),
+    )
+    assert out is not None and out["compacted_tags"] == 2
+    assert len(glob.glob(f"{d}/cl/_batch=*")) == 2
+    assert _rows(
+        cms_log_state(spark, f"{d}/cl").select(
+            "r", "bucket", F.col("c").cast("long").alias("c")
+        ),
+        ["r", "bucket", "c"],
+    ) == cms_want
+    out2 = maintain_sketch_log(
+        spark, f"{d}/hl",
+        merge=lambda df: df.groupBy("k", "bucket").agg(
+            F.max("reg").alias("reg")
+        ),
+    )
+    assert out2 is not None
+    assert est_hll(hll_log_state(spark, f"{d}/hl", ["k"])) == est_hll(
+        spark.read.parquet(f"{d}/href")
+    )
