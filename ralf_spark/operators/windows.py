@@ -330,10 +330,19 @@ def salted_sliding_count_window(
         F.min(anchor).alias("_mn"), F.max(anchor).alias("_mx")
     )
     span = F.col("_mx") - F.col("_mn")
-    rb = F.when(span <= 0, F.lit(0).cast("long")).otherwise(
-        F.least(
-            F.floor((anchor - F.col("_mn")) / span * buckets).cast("long"),
-            F.lit(buckets - 1).cast("long"),
+    # NULL anchors bucket to -1 EXPLICITLY: ascending sort puts NULLs
+    # FIRST, so bucket -1 preserves the plain row_number order. The
+    # isNull branch must come first — `least(NULL, hi)` returns hi
+    # (least skips nulls), which would rank null rows LAST, and a plain
+    # NULL bucket would drop them at the (key, _rb) equi-joins below.
+    rb = F.when(anchor.isNull(), F.lit(-1).cast("long")).otherwise(
+        F.when(span <= 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.floor((anchor - F.col("_mn")) / span * buckets).cast(
+                    "long"
+                ),
+                F.lit(buckets - 1).cast("long"),
+            )
         )
     )
     j = hdf.join(F.broadcast(stats), key).withColumn("_rb", rb)

@@ -436,6 +436,9 @@ def test_salted_sliding_window_equals_plain(spark):
     for i in range(600):  # hot key 0: 600 rows with ts ties (i // 3)
         rows.append((eid, 0, (i // 3) * 10, float(i)))
         eid += 1
+    for _ in range(8):  # NULL order values on the hot key: rank-first rows
+        rows.append((eid, 0, None, float(eid)))
+        eid += 1
     for k in range(1, 20):  # cold keys: 30 rows each
         for i in range(30):
             rows.append((eid, k, i * 7, float(eid)))
