@@ -259,7 +259,10 @@ def salted_sliding_count_window(
     test as :func:`~ralf_spark.operators.skew.choose_salt_buckets`);
     no hot keys → delegates to the plain explode spelling with no resalt
     cost. Cold keys always take the plain single-window rank; only hot
-    keys pay the two-phase plumbing. Balance caveat: range buckets
+    keys pay the two-phase plumbing. NULL keys always take the plain
+    branch (one window partition there, exactly like the unsalted
+    spelling; a hot NULL key stays an unsalted straggler — ``isin``
+    membership cannot route it). Balance caveat: range buckets
     follow the ORDER column's distribution (a hot key whose timestamps
     all collide degrades to one bucket — pre-transform pathological
     order columns). Fixed ``slide_size`` only (the per-key-slide plan
@@ -291,7 +294,19 @@ def salted_sliding_count_window(
         if total == 0:
             return plain()
         thresh = target_ratio * total / p
-        hot = [r[0] for r in counts.where(F.col("_c") > thresh).collect()]
+        # NULL keys never enter the hot list: `isin` membership is NULL
+        # for a NULL key (it can neither select INTO hdf nor OUT of rest),
+        # so they are routed to the plain-rank branch below uncondition-
+        # ally — same output as the plain spelling's NULL-key window
+        # partition (r11, ADVICE r10: isin(hot) AND ~isin(hot) are both
+        # NULL-filters, which silently dropped NULL-keyed rows from BOTH
+        # branches). A hot NULL key therefore stays an unsalted straggler
+        # — a documented residual, not a correctness hole.
+        hot = [
+            r[0]
+            for r in counts.where(F.col("_c") > thresh).collect()
+            if r[0] is not None
+        ]
     finally:
         counts.unpersist()
     if not hot:
@@ -323,7 +338,10 @@ def salted_sliding_count_window(
     payload = F.struct(*[F.col(c) for c in cols])
 
     hdf = df.where(F.col(key).isin(hot)).persist()
-    rest = df.where(~F.col(key).isin(hot))
+    # NULL-safe negation: ~isin(hot) is NULL (not False) for a NULL key,
+    # so the rest branch must admit NULL keys explicitly or they vanish
+    # from the output entirely (ADVICE r10 — row-identity contract)
+    rest = df.where(F.col(key).isNull() | ~F.col(key).isin(hot))
     w = Window.partitionBy(key).orderBy(*table.order_cols())
     ranked_rest = rest.withColumn("_rn", F.row_number().over(w))
     stats = hdf.groupBy(key).agg(

@@ -477,3 +477,57 @@ def test_salted_sliding_window_equals_plain(spark):
         cold, window_size=7, slide_size=2, payload_cols=["value"],
         payload_strategy="explode",
     ))
+
+
+def test_salted_sliding_window_keeps_null_keys(spark):
+    """r11 (ADVICE r10): NULL-keyed rows must survive the hot/rest split —
+    `isin(hot)` and `~isin(hot)` are both NULL for a NULL key, which used
+    to drop such rows from BOTH branches while the plain spelling emits
+    their windows as a NULL-key partition. The rest branch now admits
+    NULL keys explicitly; output stays row-identical, including a fixture
+    where the NULL key is itself HOT (it takes the plain branch)."""
+    from ralf_spark.operators.windows import (
+        salted_sliding_count_window,
+        sliding_count_window,
+    )
+    from ralf_spark.table import FeatureTable
+
+    rows = []
+    eid = 0
+    for i in range(300):  # hot non-null key
+        rows.append((eid, 0, i * 10, float(i)))
+        eid += 1
+    for i in range(120):  # NULL key, hot by any per-key threshold
+        rows.append((eid, None, i * 5, float(eid)))
+        eid += 1
+    for k in range(1, 8):  # cold keys
+        for i in range(12):
+            rows.append((eid, k, i * 7, float(eid)))
+            eid += 1
+    t = FeatureTable(
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, t long, value double"
+        ),
+        key="user_id", ts="t", seq="event_id",
+    )
+
+    def flat(ft):
+        return sorted(
+            (
+                (r["user_id"], r["pos"], tuple(x["value"] for x in r["window"]))
+                for r in ft.df.collect()
+            ),
+            key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0, t[1]),
+        )
+
+    for buckets in ("auto", 4):
+        want = flat(sliding_count_window(
+            t, window_size=6, slide_size=2, payload_cols=["value"],
+            payload_strategy="explode",
+        ))
+        got = flat(salted_sliding_count_window(
+            t, window_size=6, slide_size=2, payload_cols=["value"],
+            salt_buckets=buckets, target_ratio=0.5,
+        ))
+        assert got == want, buckets
+        assert any(k is None for k, _, _ in got)  # NULL windows present
