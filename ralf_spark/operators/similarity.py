@@ -1049,7 +1049,13 @@ class IvfIndex:
         directories.
 
         ``coarse_probe`` (r9; auto r10, VERDICT r9 #2): cell selection
-        strategy. ``None`` pins the exact flat scan — O(q·k) driver
+        strategy. **Breaking default change in r10** (ADVICE r10): the
+        default moved from ``None`` (exact flat selection) to ``"auto"``
+        — indexes with >= :data:`TWO_LEVEL_AUTO_MIN_K` centroids now get
+        the restricted two-level selection with NO code change on the
+        caller's side (a recall change; the first escalation per handle
+        emits a ``UserWarning`` naming the ``coarse_probe=None`` escape
+        hatch). ``None`` pins the exact flat scan — O(q·k) driver
         flops, right to k ~ 10³–10⁴. An integer pins the TWO-LEVEL
         coarse search (:class:`TwoLevelCells`, built once per index
         open and cached): a query scans ⌈√k⌉ coarse centers, then only
@@ -1114,6 +1120,28 @@ class IvfIndex:
                 if len(cen_rows) >= TWO_LEVEL_AUTO_MIN_K
                 else None
             )
+            if coarse_probe is not None and not getattr(
+                self, "_warned_auto_two_level", False
+            ):
+                # one-time breaking-default callout (ADVICE r10): before
+                # r10 the default was None (exact flat cell selection);
+                # "auto" silently restricts selection past the centroid
+                # threshold — say so once per handle, with the escape
+                # hatch, instead of changing recall in silence.
+                self._warned_auto_two_level = True
+                import warnings
+
+                warnings.warn(
+                    f"IvfIndex.query: {len(cen_rows)} centroids >= "
+                    f"TWO_LEVEL_AUTO_MIN_K={TWO_LEVEL_AUTO_MIN_K}, so "
+                    "coarse_probe='auto' (the default since r10; it was "
+                    "None = exact flat selection) switches to the "
+                    "RESTRICTED two-level coarse search "
+                    f"(coarse_probe={TWO_LEVEL_AUTO_PROBE}). Pass "
+                    "coarse_probe=None to pin the exact flat scan, or an "
+                    "int to size the restriction.",
+                    stacklevel=2,
+                )
         elif isinstance(coarse_probe, str):
             raise ValueError(
                 f"coarse_probe must be 'auto', None, or an int; got "

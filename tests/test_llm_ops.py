@@ -1666,6 +1666,22 @@ def test_ivf_index_query_auto_two_level_boundary(spark, tmp_path):
     assert res(at, coarse_probe=None) == res(at, coarse_probe=None)
     with pytest.raises(ValueError, match="auto"):
         at.query(q, k=3, coarse_probe="wat")
+    # r11 (ADVICE r10): the first AUTO escalation per handle warns once,
+    # naming the coarse_probe=None escape hatch; repeats stay silent
+    import warnings as _w
+
+    fresh = IvfIndex(str(tmp_path / "at"))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        res(fresh)
+        first = [w for w in rec if "coarse_probe=None" in str(w.message)]
+        res(fresh)
+        again = [w for w in rec if "coarse_probe=None" in str(w.message)]
+    assert len(first) == 1 and len(again) == 1  # warned exactly once
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        res(below)  # under the threshold: auto stays exact, no warning
+    assert not [w for w in rec if "coarse_probe" in str(w.message)]
 
 
 def test_ivf_index_rebuild_clears_two_level_cache(spark, tmp_path):
