@@ -197,8 +197,29 @@ def _check_bucket_layout(
             )
         return True
     names = [s.getPath().getName() for s in fs.listStatus(jpath)]
-    if any(n.startswith(f"{STATE_BUCKET_COL}=") for n in names):
-        # crash window between first data write and meta write — heal
+    observed = [
+        int(n.split("=", 1)[1])
+        for n in names
+        if n.startswith(f"{STATE_BUCKET_COL}=")
+    ]
+    if observed:
+        # Data dirs but no meta sidecar: a crashed writer from BEFORE the
+        # meta-first ordering (r11 writes the sidecar before any data, so
+        # new states can't reach here). Heal by pinning the CALLER's
+        # count — but refuse when the observed partition values already
+        # contradict it (a bucket id >= the requested count proves the
+        # crashed writer used a different layout; pinning the new value
+        # would silently split groups across two hash layouts, ADVICE
+        # r10). Fewer-buckets mismatches are undetectable from names
+        # alone — the meta-first ordering is the real fix.
+        if max(observed) >= buckets:
+            raise ValueError(
+                f"state at {path!r} has no layout sidecar but contains "
+                f"{STATE_BUCKET_COL}={max(observed)} — inconsistent with "
+                f"buckets={buckets} (the crashed writer used a different "
+                "bucket count). Reopen with the original count or start "
+                "a new path; healing would split groups across layouts."
+            )
         _write_meta_json(spark, meta_path, {"buckets": buckets})
         return True
     if all(n.startswith(("_", ".")) for n in names):
@@ -208,6 +229,50 @@ def _check_bucket_layout(
         f"{STATE_BUCKET_COL}= partitions); buckets= cannot adopt a "
         "legacy full-rewrite state table in place — start a new path"
     )
+
+
+#: publish-transaction manifest inside a bucketed state directory.
+#: Dot-prefixed → ignored by the parquet file index, like the staging dir.
+_PUBLISH_MANIFEST_NAME = ".publish_manifest.json"
+
+
+def _recover_publish(spark: SparkSession, path: str) -> None:
+    """Finish (or sweep) an interrupted per-bucket publish (r11, ADVICE
+    r10): the publish protocol stages the merged bucket directories
+    FULLY before writing a manifest, then swaps them in one rename per
+    bucket. A crash mid-swap leaves the manifest + the not-yet-swapped
+    staged dirs — completing the renames is always correct, because the
+    staged content is the committed merge of (old state, batch). A crash
+    BEFORE the manifest leaves only a stray staging dir: pre-commit
+    garbage, deleted. Either way no bucket's prior state is ever lost —
+    the window the old dynamic-partition-overwrite publish had (job
+    commit deletes a bucket dir before its replacement lands)."""
+    from ralf_spark.connectors import _hadoop_fs, read_json_sidecar
+
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # type: ignore[attr-defined]
+    mpath = f"{path}/{_PUBLISH_MANIFEST_NAME}"
+    committed_staging = None
+    if fs.exists(jvm_path(mpath)):
+        man = read_json_sidecar(spark, mpath)
+        committed_staging = man["staging"]
+        staging = f"{path}/{committed_staging}"
+        for b in man["buckets"]:
+            jstaged = jvm_path(f"{staging}/{STATE_BUCKET_COL}={b}")
+            if not fs.exists(jstaged):
+                continue  # this bucket's swap already completed
+            jfinal = jvm_path(f"{path}/{STATE_BUCKET_COL}={b}")
+            if fs.exists(jfinal):
+                fs.delete(jfinal, True)
+            fs.rename(jstaged, jfinal)
+        fs.delete(jvm_path(staging), True)
+        fs.delete(jvm_path(mpath), False)
+    for st in fs.listStatus(jpath):
+        n = st.getPath().getName()
+        if n.startswith(".staging_") and n != committed_staging:
+            fs.delete(st.getPath(), True)  # pre-manifest crash garbage
 
 
 def _bucketed_fold_upsert(
@@ -235,19 +300,29 @@ def _bucketed_fold_upsert(
     Exactly-once becomes PER-BUCKET: every row of a bucket directory is
     stamped with the batch that last rewrote it (the directory rewrites
     wholesale, so the stamp is uniform per bucket), and a replayed batch
-    folds only into buckets whose stamp is older. That is strictly
-    stronger than the legacy global marker under a crash mid-publish:
-    buckets the crashed attempt committed are skipped, buckets it missed
-    are folded — no double-count, no loss (the legacy staged overwrite
-    could only re-derive the whole table). ``init(summary)`` turns a
-    batch summary into first-write state rows; ``merge(current, summary)``
-    folds a summary into existing rows (both receive frames WITHOUT the
-    bucket/marker columns).
+    folds only into buckets whose stamp is older. The publish itself is
+    a per-bucket stage-then-swap transaction (r11, ADVICE r10 — the r10
+    dynamic-partition-overwrite publish could delete a bucket directory
+    at job commit and crash before its replacement landed, silently
+    losing that bucket's prior state on replay): the merged buckets are
+    written FULLY to a dot-prefixed staging dir (invisible to readers),
+    a manifest names the swap set, then each bucket swaps in one rename;
+    :func:`_recover_publish` (run on every upsert) completes interrupted
+    swaps from the staged copies or sweeps pre-manifest garbage, so a
+    bucket's prior state always survives any crash point — strictly
+    stronger than the legacy global marker. Staging to a separate dir
+    also means the merge plan never overwrites its own input (the r10
+    spelling needed an eager localCheckpoint for that, materializing the
+    merge twice). ``init(summary)`` turns a batch summary into
+    first-write state rows; ``merge(current, summary)`` folds a summary
+    into existing rows (both receive frames WITHOUT the bucket/marker
+    columns).
     """
     from ralf_spark.connectors import _hadoop_fs
-    from ralf_spark.operators.util import CheckpointHandle
 
     exists = _check_bucket_layout(spark, path, buckets)
+    if exists:
+        _recover_publish(spark, path)
     bexpr = _state_bucket_expr(group_cols, buckets)
     summary = summary.withColumn(STATE_BUCKET_COL, bexpr).persist()
     try:
@@ -259,20 +334,27 @@ def _bucketed_fold_upsert(
             return  # empty batch — nothing to fold, nothing to stamp
         if not exists:
             # first write: no read of path, plain partitioned write.
-            # repartition on the bucket column first — a partitionBy
-            # write otherwise emits one file per (task × bucket), and
-            # the small-file blowup compounds every later batch
+            # The meta sidecar goes FIRST (r11, ADVICE r10): a crash
+            # between data and meta used to force the self-heal above to
+            # trust the caller's bucket count; meta-first pins the
+            # layout before any data can exist under it. repartition on
+            # the bucket column — a partitionBy write otherwise emits
+            # one file per (task × bucket), and the small-file blowup
+            # compounds every later batch
+            _write_meta_json(
+                spark, f"{path}/{_STATE_META_NAME}", {"buckets": buckets}
+            )
             (
                 init(summary.drop(STATE_BUCKET_COL))
                 .withColumn(STATE_BUCKET_COL, bexpr)
                 .withColumn(LAST_BATCH_COL, F.lit(batch_id))
                 .repartition(STATE_BUCKET_COL)
                 .write.mode("overwrite")
+                # dynamic: a STATIC overwrite would truncate the whole
+                # directory — deleting the just-written meta sidecar
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(STATE_BUCKET_COL)
                 .parquet(path)
-            )
-            _write_meta_json(
-                spark, f"{path}/{_STATE_META_NAME}", {"buckets": buckets}
             )
             return
         # touched-bucket read with O(touched) plan-time metadata: one
@@ -327,23 +409,44 @@ def _bucketed_fold_upsert(
             .withColumn(LAST_BATCH_COL, F.lit(batch_id))
             .repartition(STATE_BUCKET_COL)
         )
-        # the merge plan reads path, and Spark (rightly) refuses an
-        # overwrite of a path that is also an input — an eager local
-        # checkpoint materializes the eligible buckets' rows (batch-
-        # bounded) and replaces the file sources in the plan, so ONE
-        # dynamic-overwrite write publishes them (the staging-directory
-        # spelling would write the data twice)
-        merged = merged.localCheckpoint(eager=True)
-        handle = CheckpointHandle(merged)
-        try:
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(STATE_BUCKET_COL)
-                .parquet(path)
-            )
-        finally:
-            handle.unpersist()
+        # stage-then-swap publish (r11, ADVICE r10). Writing to a
+        # separate dot-prefixed staging dir means (a) the merge plan
+        # never overwrites its own input (no localCheckpoint double-
+        # materialize), (b) readers never see the staging files (dot
+        # prefix → ignored by the file index), and (c) the swap is one
+        # atomic rename per bucket, manifest-recovered — the dynamic
+        # overwrite publish could crash between deleting a bucket dir
+        # and landing its replacement, losing that bucket's history.
+        staging_name = f".staging_b{batch_id}"
+        staging = f"{path}/{staging_name}"
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(STATE_BUCKET_COL)
+            .parquet(staging)
+        )
+        from ralf_spark.connectors import write_json_sidecar
+
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # type: ignore[attr-defined]
+        # swap only buckets the merge actually staged: a bucket absent
+        # from the merged frame keeps its current directory untouched
+        # (same semantics the dynamic overwrite had)
+        staged = [
+            b
+            for b in eligible
+            if fs.exists(jvm_path(f"{staging}/{STATE_BUCKET_COL}={b}"))
+        ]
+        write_json_sidecar(
+            spark,
+            f"{path}/{_PUBLISH_MANIFEST_NAME}",
+            {"staging": staging_name, "buckets": staged, "batch": batch_id},
+        )
+        for b in staged:
+            jfinal = jvm_path(f"{path}/{STATE_BUCKET_COL}={b}")
+            if fs.exists(jfinal):
+                fs.delete(jfinal, True)
+            fs.rename(jvm_path(f"{staging}/{STATE_BUCKET_COL}={b}"), jfinal)
+        fs.delete(jvm_path(staging), True)
+        fs.delete(jvm_path(f"{path}/{_PUBLISH_MANIFEST_NAME}"), False)
     finally:
         summary.unpersist()
 

@@ -269,3 +269,76 @@ def test_append_log_sinks_equal_legacy(spark, tmp_path, batches):
     assert est_hll(hll_log_state(spark, f"{d}/hl", ["k"])) == est_hll(
         spark.read.parquet(f"{d}/href")
     )
+
+
+def test_publish_crash_recovers_from_staged_swap(spark, tmp_path, batches):
+    """r11 (ADVICE r10): the stage-then-swap publish never loses a
+    bucket's prior state. Simulate the worst crash point — a bucket's
+    final directory deleted, its replacement still in staging, manifest
+    present — and assert the next upsert completes the swap from the
+    staged copy (old contents preserved IN the merged rows), instead of
+    re-initializing the bucket from the replayed batch alone."""
+    import json
+    import shutil
+
+    from ralf_spark.streaming.sinks import _PUBLISH_MANIFEST_NAME
+
+    d = str(tmp_path)
+    cb = cms_upsert_batch(f"{d}/c", "k", depth=4, width=32, buckets=4)
+    cb(batches[0], 0)
+    cb(batches[1], 1)
+    full = _rows(read_bucketed_state(spark, f"{d}/c"), ["r", "bucket", "c"])
+
+    # reconstruct the crash: bucket 0's post-batch-1 dir is "the staged
+    # copy", its final dir deleted mid-swap, manifest naming the swap
+    staging = f"{d}/c/.staging_b1"
+    shutil.copytree(
+        f"{d}/c/{STATE_BUCKET_COL}=0", f"{staging}/{STATE_BUCKET_COL}=0"
+    )
+    shutil.rmtree(f"{d}/c/{STATE_BUCKET_COL}=0")
+    with open(f"{d}/c/{_PUBLISH_MANIFEST_NAME}", "w") as f:
+        json.dump({"staging": ".staging_b1", "buckets": [0], "batch": 1}, f)
+    spark.catalog.clearCache()
+
+    cb(batches[1], 1)  # checkpoint replay after the crash
+    assert _rows(
+        read_bucketed_state(spark, f"{d}/c"), ["r", "bucket", "c"]
+    ) == full
+    import os
+
+    assert not os.path.exists(staging)
+    assert not os.path.exists(f"{d}/c/{_PUBLISH_MANIFEST_NAME}")
+
+
+def test_publish_sweeps_premanifest_staging_garbage(spark, tmp_path, batches):
+    """A crash BEFORE the manifest leaves only a stray .staging_ dir —
+    pre-commit garbage the next upsert sweeps; state unaffected."""
+    import os
+
+    d = str(tmp_path)
+    mb = moments_upsert_batch(f"{d}/m", "k", "x", buckets=8)
+    mb(batches[0], 0)
+    os.makedirs(f"{d}/m/.staging_b1/{STATE_BUCKET_COL}=3")
+    with open(f"{d}/m/.staging_b1/{STATE_BUCKET_COL}=3/junk.parquet", "w") as f:
+        f.write("partial")
+    before = _rows(read_bucketed_state(spark, f"{d}/m"), ["k", "n"])
+    mb(batches[1], 1)
+    assert not os.path.exists(f"{d}/m/.staging_b1")
+    after = _rows(read_bucketed_state(spark, f"{d}/m"), ["k", "n"])
+    assert after != before and len(after) == len(before)  # batch folded
+
+
+def test_heal_refuses_inconsistent_bucket_count(spark, tmp_path, batches):
+    """r11 (ADVICE r10): the data-no-meta self-heal must refuse when the
+    observed _state_bucket= values contradict the requested count (a
+    bucket id >= buckets proves a different layout)."""
+    import os
+
+    d = str(tmp_path)
+    hll_upsert_batch(f"{d}/b", ["k"], "v", buckets=8)(batches[0], 0)
+    os.remove(f"{d}/b/_ralf_state_meta.json")  # simulate pre-r11 crash
+    with pytest.raises(ValueError, match="inconsistent"):
+        hll_upsert_batch(f"{d}/b", ["k"], "v", buckets=4)(batches[1], 1)
+    # a CONSISTENT count heals (observed ids all < buckets)
+    hll_upsert_batch(f"{d}/b", ["k"], "v", buckets=8)(batches[1], 1)
+    assert os.path.exists(f"{d}/b/_ralf_state_meta.json")
