@@ -246,6 +246,7 @@ def compact_batch_partitions(
     keep_last: int = 1,
     target_file_bytes: int = 128 * 1024 * 1024,
     transform=None,
+    on_before_done=None,
 ) -> dict | None:
     """Fold old ``_batch=<tag>`` partitions into ONE compacted partition
     (r10, VERDICT r9 #4) — the maintenance cadence for incrementally-fed
@@ -280,8 +281,17 @@ def compact_batch_partitions(
     (no reference to the batch column); the manifest transaction is
     unchanged, so a crashed merging compaction heals the same way.
 
-    Returns a summary dict, or None when fewer than two compactable tags
-    exist."""
+    ``on_before_done`` (r11, ADVICE r10): callback invoked with the
+    source-tag list after the compacted partition is written but BEFORE
+    the manifest's done marker — the hook a caller uses to durably
+    record which tags were folded (e.g. the sketch log's replay guard)
+    inside the transaction: a crash before done rolls the compaction
+    back (sources intact, so a tag recorded "folded" still exists with
+    identical content — a refused replay is harmless); a crash after
+    done can no longer lose the record.
+
+    Returns a summary dict (including ``sources``, the folded tag
+    list), or None when fewer than two compactable tags exist."""
     import hashlib
 
     from ralf_spark.connectors import (
@@ -343,6 +353,8 @@ def compact_batch_partitions(
             .partitionBy(*pcols)
             .parquet(root)
         )
+        if on_before_done is not None:
+            on_before_done(list(sources))
         write_json_sidecar(
             spark, mpath,
             {"ctag": ctag, "sources": sources, "done": True},
@@ -350,11 +362,14 @@ def compact_batch_partitions(
         _delete_tag_dirs(spark, root, sources)
         fs.delete(_hadoop_fs(spark, mpath)[1], False)
     else:
+        if on_before_done is not None:
+            on_before_done(list(sources))
         _delete_tag_dirs(spark, root, sources)  # empty batches: just drop
     files_after = len(_list_parquet_files(spark, root))
     return {
         "ctag": ctag,
         "compacted_tags": len(sources),
+        "sources": list(sources),
         "files_before_total": files_before,
         "files_after_total": files_after,
         "bytes": total_bytes,

@@ -451,20 +451,44 @@ def _bucketed_fold_upsert(
         summary.unpersist()
 
 
+#: replay-guard sidecar of a sketch append log: the cumulative set of
+#: ``_batch`` tags that MERGING compaction has folded away. A replay of
+#: a folded tag would recreate its partition and (for the CMS counter
+#: sums) double-count — the append callback refuses such tags instead.
+_COMPACTED_TAGS_NAME = ".compacted_tags.json"
+
+
+def _read_compacted_tags(spark: SparkSession, path: str) -> set[str]:
+    from ralf_spark.connectors import _hadoop_fs, read_json_sidecar
+
+    sidecar = f"{path}/{_COMPACTED_TAGS_NAME}"
+    fs, jpath = _hadoop_fs(spark, sidecar)
+    if not fs.exists(jpath):
+        return set()
+    return set(read_json_sidecar(spark, sidecar).get("tags", []))
+
+
 def _append_log_batch(path: str, summarize):
     """foreachBatch callback factory for the APPEND-LOG sketch sinks
     (r10): the batch's summary rows land under their own
     ``_batch=b<id>`` partition via dynamic overwrite — O(batch) work
     with ZERO reads of existing state, the strict-minimum per-batch
     cost (the LSM spelling next to the legacy full-rewrite and the
-    bucketed merge). Exactly-once needs no marker at all: a replayed
-    micro-batch rewrites its own partition in place (the
-    ``foreach_batch_index_add`` regime). The price moves to the READ
-    side — estimates merge the log on read (`hll_log_state` etc., exact
-    by the sketch algebra) — and is amortized by
-    :func:`maintain_sketch_log`'s MERGING compaction."""
+    bucketed merge). Exactly-once: a replayed micro-batch rewrites its
+    own partition in place (the ``foreach_batch_index_add`` regime) —
+    EXCEPT once :func:`maintain_sketch_log` has folded the tag away
+    (r11, ADVICE r10): a replay would then recreate the partition on
+    top of the already-merged state, which double-counts for the
+    non-idempotent CMS sums (HLL/KMV are immune by algebra). The
+    compaction records its folded tags in a sidecar inside the same
+    manifest transaction, and the callback IGNORES a tag already
+    folded — one driver-side sidecar read per batch. The read-side
+    price (merge-on-read estimates) is amortized by the compaction."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if f"b{batch_id}" in _read_compacted_tags(spark, path):
+            return  # replay of a batch the compaction already folded
         (
             summarize(batch_df)
             .withColumn("_batch", F.lit(f"b{batch_id}"))
@@ -521,10 +545,12 @@ def foreach_batch_cms_append(
     width: int = 256,
 ) -> DataStreamWriter:
     """Append-log spelling of the CMS sink (r10). Counter sums are NOT
-    idempotent, but the log needs no marker anyway: each batch owns its
-    ``_batch`` partition and a replay rewrites it in place — the
-    partition itself is the exactly-once unit. Read with
-    ``cms_log_state``, compact with :func:`maintain_sketch_log`."""
+    idempotent: each batch owns its ``_batch`` partition and a replay
+    rewrites it in place — the partition itself is the exactly-once
+    unit — and once :func:`maintain_sketch_log` folds a tag away, the
+    compacted-tags sidecar makes its replay a no-op (r11, ADVICE r10:
+    recreating a folded partition would double-count the sums; HLL/KMV
+    would merely be redundant). Read with ``cms_log_state``."""
     from ralf_spark.operators.sketches import cms_counter_update
 
     return df.writeStream.foreachBatch(
@@ -590,11 +616,29 @@ def maintain_sketch_log(
     read-side fold over a row set, e.g. for HLL
     ``lambda df: df.groupBy(*groups, "bucket").agg(F.max("reg").alias("reg"))``
     — merging MUST be algebra-exact (it is, for all three sketches),
-    because estimates read the compacted log through the same fold."""
+    because estimates read the compacted log through the same fold.
+
+    Replay interaction (r11, ADVICE r10): folded tags are recorded in a
+    ``.compacted_tags.json`` sidecar INSIDE the compaction transaction
+    (before the done marker), and the append callbacks ignore a
+    replayed tag already folded — without the guard, a checkpoint
+    rollback replaying a pre-compaction batch would recreate its
+    partition and the CMS counter sums would double-count (HLL/KMV are
+    immune by algebra). Keep ``keep_last`` at or above the number of
+    batches a retry can have in flight (1 for foreachBatch)."""
+    from ralf_spark.connectors import write_json_sidecar
     from ralf_spark.layout import compact_batch_partitions
 
+    def record(sources: list[str]) -> None:
+        tags = _read_compacted_tags(spark, path)
+        tags.update(sources)
+        write_json_sidecar(
+            spark, f"{path}/{_COMPACTED_TAGS_NAME}", {"tags": sorted(tags)}
+        )
+
     return compact_batch_partitions(
-        spark, path, keep_last=keep_last, transform=merge
+        spark, path, keep_last=keep_last, transform=merge,
+        on_before_done=record,
     )
 
 

@@ -342,3 +342,52 @@ def test_heal_refuses_inconsistent_bucket_count(spark, tmp_path, batches):
     # a CONSISTENT count heals (observed ids all < buckets)
     hll_upsert_batch(f"{d}/b", ["k"], "v", buckets=8)(batches[1], 1)
     assert os.path.exists(f"{d}/b/_ralf_state_meta.json")
+
+
+def test_compacted_tag_replay_is_ignored(spark, tmp_path, batches):
+    """r11 (ADVICE r10): once maintain_sketch_log folds a batch tag, a
+    replay of that tag must NOT recreate its partition — the CMS counter
+    sums would double-count on top of the merged state. The compaction
+    records folded tags in a sidecar inside its transaction; the append
+    callback ignores them."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.sketches import cms_counter_update
+    from ralf_spark.streaming.sinks import (
+        _append_log_batch,
+        cms_log_state,
+        maintain_sketch_log,
+    )
+
+    d = str(tmp_path)
+    cb = _append_log_batch(
+        f"{d}/cl", lambda b: cms_counter_update(b, "k", 4, 32))
+    for i, b in enumerate(batches):
+        cb(b, i)
+    out = maintain_sketch_log(
+        spark, f"{d}/cl",
+        merge=lambda df: df.groupBy("r", "bucket").agg(
+            F.sum("c").alias("c")),
+    )
+    assert sorted(out["sources"]) == ["b0", "b1"]
+    want = _rows(
+        cms_log_state(spark, f"{d}/cl").select(
+            "r", "bucket", F.col("c").cast("long").alias("c")),
+        ["r", "bucket", "c"],
+    )
+    cb(batches[0], 0)  # checkpoint rollback replays a FOLDED batch
+    spark.catalog.clearCache()
+    assert not glob.glob(f"{d}/cl/_batch=b0")  # partition not recreated
+    assert _rows(
+        cms_log_state(spark, f"{d}/cl").select(
+            "r", "bucket", F.col("c").cast("long").alias("c")),
+        ["r", "bucket", "c"],
+    ) == want
+    cb(batches[2], 2)  # the kept (newest) tag still replays in place
+    assert _rows(
+        cms_log_state(spark, f"{d}/cl").select(
+            "r", "bucket", F.col("c").cast("long").alias("c")),
+        ["r", "bucket", "c"],
+    ) == want
