@@ -721,18 +721,11 @@ def _corpus_row_estimate(df) -> int:
     rowCount when a catalog/CBO provides one, else plan sizeInBytes /
     :data:`SIMHASH_EST_DOC_BYTES`. Returns -1 when neither is usable
     (unknown-size sentinel) — the caller falls back to one eager
-    ``count()``."""
-    try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        rc = stats.rowCount()
-        if rc.isDefined():
-            return int(str(rc.get()))
-        size = int(str(stats.sizeInBytes()))
-        if 0 < size < (1 << 60):  # Long.MaxValue = unknown sentinel
-            return max(1, size // SIMHASH_EST_DOC_BYTES)
-    except Exception:
-        pass
-    return -1
+    ``count()``. (r11: delegated to the generic
+    ``operators.util.plan_row_estimate``.)"""
+    from ralf_spark.operators.util import plan_row_estimate
+
+    return plan_row_estimate(df, est_row_bytes=SIMHASH_EST_DOC_BYTES)
 
 
 def choose_simhash_blocks(

@@ -27,12 +27,24 @@ from ralf_spark.table import FeatureTable
 #: rows, and B is the smallest split that brings it back under.
 SALT_TARGET_RATIO = 2.0
 
+#: stats-first floor of the auto salt sizing (r11, VERDICT r10 #6): when
+#: the PLAN's row estimate says the whole input is at most this many
+#: rows, even a fully-skewed key is one modest task (the measured
+#: straggler class started in the millions-of-rows-per-task regime,
+#: SCALEPROBE findings 10/13), so the eager per-key stats job is
+#: skipped entirely. The estimate deliberately over-counts
+#: (sizeInBytes / 8 B per row), so the skip can only fire on inputs
+#: well under the floor; anything bigger or of unknown size falls back
+#: to the measured pass.
+SALT_STATS_SKIP_ROWS = 1_000_000
+
 
 def choose_salt_buckets(
     df: DataFrame,
     key: str,
     target_ratio: float = SALT_TARGET_RATIO,
     partitions: int | None = None,
+    stats_skip_rows: int = SALT_STATS_SKIP_ROWS,
 ) -> int:
     """Size the salt from a measured hot-key share (r10, VERDICT r9 #3) —
     the ``choose_simhash_blocks`` discipline applied to salting: measure
@@ -54,9 +66,22 @@ def choose_salt_buckets(
     The stats pass costs one scan of ``df``'s key column; it is paid to
     avoid replicating the right side of a much heavier join. Callers who
     already know their skew pass an int instead (every oracle gate pins).
+
+    Stats-first (r11, VERDICT r10 #6 — the ``_corpus_row_estimate``
+    recipe): when the PLAN's row estimate proves the input is at most
+    ``stats_skip_rows`` rows, return 1 with NO Spark job at all — below
+    that floor even total skew is one small task, and salting would
+    only pay replication. ``stats_skip_rows=0`` disables the skip
+    (forces the measured pass); unknown-size plans always measure.
     """
     if target_ratio <= 0:
         raise ValueError("target_ratio must be positive")
+    if stats_skip_rows > 0:
+        from ralf_spark.operators.util import plan_row_estimate
+
+        est = plan_row_estimate(df)
+        if 0 <= est <= stats_skip_rows:
+            return 1  # provably small input: skew can't matter
     spark = df.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     row = (

@@ -19,6 +19,31 @@ def _parse_bytes(raw: str) -> int:
     return int(m.group(1)) * mult
 
 
+def plan_row_estimate(df: DataFrame, est_row_bytes: int = 8) -> int:
+    """Row estimate WITHOUT running a job (r11, VERDICT r10 #6 — the
+    generic spelling of dedup's ``_corpus_row_estimate``): the
+    optimizer's rowCount when a catalog/CBO provides one, else plan
+    sizeInBytes / ``est_row_bytes``. Returns -1 when neither is usable
+    (unknown-size sentinel — e.g. a LocalRelation reports
+    Long.MaxValue) so the caller can fall back to a measured pass.
+
+    ``est_row_bytes`` sets the estimate's bias direction: a SMALL
+    divisor over-estimates rows, which is the safe default for
+    "skip-work-below-a-floor" callers (an over-estimate only makes
+    them fall back to measuring)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        if 0 < size < (1 << 60):  # Long.MaxValue = unknown sentinel
+            return max(1, size // est_row_bytes)
+    except Exception:
+        pass
+    return -1
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the scan under-parallelizes.
 

@@ -950,13 +950,16 @@ def salted_sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the PLAIN window SQL — salting must be result-invariant.
     ``target_ratio=0.1`` forces every key down the two-phase path at this
     fixture's uniform key distribution, so the gate exercises the salted
-    rank itself, not the no-hot-keys delegation."""
+    rank itself, not the no-hot-keys delegation; ``stats_skip_rows=0``
+    (r11) likewise pins the measured hot-key pass — the fixture is small
+    enough that the stats-first floor would otherwise delegate to the
+    plain spelling before any salting."""
     from ralf_spark.operators.windows import salted_sliding_count_window
 
     ev = _t(spark, sf_dir, "events")
     win = salted_sliding_count_window(
         ev, window_size=64, slide_size=4, payload_cols=["value"],
-        target_ratio=0.1,
+        target_ratio=0.1, stats_skip_rows=0,
     )
     out = (
         win.df.select(

@@ -871,9 +871,16 @@ def skew_probe(mults: list[int]) -> dict:
             # pass — that price is part of the claim.
             ev_u = spark.read.parquet(gen_events_skewed(m, hot=0.0))
             lt_u = FeatureTable(ev_u, key="user_id", ts="t", seq="event_id")
+            # stats_skip_rows=0: the probe measures the stats PASS
+            # itself — the r11 stats-first floor would otherwise skip it
+            # on the smaller fixture mults
             b_auto = {
-                "asof_auto": choose_salt_buckets(ev, "user_id"),
-                "asof_auto_uniform": choose_salt_buckets(ev_u, "user_id"),
+                "asof_auto": choose_salt_buckets(
+                    ev, "user_id", stats_skip_rows=0
+                ),
+                "asof_auto_uniform": choose_salt_buckets(
+                    ev_u, "user_id", stats_skip_rows=0
+                ),
             }
             builds = {
                 "enrich_plain": lambda s: ev.join(dim, "user_id"),

@@ -531,3 +531,61 @@ def test_salted_sliding_window_keeps_null_keys(spark):
         ))
         assert got == want, buckets
         assert any(k is None for k, _, _ in got)  # NULL windows present
+
+
+def test_stats_first_auto_knobs_run_no_job(spark, tmp_path):
+    """r11 (VERDICT r10 #6): when plan stats prove the input small, the
+    auto knobs (choose_salt_buckets, the salted window's hot-key
+    detection) must decide WITHOUT running any Spark job — asserted via
+    a job group that stays empty. stats_skip_rows=0 forces the measured
+    pass; unknown-size plans (LocalRelation) always measure."""
+    from ralf_spark.operators.skew import choose_salt_buckets
+    from ralf_spark.operators.util import plan_row_estimate
+    from ralf_spark.operators.windows import (
+        salted_sliding_count_window,
+        sliding_count_window,
+    )
+    from ralf_spark.table import FeatureTable
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, 0 if i % 2 == 0 else i % 9, i * 10, float(i))
+         for i in range(4000)],
+        "event_id long, user_id long, t long, value double",
+    ).write.parquet(p)
+    spark.catalog.clearCache()
+    ev = spark.read.parquet(p)
+    assert 0 <= plan_row_estimate(ev) <= 1_000_000  # provably small
+
+    sc = spark.sparkContext
+    sc.setJobGroup("stats_first_probe", "must stay empty")
+    try:
+        assert choose_salt_buckets(ev, "user_id", partitions=32) == 1
+        t = FeatureTable(ev, key="user_id", ts="t", seq="event_id")
+        win = salted_sliding_count_window(
+            t, window_size=8, slide_size=4, payload_cols=["value"],
+            target_ratio=0.1,  # would force salting in the measured pass
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    ids = list(sc.statusTracker().getJobIdsForGroup("stats_first_probe"))
+    assert ids == [], f"stats-first path ran Spark jobs: {ids}"
+
+    # ... and the skipped spelling is still the same rows
+    def flat(ft):
+        return sorted(
+            (r["user_id"], r["pos"], tuple(x["value"] for x in r["window"]))
+            for r in ft.df.collect()
+        )
+
+    assert flat(win) == flat(sliding_count_window(
+        t, window_size=8, slide_size=4, payload_cols=["value"],
+        payload_strategy="explode",
+    ))
+    # the measured pass still fires when pinned off (and salts: ratio .1)
+    sc.setJobGroup("measured_probe", "must run jobs")
+    try:
+        choose_salt_buckets(ev, "user_id", partitions=32, stats_skip_rows=0)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup("measured_probe"))
