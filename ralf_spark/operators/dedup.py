@@ -1176,6 +1176,13 @@ class MinHashIndex:
     bucketed-by-key on disk (``layout.materialize_bucketed``) so the join
     needs no shuffle of the stored side.
 
+    Maintenance is AUTOMATIC by default (r11, VERDICT r10 #1): every
+    ``add()`` first checks one driver-side tag listing and runs
+    :meth:`maintain` once more than ``auto_maintain`` batch partitions
+    have accumulated — a ~50-batch crawl loop with zero manual calls
+    holds per-add cost flat (the lifecycle probe measures it), where the
+    uncompacted feed was O(batches) per add (SCALEPROBE finding 16).
+
     Returned pairs carry the MinHash ESTIMATE of Jaccard (fraction of
     agreeing signature positions): the index deliberately does not store
     texts, so exact shingle verification is a caller-side join against the
@@ -1191,6 +1198,7 @@ class MinHashIndex:
         bands: int = 8,
         shingle_n: int = 3,
         hash_fn: str | None = None,
+        auto_maintain: int | None = None,
     ):
         if num_perm % bands:
             raise ValueError("num_perm must be divisible by bands")
@@ -1200,6 +1208,17 @@ class MinHashIndex:
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
         self.hash_fn = hash_fn or default_hash_fn()
+        if auto_maintain is None:
+            from ralf_spark.layout import AUTO_MAINTAIN_BATCHES
+
+            auto_maintain = AUTO_MAINTAIN_BATCHES
+        #: auto-maintenance cadence (r11, VERDICT r10 #1): ``add()``
+        #: self-compacts via :meth:`maintain` once more than this many
+        #: batch partitions exist (checked BEFORE the add's snapshot, so
+        #: the returned pair plan always reads post-compaction files and
+        #: the newest — possibly in-flight-replay — tag survives via
+        #: keep_last=1). 0 disables; a crawl loop then owns the cadence.
+        self.auto_maintain = auto_maintain
 
     # ------------------------------------------------------------ internals
     def _project(self, table: FeatureTable, text_col: str):
@@ -1445,6 +1464,18 @@ class MinHashIndex:
 
         spark = table.df.sparkSession
         self._check_or_write_meta(spark)
+        if self.auto_maintain:
+            from ralf_spark.layout import batch_tag_count
+
+            # cadence check BEFORE the snapshot: compaction here can
+            # never invalidate the pair plan this call returns, and the
+            # newest existing tag (the only one an in-flight replay can
+            # target) survives keep_last=1
+            if (
+                batch_tag_count(spark, f"{self.path}/buckets")
+                > self.auto_maintain
+            ):
+                self.maintain(spark)
         tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
         new_sigs, new_buckets = self._project(table, text_col)
         new_sigs = new_sigs.persist()

@@ -820,9 +820,24 @@ class IvfIndex:
     of an extra per-query window over versions.
     """
 
-    def __init__(self, path: str, vec_col: str = "embedding"):
+    def __init__(
+        self,
+        path: str,
+        vec_col: str = "embedding",
+        auto_maintain: int | None = None,
+    ):
         self.path = path
         self.vec_col = vec_col
+        if auto_maintain is None:
+            from ralf_spark.layout import AUTO_MAINTAIN_BATCHES
+
+            auto_maintain = AUTO_MAINTAIN_BATCHES
+        #: auto-maintenance cadence (r11, VERDICT r10 #1): ``add()``
+        #: self-compacts via :meth:`maintain` once more than this many
+        #: batch tags exist in the cell tree (one driver-side glob,
+        #: checked before the batch is written; keep_last=1 preserves
+        #: the newest — possibly in-flight-replay — tag). 0 disables.
+        self.auto_maintain = auto_maintain
 
     def _cen_rows(self, spark) -> list[tuple[int, list[float]]]:
         rows = spark.read.parquet(f"{self.path}/centroids").collect()
@@ -997,6 +1012,14 @@ class IvfIndex:
         import uuid
 
         spark = table.df.sparkSession
+        if self.auto_maintain:
+            from ralf_spark.layout import batch_tag_count
+
+            if (
+                batch_tag_count(spark, f"{self.path}/cells")
+                > self.auto_maintain
+            ):
+                self.maintain(spark)
         cen_rows = self._cen_rows(spark)
         tag = batch_tag if batch_tag is not None else uuid.uuid4().hex[:12]
         assigned = self._assign(table, cen_rows)

@@ -468,7 +468,40 @@ def _read_compacted_tags(spark: SparkSession, path: str) -> set[str]:
     return set(read_json_sidecar(spark, sidecar).get("tags", []))
 
 
-def _append_log_batch(path: str, summarize):
+def hll_log_merge(group_cols: list[str]):
+    """The HLL append log's row-set fold (register-wise max) — pass to
+    :func:`maintain_sketch_log`; also the auto-maintenance merge."""
+    return lambda df: df.groupBy(*group_cols, "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+
+
+def kmv_log_merge(group_cols: list[str], k: int = 32):
+    """The KMV append log's row-set fold (union-distinct-keep-k)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+
+    def merge(df: DataFrame) -> DataFrame:
+        return (
+            df.select(*group_cols, "h")
+            .distinct()
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    return merge
+
+
+def cms_log_merge():
+    """The CMS append log's row-set fold (counter-wise sum per cell)."""
+    return lambda df: df.groupBy("r", "bucket").agg(F.sum("c").alias("c"))
+
+
+def _append_log_batch(
+    path: str, summarize, merge=None, auto_maintain: int | None = None
+):
     """foreachBatch callback factory for the APPEND-LOG sketch sinks
     (r10): the batch's summary rows land under their own
     ``_batch=b<id>`` partition via dynamic overwrite — O(batch) work
@@ -483,7 +516,21 @@ def _append_log_batch(path: str, summarize):
     compaction records its folded tags in a sidecar inside the same
     manifest transaction, and the callback IGNORES a tag already
     folded — one driver-side sidecar read per batch. The read-side
-    price (merge-on-read estimates) is amortized by the compaction."""
+    price (merge-on-read estimates) is amortized by the compaction.
+
+    Maintenance is AUTOMATIC when ``merge`` is given (r11, VERDICT r10
+    #1): after the batch write, one driver-side tag listing fires
+    :func:`maintain_sketch_log` once more than ``auto_maintain`` batch
+    partitions exist (default :data:`~ralf_spark.layout.
+    AUTO_MAINTAIN_BATCHES`; 0 disables). Because the sketch compaction
+    MERGES, the folded partition stays O(state) — the cadence costs
+    O(state) every ~N batches, keeping both the merge-on-read estimate
+    and the listing flat for any stream length. keep_last=1 keeps the
+    just-written tag replayable."""
+    if auto_maintain is None:
+        from ralf_spark.layout import AUTO_MAINTAIN_BATCHES
+
+        auto_maintain = AUTO_MAINTAIN_BATCHES
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -498,23 +545,37 @@ def _append_log_batch(path: str, summarize):
             .partitionBy("_batch")
             .parquet(path)
         )
+        if merge is not None and auto_maintain:
+            from ralf_spark.layout import batch_tag_count
+
+            if batch_tag_count(spark, path) > auto_maintain:
+                maintain_sketch_log(spark, path, merge=merge)
 
     return upsert
 
 
 def foreach_batch_hll_append(
-    df: DataFrame, path: str, group_cols: list[str], value_col: str
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    auto_maintain: int | None = None,
 ) -> DataStreamWriter:
     """Append-log spelling of the HLL sink (r10; see
     :func:`_append_log_batch`): per-batch cost is O(batch registers) at
     ANY total group count. Read the estimate from
     ``hll_estimate(hll_log_state(spark, path, group_cols), group_cols)``;
-    compact with :func:`maintain_sketch_log`."""
+    the merging compaction fires automatically past ``auto_maintain``
+    accumulated batches (r11; 0 disables — then call
+    :func:`maintain_sketch_log` yourself)."""
     from ralf_spark.operators.sketches import hll_register_update
 
     return df.writeStream.foreachBatch(
         _append_log_batch(
-            path, lambda b: hll_register_update(b, group_cols, value_col)
+            path,
+            lambda b: hll_register_update(b, group_cols, value_col),
+            merge=hll_log_merge(group_cols),
+            auto_maintain=auto_maintain,
         )
     )
 
@@ -525,14 +586,19 @@ def foreach_batch_kmv_append(
     group_cols: list[str],
     value_col: str,
     k: int = 32,
+    auto_maintain: int | None = None,
 ) -> DataStreamWriter:
     """Append-log spelling of the KMV sink (r10); read with
-    ``kmv_log_state``, compact with :func:`maintain_sketch_log`."""
+    ``kmv_log_state``; auto-compacts past ``auto_maintain`` batches
+    (r11; 0 disables)."""
     from ralf_spark.operators.sketches import kmv_state_update
 
     return df.writeStream.foreachBatch(
         _append_log_batch(
-            path, lambda b: kmv_state_update(b, group_cols, value_col, k)
+            path,
+            lambda b: kmv_state_update(b, group_cols, value_col, k),
+            merge=kmv_log_merge(group_cols, k),
+            auto_maintain=auto_maintain,
         )
     )
 
@@ -543,6 +609,7 @@ def foreach_batch_cms_append(
     key_col: str,
     depth: int = 4,
     width: int = 256,
+    auto_maintain: int | None = None,
 ) -> DataStreamWriter:
     """Append-log spelling of the CMS sink (r10). Counter sums are NOT
     idempotent: each batch owns its ``_batch`` partition and a replay
@@ -550,12 +617,16 @@ def foreach_batch_cms_append(
     unit — and once :func:`maintain_sketch_log` folds a tag away, the
     compacted-tags sidecar makes its replay a no-op (r11, ADVICE r10:
     recreating a folded partition would double-count the sums; HLL/KMV
-    would merely be redundant). Read with ``cms_log_state``."""
+    would merely be redundant). Read with ``cms_log_state``;
+    auto-compacts past ``auto_maintain`` batches (r11; 0 disables)."""
     from ralf_spark.operators.sketches import cms_counter_update
 
     return df.writeStream.foreachBatch(
         _append_log_batch(
-            path, lambda b: cms_counter_update(b, key_col, depth, width)
+            path,
+            lambda b: cms_counter_update(b, key_col, depth, width),
+            merge=cms_log_merge(),
+            auto_maintain=auto_maintain,
         )
     )
 
