@@ -316,11 +316,20 @@ def psi_drift(
         )
     hb = hist(baseline, "_nb")
     hc = hist(candidate, "_nc")
-    j = hb.join(hc, [*group_cols, "bin"], "full_outer").select(
-        *group_cols,
-        "bin",
-        F.coalesce("_nb", F.lit(0)).alias("_nb"),
-        F.coalesce("_nc", F.lit(0)).alias("_nc"),
+    # union + re-aggregate instead of a FULL OUTER join (r11, VERDICT
+    # r10 #5): Spark cannot broadcast-hash a full outer, so the
+    # histogram align used to plan as two SortMergeJoins even at
+    # bins × groups rows; padding each side with a zero twin column and
+    # summing per (group, bin) is row-identical to full_outer +
+    # coalesce-0 and plans as one hash aggregate — no join at all
+    zero = F.lit(0).cast("long")
+    j = (
+        hb.select(*group_cols, "bin", "_nb", zero.alias("_nc"))
+        .unionByName(
+            hc.select(*group_cols, "bin", zero.alias("_nb"), "_nc")
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("_nb").alias("_nb"), F.sum("_nc").alias("_nc"))
     )
     w = [*group_cols] if group_cols else []
     totals = j.groupBy(*w).agg(

@@ -3103,16 +3103,21 @@ def ivf_recall_clustered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf = ivf_topk(corpus, qdf, cen_df, k=10, nprobe=1)
     brute = cosine_topk(corpus, qdf, k=10)
+    # broadcast hints (r11, VERDICT r10 #5): both sides are per-query
+    # top-10 frames (|queries| × 10 rows — provably small), but they sit
+    # under window/agg subtrees whose size estimates freeze pessimistic,
+    # so the static plan picked two SortMergeJoins (PLANS.md r10; the
+    # persist/checkpoint estimate-freeze class documented in r8)
     hits = (
         ivf.select("query_id", "neighbor_id")
-        .join(brute.select("query_id", "neighbor_id"),
+        .join(F.broadcast(brute.select("query_id", "neighbor_id")),
               ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         qdf.select("query_id")
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),

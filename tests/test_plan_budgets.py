@@ -85,6 +85,14 @@ BUDGETS = {
     "feature_pipeline_end2end": (2, 4, 0),
 }
 
+#: r11 (VERDICT r10 #5): driver-prefix queries whose static plans must
+#: stay SortMergeJoin-free. Both used to carry 2 SMJs on provably small
+#: derived frames — ivf_recall_clustered's per-query top-10 joins (fixed
+#: with broadcast hints; subtree size estimates freeze pessimistic under
+#: windows/aggs) and feature_drift_psi's FULL OUTER histogram align
+#: (fixed by union + re-aggregate — Spark cannot broadcast a full outer).
+SMJ_FREE = ("ivf_recall_clustered", "feature_drift_psi")
+
 
 @pytest.fixture(scope="module")
 def static_spark():
@@ -130,6 +138,19 @@ def test_plan_within_budget(static_spark, name):
     assert m["python"] <= max_python, (name, m)
     # an all-pairs plan is never acceptable in any budgeted query
     assert "CartesianProduct" not in ex, name
+
+
+@pytest.mark.parametrize("name", SMJ_FREE)
+def test_prefix_plan_smj_free(static_spark, name):
+    from ralf_spark.queries import QUERIES
+
+    static_spark.catalog.clearCache()
+    df = QUERIES[name].fn(static_spark, "/root/testdata/sf0.001")
+    jvm = static_spark._jvm  # type: ignore[attr-defined]
+    ex = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in ex, name
 
 
 def test_registry_wide_no_cartesian_no_rowwise_python(static_spark):
