@@ -3262,14 +3262,24 @@ def headline_queries() -> dict[str, Query]:
 # driver reps), funnel_view_click_purchase (E9 keeps bm25 + ewma + both
 # composition gates), kmv_distinct_users (E6 keeps the batch HLL row and
 # gains the streaming one).
+# Round-11 rotation (VERDICT r10 #4): in — salted_sliding_window (W2's
+# hot-key-safe two-phase rank, r10-new) and streaming_hll_log_state
+# (E6's O(batch) append-log spelling with mid-gate merging compaction).
+# Out (registered + sweep-gated as always): time_window_hourly (A3's
+# representative — the sweep keeps its identical oracle; W1/W2 hold
+# three driver window rows) and streaming_hll_state (E6 keeps the batch
+# HLL row; the log spelling becomes the streaming driver rep — the
+# bucketed upsert path stays driver-exercised via
+# streaming_pipeline_end2end's EWMA state sink and the sweep gates).
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
     # keyed aggregation (SURVEY §2.4 A1/A2/A4; running_sum's cumulative
     # window is driver-exercised inside feature_pipeline_end2end)
     "per_key_avg", "latest_per_key", "event_type_counts",
-    # windows: count (W1/W2), event-time, stream
-    "tumbling_count_window", "sliding_count_window", "time_window_hourly",
+    # windows: count (W1/W2 incl. r10's hot-key-safe salted rank — r11
+    # rotation in; time_window_hourly to the sweep), event-time, stream
+    "tumbling_count_window", "sliding_count_window", "salted_sliding_window",
     "streaming_tumbling_window",
     # analytic / order-based (§2.6)
     "topk_users_by_value",
@@ -3315,9 +3325,10 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # text analysis + quality filtering (E4; r9 rotation:
     # gopher_repetition to the sweep, E4 keeps 3 driver rows)
     "text_profile", "text_quality", "doc_fingerprint_simhash",
-    # cardinality/frequency sketches (E6: batch HLL + streaming
-    # maintained-sketch state, r8 rotation)
-    "hll_distinct_event_ids", "streaming_hll_state",
+    # cardinality/frequency sketches (E6: batch HLL + the streaming
+    # APPEND-LOG state spelling w/ mid-gate merging compaction — r11
+    # rotation: streaming_hll_state to the sweep)
+    "hll_distinct_event_ids", "streaming_hll_log_state",
     # retrieval/curation (E9)
     "bm25_keyword_search", "ewma_per_user",
     # data quality (r7 family, first driver-green rows — r8 rotation)
