@@ -1290,13 +1290,36 @@ class MinHashIndex:
             return None
         return spark.read.parquet(*files)
 
-    def _write(self, df: DataFrame, sub: str, tag: str) -> None:
+    #: target rows per file of a batch write: ~40 MB signature files
+    #: (id + num_perm longs ≈ 160 B/row) resp. ~60 MB bucket files
+    #: (≈ 60 B/row). Keyed by projection name.
+    _ROWS_PER_FILE = {"sigs": 250_000, "buckets": 1_000_000}
+
+    def _write(
+        self, df: DataFrame, sub: str, tag: str, rows: int | None = None
+    ) -> None:
         """Fold a projection into its ``_batch=<tag>`` partition. Dynamic
         overwrite touches ONLY the partitions present in ``df`` — replaying
         the same tag rewrites that directory in place (idempotent); other
-        batches' partitions are untouched."""
+        batches' partitions are untouched.
+
+        ``rows`` (r11, the lifecycle probe's file-amplification fix):
+        the projection's known row count sizes the file count — a plain
+        write otherwise emits one file per shuffle partition, so a small
+        crawl batch left 32+ near-empty files per projection per add and
+        every later scoring scan paid the per-file open cost (the same
+        task×cell disease ``IvfIndex._write_cells`` fixed in r10).
+        ``coalesce`` (no shuffle) is safe here because ``add()``/`
+        `build()`` materialize the persisted projection FIRST — the
+        hash pipeline keeps its full parallelism, only the cached rows
+        funnel into the writers."""
+        out = df
+        if rows is not None:
+            n_files = max(1, -(-rows // self._ROWS_PER_FILE[sub]))
+            if n_files < df.rdd.getNumPartitions():
+                out = df.coalesce(n_files)
         (
-            df.withColumn("_batch", F.lit(tag))
+            out.withColumn("_batch", F.lit(tag))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch")
@@ -1396,8 +1419,9 @@ class MinHashIndex:
             fs.delete(jpath, True)
         self._check_or_write_meta(spark)
         try:
-            self._write(sigs, "sigs", "base")
-            self._write(buckets, "buckets", "base")
+            n = sigs.count()  # materializes the cache; sizes the files
+            self._write(sigs, "sigs", "base", rows=n)
+            self._write(buckets, "buckets", "base", rows=n * self.bands)
         finally:
             sigs.unpersist()
 
@@ -1557,8 +1581,9 @@ class MinHashIndex:
         # below execute eagerly, but the returned plan reads the persisted
         # batch projections plus an explicit pre-add file snapshot of the
         # store (_read), so it can never observe its own append.
-        self._write(new_sigs, "sigs", tag)
-        self._write(new_buckets, "buckets", tag)
+        n = new_sigs.count()  # materializes the cache; sizes the files
+        self._write(new_sigs, "sigs", tag, rows=n)
+        self._write(new_buckets, "buckets", tag, rows=n * self.bands)
         return out
 
 
