@@ -1493,6 +1493,7 @@ def foreach_batch_index_add(
     key: str,
     threshold: float = 0.5,
     text_col: str = "text",
+    auto_maintain: int | None = None,
 ) -> DataStreamWriter:
     """Streaming incremental near-dedup: fold each micro-batch of
     documents into a persistent :class:`~ralf_spark.operators.dedup.
@@ -1513,14 +1514,31 @@ def foreach_batch_index_add(
     partitions in place — never duplicate signature/bucket rows in the
     index, never duplicate pair rows at ``pairs_path`` (ADVICE r4). The
     per-batch cached projections are released after the pair write.
+
+    The pairs LOG self-compacts too (r11, same cadence as the index and
+    sketch logs it sits between): past ``auto_maintain`` accumulated
+    ``_batch`` partitions, all but the newest fold into one compacted
+    partition (plain concatenation — pair rows need no merge), with the
+    folded tags recorded in the compacted-tags sidecar inside the
+    transaction. A checkpoint rollback replaying a FOLDED tag is a
+    no-op (its pairs already live in the compacted partition and the
+    index fold is idempotent anyway); keep_last=1 keeps the newest tag
+    replayable in place. ``auto_maintain=0`` disables.
     """
+    if auto_maintain is None:
+        from ralf_spark.layout import AUTO_MAINTAIN_BATCHES
+
+        auto_maintain = AUTO_MAINTAIN_BATCHES
 
     def add(batch_df: DataFrame, batch_id: int) -> None:
         from ralf_spark.operators.util import unpersist_cached
 
         if not batch_df.take(1):
             return
+        spark = batch_df.sparkSession
         tag = f"b{batch_id}"
+        if tag in _read_compacted_tags(spark, pairs_path):
+            return  # replay of a tag already folded into the compacted log
         pairs = index.add(
             FeatureTable(batch_df, key=key),
             text_col=text_col,
@@ -1535,5 +1553,26 @@ def foreach_batch_index_add(
             .parquet(pairs_path)
         )
         unpersist_cached(pairs)
+        if auto_maintain:
+            from ralf_spark.connectors import write_json_sidecar
+            from ralf_spark.layout import (
+                batch_tag_count,
+                compact_batch_partitions,
+            )
+
+            if batch_tag_count(spark, pairs_path) > auto_maintain:
+
+                def record(sources: list[str]) -> None:
+                    tags = _read_compacted_tags(spark, pairs_path)
+                    tags.update(sources)
+                    write_json_sidecar(
+                        spark,
+                        f"{pairs_path}/{_COMPACTED_TAGS_NAME}",
+                        {"tags": sorted(tags)},
+                    )
+
+                compact_batch_partitions(
+                    spark, pairs_path, keep_last=1, on_before_done=record
+                )
 
     return df.writeStream.foreachBatch(add)

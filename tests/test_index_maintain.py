@@ -273,3 +273,70 @@ def test_append_log_auto_maintain_cadence(spark, tmp_path):
     assert est(hll_log_state(spark, f"{d}/log", ["k"])) == est(
         spark.read.parquet(f"{d}/ref")
     )
+
+
+def test_pairs_log_auto_maintain_and_replay_guard(spark, tmp_path):
+    """r11: the streaming dedup sink's pairs log self-compacts past the
+    threshold (plain concatenation — pair rows need no merge), folded
+    tags are replay-guarded via the compacted-tags sidecar, and the
+    total pair set equals the never-compacted twin's."""
+    from ralf_spark.layout import batch_tag_count
+    from ralf_spark.streaming.sinks import (
+        _read_compacted_tags,
+        foreach_batch_index_add,
+    )
+
+    def batches(n_per=5):
+        return [
+            _docs(spark, range(b * n_per, (b + 1) * n_per))
+            for b in range(6)
+        ]
+
+    # capture the foreachBatch callback through a writer shim so the
+    # test drives the EXACT code path the streaming sink installs
+    class _FakeWS:
+        def __init__(self):
+            self.fn = None
+
+        def foreachBatch(self, fn):
+            self.fn = fn
+            return self
+
+    class _FakeDF:
+        def __init__(self):
+            self.writeStream = _FakeWS()
+
+    def run(base, auto):
+        idx = MinHashIndex(
+            f"{base}/idx", num_perm=16, bands=8, hash_fn="xxhash64",
+            auto_maintain=0,
+        )
+        pairs_path = f"{base}/pairs"
+        w = foreach_batch_index_add(
+            _FakeDF(), idx, pairs_path, key="doc_id", threshold=0.3,
+            auto_maintain=auto,
+        )
+        cb = w.fn
+        for b, docs in enumerate(batches()):
+            cb(docs.df, b)
+        return idx, pairs_path, cb
+
+    idx_a, pairs_a, cb_a = run(str(tmp_path / "auto"), 2)
+    idx_b, pairs_b, _ = run(str(tmp_path / "plain"), 0)
+    got = _rows(spark.read.parquet(pairs_a).select("id1", "id2"))
+    want = _rows(spark.read.parquet(pairs_b).select("id1", "id2"))
+    assert got == want and len(got) > 0
+    assert batch_tag_count(spark, pairs_a) <= 3  # bounded by cadence
+    assert batch_tag_count(spark, pairs_b) == 6  # never compacted
+    folded = _read_compacted_tags(spark, pairs_a)
+    assert folded  # sidecar recorded the folded tags
+    # replay of a FOLDED tag: no-op (no partition recreated, pairs equal)
+    tag = sorted(folded)[0]
+    b_id = int(tag[1:])
+    cb_a(batches()[b_id].df, b_id)
+    import glob as _g
+
+    assert not _g.glob(f"{pairs_a}/_batch={tag}")
+    assert _rows(
+        spark.read.parquet(pairs_a).select("id1", "id2")
+    ) == want
