@@ -1111,7 +1111,11 @@ def batch_count_probe(batch_counts: list[int]) -> dict:
         for B in batch_counts:
             # ---------------- MinHashIndex
             work = tempfile.mkdtemp(prefix=f"bc_{B}_")
-            idx = dd.MinHashIndex(f"{work}/idx", hash_fn="xxhash64")
+            # auto_maintain=0: this probe MEASURES the uncompacted
+            # accretion (r11's default cadence would heal it mid-feed)
+            idx = dd.MinHashIndex(
+                f"{work}/idx", hash_fn="xxhash64", auto_maintain=0
+            )
             per = N_DOCS // B
             t_build = time.perf_counter()
             idx.build(FeatureTable(
@@ -1182,7 +1186,7 @@ def batch_count_probe(batch_counts: list[int]) -> dict:
                     "centroid_vec"
                 ),
             )
-            ivf = IvfIndex(f"{work}/ivf")
+            ivf = IvfIndex(f"{work}/ivf", auto_maintain=0)
             perv = N_VECS // B
             ivf.build(
                 FeatureTable(
@@ -1232,6 +1236,184 @@ def batch_count_probe(batch_counts: list[int]) -> dict:
     finally:
         spark.stop()
     return out
+
+
+def lifecycle_probe(n_batches: int = 50) -> dict:
+    """r11 (VERDICT r10 #3, finding 17): the COMPOSED crawl-loop
+    lifecycle — the closest thing to the 100 TB operating regime this
+    sandbox can express. One loop feeds ``n_batches`` fixed-size batches
+    through the three incremental stores TOGETHER, with the r11
+    auto-maintenance cadence at its defaults and ZERO manual maintain
+    calls:
+
+      MinHashIndex.add (dedup pairs consumed per batch)
+      + HLL append-log write + merge-on-read estimate
+      + IvfIndex.add + a 16-query serving probe
+
+    Recorded per batch: each op's wall; per checkpoint: data-file and
+    batch-tag counts of every store. The claim under test: steady-state
+    per-batch cost and file counts hold FLAT for the whole feed —
+    finding 16 measured the same feed without maintenance degrading
+    ~5× by 48 batches and O(B²) overall."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ralf_spark.operators.dedup as dd
+    from ralf_spark.connectors import _list_parquet_files
+    from ralf_spark.layout import batch_tag_count
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.operators.sketches import hll_register_update
+    from ralf_spark.operators.util import unpersist_cached
+    from ralf_spark.streaming.sinks import (
+        _append_log_batch,
+        hll_log_merge,
+        hll_log_state,
+    )
+    from ralf_spark.table import FeatureTable
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    DOCS_PER, VECS_PER, EVENTS_PER, K_CELLS = 600, 300, 2000, 32
+    work = tempfile.mkdtemp(prefix="lifecycle_")
+    per_batch: list[dict] = []
+    checkpoints: dict[str, dict] = {}
+    try:
+        docs_all = spark.read.parquet(gen_documents(12)).select(
+            "doc_id", "text"
+        )
+        vec_src = spark.read.parquet(gen_embeddings(8))
+        vcols = vec_src.columns
+        vecs_all = vec_src.select(
+            F.col(vcols[0]).alias("vec_id"),
+            F.col(vcols[1]).cast("array<double>").alias("embedding"),
+        )
+        cen = vecs_all.where(F.col("vec_id") < K_CELLS).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        idx = dd.MinHashIndex(f"{work}/idx", hash_fn="xxhash64")  # auto on
+        ivf = IvfIndex(f"{work}/ivf")  # auto on
+        log = f"{work}/hll_log"
+        hll_cb = _append_log_batch(
+            log,
+            lambda b: hll_register_update(b, ["k"], "v"),
+            merge=hll_log_merge(["k"]),  # auto cadence on (default 16)
+        )
+        idx.build(FeatureTable(
+            docs_all.where(F.col("doc_id") < DOCS_PER), key="doc_id"
+        ))
+        ivf.build(
+            FeatureTable(
+                vecs_all.where(F.col("vec_id") < VECS_PER), key="vec_id"
+            ),
+            cen,
+        )
+        q = vecs_all.where(F.col("vec_id") < 16).select(
+            (F.col("vec_id") + 1_000_000).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+        def files(p):
+            try:
+                return len(_list_parquet_files(spark, p))
+            except Exception:
+                return 0
+
+        for b in range(1, n_batches + 1):
+            rec = {"b": b}
+            lo, hi = b * DOCS_PER, (b + 1) * DOCS_PER
+            t0 = time.perf_counter()
+            pairs = idx.add(
+                FeatureTable(
+                    docs_all.where(
+                        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                    ),
+                    key="doc_id",
+                ),
+                batch_tag=f"b{b}",
+            )
+            rec["dedup_pairs"] = pairs.count()
+            unpersist_cached(pairs)
+            rec["minhash_add_s"] = round(time.perf_counter() - t0, 2)
+
+            ev = spark.range(b * EVENTS_PER, (b + 1) * EVENTS_PER).select(
+                (F.col("id") % 3000).alias("k"),
+                (F.col("id") * 31 % 99991).alias("v"),
+            )
+            t0 = time.perf_counter()
+            hll_cb(ev, b)
+            rec["hll_append_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            rec["hll_groups"] = hll_log_state(spark, log, ["k"]).count()
+            rec["hll_read_s"] = round(time.perf_counter() - t0, 2)
+
+            vlo = b * VECS_PER
+            t0 = time.perf_counter()
+            ivf.add(
+                FeatureTable(
+                    vecs_all.where(
+                        (F.col("vec_id") >= vlo)
+                        & (F.col("vec_id") < vlo + VECS_PER)
+                    ),
+                    key="vec_id",
+                ),
+                batch_tag=f"b{b}",
+            )
+            rec["ivf_add_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            ivf.query(q, k=10, nprobe=2).count()
+            rec["ivf_query_s"] = round(time.perf_counter() - t0, 2)
+            per_batch.append(rec)
+            if b % 10 == 0 or b == n_batches:
+                cp = {
+                    "minhash_tags": batch_tag_count(
+                        spark, f"{work}/idx/buckets"
+                    ),
+                    "minhash_files": files(f"{work}/idx/sigs")
+                    + files(f"{work}/idx/buckets"),
+                    "ivf_tags": batch_tag_count(spark, f"{work}/ivf/cells"),
+                    "ivf_files": files(f"{work}/ivf/cells"),
+                    "log_tags": batch_tag_count(spark, log),
+                    "log_files": files(log),
+                }
+                checkpoints[str(b)] = cp
+                print(f"# lifecycle b={b}: add {rec['minhash_add_s']}s "
+                      f"est-read {rec['hll_read_s']}s query "
+                      f"{rec['ivf_query_s']}s | tags mh={cp['minhash_tags']}"
+                      f" ivf={cp['ivf_tags']} log={cp['log_tags']} | files "
+                      f"mh={cp['minhash_files']} ivf={cp['ivf_files']} "
+                      f"log={cp['log_files']}", flush=True)
+
+        def med(key, lo, hi):
+            return round(statistics.median(
+                r[key] for r in per_batch if lo <= r["b"] <= hi
+            ), 2)
+
+        early, late = (2, min(12, n_batches)), (max(1, n_batches - 10),
+                                                n_batches)
+        summary = {}
+        for key in ("minhash_add_s", "hll_append_s", "hll_read_s",
+                    "ivf_add_s", "ivf_query_s"):
+            e, l = med(key, *early), med(key, *late)
+            summary[key] = {
+                "early_median": e, "late_median": l,
+                "ratio": round(l / e, 2) if e else None,
+            }
+        return {
+            "batches": n_batches,
+            "docs_per_batch": DOCS_PER, "vecs_per_batch": VECS_PER,
+            "events_per_batch": EVENTS_PER,
+            "manual_maintain_calls": 0,
+            "per_batch": per_batch,
+            "checkpoints": checkpoints,
+            "summary": summary,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
 
 
 def adversarial_add_probe(mults: list[int]) -> dict:
@@ -1367,6 +1549,13 @@ def main() -> None:
                     help="index add/query cost vs accumulated BATCH count "
                          "at fixed store size, before/after maintain() "
                          "(r10; --mults holds the batch counts)")
+    ap.add_argument("--lifecycle", action="store_true",
+                    help="composed crawl-loop probe: N batches through "
+                         "MinHashIndex + HLL log + IvfIndex with the "
+                         "auto-maintenance cadence, zero manual calls "
+                         "(r11; --batches sets N)")
+    ap.add_argument("--batches", type=int, default=50,
+                    help="batch count for --lifecycle")
     ap.add_argument("--skew", action="store_true",
                     help="hot-key join probe: enrichment + as-of, plain "
                          "vs salted, per-task max/median ratios")
@@ -1382,6 +1571,17 @@ def main() -> None:
     unknown = [o for o in ops if o not in OPS]
     if unknown:
         raise SystemExit(f"unknown ops {unknown}")
+
+    if args.lifecycle:
+        lc = lifecycle_probe(args.batches)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data["lifecycle"] = lc
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(lc["summary"], indent=1))
+        return
 
     if args.streaming:
         st = streaming_state_probe(mults, sink_only=args.sink_only)
