@@ -263,6 +263,45 @@ def recover_compaction(spark: SparkSession, root: str) -> None:
     fs.delete(jm, False)
 
 
+#: tier-2 threshold of the tiered index compaction (r11): tier 1 folds
+#: only RAW batch tags into one ``compacted-*`` partition (never
+#: rewriting prior compacted partitions — O(recent batches) per cycle);
+#: once this many compacted partitions have accumulated, tier 2 folds
+#: everything, including them, into one (the full-store rewrite). With
+#: AUTO_MAINTAIN_BATCHES=16 the full rewrite happens every
+#: ~16 × 8 = 128 batches instead of every 16 — write amplification for
+#: a growing index drops ~8× while the listing stays bounded at
+#: ~(16 + 8) dirs. A deeper LSM would add more tiers; two suffice for
+#: crawl-loop batch counts (10³–10⁴: at most a handful of full
+#: rewrites over the store's whole life).
+COMPACTED_TIER_LIMIT = 8
+
+
+def tiered_compaction_sources(
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 1,
+    tier_limit: int = COMPACTED_TIER_LIMIT,
+) -> list[str] | None:
+    """Pick the source-tag set for one tiered compaction round (r11):
+    the newest ``keep_last`` tags are always spared (replayability);
+    of the rest, fold only the raw (non-``compacted-``) tags — unless
+    ``tier_limit`` compacted partitions have accumulated, in which case
+    fold everything. Returns None when nothing useful would fold."""
+    dirs = _batch_dirs(spark, root)
+    by_mtime = sorted(
+        dirs,
+        key=lambda t: (max(s.getModificationTime() for s in dirs[t]), t),
+    )
+    candidates = by_mtime[: max(0, len(by_mtime) - keep_last)]
+    comp = [t for t in candidates if t.startswith("compacted-")]
+    if len(comp) >= tier_limit:
+        sources = candidates  # tier 2: full fold
+    else:
+        sources = [t for t in candidates if not t.startswith("compacted-")]
+    return sources if len(sources) >= 2 else None
+
+
 def compact_batch_partitions(
     spark: SparkSession,
     root: str,
@@ -270,6 +309,7 @@ def compact_batch_partitions(
     target_file_bytes: int = 128 * 1024 * 1024,
     transform=None,
     on_before_done=None,
+    sources: list[str] | None = None,
 ) -> dict | None:
     """Fold old ``_batch=<tag>`` partitions into ONE compacted partition
     (r10, VERDICT r9 #4) — the maintenance cadence for incrementally-fed
@@ -313,6 +353,12 @@ def compact_batch_partitions(
     identical content — a refused replay is harmless); a crash after
     done can no longer lose the record.
 
+    ``sources`` (r11, the tiered spelling's hook): an explicit tag list
+    overrides the default all-but-newest-``keep_last`` selection — the
+    caller (e.g. :func:`tiered_compaction_sources`) decides WHICH tags
+    fold; the transaction is unchanged. Tags not in the tree are
+    ignored.
+
     Returns a summary dict (including ``sources``, the folded tag
     list), or None when fewer than two compactable tags exist."""
     import hashlib
@@ -327,11 +373,14 @@ def compact_batch_partitions(
     dirs = _batch_dirs(spark, root)
     if not dirs:
         return None
-    by_mtime = sorted(
-        dirs,
-        key=lambda t: (max(s.getModificationTime() for s in dirs[t]), t),
-    )
-    sources = by_mtime[: max(0, len(by_mtime) - keep_last)]
+    if sources is not None:
+        sources = [t for t in sources if t in dirs]
+    else:
+        by_mtime = sorted(
+            dirs,
+            key=lambda t: (max(s.getModificationTime() for s in dirs[t]), t),
+        )
+        sources = by_mtime[: max(0, len(by_mtime) - keep_last)]
     if len(sources) < 2:
         return None
     ctag = "compacted-" + hashlib.md5(

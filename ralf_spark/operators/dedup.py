@@ -1430,6 +1430,7 @@ class MinHashIndex:
         spark,
         keep_last: int = 1,
         target_file_bytes: int = 128 * 1024 * 1024,
+        tiered: bool = True,
     ) -> dict:
         """Compact the per-batch partition accretion (r10, VERDICT r9 #4):
         every ``add()`` appends one ``_batch=<tag>`` directory to each
@@ -1447,16 +1448,36 @@ class MinHashIndex:
 
         Run BETWEEN adds (single-writer, same as the index itself);
         ``keep_last >= 1`` keeps the newest tag replayable for an
-        in-flight micro-batch retry. Returns per-projection summaries."""
-        from ralf_spark.layout import compact_batch_partitions
+        in-flight micro-batch retry. Returns per-projection summaries.
 
-        return {
-            sub: compact_batch_partitions(
-                spark, f"{self.path}/{sub}", keep_last=keep_last,
-                target_file_bytes=target_file_bytes,
+        ``tiered`` (default, r11): fold only RAW batch tags, leaving
+        prior compacted partitions alone until
+        :data:`~ralf_spark.layout.COMPACTED_TIER_LIMIT` of them exist —
+        then one full fold. For a GROWING index this cuts the cadence's
+        write amplification ~8× (the full-store rewrite happens every
+        ~threshold × tier_limit batches, not every threshold);
+        ``tiered=False`` forces the pre-r11 full fold."""
+        from ralf_spark.layout import (
+            compact_batch_partitions,
+            tiered_compaction_sources,
+        )
+
+        out = {}
+        for sub in ("sigs", "buckets"):
+            root = f"{self.path}/{sub}"
+            sources = (
+                tiered_compaction_sources(spark, root, keep_last=keep_last)
+                if tiered
+                else None
             )
-            for sub in ("sigs", "buckets")
-        }
+            if tiered and sources is None:
+                out[sub] = None
+                continue
+            out[sub] = compact_batch_partitions(
+                spark, root, keep_last=keep_last,
+                target_file_bytes=target_file_bytes, sources=sources,
+            )
+        return out
 
     def add(
         self,

@@ -1033,6 +1033,7 @@ class IvfIndex:
         spark,
         keep_last: int = 1,
         target_file_bytes: int = 128 * 1024 * 1024,
+        tiered: bool = True,
     ) -> dict | None:
         """Compact the per-batch cell-tree accretion (r10, VERDICT r9
         #4): every ``add()`` writes one ``cell=<c>/_batch=<tag>``
@@ -1046,12 +1047,27 @@ class IvfIndex:
         ``_read_probed_cells`` prunes on and the ``_meta``/``centroids``/
         ``pq_books`` sidecars. Query results are unchanged (pinned by
         test). Single-writer, run between adds; ``keep_last >= 1`` keeps
-        the newest tag replayable for an in-flight micro-batch retry."""
-        from ralf_spark.layout import compact_batch_partitions
+        the newest tag replayable for an in-flight micro-batch retry.
+        ``tiered`` (default, r11): fold only raw batch tags until
+        :data:`~ralf_spark.layout.COMPACTED_TIER_LIMIT` compacted
+        partitions exist, then one full fold — ~8× less write
+        amplification on a growing index (see MinHashIndex.maintain)."""
+        from ralf_spark.layout import (
+            compact_batch_partitions,
+            tiered_compaction_sources,
+        )
 
+        root = f"{self.path}/cells"
+        sources = (
+            tiered_compaction_sources(spark, root, keep_last=keep_last)
+            if tiered
+            else None
+        )
+        if tiered and sources is None:
+            return None
         return compact_batch_partitions(
-            spark, f"{self.path}/cells", keep_last=keep_last,
-            target_file_bytes=target_file_bytes,
+            spark, root, keep_last=keep_last,
+            target_file_bytes=target_file_bytes, sources=sources,
         )
 
     def query(

@@ -1558,6 +1558,7 @@ def foreach_batch_index_add(
             from ralf_spark.layout import (
                 batch_tag_count,
                 compact_batch_partitions,
+                tiered_compaction_sources,
             )
 
             if batch_tag_count(spark, pairs_path) > auto_maintain:
@@ -1571,8 +1572,15 @@ def foreach_batch_index_add(
                         {"tags": sorted(tags)},
                     )
 
-                compact_batch_partitions(
-                    spark, pairs_path, keep_last=1, on_before_done=record
+                # tiered (r11): the pairs log grows with the corpus, so
+                # fold raw tags only until the compacted tier fills
+                srcs = tiered_compaction_sources(
+                    spark, pairs_path, keep_last=1
                 )
+                if srcs is not None:
+                    compact_batch_partitions(
+                        spark, pairs_path, keep_last=1,
+                        on_before_done=record, sources=srcs,
+                    )
 
     return df.writeStream.foreachBatch(add)

@@ -176,9 +176,17 @@ def test_minhash_auto_maintain_cadence(spark, tmp_path):
                              batch_tag=f"b{b}"))
         assert got == want, b
         max_dirs = max(max_dirs, len(glob.glob(f"{path}/sigs/_batch=*")))
-    # trigger fires past 3 tags: the count never exceeds 3 at add time
-    # (+1 for the add's own new tag)
-    assert max_dirs <= 5
+    # bounded by the cadence: raw tags never exceed the threshold + the
+    # in-flight one; compacted partitions accumulate only up to the
+    # tier-2 limit (r11 tiered compaction)
+    from ralf_spark.layout import COMPACTED_TIER_LIMIT
+
+    raw = [
+        p for p in glob.glob(f"{path}/sigs/_batch=*")
+        if "compacted-" not in os.path.basename(p)
+    ]
+    assert len(raw) <= 4
+    assert max_dirs <= 4 + COMPACTED_TIER_LIMIT
     assert len(glob.glob(f"{twin}/sigs/_batch=*")) == 9  # never compacted
     # stored rows identical across the two lifecycles
     assert _rows(idx._read(spark, "sigs")) == _rows(ref._read(spark, "sigs"))
@@ -217,11 +225,15 @@ def test_ivf_auto_maintain_cadence(spark, tmp_path):
     )
     for b, rows in enumerate(feeds):
         idx.add(ft(rows), batch_tag=f"b{b}")
+    from ralf_spark.layout import COMPACTED_TIER_LIMIT
+
     tags = {
         os.path.basename(p).split("=", 1)[1]
         for p in glob.glob(f"{path}/cells/cell=*/_batch=*")
     }
-    assert len(tags) <= 4  # bounded by the cadence, not the feed length
+    # bounded by the cadence + the compacted tier, not the feed length
+    assert len([t for t in tags if not t.startswith("compacted-")]) <= 4
+    assert len(tags) <= 4 + COMPACTED_TIER_LIMIT
     # result equality vs a never-compacted twin over the same feed
     ref = IvfIndex(str(tmp_path / "ivf_ref"), auto_maintain=0)
     ref.build(
@@ -326,7 +338,9 @@ def test_pairs_log_auto_maintain_and_replay_guard(spark, tmp_path):
     got = _rows(spark.read.parquet(pairs_a).select("id1", "id2"))
     want = _rows(spark.read.parquet(pairs_b).select("id1", "id2"))
     assert got == want and len(got) > 0
-    assert batch_tag_count(spark, pairs_a) <= 3  # bounded by cadence
+    from ralf_spark.layout import COMPACTED_TIER_LIMIT
+
+    assert batch_tag_count(spark, pairs_a) <= 3 + COMPACTED_TIER_LIMIT
     assert batch_tag_count(spark, pairs_b) == 6  # never compacted
     folded = _read_compacted_tags(spark, pairs_a)
     assert folded  # sidecar recorded the folded tags
@@ -340,3 +354,72 @@ def test_pairs_log_auto_maintain_and_replay_guard(spark, tmp_path):
     assert _rows(
         spark.read.parquet(pairs_a).select("id1", "id2")
     ) == want
+
+
+def test_tiered_compaction_sources_selection(spark, tmp_path):
+    """r11 tiered compaction: tier 1 folds only raw batch tags (prior
+    compacted partitions are never rewritten), tier 2 folds everything
+    once COMPACTED_TIER_LIMIT compacted partitions exist; the newest
+    keep_last tag is always spared."""
+    import time as _t
+
+    from ralf_spark.layout import (
+        COMPACTED_TIER_LIMIT,
+        tiered_compaction_sources,
+    )
+
+    root = str(tmp_path / "store")
+
+    def mkdirs(tags):
+        for i, t in enumerate(tags):
+            p = f"{root}/_batch={t}"
+            os.makedirs(p, exist_ok=True)
+            ts = _t.time() - (len(tags) - i) * 10  # older first
+            os.utime(p, (ts, ts))
+
+    # tier 1: two compacted + raw tags; newest (b3) spared, compacted kept
+    mkdirs(["compacted-aa", "compacted-bb", "b1", "b2", "b3"])
+    assert tiered_compaction_sources(spark, root) == ["b1", "b2"]
+    # below two raw candidates: nothing useful to fold
+    import shutil
+
+    shutil.rmtree(f"{root}/_batch=b1")
+    assert tiered_compaction_sources(spark, root) is None
+    # tier 2: the compacted tier is full -> full fold (all but newest)
+    shutil.rmtree(root)
+    comp = [f"compacted-{i:02d}" for i in range(COMPACTED_TIER_LIMIT)]
+    mkdirs(comp + ["b1", "b2"])
+    assert tiered_compaction_sources(spark, root) == comp + ["b1"]
+
+
+def test_minhash_tier2_full_fold(spark, tmp_path):
+    """Driving maintain(tiered=True) repeatedly collapses to ONE
+    compacted partition once the tier fills — the full fold really
+    fires and rows survive it exactly."""
+    from ralf_spark.layout import COMPACTED_TIER_LIMIT
+
+    path = str(tmp_path / "idx")
+    idx = MinHashIndex(
+        path, num_perm=16, bands=8, hash_fn="xxhash64", auto_maintain=0
+    )
+    idx.build(_docs(spark, range(0, 4)))
+    want_rows = None
+    b = 0
+    # alternate add-add-maintain so each maintain folds 2 raw tags into
+    # one compacted partition, filling the tier
+    for _ in range(COMPACTED_TIER_LIMIT + 1):
+        for _ in range(2):
+            idx.add(_docs(spark, range(10 + b * 4, 14 + b * 4)),
+                    threshold=0.3, batch_tag=f"b{b}")
+            b += 1
+        idx.maintain(spark)
+    want_rows = _rows(idx._read(spark, "sigs"))
+    tags = {
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(f"{path}/sigs/_batch=*")
+    }
+    comp = [t for t in tags if t.startswith("compacted-")]
+    # the tier filled and a full fold collapsed it back to one
+    assert len(comp) <= COMPACTED_TIER_LIMIT
+    idx2 = MinHashIndex(path, num_perm=16, bands=8, hash_fn="xxhash64")
+    assert _rows(idx2._read(spark, "sigs")) == want_rows
