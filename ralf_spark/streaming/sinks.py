@@ -256,19 +256,32 @@ def _recover_publish(spark: SparkSession, path: str) -> None:
     mpath = f"{path}/{_PUBLISH_MANIFEST_NAME}"
     committed_staging = None
     if fs.exists(jvm_path(mpath)):
-        man = read_json_sidecar(spark, mpath)
-        committed_staging = man["staging"]
-        staging = f"{path}/{committed_staging}"
-        for b in man["buckets"]:
-            jstaged = jvm_path(f"{staging}/{STATE_BUCKET_COL}={b}")
-            if not fs.exists(jstaged):
-                continue  # this bucket's swap already completed
-            jfinal = jvm_path(f"{path}/{STATE_BUCKET_COL}={b}")
-            if fs.exists(jfinal):
-                fs.delete(jfinal, True)
-            fs.rename(jstaged, jfinal)
-        fs.delete(jvm_path(staging), True)
-        fs.delete(jvm_path(mpath), False)
+        try:
+            man = read_json_sidecar(spark, mpath)
+        except Exception:
+            # a partial/corrupt manifest can only mean the crash hit the
+            # manifest write itself — no swap had begun, every final dir
+            # is intact — so the publish rolls back: drop the manifest,
+            # and the staging sweep below clears its data
+            fs.delete(jvm_path(mpath), False)
+            man = None
+        if man is not None:
+            committed_staging = man["staging"]
+            staging = f"{path}/{committed_staging}"
+            for b in man["buckets"]:
+                jstaged = jvm_path(f"{staging}/{STATE_BUCKET_COL}={b}")
+                if not fs.exists(jstaged):
+                    continue  # this bucket's swap already completed
+                jfinal = jvm_path(f"{path}/{STATE_BUCKET_COL}={b}")
+                if fs.exists(jfinal):
+                    fs.delete(jfinal, True)
+                if not fs.rename(jstaged, jfinal):
+                    raise IOError(
+                        f"recover_publish: rename {jstaged} -> {jfinal} "
+                        "failed; staged state preserved — retry recovers"
+                    )
+            fs.delete(jvm_path(staging), True)
+            fs.delete(jvm_path(mpath), False)
     for st in fs.listStatus(jpath):
         n = st.getPath().getName()
         if n.startswith(".staging_") and n != committed_staging:
@@ -444,7 +457,14 @@ def _bucketed_fold_upsert(
             jfinal = jvm_path(f"{path}/{STATE_BUCKET_COL}={b}")
             if fs.exists(jfinal):
                 fs.delete(jfinal, True)
-            fs.rename(jvm_path(f"{staging}/{STATE_BUCKET_COL}={b}"), jfinal)
+            if not fs.rename(
+                jvm_path(f"{staging}/{STATE_BUCKET_COL}={b}"), jfinal
+            ):
+                raise IOError(
+                    f"bucket publish: rename of {STATE_BUCKET_COL}={b} "
+                    "failed; the staged copy and manifest survive — the "
+                    "next upsert's recovery completes the swap"
+                )
         fs.delete(jvm_path(staging), True)
         fs.delete(jvm_path(f"{path}/{_PUBLISH_MANIFEST_NAME}"), False)
     finally:

@@ -391,3 +391,31 @@ def test_compacted_tag_replay_is_ignored(spark, tmp_path, batches):
             "r", "bucket", F.col("c").cast("long").alias("c")),
         ["r", "bucket", "c"],
     ) == want
+
+
+def test_corrupt_publish_manifest_rolls_back(spark, tmp_path, batches):
+    """A partial/corrupt publish manifest can only mean the crash hit
+    the manifest write itself (no swap had begun) — recovery drops it
+    and sweeps the staging dir; state is the pre-publish version and
+    the replay refolds."""
+    import os
+
+    from ralf_spark.streaming.sinks import _PUBLISH_MANIFEST_NAME
+
+    d = str(tmp_path)
+    cb = cms_upsert_batch(f"{d}/c", "k", depth=4, width=32, buckets=4)
+    cb(batches[0], 0)
+    before = _rows(read_bucketed_state(spark, f"{d}/c"), ["r", "bucket", "c"])
+    os.makedirs(f"{d}/c/.staging_b1/{STATE_BUCKET_COL}=1")
+    with open(f"{d}/c/{_PUBLISH_MANIFEST_NAME}", "w") as f:
+        f.write('{"staging": ".staging_b1", "buck')  # truncated mid-write
+    spark.catalog.clearCache()
+    cb(batches[1], 1)  # replay after the crash
+    assert not os.path.exists(f"{d}/c/.staging_b1")
+    assert not os.path.exists(f"{d}/c/{_PUBLISH_MANIFEST_NAME}")
+    after = _rows(read_bucketed_state(spark, f"{d}/c"), ["r", "bucket", "c"])
+    assert after != before  # batch 1 folded exactly once
+    cb(batches[1], 1)  # and a further replay is a per-bucket no-op
+    assert _rows(
+        read_bucketed_state(spark, f"{d}/c"), ["r", "bucket", "c"]
+    ) == after
