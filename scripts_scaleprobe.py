@@ -1416,6 +1416,104 @@ def lifecycle_probe(n_batches: int = 50) -> dict:
         spark.stop()
 
 
+def write_amp_probe(n_batches: int = 40, every: int = 4) -> dict:
+    """r11 (finding 18): MEASURE the tiered compaction's write-
+    amplification claim. Two identical 600-doc × ``n_batches`` MinHash
+    feeds run maintain() every ``every`` batches — one with the r11
+    TIERED source selection (tier 1 folds raw tags only; tier 2 full
+    fold once COMPACTED_TIER_LIMIT compacted partitions exist), one
+    with the pre-r11 FULL fold (every maintenance rewrites the whole
+    store). Recorded per mode: cumulative bytes read-and-rewritten by
+    maintenance (`compact_batch_partitions` reports its source bytes —
+    the rewrite is the same rows), cumulative maintenance wall, fold
+    counts, final tag/file counts, and a standard 500-doc probe-add
+    wall at the end (the read-side cost both modes exist to bound)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ralf_spark.operators.dedup as dd
+    from ralf_spark.connectors import _list_parquet_files
+    from ralf_spark.layout import batch_tag_count
+    from ralf_spark.operators.util import unpersist_cached
+    from ralf_spark.table import FeatureTable
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    DOCS_PER = 600
+    out: dict[str, dict] = {}
+    try:
+        docs_all = spark.read.parquet(gen_documents(12)).select(
+            "doc_id", "text"
+        )
+        probe = FeatureTable(
+            docs_all.where(F.col("doc_id") >= 59_000).limit(500),
+            key="doc_id",
+        )
+        for mode in ("tiered", "full"):
+            work = tempfile.mkdtemp(prefix=f"wamp_{mode}_")
+            idx = dd.MinHashIndex(
+                f"{work}/idx", hash_fn="xxhash64", auto_maintain=0
+            )
+            idx.build(FeatureTable(
+                docs_all.where(F.col("doc_id") < DOCS_PER), key="doc_id"
+            ))
+            maint_bytes = 0
+            maint_s = 0.0
+            folds = 0
+            for b in range(1, n_batches + 1):
+                lo, hi = b * DOCS_PER, (b + 1) * DOCS_PER
+                p = idx.add(
+                    FeatureTable(
+                        docs_all.where(
+                            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                        ),
+                        key="doc_id",
+                    ),
+                    batch_tag=f"b{b}",
+                )
+                p.count()
+                unpersist_cached(p)
+                if b % every == 0:
+                    t0 = time.perf_counter()
+                    res = idx.maintain(spark, tiered=(mode == "tiered"))
+                    maint_s += time.perf_counter() - t0
+                    for v in (res or {}).values():
+                        if v:
+                            maint_bytes += v["bytes"]
+                            folds += 1
+            t0 = time.perf_counter()
+            pp = idx.add(probe, batch_tag="probe")
+            n_pairs = pp.count()
+            probe_s = round(time.perf_counter() - t0, 2)
+            unpersist_cached(pp)
+            rec = {
+                "batches": n_batches, "maintain_every": every,
+                "maintenance_bytes_rewritten": maint_bytes,
+                "maintenance_wall_s": round(maint_s, 2),
+                "folds": folds,
+                "final_tags": batch_tag_count(spark, f"{work}/idx/sigs"),
+                "final_files": len(
+                    _list_parquet_files(spark, f"{work}/idx/sigs")
+                ) + len(_list_parquet_files(spark, f"{work}/idx/buckets")),
+                "probe_add_s": probe_s, "probe_pairs": n_pairs,
+            }
+            out[mode] = rec
+            print(f"# write-amp {mode}: maintenance rewrote "
+                  f"{maint_bytes/1e6:.1f} MB in {rec['maintenance_wall_s']}s"
+                  f" across {folds} folds; final tags "
+                  f"{rec['final_tags']} files {rec['final_files']}; "
+                  f"probe-add {probe_s}s", flush=True)
+            shutil.rmtree(work, ignore_errors=True)
+        t, f = (out["tiered"]["maintenance_bytes_rewritten"],
+                out["full"]["maintenance_bytes_rewritten"])
+        out["amp_ratio_full_over_tiered"] = round(f / t, 2) if t else None
+    finally:
+        spark.stop()
+    return out
+
+
 def adversarial_add_probe(mults: list[int]) -> dict:
     """r10 (VERDICT r9 #6): the giant-dup-cluster corpus against
     ``MinHashIndex.add`` — the incremental path a crawler re-feeding
@@ -1556,6 +1654,10 @@ def main() -> None:
                          "(r11; --batches sets N)")
     ap.add_argument("--batches", type=int, default=50,
                     help="batch count for --lifecycle")
+    ap.add_argument("--write-amp", action="store_true",
+                    help="tiered vs full-fold maintenance: cumulative "
+                         "bytes rewritten over a fixed feed (r11; "
+                         "--batches sets the feed length)")
     ap.add_argument("--skew", action="store_true",
                     help="hot-key join probe: enrichment + as-of, plain "
                          "vs salted, per-task max/median ratios")
@@ -1571,6 +1673,17 @@ def main() -> None:
     unknown = [o for o in ops if o not in OPS]
     if unknown:
         raise SystemExit(f"unknown ops {unknown}")
+
+    if args.write_amp:
+        wa = write_amp_probe(args.batches)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data["write_amp"] = wa
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(wa, indent=1))
+        return
 
     if args.lifecycle:
         lc = lifecycle_probe(args.batches)
