@@ -1676,3 +1676,152 @@ def incremental_minhash_oracle_sql(
           / {num_perm}.0 >= {threshold}
     ORDER BY id1, id2
     """
+
+
+# --------------------------------------------- E2 exact-substring dup spans
+
+
+def duplicate_spans(
+    table: FeatureTable,
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+    hash_fn: str | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate spans — the suffix-array dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed Spark-first.
+
+    The paper finds every substring of >= N tokens that occurs more than
+    once in the corpus (via a monolithic suffix array — inherently
+    single-machine). The distributed re-expression: a substring of
+    >= ``min_tokens`` tokens repeats iff every one of its length-
+    ``min_tokens`` windows repeats, so
+
+    1. emit every overlapping ``min_tokens``-gram with its (doc, position)
+       — one row per token, linear in corpus size, computed scan-side with
+       the same native higher-order expressions as the MinHash family;
+    2. keep positions whose gram digest occurs >= ``min_occurrences``
+       times corpus-wide;
+    3. merge surviving positions per document into maximal spans
+       (classic gaps-and-islands: a break where the next duplicated
+       position no longer overlaps/adjoins the previous gram's token
+       range, i.e. gap > ``min_tokens``).
+
+    Scale (100 TB): the gram table never joins itself — the duplicated-
+    digest set comes from a groupBy(digest) count (map-side partial agg:
+    the count shuffle carries one row per distinct digest per partition),
+    and positions rejoin it on digest, where AQE's skew-join split handles
+    the boilerplate gram that repeats 10^8 times (a window-count spelling
+    would pin that key to one task). The only other shuffle partitions by
+    doc id for the island merge. Shuffled payload is (16-byte digest,
+    id, int) — never gram text.
+
+    ``hash_fn="md5"`` (default) groups by the md5 hex digest — replayed
+    bit-for-bit by the DuckDB oracle (:func:`duplicate_spans_sql`);
+    ``"xxhash64"`` is the production spelling (64-bit digests, ~n²/2⁶⁴
+    false-positive span risk — immaterial for span removal).
+
+    Returns (doc_id, span_start, span_end, span_tokens): 1-based token
+    positions, inclusive, one row per maximal duplicated span.
+    """
+    hash_fn = hash_fn or default_hash_fn()
+    idc = table.key
+    if idc is None:
+        raise ValueError("duplicate_spans needs a keyed table")
+    from ralf_spark.functions.text import tokens, word_shingles
+
+    ids = ensure_parallelism(
+        table.df.select(F.col(idc).alias("_id"), F.col(text_col).alias("_t"))
+    )
+    grams = word_shingles(tokens(F.col("_t")), min_tokens)
+    if hash_fn == "xxhash64":
+        dg = F.xxhash64(F.col("_g"))
+    else:
+        dg = F.md5(F.col("_g"))
+    pos = (
+        ids.select("_id", F.posexplode(grams).alias("_p0", "_g"))
+        .select("_id", (F.col("_p0") + 1).alias("_pos"), dg.alias("_dg"))
+    )
+    dup_digests = (
+        pos.groupBy("_dg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_occurrences)
+        .select("_dg")
+    )
+    dup_pos = pos.join(dup_digests, "_dg").select("_id", "_pos")
+    by_doc = Window.partitionBy("_id").orderBy("_pos")
+    brk = F.when(
+        F.lag("_pos").over(by_doc).isNull()
+        | (F.col("_pos") > F.lag("_pos").over(by_doc) + min_tokens),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    isle = F.sum("_brk").over(
+        by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        dup_pos.select("_id", "_pos", brk.alias("_brk"))
+        .select("_id", "_pos", isle.alias("_isle"))
+        .groupBy("_id", "_isle")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + (min_tokens - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias("doc_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+    return spans
+
+
+def duplicate_spans_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> str:
+    """DuckDB twin of :func:`duplicate_spans` (md5 mode) — identical gram
+    digests, duplicated-position set, and island merge."""
+    from ralf_spark.functions.text import tokens_sql, word_shingles_sql
+
+    n = min_tokens
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+    ),
+    gs AS (SELECT _id, {word_shingles_sql('w', n)} AS g FROM toks),
+    pos AS (
+      SELECT _id, i AS _pos, md5(g[i]) AS _dg
+      FROM gs, unnest(generate_series(1, len(g))) AS t(i)
+    ),
+    dup_dg AS (
+      SELECT _dg FROM pos GROUP BY _dg
+      HAVING count(*) >= {min_occurrences}
+    ),
+    dup_pos AS (SELECT _id, _pos FROM pos JOIN dup_dg USING (_dg)),
+    marks AS (
+      SELECT _id, _pos,
+             CASE WHEN lag(_pos) OVER w IS NULL
+                    OR _pos > lag(_pos) OVER w + {n} THEN 1 ELSE 0 END
+               AS _brk
+      FROM dup_pos
+      WINDOW w AS (PARTITION BY _id ORDER BY _pos)
+    ),
+    isl AS (
+      SELECT _id, _pos,
+             sum(_brk) OVER (PARTITION BY _id ORDER BY _pos
+                             ROWS UNBOUNDED PRECEDING) AS _isle
+      FROM marks
+    )
+    SELECT _id AS doc_id,
+           min(_pos) AS span_start,
+           max(_pos) + {n - 1} AS span_end,
+           max(_pos) + {n - 1} - min(_pos) + 1 AS span_tokens
+    FROM isl GROUP BY _id, _isle
+    """

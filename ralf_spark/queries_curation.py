@@ -646,6 +646,89 @@ def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(spark, sf_dir)
 
 
+from ralf_spark.operators.dedup import (  # noqa: E402
+    duplicate_spans,
+    duplicate_spans_sql,
+)
+
+
+@query(
+    "exact_substring_spans",
+    duplicate_spans_sql() + "\n    ORDER BY doc_id, span_start",
+)
+def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 exact-substring dedup (Lee et al. 2022): every maximal span of
+    >= 8 whitespace tokens whose 8-gram windows each repeat corpus-wide —
+    the removal targets the paper's suffix-array pass produces, built here
+    from a linear gram scan + one digest groupBy + an island merge (no
+    suffix array, no self-join; see :func:`duplicate_spans` for the
+    100 TB shuffle story). Complements the MinHash/Jaccard family: those
+    flag whole near-duplicate DOCUMENTS; this finds verbatim duplicated
+    REGIONS inside otherwise-distinct documents (licenses, boilerplate,
+    quoted excerpts)."""
+    docs = _docs_par(spark, sf_dir)
+    return duplicate_spans(docs, min_tokens=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@query(
+    "exact_substring_dup_frac",
+    f"""
+    WITH spans AS ({duplicate_spans_sql()}),
+    per_doc AS (
+      SELECT doc_id, sum(span_tokens) AS dup_tokens FROM spans
+      GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT t.doc_id,
+           t.n_tokens,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(p.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 4)
+             AS dup_frac
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    WHERE t.n_tokens > 0
+    ORDER BY t.doc_id
+    """,
+)
+def exact_substring_dup_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E4: per-document duplicated-token fraction from the
+    exact-substring spans — the scalar "how much of this doc is verbatim
+    boilerplate" signal a curation policy thresholds on (Lee et al. 2022
+    drop or trim on exactly this). One extra aggregate + a broadcast-size
+    left join back onto per-doc token counts."""
+    from ralf_spark.functions.text import tokens as _tokens
+
+    docs = _docs_par(spark, sf_dir)
+    spans = duplicate_spans(docs, min_tokens=8)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens")
+    )
+    toks = docs.df.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return (
+        toks.join(per_doc, "doc_id", "left")
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

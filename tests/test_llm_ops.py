@@ -1784,3 +1784,85 @@ def test_pq_rerank_recall_clustered_gate_floor(spark):
     recalls = [r.recall for r in rows]
     assert len(recalls) == 20
     assert statistics.mean(recalls) >= 0.9
+
+
+# ------------------------------------------- exact-substring duplicate spans
+
+
+def _brute_spans(docs: dict[int, str], n: int = 8, min_occ: int = 2):
+    """Reference implementation: all duplicated n-gram positions merged
+    into maximal spans (merge when gap <= n)."""
+    from collections import Counter
+
+    toks = {d: [t for t in s.split(" ") if t] for d, s in docs.items()}
+    grams = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - n + 1):
+            grams[" ".join(tk[i : i + n])] += 1
+    out = []
+    for d, tk in sorted(toks.items()):
+        pos = [
+            i + 1
+            for i in range(len(tk) - n + 1)
+            if grams[" ".join(tk[i : i + n])] >= min_occ
+        ]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1] - n + 1 + n:  # gap <= n
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            else:
+                spans.append([p, p + n - 1])
+        out += [(d, s, e, e - s + 1) for s, e in spans]
+    return sorted(out)
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    from ralf_spark.operators.dedup import duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # 12-token boilerplate
+    docs = {
+        1: "u1 u2 " + boiler + " tail1 tail2 tail3",
+        2: boiler + " other words here x y z w q",
+        3: "completely distinct tokens " + " ".join(
+            f"d{i}" for i in range(20)
+        ),
+        # within-doc repeat: same 9 tokens twice in one document
+        4: " ".join(f"r{i % 9}" for i in range(18))
+        + " filler1 filler2 filler3",
+        5: "short doc",  # < 8 tokens -> no grams
+    }
+    t = _docs(spark, [(d, s) for d, s in docs.items()])
+    got = sorted(
+        tuple(r)
+        for r in duplicate_spans(t, min_tokens=8).collect()
+    )
+    assert got == _brute_spans(docs, 8)
+    # doc 3 (distinct) and doc 5 (too short) contribute no spans
+    assert not [r for r in got if r[0] in (3, 5)]
+    # doc 1 and 2 share the 12-token boilerplate: one maximal span each
+    assert [r for r in got if r[0] == 1] and [r for r in got if r[0] == 2]
+
+
+def test_duplicate_spans_xxhash64_mode_identical(spark):
+    from ralf_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h i j k"),
+        (2, "z a b c d e f g h i j y"),
+        (3, "n o p q r s t u v w"),
+    ]
+    t = _docs(spark, rows)
+    md5 = sorted(map(tuple, duplicate_spans(t, hash_fn="md5").collect()))
+    xx = sorted(
+        map(tuple, duplicate_spans(t, hash_fn="xxhash64").collect())
+    )
+    assert md5 == xx and md5  # same spans, and the shared 10-gram found
+
+
+def test_duplicate_spans_plan_no_cartesian_no_python(spark):
+    from ralf_spark.operators.dedup import duplicate_spans
+
+    t = _docs(spark, [(1, "a b c d e f g h"), (2, "a b c d e f g h")])
+    plan = explain_str(duplicate_spans(t))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
