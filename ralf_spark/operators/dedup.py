@@ -1681,7 +1681,7 @@ def incremental_minhash_oracle_sql(
 # --------------------------------------------- E2 exact-substring dup spans
 
 
-def duplicate_spans(
+def duplicate_span_ranges(
     table: FeatureTable,
     text_col: str = "text",
     min_tokens: int = 8,
@@ -1718,17 +1718,20 @@ def duplicate_spans(
     id, int) — never gram text.
 
     ``hash_fn="md5"`` (default) groups by the md5 hex digest — replayed
-    bit-for-bit by the DuckDB oracle (:func:`duplicate_spans_sql`);
+    bit-for-bit by the DuckDB oracle (:func:`duplicate_span_ranges_sql`);
     ``"xxhash64"`` is the production spelling (64-bit digests, ~n²/2⁶⁴
     false-positive span risk — immaterial for span removal).
 
     Returns (doc_id, span_start, span_end, span_tokens): 1-based token
-    positions, inclusive, one row per maximal duplicated span.
+    positions, inclusive, one row per maximal duplicated span. Sibling
+    :func:`duplicated_spans` reports per-document duplicated-WINDOW
+    statistics (cheaper — no island merge, no position join); this
+    operator produces the actual removal RANGES.
     """
     hash_fn = hash_fn or default_hash_fn()
     idc = table.key
     if idc is None:
-        raise ValueError("duplicate_spans needs a keyed table")
+        raise ValueError("duplicate_span_ranges needs a keyed table")
     from ralf_spark.functions.text import tokens, word_shingles
 
     ids = ensure_parallelism(
@@ -1779,14 +1782,14 @@ def duplicate_spans(
     return spans
 
 
-def duplicate_spans_sql(
+def duplicate_span_ranges_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 8,
     min_occurrences: int = 2,
 ) -> str:
-    """DuckDB twin of :func:`duplicate_spans` (md5 mode) — identical gram
+    """DuckDB twin of :func:`duplicate_span_ranges` (md5 mode) — identical gram
     digests, duplicated-position set, and island merge."""
     from ralf_spark.functions.text import tokens_sql, word_shingles_sql
 

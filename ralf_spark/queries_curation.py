@@ -647,27 +647,28 @@ def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ralf_spark.operators.dedup import (  # noqa: E402
-    duplicate_spans,
-    duplicate_spans_sql,
+    duplicate_span_ranges,
+    duplicate_span_ranges_sql,
 )
 
 
 @query(
     "exact_substring_spans",
-    duplicate_spans_sql() + "\n    ORDER BY doc_id, span_start",
+    duplicate_span_ranges_sql() + "\n    ORDER BY doc_id, span_start",
 )
 def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 exact-substring dedup (Lee et al. 2022): every maximal span of
     >= 8 whitespace tokens whose 8-gram windows each repeat corpus-wide —
     the removal targets the paper's suffix-array pass produces, built here
     from a linear gram scan + one digest groupBy + an island merge (no
-    suffix array, no self-join; see :func:`duplicate_spans` for the
-    100 TB shuffle story). Complements the MinHash/Jaccard family: those
-    flag whole near-duplicate DOCUMENTS; this finds verbatim duplicated
-    REGIONS inside otherwise-distinct documents (licenses, boilerplate,
-    quoted excerpts)."""
+    suffix array, no self-join; see :func:`duplicate_span_ranges` for the
+    100 TB shuffle story). Complements the MinHash/Jaccard family (whole
+    near-duplicate DOCUMENTS) and ``duplicate_ngram_spans`` (per-doc
+    duplicated-window COUNTS): this one emits the actual removal RANGES
+    — verbatim duplicated regions inside otherwise-distinct documents
+    (licenses, boilerplate, quoted excerpts)."""
     docs = _docs_par(spark, sf_dir)
-    return duplicate_spans(docs, min_tokens=8).orderBy(
+    return duplicate_span_ranges(docs, min_tokens=8).orderBy(
         "doc_id", "span_start"
     )
 
@@ -675,7 +676,7 @@ def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "exact_substring_dup_frac",
     f"""
-    WITH spans AS ({duplicate_spans_sql()}),
+    WITH spans AS ({duplicate_span_ranges_sql()}),
     per_doc AS (
       SELECT doc_id, sum(span_tokens) AS dup_tokens FROM spans
       GROUP BY doc_id
@@ -697,15 +698,16 @@ def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def exact_substring_dup_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2/E4: per-document duplicated-token fraction from the
-    exact-substring spans — the scalar "how much of this doc is verbatim
-    boilerplate" signal a curation policy thresholds on (Lee et al. 2022
-    drop or trim on exactly this). One extra aggregate + a broadcast-size
-    left join back onto per-doc token counts."""
+    """E2/E4: per-document duplicated-token fraction from the MERGED
+    exact-substring spans — the fraction of the document that span
+    removal would actually delete (distinct from ``duplicate_ngram_
+    spans``'s duplicated-WINDOW fraction, which double-counts tokens
+    shared by overlapping windows). One extra aggregate + a
+    broadcast-size left join back onto per-doc token counts."""
     from ralf_spark.functions.text import tokens as _tokens
 
     docs = _docs_par(spark, sf_dir)
-    spans = duplicate_spans(docs, min_tokens=8)
+    spans = duplicate_span_ranges(docs, min_tokens=8)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum("span_tokens").alias("dup_tokens")
     )

@@ -745,6 +745,100 @@ def similarity_topk_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+from ralf_spark.operators.similarity import (  # noqa: E402
+    sq8_adc_topk_precoded,
+    sq8_bounds,
+    sq8_dims_sql,
+    sq8_encode,
+)
+
+
+@query(
+    "sq8_encode_codes",
+    f"""
+    WITH {sq8_dims_sql()}
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY dim), ',') AS codes_csv
+    FROM enc GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def sq8_encode_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 compression (SQ8): scalar-quantize every embedding to one
+    uint8 per dimension against corpus per-dim (min, max) bounds — the
+    4x-smaller, near-exact-recall sibling of PQ (which is ~32x smaller
+    but saturates recall at subspace-centroid resolution). Bounds are a
+    dim-row collect (the quantizer-literal contract); encoding is one
+    row-local scan, no shuffle. Output as a csv string (the driver's
+    hash compare requires scalar cells)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.df.select("vec_id", "embedding")
+    bounds = sq8_bounds(base)
+    enc = sq8_encode(base, bounds)
+    return enc.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes_csv"),
+    ).orderBy("vec_id")
+
+
+def _sq8_adc_oracle_sql(k: int = 5) -> str:
+    fold = (
+        "list_reduce(list_transform(list_zip(rv, qv),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH {sq8_dims_sql()},
+    rec AS (
+      SELECT vec_id, dim, lo + code * (hi - lo) / 255.0 AS r
+      FROM enc JOIN dims USING (dim)
+    ),
+    recl AS (SELECT vec_id, list(r ORDER BY dim) AS rv FROM rec
+             GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, recl.vec_id AS neighbor_id, {fold} AS approx_dist
+      FROM q CROSS JOIN recl WHERE recl.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id
+             ) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, round(approx_dist, 4) AS approx_dist, rnk
+    FROM r WHERE rnk <= {k} ORDER BY query_id, rnk"""
+
+
+@query("sq8_adc_topk", _sq8_adc_oracle_sql())
+def sq8_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 serving (SQ8 asymmetric distance): full-precision queries vs
+    the dequantized uint8 corpus — squared-L2 as a dimension-order left
+    fold (bit-replayable), top-5 per query, ties -> smallest neighbor.
+    The deployment path scans the persisted code table only (~4x less
+    IO than raw floats; column pruning reaches the parquet scan);
+    queries ride a broadcast, the corpus never shuffles before the
+    per-query top-k window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.df.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding")
+    )
+    bounds = sq8_bounds(base)
+    enc = sq8_encode(base, bounds)
+    queries = emb.df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sq8_adc_topk_precoded(enc, queries, bounds, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_dist", 4).alias("approx_dist"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized).

@@ -1817,7 +1817,7 @@ def _brute_spans(docs: dict[int, str], n: int = 8, min_occ: int = 2):
 
 
 def test_duplicate_spans_matches_bruteforce(spark):
-    from ralf_spark.operators.dedup import duplicate_spans
+    from ralf_spark.operators.dedup import duplicate_span_ranges
 
     boiler = " ".join(f"b{i}" for i in range(12))  # 12-token boilerplate
     docs = {
@@ -1834,7 +1834,7 @@ def test_duplicate_spans_matches_bruteforce(spark):
     t = _docs(spark, [(d, s) for d, s in docs.items()])
     got = sorted(
         tuple(r)
-        for r in duplicate_spans(t, min_tokens=8).collect()
+        for r in duplicate_span_ranges(t, min_tokens=8).collect()
     )
     assert got == _brute_spans(docs, 8)
     # doc 3 (distinct) and doc 5 (too short) contribute no spans
@@ -1844,7 +1844,7 @@ def test_duplicate_spans_matches_bruteforce(spark):
 
 
 def test_duplicate_spans_xxhash64_mode_identical(spark):
-    from ralf_spark.operators.dedup import duplicate_spans
+    from ralf_spark.operators.dedup import duplicate_span_ranges
 
     rows = [
         (1, "a b c d e f g h i j k"),
@@ -1852,17 +1852,105 @@ def test_duplicate_spans_xxhash64_mode_identical(spark):
         (3, "n o p q r s t u v w"),
     ]
     t = _docs(spark, rows)
-    md5 = sorted(map(tuple, duplicate_spans(t, hash_fn="md5").collect()))
+    md5 = sorted(map(tuple, duplicate_span_ranges(t, hash_fn="md5").collect()))
     xx = sorted(
-        map(tuple, duplicate_spans(t, hash_fn="xxhash64").collect())
+        map(tuple, duplicate_span_ranges(t, hash_fn="xxhash64").collect())
     )
     assert md5 == xx and md5  # same spans, and the shared 10-gram found
 
 
 def test_duplicate_spans_plan_no_cartesian_no_python(spark):
-    from ralf_spark.operators.dedup import duplicate_spans
+    from ralf_spark.operators.dedup import duplicate_span_ranges
 
     t = _docs(spark, [(1, "a b c d e f g h"), (2, "a b c d e f g h")])
-    plan = explain_str(duplicate_spans(t))
+    plan = explain_str(duplicate_span_ranges(t))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- SQ8 scalar quantization
+
+
+def _sq8_fixture(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-2.0, 2.0) for _ in range(8)]) for i in range(30)
+    ]
+    # a degenerate dimension: constant across the corpus
+    rows = [(i, v[:3] + [1.5] + v[4:]) for i, v in rows]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return rows, df
+
+
+def test_sq8_roundtrip_error_bounded_and_degenerate_dim(spark):
+    from ralf_spark.operators.similarity import sq8_bounds, sq8_encode
+
+    rows, df = _sq8_fixture(spark)
+    bounds = sq8_bounds(df)
+    assert len(bounds) == 8
+    # exact bounds vs python
+    for d in range(8):
+        vals = [v[d] for _, v in rows]
+        assert bounds[d] == (min(vals), max(vals))
+    enc = {r.vec_id: r.codes for r in
+           sq8_encode(df, bounds, keep_vec=True).collect()}
+    for i, v in rows:
+        for d, x in enumerate(v):
+            lo, hi = bounds[d]
+            c = enc[i][d]
+            assert 0 <= c <= 255
+            if hi == lo:
+                assert c == 0
+            else:
+                rec = lo + c * (hi - lo) / 255.0
+                assert abs(rec - x) <= (hi - lo) / 255.0 / 2 + 1e-12
+
+
+def test_sq8_adc_matches_numpy_dequantized_ranking(spark):
+    import numpy as np
+
+    from ralf_spark.operators.similarity import (
+        sq8_adc_topk,
+    )
+    from ralf_spark.table import FeatureTable
+
+    rows, df = _sq8_fixture(spark)
+    corpus = FeatureTable(df, key="vec_id")
+    queries = df.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_dist)
+        for r in sq8_adc_topk(corpus, queries, k=4).collect()
+    }
+    # numpy replay: same bounds, same codes, same dequantize, exact L2
+    X = np.array([v for _, v in rows])
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    codes = np.clip(np.floor(255 * (X - lo) / span + 0.5), 0, 255)
+    codes[:, hi == lo] = 0
+    rec = lo + codes * (hi - lo) / 255.0
+    for qi in range(3):
+        d = ((rec - X[qi]) ** 2).sum(axis=1)
+        order = sorted(
+            (float(d[j]), j) for j in range(len(rows)) if j != qi
+        )
+        for rank, (dist, j) in enumerate(order[:4], start=1):
+            nb, got_dist = got[(qi, rank)]
+            assert nb == j
+            assert abs(got_dist - dist) < 1e-9
+
+
+def test_sq8_encode_dim_guard_raises(spark):
+    import pytest as _pytest
+
+    from ralf_spark.operators.similarity import sq8_encode
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    bad = sq8_encode(df, [(0.0, 1.0)] * 8)
+    with _pytest.raises(Exception, match="exactly 8 dims"):
+        bad.collect()
