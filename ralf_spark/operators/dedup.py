@@ -1828,3 +1828,108 @@ def duplicate_span_ranges_sql(
            max(_pos) + {n - 1} - min(_pos) + 1 AS span_tokens
     FROM isl GROUP BY _id, _isle
     """
+
+
+def remove_duplicate_spans(
+    table: FeatureTable,
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+    hash_fn: str | None = None,
+) -> DataFrame:
+    """Cut every duplicated span out of the corpus — the transform half
+    of the Lee et al. 2022 ExactSubstr pipeline (their pass deletes all
+    occurrences of any substring repeated corpus-wide; surrounding text
+    survives).
+
+    Composition: :func:`duplicate_span_ranges` detects, this removes —
+    the span table rides back to the documents on a doc-id join (spans
+    are a small fraction of docs; broadcastable when the duplication
+    rate is low, AQE decides), and the cut is one row-local filtered
+    re-join of the token array (``F.filter`` with position index vs the
+    doc's merged span list — O(tokens x spans_per_doc), spans_per_doc
+    is bounded by tokens/min_tokens).
+
+    Returns (doc_id, clean_text, n_kept, n_removed); every input doc
+    appears exactly once (docs with no duplicated spans pass through
+    verbatim).
+    """
+    idc = table.key
+    if idc is None:
+        raise ValueError("remove_duplicate_spans needs a keyed table")
+    from ralf_spark.functions.text import tokens
+
+    spans = duplicate_span_ranges(
+        table,
+        text_col=text_col,
+        min_tokens=min_tokens,
+        min_occurrences=min_occurrences,
+        hash_fn=hash_fn,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_sp")
+    )
+    base = table.df.select(
+        F.col(idc).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    kept = F.when(F.col("_sp").isNull(), F.col("_tk")).otherwise(
+        F.filter(
+            "_tk",
+            lambda t, i: ~F.exists(
+                "_sp",
+                lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+        (F.size("_tk") - F.size(kept)).alias("n_removed"),
+    )
+
+
+def remove_duplicate_spans_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> str:
+    """DuckDB twin of :func:`remove_duplicate_spans`."""
+    from ralf_spark.functions.text import tokens_sql
+
+    spans = duplicate_span_ranges_sql(
+        table, text_col, id_col, min_tokens, min_occurrences
+    )
+    return f"""
+    WITH spans2 AS ({spans}),
+    toks2 AS (
+      SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS w FROM {table}
+    ),
+    kept AS (
+      SELECT t.doc_id, p.i, t.w[p.i] AS tok
+      FROM toks2 t, unnest(generate_series(1, len(t.w))) AS p(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans2 s
+        WHERE s.doc_id = t.doc_id
+          AND p.i BETWEEN s.span_start AND s.span_end
+      )
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY i) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+           CAST(len(t.w) - coalesce(a.n_kept, 0) AS INTEGER) AS n_removed
+    FROM toks2 t LEFT JOIN agg a USING (doc_id)
+    """

@@ -649,6 +649,8 @@ def curation_pipeline_end2end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ralf_spark.operators.dedup import (  # noqa: E402
     duplicate_span_ranges,
     duplicate_span_ranges_sql,
+    remove_duplicate_spans,
+    remove_duplicate_spans_sql,
 )
 
 
@@ -729,6 +731,22 @@ def exact_substring_dup_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "exact_substring_removal",
+    remove_duplicate_spans_sql() + "\n    ORDER BY doc_id",
+)
+def exact_substring_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 exact-substring dedup, transform half: the CLEANED corpus with
+    every duplicated >= 8-token span cut out (Lee et al. 2022's
+    ExactSubstr deletion pass) — detect (:func:`duplicate_span_ranges`)
+    then cut (row-local token filter against the doc's merged span
+    list). Every doc survives with its kept/removed token counts; docs
+    without duplicated spans pass through verbatim — hash-gated on the
+    full cleaned text, so a one-token-off cut fails the gate."""
+    docs = _docs_par(spark, sf_dir)
+    return remove_duplicate_spans(docs, min_tokens=8).orderBy("doc_id")
 
 
 # Registry finalization: re-applies the driver-prefix ordering when THIS

@@ -1954,3 +1954,33 @@ def test_sq8_encode_dim_guard_raises(spark):
     bad = sq8_encode(df, [(0.0, 1.0)] * 8)
     with _pytest.raises(Exception, match="exactly 8 dims"):
         bad.collect()
+
+
+def test_remove_duplicate_spans_matches_bruteforce(spark):
+    from ralf_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = {
+        1: "u1 u2 " + boiler + " tail1 tail2 tail3",
+        2: boiler + " other words here x y z w q",
+        3: "completely distinct " + " ".join(f"d{i}" for i in range(20)),
+        5: "short doc",
+    }
+    t = _docs(spark, [(d, s) for d, s in docs.items()])
+    got = {r.doc_id: r for r in remove_duplicate_spans(t).collect()}
+    spans = {d: [] for d in docs}
+    for d, s, e, _ in _brute_spans(docs, 8):
+        spans[d].append((s, e))
+    assert set(got) == set(docs)  # every doc survives
+    for d, text in docs.items():
+        tk = [x for x in text.split(" ") if x]
+        keep = [
+            x
+            for i, x in enumerate(tk, start=1)
+            if not any(s <= i <= e for s, e in spans[d])
+        ]
+        assert got[d].clean_text == " ".join(keep)
+        assert got[d].n_kept == len(keep)
+        assert got[d].n_removed == len(tk) - len(keep)
+    # untouched docs pass through verbatim
+    assert got[3].clean_text == docs[3] and got[3].n_removed == 0
