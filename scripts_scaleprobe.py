@@ -486,6 +486,42 @@ def op_ivf_index_query_twolevel(spark, m: int):
     return idx.query(q, k=10, nprobe=2, coarse_probe=2)
 
 
+def op_substring_spans(spark, m: int):
+    """r11b: exact-substring span detection (Lee et al. 2022 re-expressed
+    as gram scan -> digest groupBy -> position rejoin -> island merge).
+    Predicted ~1: gram rows ∝ total tokens; duplicated positions ∝ n
+    (the fixture's near-dup rate is fixed), so every stage is linear."""
+    from ralf_spark.operators.dedup import duplicate_span_ranges
+    from ralf_spark.table import FeatureTable
+
+    docs = spark.read.parquet(_docs_path(m))
+    return duplicate_span_ranges(
+        FeatureTable(docs, key="doc_id"), hash_fn="xxhash64"
+    )
+
+
+def op_sq8_adc(spark, m: int):
+    """r11b: SQ8 asymmetric serving — FIXED 16 queries vs an n-vector
+    compressed corpus. Predicted ~1 (brute compressed-domain scan: the
+    bounds pass, the encode scan and the per-query fold all ∝ n; the
+    broadcast query side is constant)."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.similarity import sq8_adc_topk
+    from ralf_spark.table import FeatureTable
+
+    emb = spark.read.parquet(
+        os.path.join(DATA_ROOT, f"x{m}", "embeddings.parquet")
+    )
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return sq8_adc_topk(
+        FeatureTable(emb, key="vec_id"), queries, k=10
+    )
+
+
 OPS = {
     "lsh_near_dup": (op_lsh_near_dup, "documents", 1.0),
     "simhash_pairs": (op_simhash_pairs, "documents", 2.0),
@@ -501,6 +537,8 @@ OPS = {
     "ivf_index_query_twolevel": (
         op_ivf_index_query_twolevel, "embeddings", 0.0
     ),
+    "substring_spans": (op_substring_spans, "documents", 1.0),
+    "sq8_adc": (op_sq8_adc, "embeddings", 1.0),
 }
 
 

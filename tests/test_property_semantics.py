@@ -462,3 +462,71 @@ def test_segmented_folds_equal_single_fold(spark, rows, segment_s, hl_s,
         for got in (e_single[k], e_seg[k]):
             assert got[0] == len(evs)
             assert math.isclose(got[1], want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _ref_dup_spans(texts: dict[int, str], n: int, min_occ: int = 2):
+    """Independent reference for exact-substring spans: count every
+    n-gram corpus-wide, keep positions whose gram repeats, merge
+    positions into maximal spans (gap <= n merges)."""
+    from collections import Counter
+
+    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    grams: Counter = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - n + 1):
+            grams[tuple(tk[i : i + n])] += 1
+    out = []
+    for d, tk in sorted(toks.items()):
+        out.extend(
+            (d, s, e)
+            for s, e in _merge_positions(
+                [
+                    i + 1
+                    for i in range(len(tk) - n + 1)
+                    if grams[tuple(tk[i : i + n])] >= min_occ
+                ],
+                n,
+            )
+        )
+    return sorted(set(out))
+
+
+def _merge_positions(pos: list[int], n: int):
+    spans = []
+    for p in pos:
+        if spans and p <= spans[-1][2] + n:
+            spans[-1][1] = max(spans[-1][1], p + n - 1)
+            spans[-1][2] = p
+        else:
+            spans.append([p, p + n - 1, p])
+    return [(s, e) for s, e, _ in spans]
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.integers(0, 5), min_size=0, max_size=24
+        ),  # tiny alphabet -> organic repeats within and across docs
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 5),
+)
+@settings(**_SETTINGS)
+def test_duplicate_span_ranges_matches_reference(spark, data, n):
+    from ralf_spark.operators.dedup import duplicate_span_ranges
+
+    texts = {
+        d: " ".join(f"t{x}" for x in tk) for d, tk in enumerate(data)
+    }
+    t = FeatureTable(
+        spark.createDataFrame(
+            [(d, s) for d, s in texts.items()], "doc_id long, text string"
+        ),
+        key="doc_id",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_span_ranges(t, min_tokens=n).collect()
+    )
+    assert got == _ref_dup_spans(texts, n)
