@@ -1858,10 +1858,16 @@ def main() -> None:
     merged = {"mults": mults, "base_rows": {
         "documents": BASE_DOCS, "events": BASE_EVENTS,
         "embeddings": BASE_VECS}, "ops": {}}
-    if os.path.exists(path):  # partial runs update, not clobber
+    if os.path.exists(path):  # partial runs update, not clobber — and
+        # keep every OTHER probe section (streaming_state, lifecycle, ...)
+        # an --ops run doesn't touch (an early r11b run dropped them)
         try:
             with open(path) as f:
-                merged["ops"] = json.load(f).get("ops", {})
+                prior = json.load(f)
+            merged["ops"] = prior.pop("ops", {})
+            for k, v in prior.items():
+                if k not in merged:
+                    merged[k] = v
         except Exception:
             pass
     merged["ops"].update(out)
