@@ -1732,20 +1732,7 @@ def duplicate_span_ranges(
     idc = table.key
     if idc is None:
         raise ValueError("duplicate_span_ranges needs a keyed table")
-    from ralf_spark.functions.text import tokens, word_shingles
-
-    ids = ensure_parallelism(
-        table.df.select(F.col(idc).alias("_id"), F.col(text_col).alias("_t"))
-    )
-    grams = word_shingles(tokens(F.col("_t")), min_tokens)
-    if hash_fn == "xxhash64":
-        dg = F.xxhash64(F.col("_g"))
-    else:
-        dg = F.md5(F.col("_g"))
-    pos = (
-        ids.select("_id", F.posexplode(grams).alias("_p0", "_g"))
-        .select("_id", (F.col("_p0") + 1).alias("_pos"), dg.alias("_dg"))
-    )
+    pos = _gram_positions(table.df, idc, text_col, min_tokens, hash_fn)
     dup_digests = (
         pos.groupBy("_dg")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1753,6 +1740,39 @@ def duplicate_span_ranges(
         .select("_dg")
     )
     dup_pos = pos.join(dup_digests, "_dg").select("_id", "_pos")
+    return _positions_to_spans(dup_pos, min_tokens)
+
+
+def _gram_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(_id, _pos, _dg): every overlapping ``min_tokens``-gram's 1-based
+    start position with its digest — the linear scan-side stage shared by
+    the batch span detector and :class:`GramIndex`."""
+    from ralf_spark.functions.text import tokens, word_shingles
+
+    ids = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    )
+    grams = word_shingles(tokens(F.col("_t")), min_tokens)
+    if hash_fn == "xxhash64":
+        dg = F.xxhash64(F.col("_g"))
+    else:
+        dg = F.md5(F.col("_g"))
+    return ids.select(
+        "_id", F.posexplode(grams).alias("_p0", "_g")
+    ).select("_id", (F.col("_p0") + 1).alias("_pos"), dg.alias("_dg"))
+
+
+def _positions_to_spans(dup_pos: DataFrame, min_tokens: int) -> DataFrame:
+    """Merge duplicated gram positions into maximal spans per document
+    (gaps-and-islands; a break where the gap exceeds ``min_tokens``, so
+    overlapping/adjoining gram ranges fuse). Shared by the batch span
+    detector and :class:`GramIndex`."""
     by_doc = Window.partitionBy("_id").orderBy("_pos")
     brk = F.when(
         F.lag("_pos").over(by_doc).isNull()
@@ -1762,7 +1782,7 @@ def duplicate_span_ranges(
     isle = F.sum("_brk").over(
         by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    spans = (
+    return (
         dup_pos.select("_id", "_pos", brk.alias("_brk"))
         .select("_id", "_pos", isle.alias("_isle"))
         .groupBy("_id", "_isle")
@@ -1779,7 +1799,6 @@ def duplicate_span_ranges(
             ),
         )
     )
-    return spans
 
 
 def duplicate_span_ranges_sql(
@@ -1933,3 +1952,232 @@ def remove_duplicate_spans_sql(
            CAST(len(t.w) - coalesce(a.n_kept, 0) AS INTEGER) AS n_removed
     FROM toks2 t LEFT JOIN agg a USING (doc_id)
     """
+
+
+class GramIndex:
+    """Incremental exact-substring dedup index — the crawl-loop edition of
+    :func:`duplicate_span_ranges`, completing the incremental trio with
+    :class:`MinHashIndex` (near-dup) and ``IvfIndex`` (ANN).
+
+    Store: the DISTINCT gram digests seen so far, as ``_batch=<tag>``
+    partitions (merge-on-read union; :meth:`maintain` folds them with a
+    ``distinct()`` MERGING compaction, so the store converges to the true
+    digest set). Membership is all duplicate detection needs: a position
+    in a new batch is duplicated iff its digest was seen before (store)
+    or occurs >= 2 times within the batch itself — together exactly the
+    corpus-so-far occurrence count >= 2, so ``build(A); add(B)`` returns
+    the batch pipeline's spans over A ∪ B restricted to B's documents
+    (the oracle gate pins this equivalence).
+
+    Contract: ``add()`` reports duplicated spans of the NEW batch only —
+    the crawl-loop shape (incoming data is cleaned against everything
+    seen; already-ingested docs are not retro-flagged when a later copy
+    arrives, which would require per-digest counts and an O(store)
+    aggregation per add).
+
+    Scale (100 TB): the store is ∝ distinct corpus grams — the same
+    8 bytes/token a suffix array pays, sharded as parquet. Per-add cost
+    is one store SCAN with zero store shuffle: the batch digest set
+    broadcasts into the scan (``seen = store ⋈ broadcast(batch)``, the
+    chained-broadcast shape of ``MinHashIndex.add``), and auto-degrades
+    to a shuffle join when the batch digest count outgrows the broadcast
+    bound (same tri-state knob + graceful-degradation contract). Batch
+    folds append one partition; the auto-maintenance cadence (r11)
+    compacts with the tiered write-amp discipline.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        min_tokens: int = 8,
+        hash_fn: str | None = None,
+        auto_maintain: int | None = None,
+    ):
+        self.path = path
+        self.min_tokens = min_tokens
+        self.hash_fn = hash_fn or default_hash_fn()
+        if self.hash_fn not in ("md5", "xxhash64"):
+            raise ValueError(f"unknown hash_fn: {self.hash_fn!r}")
+        if auto_maintain is None:
+            from ralf_spark.layout import AUTO_MAINTAIN_BATCHES
+
+            auto_maintain = AUTO_MAINTAIN_BATCHES
+        self.auto_maintain = auto_maintain
+
+    # ------------------------------------------------------------ internals
+    def _positions(self, table: FeatureTable, text_col: str) -> DataFrame:
+        idc = table.key
+        if idc is None:
+            raise ValueError("GramIndex needs a keyed table")
+        return _gram_positions(
+            table.df, idc, text_col, self.min_tokens, self.hash_fn
+        )
+
+    def _read(self, spark, exclude_tag: str | None = None) -> DataFrame | None:
+        """Frozen pre-add snapshot (explicit file list; a replayed tag's
+        stored rows are the failed attempt of the batch being re-added
+        and must not count as seen)."""
+        from ralf_spark.connectors import _list_parquet_files
+
+        files = _list_parquet_files(spark, f"{self.path}/grams")
+        if exclude_tag is not None:
+            files = [f for f in files if f"/_batch={exclude_tag}/" not in f]
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+    #: ~2M digest rows per file (32-char md5 strings ≈ 64 MB; longs less)
+    _ROWS_PER_FILE = 2_000_000
+
+    def _write(self, dg: DataFrame, tag: str, rows: int) -> None:
+        out = dg
+        n_files = max(1, -(-rows // self._ROWS_PER_FILE))
+        if n_files < dg.rdd.getNumPartitions():
+            out = dg.coalesce(n_files)
+        (
+            out.withColumn("_batch", F.lit(tag))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(f"{self.path}/grams")
+        )
+
+    def _check_or_write_meta(self, spark) -> None:
+        """Pin (hash_fn, min_tokens): digests hashed under a different
+        mode or gram length never match the stored set — a silent
+        zero-duplicates failure (same contract as MinHashIndex's pin)."""
+        from ralf_spark.connectors import _hadoop_fs
+
+        meta_path = f"{self.path}/_meta"
+        fs, jmeta = _hadoop_fs(spark, meta_path)
+        mine = (self.hash_fn, self.min_tokens)
+        rows = []
+        if fs.exists(jmeta):
+            try:
+                rows = spark.read.parquet(meta_path).collect()
+            except Exception:
+                committed = [
+                    s
+                    for s in fs.listStatus(jmeta)
+                    if s.getPath().getName().startswith("part-")
+                    and s.getLen() > 0
+                ]
+                if committed:
+                    raise
+                rows = []
+        if rows:
+            stored = (rows[0].hash_fn, rows[0].min_tokens)
+            if stored != mine:
+                raise ValueError(
+                    f"GramIndex at {self.path} stores (hash_fn, "
+                    f"min_tokens)={stored} but this handle has {mine}; "
+                    "mixed configs silently report zero duplicates. "
+                    "Match the stored config or rebuild."
+                )
+            return
+        spark.createDataFrame(
+            [mine], "hash_fn string, min_tokens int"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+    # ------------------------------------------------------------ lifecycle
+    def build(self, table: FeatureTable, text_col: str = "text") -> None:
+        """Full (re)build: record every gram digest of ``table`` (no span
+        output — the corpus being indexed is the already-accepted set)."""
+        from ralf_spark.connectors import _hadoop_fs
+
+        spark = table.df.sparkSession
+        fs, jpath = _hadoop_fs(spark, self.path)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        self._check_or_write_meta(spark)
+        dg = self._positions(table, text_col).select("_dg").distinct()
+        dg = dg.persist()
+        try:
+            n = dg.count()
+            self._write(dg, "base", rows=n)
+        finally:
+            dg.unpersist()
+
+    def maintain(self, spark, keep_last: int = 1, tiered: bool = True) -> dict:
+        """Fold batch partitions with a ``distinct()`` MERGING compaction
+        (membership algebra: union folds exactly), tiered by default —
+        same manifest transaction, crash recovery, and write-amp
+        discipline as the other indexes."""
+        from ralf_spark.layout import (
+            compact_batch_partitions,
+            tiered_compaction_sources,
+        )
+
+        root = f"{self.path}/grams"
+        sources = (
+            tiered_compaction_sources(spark, root, keep_last=keep_last)
+            if tiered
+            else None
+        )
+        if tiered and sources is None:
+            return {"grams": None}
+        return {
+            "grams": compact_batch_partitions(
+                spark, root, keep_last=keep_last, sources=sources,
+                transform=lambda df: df.distinct(),
+            )
+        }
+
+    def add(
+        self,
+        table: FeatureTable,
+        text_col: str = "text",
+        batch_tag: str | None = None,
+        broadcast_digests: bool | None = None,
+    ) -> DataFrame:
+        """Detect the batch's duplicated spans vs everything seen so far
+        (store ∪ the batch itself), then fold the batch's digests in.
+        Returns (doc_id, span_start, span_end, span_tokens) for the NEW
+        docs — identical to the batch detector over corpus-so-far
+        restricted to this batch (oracle-gated).
+
+        ``batch_tag`` replay semantics and the ``broadcast_digests``
+        tri-state match ``MinHashIndex.add``: a replayed tag rewrites its
+        own partition (and is excluded from "seen"); auto broadcasts the
+        batch digest set into the store scan while it stays under the
+        broadcast bound, else degrades to a shuffle join."""
+        import uuid
+
+        spark = table.df.sparkSession
+        self._check_or_write_meta(spark)
+        if self.auto_maintain:
+            from ralf_spark.layout import batch_tag_count
+
+            if (
+                batch_tag_count(spark, f"{self.path}/grams")
+                > self.auto_maintain
+            ):
+                self.maintain(spark)
+        tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
+        pos = self._positions(table, text_col).persist()
+        batch_dg = pos.select("_dg").distinct().persist()
+        n_dg = batch_dg.count()  # materializes both caches' parent scan
+        batch_dup = (
+            pos.groupBy("_dg")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") >= 2)
+            .select("_dg")
+        )
+        stored = self._read(spark, exclude_tag=tag)
+        if stored is None:
+            seen = batch_dup
+        else:
+            hint = _choose_broadcast(broadcast_digests, lambda: n_dg)
+            probe = F.broadcast(batch_dg) if hint else batch_dg
+            seen_in_store = (
+                stored.join(probe, "_dg").select("_dg").distinct()
+            )
+            seen = seen_in_store.unionByName(batch_dup).distinct()
+        dup_pos = pos.join(seen, "_dg").select("_id", "_pos")
+        spans = _positions_to_spans(dup_pos, self.min_tokens)
+        out = attach_cached(spans, [pos, batch_dg])
+        # fold AFTER the span plan is defined: the plan reads the frozen
+        # pre-add file snapshot + persisted batch projections, so it can
+        # never observe its own append
+        self._write(batch_dg, tag, rows=n_dg)
+        return out

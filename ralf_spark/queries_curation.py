@@ -734,6 +734,42 @@ def exact_substring_dup_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_gram_index",
+    f"""
+    WITH allspans AS ({duplicate_span_ranges_sql()})
+    SELECT doc_id, span_start, span_end, span_tokens
+    FROM allspans WHERE doc_id % 2 = 1
+    ORDER BY doc_id, span_start
+    """,
+)
+def incremental_gram_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 incremental exact-substring dedup: build the persistent gram
+    digest store on the even-doc half, then ``add()`` the odd half — the
+    crawl-loop ExactSubstr round. The add's spans must equal the BATCH
+    detector over the full corpus restricted to odd docs, because
+    membership-in-store OR repeated-within-batch is exactly
+    corpus-so-far occurrence >= 2 (see :class:`GramIndex`). Only the new
+    half is tokenized/hashed in the add round — the incremental-cost
+    contract, same shape as ``incremental_minhash_index``."""
+    import hashlib as _hl
+
+    from ralf_spark.operators.dedup import GramIndex
+
+    docs = _docs_par(spark, sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = GramIndex(_scratch(f"gram_index_{tag}_"), min_tokens=8)
+    even = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 0), key="doc_id"
+    )
+    odd = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 1), key="doc_id"
+    )
+    idx.build(even)
+    spans = idx.add(odd)
+    return spans.orderBy("doc_id", "span_start")
+
+
+@query(
     "exact_substring_removal",
     remove_duplicate_spans_sql() + "\n    ORDER BY doc_id",
 )

@@ -1984,3 +1984,108 @@ def test_remove_duplicate_spans_matches_bruteforce(spark):
         assert got[d].n_removed == len(tk) - len(keep)
     # untouched docs pass through verbatim
     assert got[3].clean_text == docs[3] and got[3].n_removed == 0
+
+
+# ----------------------------------------------------- GramIndex incremental
+
+
+def _gram_batches():
+    boiler = " ".join(f"g{i}" for i in range(10))
+    b1 = {1: "a1 a2 " + boiler, 2: " ".join(f"x{i}" for i in range(15))}
+    # doc 3 repeats b1's boilerplate; doc 4 repeats within itself
+    b2 = {
+        3: boiler + " tail1 tail2",
+        4: " ".join(f"r{i % 8}" for i in range(16)),
+    }
+    # doc 5 repeats doc 2's (previously unique) text
+    b3 = {5: b1[2] + " fresh1 fresh2"}
+    return b1, b2, b3
+
+
+def test_gram_index_sequential_adds_match_batch_detector(spark, tmp_path):
+    from ralf_spark.operators.dedup import GramIndex
+
+    batches = _gram_batches()
+    idx = GramIndex(str(tmp_path / "gi"), min_tokens=8)
+    idx.build(_docs(spark, list(batches[0].items())))
+    seen = dict(batches[0])
+    for b in batches[1:]:
+        got = sorted(
+            tuple(r)
+            for r in idx.add(_docs(spark, list(b.items()))).collect()
+        )
+        seen.update(b)
+        want = [
+            s for s in _brute_spans(seen, 8) if s[0] in b
+        ]  # batch detector over corpus-so-far, restricted to this batch
+        assert got == want
+    # batch 2 found the cross-batch boilerplate AND the within-doc repeat
+    assert any(r[0] == 3 for r in _brute_spans(seen, 8))
+    assert any(r[0] == 4 for r in _brute_spans(seen, 8))
+
+
+def test_gram_index_add_replay_is_idempotent(spark, tmp_path):
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, _ = _gram_batches()
+    idx = GramIndex(str(tmp_path / "gi"), min_tokens=8)
+    idx.build(_docs(spark, list(b1.items())))
+    first = sorted(
+        tuple(r)
+        for r in idx.add(
+            _docs(spark, list(b2.items())), batch_tag="t1"
+        ).collect()
+    )
+    replay = sorted(
+        tuple(r)
+        for r in idx.add(
+            _docs(spark, list(b2.items())), batch_tag="t1"
+        ).collect()
+    )
+    assert first == replay and first
+    # the replayed tag rewrote its partition in place: store holds the
+    # digests exactly once per batch
+    store = spark.read.parquet(str(tmp_path / "gi" / "grams"))
+    assert store.count() == store.distinct().count()
+
+
+def test_gram_index_config_pin_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, _, _ = _gram_batches()
+    GramIndex(str(tmp_path / "gi"), min_tokens=8).build(
+        _docs(spark, list(b1.items()))
+    )
+    with _pytest.raises(ValueError, match="min_tokens"):
+        GramIndex(str(tmp_path / "gi"), min_tokens=5).add(
+            _docs(spark, list(b1.items()))
+        )
+
+
+def test_gram_index_maintain_folds_distinct_membership(spark, tmp_path):
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, b3 = _gram_batches()
+    idx = GramIndex(str(tmp_path / "gi"), min_tokens=8, auto_maintain=0)
+    idx.build(_docs(spark, list(b1.items())))
+    idx.add(_docs(spark, list(b2.items()))).collect()
+    store = str(tmp_path / "gi" / "grams")
+    before = {
+        r._dg for r in spark.read.parquet(store).collect()
+    }
+    res = idx.maintain(spark, keep_last=0, tiered=False)
+    assert res["grams"] is not None
+    after_rows = spark.read.parquet(store).collect()
+    after = {r._dg for r in after_rows}
+    assert after == before  # membership identical
+    assert len(after_rows) == len(after)  # merging compaction deduped
+    # post-maintenance adds still see the full history
+    got = sorted(
+        tuple(r)
+        for r in idx.add(_docs(spark, list(b3.items()))).collect()
+    )
+    seen = {**b1, **b2, **b3}
+    want = [s for s in _brute_spans(seen, 8) if s[0] in b3]
+    assert got == want and got  # doc 5 duplicates doc 2's stored text
