@@ -3271,6 +3271,17 @@ def headline_queries() -> dict[str, Query]:
 # HLL row; the log spelling becomes the streaming driver rep — the
 # bucketed upsert path stays driver-exercised via
 # streaming_pipeline_end2end's EWMA state sink and the sweep gates).
+# Round-11b rotation (builder-initiated, late r11): the three strongest
+# new-family gates get driver rows — in: exact_substring_removal (the
+# Lee et al. 2022 ExactSubstr detect→cut composition, hashed on the full
+# cleaned text), incremental_gram_index (the GramIndex crawl-loop store;
+# incremental == batch equivalence), sq8_adc_topk (SQ8 per-dim
+# compression + dequantized ADC serving). Each replayed green in a fresh
+# driver-replica session at sf0.01 before rotation. Out (registered +
+# sweep-gated as always): pq_encode_codes (E3 keeps 4 driver rows; the
+# PQ rerank composition exercises encode+ADC inside it),
+# layout_zorder_roundtrip (E8 keeps the partitioned-write stats row),
+# bm25_keyword_search (E9 keeps ewma + both composition gates).
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
@@ -3310,10 +3321,13 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # streaming joins (J1a stream-static + interval stream-stream, r7)
     "streaming_interval_join",
     # dedup family (§2.10 E1/E2) + decontamination + incremental index
-    # (r9 rotation: dedup_clusters to the sweep; E2 keeps 4 driver rows)
+    # (r9 rotation: dedup_clusters to the sweep; r11b adds the
+    # exact-substring sub-family: the detect→cut composition and the
+    # incremental gram store)
     "exact_dedup", "near_dup_minhash",
     "incremental_minhash_index",
     "decontaminate_against_eval",
+    "exact_substring_removal", "incremental_gram_index",
     # similarity search (E3): one-shot, persistent index (r10 rotation:
     # the TWO-LEVEL serving spelling replaces the exact-path row, and the
     # clustered recall@10 gate replaces kmeans_fit — ivf_index_query and
@@ -3321,7 +3335,7 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # PQ encode + ADC/rerank two-pass
     "similarity_topk_bruteforce", "ivf_index_query_twolevel",
     "ivf_recall_clustered",
-    "pq_encode_codes", "similarity_topk_pq_rerank",
+    "similarity_topk_pq_rerank", "sq8_adc_topk",
     # text analysis + quality filtering (E4; r9 rotation:
     # gopher_repetition to the sweep, E4 keeps 3 driver rows)
     "text_profile", "text_quality", "doc_fingerprint_simhash",
@@ -3329,13 +3343,12 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # APPEND-LOG state spelling w/ mid-gate merging compaction — r11
     # rotation: streaming_hll_state to the sweep)
     "hll_distinct_event_ids", "streaming_hll_log_state",
-    # retrieval/curation (E9)
-    "bm25_keyword_search", "ewma_per_user",
+    # retrieval/curation (E9; r11b rotation: bm25 to the sweep)
+    "ewma_per_user",
     # data quality (r7 family, first driver-green rows — r8 rotation)
     "events_quality_gate", "feature_drift_psi",
-    # storage layout (E8: partitioned-write stats + Z-order roundtrip,
-    # r9 rotation in)
-    "layout_partitioned_write_stats", "layout_zorder_roundtrip",
+    # storage layout (E8; r11b rotation: zorder roundtrip to the sweep)
+    "layout_partitioned_write_stats",
     # multimodal binary columns (E5; r10 rotation: frame-sample donates
     # its slot to the similarity family — both kernels share the Arrow
     # plumbing, and the sweep keeps the identical oracle on it)

@@ -486,6 +486,36 @@ def op_ivf_index_query_twolevel(spark, m: int):
     return idx.query(q, k=10, nprobe=2, coarse_probe=2)
 
 
+def op_gram_index_add(spark, m: int):
+    """r11b: incremental exact-substring dedup — add a FIXED 5k-doc batch
+    to a GramIndex whose digest store grew with m. Expected: shuffles ∝
+    batch only (batch digests broadcast into the store scan; the store
+    never shuffles), wall = one store SCAN — slim 8-byte digest rows, so
+    the scan cost stays IO-trivial at probe sizes (honest contract:
+    O(store-scan) per add, not O(1); the scan is embarrassingly parallel
+    and column-pruned at cluster scale). Replayed under a fixed
+    batch_tag (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.table import FeatureTable
+
+    idx_path = os.path.join(DATA_ROOT, f"x{m}", "gramidx")
+    idx = GramIndex(idx_path, hash_fn="xxhash64")
+    if not os.path.exists(os.path.join(idx_path, "_meta")):
+        store = FeatureTable(
+            spark.read.parquet(_docs_path(m)), key="doc_id"
+        )
+        idx.build(store)
+    batch = FeatureTable(
+        spark.read.parquet(_docs_path(1))
+        .where(F.col("doc_id") < 5000)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000),
+        key="doc_id",
+    )
+    return idx.add(batch, batch_tag="probe")
+
+
 def op_substring_spans(spark, m: int):
     """r11b: exact-substring span detection (Lee et al. 2022 re-expressed
     as gram scan -> digest groupBy -> position rejoin -> island merge).
@@ -539,6 +569,7 @@ OPS = {
     ),
     "substring_spans": (op_substring_spans, "documents", 1.0),
     "sq8_adc": (op_sq8_adc, "embeddings", 1.0),
+    "gram_index_add": (op_gram_index_add, "documents", 0.0),
 }
 
 

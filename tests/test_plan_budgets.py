@@ -83,6 +83,20 @@ BUDGETS = {
     # load-bearing regressions guards.
     "curation_pipeline_end2end": (2, 21, 0),
     "feature_pipeline_end2end": (2, 4, 0),
+    # ----- r11b exact-substring family: the gram table must never carry
+    # text into a shuffle or self-join — 2 scans (positions recomputed on
+    # both sides of the dup-digest join: scan twice < shuffle fat rows
+    # once), digest groupBy + rejoin + island window + output sort
+    "exact_substring_spans": (2, 5, 0),
+    # detect -> cut adds the token rejoin scan + per-doc agg shuffle
+    "exact_substring_removal": (3, 6, 0),
+    # GramIndex add round: batch positions + frozen store snapshot; the
+    # store only ever SCANS (batch digests broadcast into it)
+    "incremental_gram_index": (2, 6, 0),
+    # SQ8: encode is one scan + output sort; ADC serving adds only the
+    # partial-top-k rank exchange (WindowGroupLimit keeps it k x parts)
+    "sq8_encode_codes": (1, 1, 0),
+    "sq8_adc_topk": (2, 2, 0),
 }
 
 #: r11 (VERDICT r10 #5): driver-prefix queries whose static plans must
