@@ -770,6 +770,74 @@ def incremental_gram_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_gram_dedup",
+    f"""
+    WITH even_spans AS (
+      {duplicate_span_ranges_sql(table="(SELECT * FROM documents WHERE doc_id % 2 = 0)")}
+    ),
+    all_spans AS (
+      {duplicate_span_ranges_sql()}
+    )
+    SELECT doc_id, span_start, span_end, span_tokens FROM even_spans
+    UNION ALL
+    SELECT doc_id, span_start, span_end, span_tokens FROM all_spans
+    WHERE doc_id % 2 = 1
+    ORDER BY doc_id, span_start
+    """,
+)
+def streaming_gram_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact-substring dedup: the documents table arrives as
+    two micro-batches (even docs, then odd) through
+    ``foreach_batch_gram_dedup`` — each batch's duplicated spans are
+    detected against everything seen so far and appended exactly-once to
+    the spans log. The oracle composes the per-step contract: batch 1's
+    spans over the even half alone, plus batch 2's spans over the full
+    corpus restricted to odd docs."""
+    import hashlib as _hl
+    import os as _os
+    import time as _time
+
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.streaming import foreach_batch_gram_dedup, run_bounded
+
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
+    src = _scratch("gram_stream_")
+    now = _time.time()
+    for i, pred in enumerate(
+        (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)
+    ):
+        staged = f"{src}/_stage{i}"
+        docs.where(pred).coalesce(1).write.parquet(staged)
+        part = next(
+            f for f in _os.listdir(staged) if f.endswith(".parquet")
+        )
+        dst = f"{src}/batch{i}.parquet"
+        _os.rename(f"{staged}/{part}", dst)
+        # mtime pins micro-batch order: even half first
+        _os.utime(dst, (now - 100 + i, now - 100 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = GramIndex(_scratch(f"gram_sidx_{tag}_"), min_tokens=8)
+    spans_path = _scratch(f"gram_slog_{tag}_") + "/spans"
+    run_bounded(
+        foreach_batch_gram_dedup(
+            stream, idx, spans_path, key="doc_id"
+        ),
+        checkpoint=_scratch("ck_gram_"),
+        shuffle_partitions=8,
+    )
+    return (
+        spark.read.parquet(spans_path)
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query(
     "exact_substring_removal",
     remove_duplicate_spans_sql() + "\n    ORDER BY doc_id",
 )

@@ -1604,3 +1604,92 @@ def foreach_batch_index_add(
                     )
 
     return df.writeStream.foreachBatch(add)
+
+
+def foreach_batch_gram_dedup(
+    df: DataFrame,
+    index,
+    spans_path: str,
+    key: str,
+    text_col: str = "text",
+    auto_maintain: int | None = None,
+) -> DataStreamWriter:
+    """Streaming incremental EXACT-SUBSTRING dedup: fold each micro-batch
+    of documents into a persistent :class:`~ralf_spark.operators.dedup.
+    GramIndex` and append the batch's duplicated spans (vs everything
+    indexed so far AND within the batch) to ``spans_path`` — the
+    streaming spelling of the Lee et al. 2022 crawl-loop round, the
+    ExactSubstr sibling of :func:`foreach_batch_index_add`.
+
+    Contract: spans are emitted for the LATER copy at its arrival batch
+    (the crawl-loop shape — incoming data is cleaned against everything
+    seen; an earlier-ingested copy is not retro-flagged). So the log
+    after batch k holds exactly ∪ᵢ≤ₖ spans(batches 1..i | batch i) —
+    pinned against the batch detector per step in tests — and each batch
+    pays O(|batch|) hashing plus one digest-store scan (SCALEPROBE:
+    shuffle byte-identical across 48× store growth).
+
+    Exactly-once under replay: both the digest fold and the span append
+    are keyed by the checkpointed ``batch_id`` as a ``_batch`` partition
+    with dynamic overwrite (a replayed batch rewrites itself), and tags
+    already folded into the compacted log are skipped via the
+    compacted-tags sidecar. The spans log self-compacts past
+    ``auto_maintain`` batch partitions (tiered, transaction-recorded —
+    identical discipline to the pairs log); ``auto_maintain=0``
+    disables."""
+    if auto_maintain is None:
+        from ralf_spark.layout import AUTO_MAINTAIN_BATCHES
+
+        auto_maintain = AUTO_MAINTAIN_BATCHES
+
+    def add(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.operators.util import unpersist_cached
+
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        tag = f"b{batch_id}"
+        if tag in _read_compacted_tags(spark, spans_path):
+            return  # replay of a tag already folded into the compacted log
+        spans = index.add(
+            FeatureTable(batch_df, key=key),
+            text_col=text_col,
+            batch_tag=tag,
+        )
+        (
+            spans.withColumn("_batch", F.lit(tag))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(spans_path)
+        )
+        unpersist_cached(spans)
+        if auto_maintain:
+            from ralf_spark.connectors import write_json_sidecar
+            from ralf_spark.layout import (
+                batch_tag_count,
+                compact_batch_partitions,
+                tiered_compaction_sources,
+            )
+
+            if batch_tag_count(spark, spans_path) > auto_maintain:
+
+                def record(sources: list[str]) -> None:
+                    tags = _read_compacted_tags(spark, spans_path)
+                    tags.update(sources)
+                    write_json_sidecar(
+                        spark,
+                        f"{spans_path}/{_COMPACTED_TAGS_NAME}",
+                        {"tags": sorted(tags)},
+                    )
+
+                srcs = tiered_compaction_sources(
+                    spark, spans_path, keep_last=1
+                )
+                if srcs is not None:
+                    compact_batch_partitions(
+                        spark, spans_path, keep_last=1,
+                        on_before_done=record, sources=srcs,
+                    )
+
+    return df.writeStream.foreachBatch(add)

@@ -2336,3 +2336,68 @@ def test_chained_window_change_spark_integration(spark, tmp_path):
         for r in spark.table("chained").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_gram_dedup_matches_sequential_contract(spark, tmp_path):
+    """The spans log after a micro-batched run equals the per-step batch
+    detector: each batch's spans over corpus-so-far restricted to that
+    batch (spans are emitted for the LATER copy at its arrival batch)."""
+    import os
+    import time
+
+    from ralf_spark.operators.dedup import GramIndex, duplicate_span_ranges
+    from ralf_spark.streaming import foreach_batch_gram_dedup, run_bounded
+    from ralf_spark.table import FeatureTable
+
+    boiler = " ".join(f"s{i}" for i in range(10))
+    batches = [
+        [(1, "u1 u2 " + boiler), (2, " ".join(f"x{i}" for i in range(12)))],
+        [(3, boiler + " tail1 tail2")],
+        [(4, "n o p q r s t u v w"), (5, boiler + " other end")],
+    ]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        staged = f"{src}/_stage{i}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = f"{src}/b{i}.parquet"
+        os.rename(f"{staged}/{part}", dst)
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = GramIndex(str(tmp_path / "gi"), min_tokens=8)
+    spans_path = str(tmp_path / "spans")
+    run_bounded(
+        foreach_batch_gram_dedup(stream, idx, spans_path, key="doc_id"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in spark.read.parquet(spans_path).collect()
+    )
+    # reference: batch detector over batches 1..k, restricted to batch k
+    want = []
+    seen: list = []
+    for rows in batches:
+        seen += rows
+        t = FeatureTable(
+            spark.createDataFrame(seen, "doc_id long, text string"),
+            key="doc_id",
+        )
+        ids = {d for d, _ in rows}
+        want += [
+            tuple(r)
+            for r in duplicate_span_ranges(t, min_tokens=8).collect()
+            if r.doc_id in ids
+        ]
+    assert got == sorted(want)
+    assert any(r[0] == 3 for r in got) and any(r[0] == 5 for r in got)
+    # batch-1 copies are NOT retro-flagged (crawl-loop contract)
+    assert not any(r[0] in (1, 2) for r in got)
