@@ -1926,6 +1926,21 @@ def sq8_encode(
     return df.select(*keep, codes.alias(out_col))
 
 
+def _sq8_rec(codes_col: str, bounds: list[tuple[float, float]]) -> Column:
+    """Dequantized vector ``rec = lo + code * (hi - lo) / 255`` as a
+    row-local expression against plan-literal bounds (shared by the flat
+    ADC search and the IVF-SQ8 composition; spelled identically in the
+    oracles for bit-for-bit replay)."""
+    lo, hi = _sq8_lit(bounds, 0), _sq8_lit(bounds, 1)
+    return F.transform(
+        F.col(codes_col),
+        lambda c, i: F.element_at(lo, i + 1)
+        + c.cast("double")
+        * (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
+        / F.lit(255.0),
+    )
+
+
 def sq8_adc_topk_precoded(
     codes: DataFrame,
     queries: DataFrame,
@@ -1947,18 +1962,9 @@ def sq8_adc_topk_precoded(
     reaches the parquet scan). Queries ride a broadcast (same
     broadcast-small contract as :func:`cosine_topk`); the corpus side
     never shuffles before the per-query top-k window."""
-    lo, hi = _sq8_lit(bounds, 0), _sq8_lit(bounds, 1)
-    # let-bind the dequantized vector as a real column so the fold below
-    # reads a lambda variable, not a re-evaluated expression tree
-    rec = F.transform(
-        F.col(codes_col),
-        lambda c, i: F.element_at(lo, i + 1)
-        + c.cast("double")
-        * (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
-        / F.lit(255.0),
-    )
     enc = codes.select(
-        F.col(id_col).alias("neighbor_id"), rec.alias("_rec")
+        F.col(id_col).alias("neighbor_id"),
+        _sq8_rec(codes_col, bounds).alias("_rec"),
     )
     q = queries.select(
         F.col(query_id),
@@ -2025,3 +2031,73 @@ def sq8_dims_sql(table: str = "embeddings", dim: int = 64) -> str:
              END AS INTEGER) AS code
       FROM e JOIN dims ON true
     )"""
+
+
+def ivf_sq8_topk(
+    corpus: FeatureTable,
+    queries: DataFrame,
+    centroids: DataFrame,
+    bounds: list[tuple[float, float]] | None = None,
+    k: int = 5,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """IVF-SQ8: coarse cells prune the candidate COUNT, per-dimension
+    uint8 codes shrink the candidate WIDTH 4x — the composition a
+    recall-sensitive deployment picks when PQ's subspace centroids cost
+    too much recall (SQ8 error is bounded per dimension at (hi-lo)/255).
+
+    Same plan shape as :func:`ivf_pq_topk`: cell assignment and encoding
+    are row-local projections against plan literals, the probe is a
+    broadcast equi-join on cell id (Σ probed-cell sizes, never n²),
+    distance is the dequantized squared-L2 left fold of
+    :func:`sq8_adc_topk_precoded`, ties -> smallest neighbor id.
+    Deployment layout: the (cell, codes) table persisted cell-partitioned
+    — partition pruning AND 4x-narrower columns at one scan."""
+    idc = corpus.key
+    if idc is None:
+        raise ValueError("ivf_sq8_topk needs a keyed corpus")
+    cen_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id, centroid_vec).collect()
+    ]
+    if not cen_rows:
+        raise ValueError("ivf_sq8_topk needs a non-empty centroid set")
+    emb = ensure_parallelism(
+        corpus.df.select(
+            F.col(idc).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    ).withColumn("_cell", nearest_cells(cen_rows, "_v", 1)[0])
+    if bounds is None:
+        bounds = sq8_bounds(emb, "_v")
+    enc = sq8_encode(emb, bounds, vec_col="_v", out_col="_codes").select(
+        "neighbor_id", "_cell", _sq8_rec("_codes", bounds).alias("_rec")
+    )
+    qv = F.col(query_vec).cast("array<double>")
+    q = queries.select(F.col(query_id), qv.alias("_qv")).withColumn(
+        "_cell", F.explode(nearest_cells(cen_rows, "_qv", nprobe))
+    )
+    dist = F.aggregate(
+        F.zip_with("_rec", "_qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # each corpus row lands in exactly one cell and a query's probe
+    # cells are distinct -> each (query, neighbor) pair emitted once
+    scored = (
+        enc.join(F.broadcast(q), "_cell")
+        .where(F.col("neighbor_id") != F.col(query_id))
+        .select(query_id, "neighbor_id", dist.alias("approx_dist"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -811,6 +811,84 @@ def _sq8_adc_oracle_sql(k: int = 5) -> str:
     FROM r WHERE rnk <= {k} ORDER BY query_id, rnk"""
 
 
+def _ivf_sq8_oracle_sql(k: int = 5) -> str:
+    cos = (
+        "list_dot_product(e.v, cv) / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(cv, cv)))"
+    )
+    fold = (
+        "list_reduce(list_transform(list_zip(rv, qv),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH {sq8_dims_sql()},
+    cen AS (
+      SELECT label AS cid, arg_min(embedding, vec_id)::DOUBLE[] AS cv
+      FROM embeddings GROUP BY label
+    ),
+    ecell AS (
+      SELECT vec_id,
+             (SELECT cid FROM cen ORDER BY {cos} DESC, cid LIMIT 1)
+               AS cell
+      FROM e
+    ),
+    rec AS (
+      SELECT vec_id, dim, lo + code * (hi - lo) / 255.0 AS r
+      FROM enc JOIN dims USING (dim)
+    ),
+    recl AS (SELECT vec_id, list(r ORDER BY dim) AS rv FROM rec
+             GROUP BY vec_id),
+    q AS (
+      SELECT e.vec_id AS query_id, e.v AS qv, ecell.cell
+      FROM e JOIN ecell USING (vec_id) WHERE e.vec_id < 5
+    ),
+    pairs AS (
+      SELECT q.query_id, recl.vec_id AS neighbor_id, {fold} AS approx_dist
+      FROM q
+      JOIN ecell ON ecell.cell = q.cell
+      JOIN recl ON recl.vec_id = ecell.vec_id
+      WHERE recl.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id
+             ) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, round(approx_dist, 4) AS approx_dist, rnk
+    FROM r WHERE rnk <= {k} ORDER BY query_id, rnk"""
+
+
+@query("similarity_topk_ivf_sq8", _ivf_sq8_oracle_sql(k=5))
+def similarity_topk_ivf_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 IVF-SQ8 (r11b): the recall-sensitive sibling of IVF-PQ — the
+    coarse quantizer prunes candidates to the query's cell; SQ8
+    per-dimension codes (error bounded at (hi-lo)/255 per dim) score
+    them at 4x-narrower width. Same per-label centroid recipe and query
+    set as the sibling E3 gates; at 100 TB the layout is
+    cell-partitioned uint8 code columns (partition + column pruning at
+    one scan)."""
+    from ralf_spark.operators.similarity import ivf_sq8_topk
+    from ralf_spark.queries import _query_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.df.groupBy("label").agg(
+        F.min_by("embedding", "vec_id").alias("centroid_vec")
+    ).select(F.col("label").alias("centroid_id"), "centroid_vec")
+    q = emb.df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_sq8_topk(emb, q, centroids, k=5, nprobe=1)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_dist", 4).alias("approx_dist"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
+
+
 @query("sq8_adc_topk", _sq8_adc_oracle_sql())
 def sq8_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 serving (SQ8 asymmetric distance): full-precision queries vs

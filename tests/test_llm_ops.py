@@ -2089,3 +2089,34 @@ def test_gram_index_maintain_folds_distinct_membership(spark, tmp_path):
     seen = {**b1, **b2, **b3}
     want = [s for s in _brute_spans(seen, 8) if s[0] in b3]
     assert got == want and got  # doc 5 duplicates doc 2's stored text
+
+
+def test_ivf_sq8_full_probe_equals_flat_adc(spark):
+    """Probing every cell must reduce IVF-SQ8 to the flat SQ8 ADC search
+    (cells partition the corpus; the union of all cells is the corpus)."""
+    from ralf_spark.operators.similarity import (
+        ivf_sq8_topk,
+        sq8_adc_topk,
+    )
+    from ralf_spark.table import FeatureTable
+
+    rows, df = _sq8_fixture(spark)
+    corpus = FeatureTable(df, key="vec_id")
+    queries = df.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    cen = spark.createDataFrame(
+        [(i, v) for i, v in rows[:4]],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    flat = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.approx_dist, 9))
+        for r in sq8_adc_topk(corpus, queries, k=4).collect()
+    )
+    ivf = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.approx_dist, 9))
+        for r in ivf_sq8_topk(
+            corpus, queries, cen, k=4, nprobe=4
+        ).collect()
+    )
+    assert ivf == flat and flat
