@@ -876,11 +876,9 @@ def similarity_topk_ivf_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.df.groupBy("label").agg(
         F.min_by("embedding", "vec_id").alias("centroid_vec")
     ).select(F.col("label").alias("centroid_id"), "centroid_vec")
-    q = emb.df.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
+    out = ivf_sq8_topk(
+        emb, _query_vectors(spark, sf_dir), centroids, k=5, nprobe=1
     )
-    out = ivf_sq8_topk(emb, q, centroids, k=5, nprobe=1)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -898,17 +896,17 @@ def sq8_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     IO than raw floats; column pruning reaches the parquet scan);
     queries ride a broadcast, the corpus never shuffles before the
     per-query top-k window."""
+    from ralf_spark.queries import _query_vectors
+
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.df.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding")
     )
     bounds = sq8_bounds(base)
     enc = sq8_encode(base, bounds)
-    queries = emb.df.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
+    out = sq8_adc_topk_precoded(
+        enc, _query_vectors(spark, sf_dir), bounds, k=5
     )
-    out = sq8_adc_topk_precoded(enc, queries, bounds, k=5)
     return out.select(
         "query_id",
         "neighbor_id",
