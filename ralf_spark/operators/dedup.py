@@ -2140,7 +2140,20 @@ class GramIndex:
         tri-state match ``MinHashIndex.add``: a replayed tag rewrites its
         own partition (and is excluded from "seen"); auto broadcasts the
         batch digest set into the store scan while it stays under the
-        broadcast bound, else degrades to a shuffle join."""
+        broadcast bound, else degrades to a shuffle join.
+
+        REPLAY RESTRICTION (the CMS-log class): only tags newer than the
+        last compaction may be replayed. Once :meth:`maintain` folds a
+        tag, its digests live in the compacted partition under a
+        different name — a replay of that tag then finds its own
+        previous digests as "seen in store" and misreports EVERY batch
+        position as duplicated (membership carries no doc identity, so
+        the self-copy cannot be excluded the way MinHash pair ids
+        collapse). The auto-maintenance cadence keeps ``keep_last=1``
+        (the newest tag — the only one an in-flight micro-batch retry
+        targets — always survives), and the streaming spelling
+        (``foreach_batch_gram_dedup``) refuses folded tags outright via
+        the compacted-tags sidecar."""
         import uuid
 
         spark = table.df.sparkSession
