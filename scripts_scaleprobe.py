@@ -1316,6 +1316,7 @@ def lifecycle_probe(n_batches: int = 50) -> dict:
     calls:
 
       MinHashIndex.add (dedup pairs consumed per batch)
+      + GramIndex.add (exact-substring spans consumed per batch — r11b)
       + HLL append-log write + merge-on-read estimate
       + IvfIndex.add + a 16-query serving probe
 
@@ -1364,6 +1365,7 @@ def lifecycle_probe(n_batches: int = 50) -> dict:
             F.col("embedding").alias("centroid_vec"),
         )
         idx = dd.MinHashIndex(f"{work}/idx", hash_fn="xxhash64")  # auto on
+        gram = dd.GramIndex(f"{work}/gram", hash_fn="xxhash64")  # auto on
         ivf = IvfIndex(f"{work}/ivf")  # auto on
         log = f"{work}/hll_log"
         hll_cb = _append_log_batch(
@@ -1372,6 +1374,9 @@ def lifecycle_probe(n_batches: int = 50) -> dict:
             merge=hll_log_merge(["k"]),  # auto cadence on (default 16)
         )
         idx.build(FeatureTable(
+            docs_all.where(F.col("doc_id") < DOCS_PER), key="doc_id"
+        ))
+        gram.build(FeatureTable(
             docs_all.where(F.col("doc_id") < DOCS_PER), key="doc_id"
         ))
         ivf.build(
@@ -1408,6 +1413,20 @@ def lifecycle_probe(n_batches: int = 50) -> dict:
             unpersist_cached(pairs)
             rec["minhash_add_s"] = round(time.perf_counter() - t0, 2)
 
+            t0 = time.perf_counter()
+            spans = gram.add(
+                FeatureTable(
+                    docs_all.where(
+                        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                    ),
+                    key="doc_id",
+                ),
+                batch_tag=f"b{b}",
+            )
+            rec["gram_spans"] = spans.count()
+            unpersist_cached(spans)
+            rec["gram_add_s"] = round(time.perf_counter() - t0, 2)
+
             ev = spark.range(b * EVENTS_PER, (b + 1) * EVENTS_PER).select(
                 (F.col("id") % 3000).alias("k"),
                 (F.col("id") * 31 % 99991).alias("v"),
@@ -1443,6 +1462,8 @@ def lifecycle_probe(n_batches: int = 50) -> dict:
                     ),
                     "minhash_files": files(f"{work}/idx/sigs")
                     + files(f"{work}/idx/buckets"),
+                    "gram_tags": batch_tag_count(spark, f"{work}/gram/grams"),
+                    "gram_files": files(f"{work}/gram/grams"),
                     "ivf_tags": batch_tag_count(spark, f"{work}/ivf/cells"),
                     "ivf_files": files(f"{work}/ivf/cells"),
                     "log_tags": batch_tag_count(spark, log),
@@ -1450,6 +1471,7 @@ def lifecycle_probe(n_batches: int = 50) -> dict:
                 }
                 checkpoints[str(b)] = cp
                 print(f"# lifecycle b={b}: add {rec['minhash_add_s']}s "
+                      f"gram {rec['gram_add_s']}s "
                       f"est-read {rec['hll_read_s']}s query "
                       f"{rec['ivf_query_s']}s | tags mh={cp['minhash_tags']}"
                       f" ivf={cp['ivf_tags']} log={cp['log_tags']} | files "
@@ -1464,8 +1486,8 @@ def lifecycle_probe(n_batches: int = 50) -> dict:
         early, late = (2, min(12, n_batches)), (max(1, n_batches - 10),
                                                 n_batches)
         summary = {}
-        for key in ("minhash_add_s", "hll_append_s", "hll_read_s",
-                    "ivf_add_s", "ivf_query_s"):
+        for key in ("minhash_add_s", "gram_add_s", "hll_append_s",
+                    "hll_read_s", "ivf_add_s", "ivf_query_s"):
             e, l = med(key, *early), med(key, *late)
             summary[key] = {
                 "early_median": e, "late_median": l,

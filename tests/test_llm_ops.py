@@ -2120,3 +2120,32 @@ def test_ivf_sq8_full_probe_equals_flat_adc(spark):
         ).collect()
     )
     assert ivf == flat and flat
+
+
+def test_gram_index_auto_maintain_cadence(spark, tmp_path):
+    """add() self-compacts once more than auto_maintain batch partitions
+    exist, and the compaction never changes what later adds see."""
+    from ralf_spark.layout import batch_tag_count
+    from ralf_spark.operators.dedup import GramIndex
+
+    idx = GramIndex(str(tmp_path / "gi"), min_tokens=8, auto_maintain=2)
+    b1, b2, b3 = _gram_batches()
+    idx.build(_docs(spark, list(b1.items())))
+    idx.add(_docs(spark, list(b2.items())), batch_tag="t1").collect()
+    idx.add(
+        _docs(spark, [(9, "f1 f2 f3 f4 f5 f6 f7 f8 f9")]), batch_tag="t2"
+    ).collect()
+    # 3 tags (base, t1, t2) > auto_maintain=2 -> the next add compacts
+    # first (keep_last=1 spares the newest), then appends its own tag
+    store = str(tmp_path / "gi" / "grams")
+    assert batch_tag_count(spark, store) == 3
+    got = sorted(
+        tuple(r)
+        for r in idx.add(
+            _docs(spark, list(b3.items())), batch_tag="t3"
+        ).collect()
+    )
+    assert batch_tag_count(spark, store) == 3  # compacted + t2 + t3
+    seen = {**b1, **b2, 9: "f1 f2 f3 f4 f5 f6 f7 f8 f9", **b3}
+    want = [s for s in _brute_spans(seen, 8) if s[0] in b3]
+    assert got == want and got  # doc 5 still matches doc 2 post-compaction
