@@ -1892,8 +1892,13 @@ def remove_duplicate_spans(
             )
         ).alias("_sp")
     )
+    # NULL text -> empty token array (not NULL): the counts below must be
+    # 0/0, not NULL, for the every-doc-appears-once contract to hold
     base = table.df.select(
-        F.col(idc).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+        F.col(idc).alias("doc_id"),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_tk"),
     )
     joined = base.join(per_doc, "doc_id", "left")
     kept = F.when(F.col("_sp").isNull(), F.col("_tk")).otherwise(
@@ -1929,7 +1934,9 @@ def remove_duplicate_spans_sql(
     return f"""
     WITH spans2 AS ({spans}),
     toks2 AS (
-      SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS w FROM {table}
+      SELECT {id_col} AS doc_id,
+             coalesce({tokens_sql(text_col)}, []) AS w
+      FROM {table}
     ),
     kept AS (
       SELECT t.doc_id, p.i, t.w[p.i] AS tok

@@ -2149,3 +2149,25 @@ def test_gram_index_auto_maintain_cadence(spark, tmp_path):
     seen = {**b1, **b2, 9: "f1 f2 f3 f4 f5 f6 f7 f8 f9", **b3}
     want = [s for s in _brute_spans(seen, 8) if s[0] in b3]
     assert got == want and got  # doc 5 still matches doc 2 post-compaction
+
+
+def test_remove_duplicate_spans_null_and_empty_text(spark):
+    """NULL or empty text must still yield exactly one output row with
+    0/0 counts — not NULL arithmetic (the every-doc-once contract)."""
+    from ralf_spark.operators.dedup import remove_duplicate_spans
+    from ralf_spark.table import FeatureTable
+
+    t = FeatureTable(
+        spark.createDataFrame(
+            [(1, None), (2, ""), (3, "a b c d e f g h"),
+             (4, "a b c d e f g h")],
+            "doc_id long, text string",
+        ),
+        key="doc_id",
+    )
+    got = {r.doc_id: r for r in remove_duplicate_spans(t).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for d in (1, 2):
+        assert got[d].clean_text == ""
+        assert got[d].n_kept == 0 and got[d].n_removed == 0
+    assert got[3].n_removed == 8 and got[4].n_removed == 8
