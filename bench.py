@@ -32,6 +32,8 @@ HASH_FAMILY = [
     "incremental_minhash_index", "simhash_near_dup_pairs",
     "duplicate_ngram_spans", "containment_pairs",
     "near_dup_jaccard_index", "decontaminate_against_eval",
+    # r11b: the exact-substring family hashes gram digests per mode too
+    "exact_substring_spans", "incremental_gram_index",
 ]
 
 
