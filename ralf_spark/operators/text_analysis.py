@@ -359,3 +359,143 @@ def redact_pii(text: Column) -> Column:
     for name, p in PII_PATTERNS.items():
         out = F.regexp_replace(out, p, f"<{name.upper()}>")
     return out
+
+
+# --------------------------------------------- content-defined chunking
+
+
+def cdc_chunks(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    mask_bits: int = 5,
+    hash_fn: str | None = None,
+):
+    """Content-defined chunking: cut each document's token stream where a
+    rolling window's hash is divisible by ``2**mask_bits`` (expected
+    chunk length ~2**mask_bits tokens) — the EDIT-STABLE complement of
+    the fixed-window ``chunk_documents``: inserting or deleting tokens
+    only re-cuts the chunks that contain the edit, so downstream
+    chunk-hash dedup / incremental storage sees every other chunk
+    unchanged (the Rabin/rsync/LBFS boundary trick, token-granular).
+
+    Boundary rule is purely positional (no min/max chunk clamps), which
+    is what makes it one row-local expression: boundaries, cut points
+    and chunk ranges are array ops over the token list — a single scan,
+    NO shuffle before the presentation sort, embarrassingly parallel at
+    100 TB. Documents shorter than ``window`` tokens become one chunk;
+    empty documents yield no rows.
+
+    ``hash_fn="md5"`` (default) keeps boundaries replayable in the
+    DuckDB oracle; ``"xxhash64"`` is the production spelling (boundary
+    POSITIONS differ between modes — the same recall-vs-replay trade as
+    the MinHash family; the chunking properties are identical).
+
+    Returns (doc_id, chunk_idx, chunk_start, chunk_end, chunk_tokens,
+    chunk_hash) — 1-based inclusive token positions; ``chunk_hash`` is
+    the 60-bit content hash of the chunk text (the storage-dedup key).
+    """
+    from ralf_spark.functions.hashing import default_hash_fn
+    from ralf_spark.functions.text import _let_bound
+    from ralf_spark.operators.util import ensure_parallelism
+
+    hash_fn = hash_fn or default_hash_fn()
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    mod = 1 << mask_bits
+    h = F.xxhash64 if hash_fn == "xxhash64" else stable_hash64
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("_w"),
+        )
+    )
+    n = F.size("_w")
+    grams = word_shingles(F.col("_w"), window)
+    ends = F.filter(
+        F.transform(
+            grams,
+            lambda g, i: F.when(
+                h(g) % mod == 0, i + window
+            ).otherwise(F.lit(None).cast("int")),
+        ),
+        lambda x: x.isNotNull() & (x < n),
+    )
+    cuts = F.concat(
+        F.array(F.lit(0)), ends.cast("array<int>"), F.array(n)
+    )
+    chunks = _let_bound(
+        cuts,
+        lambda c: F.transform(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            lambda j: F.struct(
+                (F.element_at(c, j) + 1).alias("s"),
+                F.element_at(c, j + 1).alias("e"),
+            ),
+        ),
+    )
+    chunks = F.when(n > 0, chunks).otherwise(
+        F.array().cast("array<struct<s:int,e:int>>")
+    )
+    s, e = F.col("_ch.s"), F.col("_ch.e")
+    return (
+        base.select("doc_id", "_w", F.posexplode(chunks).alias("_ci", "_ch"))
+        .select(
+            "doc_id",
+            (F.col("_ci") + 1).alias("chunk_idx"),
+            s.alias("chunk_start"),
+            e.alias("chunk_end"),
+            (e - s + 1).alias("chunk_tokens"),
+            h(F.concat_ws(" ", F.slice("_w", s, e - s + 1))).alias(
+                "chunk_hash"
+            ),
+        )
+    )
+
+
+def cdc_chunks_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    mask_bits: int = 5,
+) -> str:
+    """DuckDB twin of :func:`cdc_chunks` (md5 mode) — identical boundary
+    hashes, cut points, and chunk content hashes."""
+    from ralf_spark.functions.hashing import stable_hash64_sql
+    from ralf_spark.functions.text import tokens_sql, word_shingles_sql
+
+    mod = 1 << mask_bits
+    bh = stable_hash64_sql(f"gs[i]")
+    ch = stable_hash64_sql("array_to_string(w[cuts[j]+1 : cuts[j+1]], ' ')")
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS w FROM {table}
+    ),
+    g AS (
+      SELECT doc_id, w, {word_shingles_sql('w', window)} AS gs FROM toks
+    ),
+    cut AS (
+      SELECT doc_id, w,
+             [0] || list_filter(
+               list_transform(generate_series(1, len(gs)),
+                 i -> CASE WHEN {bh} % {mod} = 0
+                      THEN CAST(i + {window} - 1 AS INTEGER) END),
+               x -> x IS NOT NULL AND x < len(w)) || [CAST(len(w) AS INTEGER)]
+               AS cuts
+      FROM g
+    ),
+    ch AS (
+      SELECT doc_id, w, cuts,
+             unnest(generate_series(1, len(cuts) - 1)) AS j
+      FROM cut WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(j AS INTEGER) AS chunk_idx,
+           CAST(cuts[j] + 1 AS INTEGER) AS chunk_start,
+           CAST(cuts[j+1] AS INTEGER) AS chunk_end,
+           CAST(cuts[j+1] - cuts[j] AS INTEGER) AS chunk_tokens,
+           {ch} AS chunk_hash
+    FROM ch
+    """

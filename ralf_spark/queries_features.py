@@ -613,6 +613,27 @@ _CHUNK_LEN = 32
 _CHUNK_STRIDE = 24
 
 
+def _cdc_oracle() -> str:
+    from ralf_spark.operators.text_analysis import cdc_chunks_sql
+
+    return cdc_chunks_sql() + "\n    ORDER BY doc_id, chunk_idx"
+
+
+@query("cdc_chunk_documents", _cdc_oracle())
+def cdc_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (r11b): rolling-hash boundaries cut each
+    token stream into edit-stable chunks (~2^5 tokens expected) — insert
+    a paragraph and only the chunks containing it re-cut, so chunk-hash
+    dedup and incremental storage see everything else unchanged (the
+    Rabin/LBFS trick at token granularity; the fixed-window
+    ``chunk_documents`` is the context-packing sibling). One row-local
+    scan, zero shuffle before the presentation sort."""
+    from ralf_spark.operators.text_analysis import cdc_chunks
+
+    docs = _docs_par(spark, sf_dir)
+    return cdc_chunks(docs.df).orderBy("doc_id", "chunk_idx")
+
+
 @query(
     "chunk_documents",
     f"""

@@ -2171,3 +2171,52 @@ def test_remove_duplicate_spans_null_and_empty_text(spark):
         assert got[d].clean_text == ""
         assert got[d].n_kept == 0 and got[d].n_removed == 0
     assert got[3].n_removed == 8 and got[4].n_removed == 8
+
+
+# ------------------------------------------------ content-defined chunking
+
+
+def test_cdc_chunks_partition_and_edit_stability(spark):
+    """Chunks tile each document exactly (no gaps/overlaps), and the
+    defining CDC property holds: prepending tokens only changes the
+    chunks up to the first boundary after the edit — every later chunk
+    hash survives (a fixed-window chunker shifts ALL of them)."""
+    import random
+
+    from ralf_spark.operators.text_analysis import cdc_chunks
+
+    rng = random.Random(3)
+    body = " ".join(f"t{rng.randint(0, 50)}" for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "pre1 pre2 pre3 pre4 pre5 " + body),
+         (3, "a b"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs, mask_bits=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # tiling: chunk k ends where k+1 starts - 1; first starts at 1
+    for d in (1, 2, 3):
+        ch = sorted(by_doc[d], key=lambda r: r.chunk_idx)
+        n_tok = len([t for t in docs.where(f"doc_id = {d}")
+                     .first().text.split(" ") if t])
+        assert ch[0].chunk_start == 1 and ch[-1].chunk_end == n_tok
+        for a, b in zip(ch, ch[1:]):
+            assert b.chunk_start == a.chunk_end + 1
+        assert all(r.chunk_tokens == r.chunk_end - r.chunk_start + 1
+                   for r in ch)
+    assert 4 not in by_doc  # empty doc -> no chunks
+    assert len(by_doc[3]) == 1  # shorter than window -> one chunk
+    # edit stability: doc 2 = doc 1 with 5 tokens prepended
+    h1 = [r.chunk_hash for r in
+          sorted(by_doc[1], key=lambda r: r.chunk_idx)]
+    h2 = [r.chunk_hash for r in
+          sorted(by_doc[2], key=lambda r: r.chunk_idx)]
+    # everything after the first shared boundary is identical: the
+    # SUFFIX of chunk hashes matches
+    common = 0
+    while (common < min(len(h1), len(h2))
+           and h1[-1 - common] == h2[-1 - common]):
+        common += 1
+    assert common >= max(1, len(h1) - 3), (len(h1), len(h2), common)
