@@ -17,13 +17,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# ASCII whitespace run: space, tab, LF, CR, VT, FF.  An explicit class —
+# not ``\s`` — because Java regex (Spark) includes \x0B in ``\s`` while RE2
+# (DuckDB) does not; the explicit class keeps the two engines byte-identical
+# on every input.  Unicode spaces (NBSP etc.) are intentionally NOT
+# boundaries: they are content characters in both engines.
+WHITESPACE_RE = r"[ \t\n\r\x0B\f]+"
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokens, empty strings dropped."""
-    return F.filter(F.split(col, " "), lambda t: t != "")
+    """Whitespace tokens, empty strings dropped.
+
+    Splits on RUNS of ASCII whitespace (space/tab/newline/CR/VT/FF), so
+    ``"foo\\nbar"`` and ``"foo  bar"`` both yield two tokens — matching
+    standard tokenization on real corpora where documents are multi-line.
+    The leading/trailing-run empties are dropped by the filter.
+    """
+    return F.filter(F.split(col, WHITESPACE_RE), lambda t: t != "")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"list_filter(string_split({expr}, ' '), t -> t <> '')"
+    """DuckDB twin of :func:`tokens` — same explicit whitespace class."""
+    return (
+        f"list_filter(regexp_split_to_array({expr},"
+        f" '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '')"
+    )
 
 
 def _let_bound(value: Column, body) -> Column:

@@ -125,7 +125,7 @@ def bm25_oracle_sql(
     matched = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
     return f"""
     WITH toks AS (
-      SELECT {key}, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      SELECT {key}, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '') AS w
       FROM {table}
     ),
     d AS (
@@ -181,7 +181,7 @@ def unigram_nll_oracle_sql(
 ) -> str:
     return f"""
     WITH toks AS (
-      SELECT {key}, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      SELECT {key}, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '') AS w
       FROM {table}
     ),
     tok AS (SELECT {key}, unnest(w) AS t FROM toks),

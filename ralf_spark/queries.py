@@ -2045,7 +2045,7 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact_dedup_prefix",
     """
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '') AS w
       FROM documents
     )
     SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -2097,6 +2097,51 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("avg_token_len"),
             "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multiline_token_stats",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || chr(10) || lang || chr(9) || source || chr(13)
+                  || chr(10) || '  ' || text AS mtext
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {tokens_sql('mtext')} AS w FROM synth)
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_tokens,
+           md5(array_to_string(w[1:8], ' ')) AS head_sig
+    FROM toks ORDER BY doc_id
+    """,
+)
+def multiline_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 robustness gate: tokenization over MULTI-LINE text.
+
+    The fixture corpus is single-line, so this gate synthesizes real-corpus
+    shape — embedded LF, TAB, CRLF, and runs of spaces — by concatenating
+    fixture columns with those separators, then pins token count, distinct
+    count, and an md5 signature of the first 8 tokens against the DuckDB
+    twin. Guards the ``tokens()`` whitespace contract (functions/text.py):
+    any engine divergence on newline/tab/run-of-space boundaries breaks the
+    hash. Scan-side expressions only — zero shuffles.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    mtext = F.concat(
+        F.col("text"), F.lit("\n"), F.col("lang"), F.lit("\t"),
+        F.col("source"), F.lit("\r\n  "), F.col("text"),
+    )
+    w = tokens(mtext)
+    return (
+        docs.df.select(
+            "doc_id",
+            F.size(w).alias("n_tokens"),
+            F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(w, 1, 8))).alias("head_sig"),
         )
         .orderBy("doc_id")
     )

@@ -215,7 +215,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
     base AS (
       SELECT d.doc_id AS id,
-             CAST(len(list_filter(string_split(d.text, ' '), t -> t <> ''))
+             CAST(len(list_filter(regexp_split_to_array(d.text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> ''))
                   AS INTEGER) AS quality,
              coalesce(l.rep, d.doc_id) AS cluster_rep
       FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
@@ -685,7 +685,7 @@ def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     toks AS (
       SELECT doc_id,
-             len(list_filter(string_split(text, ' '), t -> t <> ''))
+             len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> ''))
                AS n_tokens
       FROM documents
     )
@@ -750,7 +750,13 @@ def incremental_gram_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership-in-store OR repeated-within-batch is exactly
     corpus-so-far occurrence >= 2 (see :class:`GramIndex`). Only the new
     half is tokenized/hashed in the add round — the incremental-cost
-    contract, same shape as ``incremental_minhash_index``."""
+    contract, same shape as ``incremental_minhash_index``.
+
+    The returned plan carries the add's persisted intermediates via the
+    ``attach_cached`` convention (operators/util.py): every harness
+    caller — ``compare_query``, the sweep, the bench drain — calls
+    ``unpersist_cached`` after its action, which releases them; a direct
+    caller that keeps the session alive must do the same."""
     import hashlib as _hl
 
     from ralf_spark.operators.dedup import GramIndex

@@ -470,7 +470,7 @@ def _ref_dup_spans(texts: dict[int, str], n: int, min_occ: int = 2):
     positions into maximal spans (gap <= n merges)."""
     from collections import Counter
 
-    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    toks = {d: [t for t in s.split() if t] for d, s in texts.items()}
     grams: Counter = Counter()
     for tk in toks.values():
         for i in range(len(tk) - n + 1):
