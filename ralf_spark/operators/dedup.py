@@ -1755,6 +1755,8 @@ def _gram_positions(
     the batch span detector and :class:`GramIndex`."""
     from ralf_spark.functions.text import tokens, word_shingles
 
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     ids = ensure_parallelism(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     )
@@ -1979,8 +1981,16 @@ class GramIndex:
     Contract: ``add()`` reports duplicated spans of the NEW batch only —
     the crawl-loop shape (incoming data is cleaned against everything
     seen; already-ingested docs are not retro-flagged when a later copy
-    arrives, which would require per-digest counts and an O(store)
-    aggregation per add).
+    arrives, which would require an O(store) aggregation per add).
+
+    ``count_mode=True`` (r12) upgrades the store from distinct digests to
+    the full gram-position log ``(_id, _pos, _dg)`` — the same O(corpus
+    tokens) a suffix array pays — so :meth:`retro` can emit spans for
+    EARLIER copies too: one O(store) corpus-wide occurrence count per
+    maintenance cadence (never per add), giving full Lee et al. batch
+    parity in the incremental path. ``add()`` semantics and cost shape
+    are unchanged (the store probe reads only the digest column, which
+    parquet prunes to).
 
     Scale (100 TB): the store is ∝ distinct corpus grams — the same
     8 bytes/token a suffix array pays, sharded as parquet. Per-add cost
@@ -1999,10 +2009,12 @@ class GramIndex:
         min_tokens: int = 8,
         hash_fn: str | None = None,
         auto_maintain: int | None = None,
+        count_mode: bool = False,
     ):
         self.path = path
         self.min_tokens = min_tokens
         self.hash_fn = hash_fn or default_hash_fn()
+        self.count_mode = count_mode
         if self.hash_fn not in ("md5", "xxhash64"):
             raise ValueError(f"unknown hash_fn: {self.hash_fn!r}")
         if auto_maintain is None:
@@ -2050,14 +2062,16 @@ class GramIndex:
         )
 
     def _check_or_write_meta(self, spark) -> None:
-        """Pin (hash_fn, min_tokens): digests hashed under a different
-        mode or gram length never match the stored set — a silent
-        zero-duplicates failure (same contract as MinHashIndex's pin)."""
+        """Pin (hash_fn, min_tokens, count_mode): digests hashed under a
+        different mode or gram length never match the stored set — a
+        silent zero-duplicates failure (same contract as MinHashIndex's
+        pin) — and a membership handle reading a position store (or vice
+        versa) would mis-shape every probe."""
         from ralf_spark.connectors import _hadoop_fs
 
         meta_path = f"{self.path}/_meta"
         fs, jmeta = _hadoop_fs(spark, meta_path)
-        mine = (self.hash_fn, self.min_tokens)
+        mine = (self.hash_fn, self.min_tokens, self.count_mode)
         rows = []
         if fs.exists(jmeta):
             try:
@@ -2073,17 +2087,22 @@ class GramIndex:
                     raise
                 rows = []
         if rows:
-            stored = (rows[0].hash_fn, rows[0].min_tokens)
+            # pre-r12 stores lack the count_mode column: membership mode
+            stored = (
+                rows[0].hash_fn,
+                rows[0].min_tokens,
+                bool(getattr(rows[0], "count_mode", False) or False),
+            )
             if stored != mine:
                 raise ValueError(
                     f"GramIndex at {self.path} stores (hash_fn, "
-                    f"min_tokens)={stored} but this handle has {mine}; "
-                    "mixed configs silently report zero duplicates. "
-                    "Match the stored config or rebuild."
+                    f"min_tokens, count_mode)={stored} but this handle "
+                    f"has {mine}; mixed configs silently report zero "
+                    "duplicates. Match the stored config or rebuild."
                 )
             return
         spark.createDataFrame(
-            [mine], "hash_fn string, min_tokens int"
+            [mine], "hash_fn string, min_tokens int, count_mode boolean"
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
     # ------------------------------------------------------------ lifecycle
@@ -2097,7 +2116,11 @@ class GramIndex:
         if fs.exists(jpath):
             fs.delete(jpath, True)
         self._check_or_write_meta(spark)
-        dg = self._positions(table, text_col).select("_dg").distinct()
+        pos = self._positions(table, text_col)
+        dg = (
+            pos if self.count_mode
+            else pos.select("_dg").distinct()
+        )
         dg = dg.persist()
         try:
             n = dg.count()
@@ -2105,11 +2128,32 @@ class GramIndex:
         finally:
             dg.unpersist()
 
+    def _folded_tags(self, spark) -> set[str]:
+        """Tags already folded by :meth:`maintain` — the replay-refusal
+        record (sidecar shared-format with the streaming sketch logs)."""
+        from ralf_spark.connectors import _hadoop_fs, read_json_sidecar
+
+        sidecar = f"{self.path}/grams/.compacted_tags.json"
+        fs, jpath = _hadoop_fs(spark, sidecar)
+        if not fs.exists(jpath):
+            return set()
+        return set(read_json_sidecar(spark, sidecar).get("tags", []))
+
     def maintain(self, spark, keep_last: int = 1, tiered: bool = True) -> dict:
         """Fold batch partitions with a ``distinct()`` MERGING compaction
         (membership algebra: union folds exactly), tiered by default —
         same manifest transaction, crash recovery, and write-amp
-        discipline as the other indexes."""
+        discipline as the other indexes.
+
+        Folded tags are durably recorded in a ``.compacted_tags.json``
+        sidecar INSIDE the compaction transaction (before the done
+        marker) so :meth:`add` can refuse a replay of a folded tag
+        loudly instead of misreporting every batch position as
+        duplicated (r12, closes the documented replay window: a crash
+        between the record and the done marker rolls the fold back
+        while leaving the tag recorded — the refusal is then overly
+        strict, never silently wrong)."""
+        from ralf_spark.connectors import write_json_sidecar
         from ralf_spark.layout import (
             compact_batch_partitions,
             tiered_compaction_sources,
@@ -2123,10 +2167,26 @@ class GramIndex:
         )
         if tiered and sources is None:
             return {"grams": None}
+
+        def record(folded: list[str]) -> None:
+            tags = self._folded_tags(spark)
+            tags.update(t for t in folded if not t.startswith("compacted-"))
+            write_json_sidecar(
+                spark, f"{root}/.compacted_tags.json",
+                {"tags": sorted(tags)},
+            )
+
         return {
             "grams": compact_batch_partitions(
                 spark, root, keep_last=keep_last, sources=sources,
-                transform=lambda df: df.distinct(),
+                # membership algebra folds by distinct(); the count-mode
+                # position log is already row-unique per (doc, pos) — a
+                # plain concatenation fold, no extra shuffle
+                transform=(
+                    None if self.count_mode
+                    else (lambda df: df.distinct())
+                ),
+                on_before_done=record,
             )
         }
 
@@ -2152,19 +2212,31 @@ class GramIndex:
         REPLAY RESTRICTION (the CMS-log class): only tags newer than the
         last compaction may be replayed. Once :meth:`maintain` folds a
         tag, its digests live in the compacted partition under a
-        different name — a replay of that tag then finds its own
-        previous digests as "seen in store" and misreports EVERY batch
+        different name — a replay of that tag would find its own
+        previous digests as "seen in store" and misreport EVERY batch
         position as duplicated (membership carries no doc identity, so
         the self-copy cannot be excluded the way MinHash pair ids
-        collapse). The auto-maintenance cadence keeps ``keep_last=1``
-        (the newest tag — the only one an in-flight micro-batch retry
-        targets — always survives), and the streaming spelling
-        (``foreach_batch_gram_dedup``) refuses folded tags outright via
-        the compacted-tags sidecar."""
+        collapse). ENFORCED (r12): :meth:`maintain` records folded tags
+        in a sidecar and a replayed folded ``batch_tag`` raises
+        ``ValueError`` here instead of misreporting. The
+        auto-maintenance cadence keeps ``keep_last=1`` (the newest tag
+        — the only one an in-flight micro-batch retry targets — always
+        survives), and the streaming spelling
+        (``foreach_batch_gram_dedup``) additionally skips folded tags
+        via its own sidecar before reaching this check."""
         import uuid
 
         spark = table.df.sparkSession
         self._check_or_write_meta(spark)
+        if batch_tag is not None and batch_tag in self._folded_tags(spark):
+            raise ValueError(
+                f"GramIndex at {self.path}: batch_tag {batch_tag!r} was "
+                "already folded by maintain(); replaying it would "
+                "misreport every position of the batch as duplicated "
+                "(membership digests carry no doc identity). Replay only "
+                "tags newer than the last compaction (keep_last spares "
+                "them), or rebuild the index."
+            )
         if self.auto_maintain:
             from ralf_spark.layout import batch_tag_count
 
@@ -2199,5 +2271,40 @@ class GramIndex:
         # fold AFTER the span plan is defined: the plan reads the frozen
         # pre-add file snapshot + persisted batch projections, so it can
         # never observe its own append
-        self._write(batch_dg, tag, rows=n_dg)
+        if self.count_mode:
+            self._write(pos, tag, rows=pos.count())
+        else:
+            self._write(batch_dg, tag, rows=n_dg)
         return out
+
+    def retro(self, spark) -> DataFrame:
+        """Corpus-wide duplicated spans over EVERYTHING ingested so far —
+        the retro-flagging pass (r12, ``count_mode=True`` only): earlier
+        copies that :meth:`add` could not flag when their duplicate
+        arrived later are emitted here, so ``build(A); add(B); retro()``
+        equals the batch detector over A ∪ B for BOTH documents' spans
+        (full Lee et al. parity; oracle-gated).
+
+        Cost: ONE store scan + one groupBy(digest) count + one rejoin —
+        O(store), run once per maintenance cadence, never per add. The
+        same AQE skew handling as the batch detector applies (boilerplate
+        digests are hot keys on the count side)."""
+        if not self.count_mode:
+            raise ValueError(
+                f"GramIndex at {self.path} is a membership store "
+                "(count_mode=False): digests carry no positions, so "
+                "retro-flagging is impossible. Rebuild with "
+                "count_mode=True for the retro pass."
+            )
+        self._check_or_write_meta(spark)
+        store = self._read(spark)
+        if store is None:
+            raise ValueError(f"GramIndex at {self.path} is empty")
+        dup = (
+            store.groupBy("_dg")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") >= 2)
+            .select("_dg")
+        )
+        dup_pos = store.join(dup, "_dg").select("_id", "_pos")
+        return _positions_to_spans(dup_pos, self.min_tokens)

@@ -394,7 +394,9 @@ def cdc_chunks(
 
     Returns (doc_id, chunk_idx, chunk_start, chunk_end, chunk_tokens,
     chunk_hash) — 1-based inclusive token positions; ``chunk_hash`` is
-    the 60-bit content hash of the chunk text (the storage-dedup key).
+    the content hash of the chunk text (the storage-dedup key): the
+    60-bit ``stable_hash64`` in md5 mode, the full signed 64-bit
+    ``xxhash64`` in production mode.
     """
     from ralf_spark.functions.hashing import default_hash_fn
     from ralf_spark.functions.text import _let_bound

@@ -776,6 +776,51 @@ def incremental_gram_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gram_index_retro_spans",
+    f"""
+    WITH allspans AS ({duplicate_span_ranges_sql()})
+    SELECT doc_id, span_start, span_end, span_tokens
+    FROM allspans ORDER BY doc_id, span_start
+    """,
+)
+def gram_index_retro_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 retro-flagging (r12, full Lee et al. parity in the incremental
+    path): a count-mode :class:`GramIndex` ingests the corpus as two
+    crawl batches (even docs built, odd docs added), then ``retro()``
+    emits corpus-wide duplicated spans — INCLUDING the earlier copies
+    whose duplicates only arrived in the second batch, which ``add()``
+    alone cannot flag. The oracle is the one-shot batch detector over
+    the whole corpus: the gate pins ``build(A); add(B); retro()`` ≡
+    batch spans over A ∪ B for both halves' documents.
+
+    Scale: retro is ONE O(store) pass — groupBy(digest) occurrence count
+    over the position log + rejoin — run once per maintenance cadence,
+    never per add (probe-measured in SCALEPROBE.md)."""
+    import hashlib as _hl
+
+    from ralf_spark.operators.dedup import GramIndex
+
+    docs = _docs_par(spark, sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = GramIndex(
+        _scratch(f"gram_retro_{tag}_"), min_tokens=8, count_mode=True
+    )
+    even = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 0), key="doc_id"
+    )
+    odd = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 1), key="doc_id"
+    )
+    idx.build(even)
+    spans = idx.add(odd)
+    spans.count()  # drain the add (its span output is the odd half only)
+    from ralf_spark.operators.util import unpersist_cached
+
+    unpersist_cached(spans)
+    return idx.retro(spark).orderBy("doc_id", "span_start")
+
+
+@query(
     "streaming_gram_dedup",
     f"""
     WITH even_spans AS (

@@ -249,6 +249,42 @@ def test_quality_score_bounds_and_ordering(spark):
     assert 0.0 <= out[2] < out[1] <= 1.0
 
 
+def test_tokens_whitespace_contract(spark):
+    """tokens() splits on RUNS of ASCII whitespace — LF, TAB, CR, VT, FF,
+    and consecutive spaces are all boundaries (functions/text.py contract;
+    real corpora are multi-line). The DuckDB twin must agree byte-for-byte
+    on the same inputs, including the \\x0B case where Java's \\s and RE2's
+    \\s disagree (the explicit class keeps them identical)."""
+    from ralf_spark.functions.text import tokens, tokens_sql
+    import duckdb
+
+    cases = [
+        "foo\nbar",
+        "a\tb\tc",
+        "x  y   z",
+        "lead \r\n trail\f mix\x0bend",
+        "  edge  \n",
+        "single",
+        "",
+    ]
+    t = _docs(spark, list(enumerate(cases)))
+    got = {
+        r.doc_id: list(r.w)
+        for r in t.df.select(
+            "doc_id", tokens(F.col("text")).alias("w")
+        ).collect()
+    }
+    expect = {i: s.split() for i, s in enumerate(cases)}
+    assert got == expect
+
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        dk = con.execute(
+            f"SELECT {tokens_sql('?')} AS w", [s]
+        ).fetchone()[0]
+        assert list(dk) == expect[i], (s, dk)
+
+
 def test_token_count_regex(spark):
     t = _docs(spark, [(1, "abc 123 def45")])
     n = t.df.select(token_count_regex(F.col("text")).alias("n")).collect()[0].n
@@ -1794,7 +1830,7 @@ def _brute_spans(docs: dict[int, str], n: int = 8, min_occ: int = 2):
     into maximal spans (merge when gap <= n)."""
     from collections import Counter
 
-    toks = {d: [t for t in s.split(" ") if t] for d, s in docs.items()}
+    toks = {d: [t for t in s.split() if t] for d, s in docs.items()}
     grams = Counter()
     for tk in toks.values():
         for i in range(len(tk) - n + 1):
@@ -1973,7 +2009,7 @@ def test_remove_duplicate_spans_matches_bruteforce(spark):
         spans[d].append((s, e))
     assert set(got) == set(docs)  # every doc survives
     for d, text in docs.items():
-        tk = [x for x in text.split(" ") if x]
+        tk = [x for x in text.split() if x]
         keep = [
             x
             for i, x in enumerate(tk, start=1)
@@ -2151,6 +2187,91 @@ def test_gram_index_auto_maintain_cadence(spark, tmp_path):
     assert got == want and got  # doc 5 still matches doc 2 post-compaction
 
 
+def test_gram_index_replay_of_folded_tag_raises(spark, tmp_path):
+    """A batch_tag already folded by maintain() must be REFUSED loudly
+    (r12): the fold renamed its digests into the compacted partition, so
+    a replay would see its own previous digests as 'seen' and misreport
+    every position of the batch as duplicated. Tags spared by keep_last
+    stay replayable (idempotent rewrite)."""
+    import pytest as _pytest
+
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, _ = _gram_batches()
+    idx = GramIndex(str(tmp_path / "gi"), min_tokens=8, auto_maintain=0)
+    idx.build(_docs(spark, list(b1.items())))
+    idx.add(_docs(spark, list(b2.items())), batch_tag="t1").collect()
+    extra = {9: "f1 f2 f3 f4 f5 f6 f7 f8 f9"}
+    before = sorted(
+        tuple(r)
+        for r in idx.add(
+            _docs(spark, list(extra.items())), batch_tag="t2"
+        ).collect()
+    )
+    idx.maintain(spark, keep_last=1, tiered=False)  # folds base + t1
+    with _pytest.raises(ValueError, match="already folded"):
+        idx.add(_docs(spark, list(b2.items())), batch_tag="t1")
+    # the spared newest tag replays idempotently, same answer
+    replay = sorted(
+        tuple(r)
+        for r in idx.add(
+            _docs(spark, list(extra.items())), batch_tag="t2"
+        ).collect()
+    )
+    assert replay == before
+
+
+def test_gram_index_count_mode_retro_matches_batch_detector(spark, tmp_path):
+    """count_mode (r12): build(A); add(B); retro() must equal the batch
+    span detector over A ∪ B for ALL documents — including the earlier
+    copies that add() alone cannot flag (full Lee et al. parity)."""
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, b3 = _gram_batches()
+    idx = GramIndex(
+        str(tmp_path / "gi"), min_tokens=8, count_mode=True,
+        auto_maintain=0,
+    )
+    idx.build(_docs(spark, list(b1.items())))
+    # add() contract is unchanged in count mode: new-batch spans only
+    got_add = sorted(
+        tuple(r)
+        for r in idx.add(_docs(spark, list(b2.items()))).collect()
+    )
+    seen = {**b1, **b2}
+    assert got_add == [s for s in _brute_spans(seen, 8) if s[0] in b2]
+    idx.add(_docs(spark, list(b3.items()))).collect()
+    seen.update(b3)
+    want_all = _brute_spans(seen, 8)
+    got_retro = sorted(tuple(r) for r in idx.retro(spark).collect())
+    assert got_retro == want_all and got_retro
+    # earlier copies ARE flagged: some retro span belongs to a build/add-1
+    # doc that the per-add outputs never reported
+    flagged_docs = {s[0] for s in got_retro}
+    assert flagged_docs & set(b1), "retro must flag earlier copies"
+    # maintain() folds the position log without changing the answer
+    idx.maintain(spark, keep_last=1, tiered=False)
+    after = sorted(tuple(r) for r in idx.retro(spark).collect())
+    assert after == want_all
+
+
+def test_gram_index_retro_requires_count_mode(spark, tmp_path):
+    import pytest as _pytest
+
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, _, _ = _gram_batches()
+    idx = GramIndex(str(tmp_path / "gi"), min_tokens=8)
+    idx.build(_docs(spark, list(b1.items())))
+    with _pytest.raises(ValueError, match="count_mode"):
+        idx.retro(spark)
+    # and a count-mode handle refuses a membership store (meta pin)
+    with _pytest.raises(ValueError, match="count_mode"):
+        GramIndex(
+            str(tmp_path / "gi"), min_tokens=8, count_mode=True
+        ).add(_docs(spark, list(b1.items())))
+
+
 def test_remove_duplicate_spans_null_and_empty_text(spark):
     """NULL or empty text must still yield exactly one output row with
     0/0 counts — not NULL arithmetic (the every-doc-once contract)."""
@@ -2200,7 +2321,7 @@ def test_cdc_chunks_partition_and_edit_stability(spark):
     for d in (1, 2, 3):
         ch = sorted(by_doc[d], key=lambda r: r.chunk_idx)
         n_tok = len([t for t in docs.where(f"doc_id = {d}")
-                     .first().text.split(" ") if t])
+                     .first().text.split() if t])
         assert ch[0].chunk_start == 1 and ch[-1].chunk_end == n_tok
         for a, b in zip(ch, ch[1:]):
             assert b.chunk_start == a.chunk_end + 1
