@@ -407,6 +407,86 @@ def kmeans_lattice_oracle_sql(iters: int = 2, decimals: int = 4) -> str:
     return "".join(parts)
 
 
+def kmeans_plusplus_oracle_sql(k: int = 8, seed: str = "kpp") -> str:
+    """DuckDB replay of the deterministic spherical k-means++ seeding:
+    the same content-hash uniforms, the same left-fold dot/norm shapes
+    (``list_reduce`` folds x1+x2+… exactly like Spark's ``aggregate``
+    with a 0.0 init — adding 0.0 first is IEEE-exact), the same
+    Efraimidis-Spirakis key ``ln(u)/w``, the same (key DESC, id) argmax
+    per round."""
+    from ralf_spark.functions.hashing import stable_hash64_sql
+
+    def fold_dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}),"
+            " z -> z[1] * z[2]), (acc, x) -> acc + x)"
+        )
+
+    def fold_norm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({a}, x -> x * x),"
+            " (acc, x) -> acc + x))"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"({fold_dot(a, b)} / ({fold_norm(a)} * {fold_norm(b)}))"
+
+    two60 = "1152921504606846976.0"
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    s0 AS (
+      SELECT id, v FROM e
+      ORDER BY {stable_hash64_sql('id', salt=f'{seed}|0')} DESC, id
+      LIMIT 1
+    )"""
+    ]
+    for i in range(1, k):
+        cos_terms = ", ".join(
+            cos("e.v", f"s{j}.v") for j in range(i)
+        )
+        srcs = ", ".join(f"s{j}" for j in range(i))
+        u = stable_hash64_sql("e.id", salt=f"{seed}|{i}")
+        d = f"(1.0 - greatest({cos_terms}))"
+        parts.append(f""",
+    s{i} AS (
+      SELECT e.id, e.v FROM e, {srcs}
+      WHERE {d} > 0
+      ORDER BY ln(CAST({u} + 1 AS DOUBLE) / {two60})
+               / ({d} * {d}) DESC, e.id
+      LIMIT 1
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS centroid_id, id AS seed_id FROM s{i}"
+        for i in range(k)
+    )
+    parts.append(f"""
+    SELECT CAST(centroid_id AS BIGINT) AS centroid_id, seed_id
+    FROM ({selects}) ORDER BY centroid_id
+    """)
+    return "".join(parts)
+
+
+@query("kmeans_plusplus_seeds", kmeans_plusplus_oracle_sql(k=8))
+def kmeans_plusplus_seeds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 quantizer seeding (r12): deterministic spherical k-means++ over
+    the embeddings table, k=8 — the chosen seed ids hash-gated against a
+    full DuckDB replay of every selection round (content-hash uniforms +
+    Efraimidis-Spirakis angular-distance keys; see
+    :func:`ralf_spark.operators.similarity.kmeans_plusplus_seeds`)."""
+    from ralf_spark.operators.similarity import kmeans_plusplus_seeds
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        kmeans_plusplus_seeds(emb, k=8)
+        .select("centroid_id", "seed_id")
+        .orderBy("centroid_id")
+    )
+
+
 @query("kmeans_fit_centroids", kmeans_lattice_oracle_sql(iters=2, decimals=4))
 def kmeans_fit_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 quantizer training, oracle-gated end to end: the distributed
