@@ -103,6 +103,113 @@ def write_json_sidecar(spark: SparkSession, path: str, payload: dict) -> None:
         out.close()
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer touched a single-writer state store (r12)."""
+
+
+#: one writer identity per PROCESS: every handle/sink in this process is
+#: "the same writer" (maintenance called from inside an add renews the
+#: same lease), while a second process fails loudly. Tests pass an
+#: explicit ``writer_id`` to simulate the foreign writer.
+_PROCESS_WRITER_ID = __import__("uuid").uuid4().hex
+
+#: the lease lives NEXT TO the store directory (``<path>.writer_lease``),
+#: never inside it: an in-store sidecar would make an empty store look
+#: non-empty to existence checks and be deleted by staged full rewrites.
+WRITER_LEASE_SUFFIX = ".writer_lease.json"
+
+#: a crashed writer's lease expires after this long without a heartbeat
+#: (every guarded write renews); a successor then steals it. Bound it
+#: well above the longest micro-batch/maintenance cycle.
+WRITER_LEASE_TTL_SEC = 300.0
+
+
+def acquire_writer_lease(
+    spark: SparkSession,
+    path: str,
+    writer_id: str | None = None,
+    ttl_sec: float | None = None,
+) -> str:
+    """Acquire-or-renew the single-writer lease on state store ``path``,
+    raising :class:`ConcurrentWriterError` if another live writer holds
+    it (r12, VERDICT r11 #6).
+
+    Every sink/index in this package documents single-writer
+    exactly-once; before this lease, a second concurrent writer would
+    silently corrupt the manifest/publish protocols (two interleaved
+    stage-then-swap transactions). The lease is a heartbeat sidecar —
+    ``{writer_id, heartbeat_unix}`` — checked and renewed at every
+    guarded write:
+
+    - foreign lease with a heartbeat younger than ``ttl_sec`` → raise;
+    - foreign lease older than ``ttl_sec`` → the holder crashed without
+      releasing: steal;
+    - own (or no) lease → renew, then RE-READ and verify the sidecar
+      still names this writer (the fencing read: if two writers raced
+      the renewal, at least one observes the other and raises before
+      its next store mutation).
+
+    Best-effort by design (a filesystem sidecar cannot give mutual
+    exclusion guarantees two racing processes can't violate for one
+    batch) — the contract is FAIL LOUDLY instead of corrupting: any
+    steady second writer is detected at its first heartbeat round-trip.
+    Production deployments wanting hard guarantees point the state at a
+    lakehouse format with optimistic concurrency; this is the parquet
+    spelling's guard.
+    """
+    import time
+
+    wid = writer_id or _PROCESS_WRITER_ID
+    ttl = WRITER_LEASE_TTL_SEC if ttl_sec is None else ttl_sec
+    sidecar = path.rstrip("/") + WRITER_LEASE_SUFFIX
+    fs, jpath = _hadoop_fs(spark, sidecar)
+    now = time.time()
+    if fs.exists(jpath):
+        try:
+            held = read_json_sidecar(spark, sidecar)
+        except Exception:
+            held = None  # torn read: a writer is mid-renewal right now
+        if held is None or (
+            held.get("writer_id") != wid
+            and now - float(held.get("heartbeat_unix", 0.0)) < ttl
+        ):
+            holder = held.get("writer_id") if held else "<unreadable>"
+            raise ConcurrentWriterError(
+                f"state store {path} is held by writer {holder!r} "
+                f"(heartbeat within {ttl:.0f}s); refusing to write — a "
+                "second concurrent writer would corrupt the single-writer "
+                "publish protocol. Stop the other writer, or wait for its "
+                "lease to expire if it crashed."
+            )
+    write_json_sidecar(
+        spark, sidecar, {"writer_id": wid, "heartbeat_unix": now}
+    )
+    check = read_json_sidecar(spark, sidecar)
+    if check.get("writer_id") != wid:
+        raise ConcurrentWriterError(
+            f"state store {path}: writer {check.get('writer_id')!r} raced "
+            "this lease renewal; backing off."
+        )
+    return wid
+
+
+def release_writer_lease(
+    spark: SparkSession, path: str, writer_id: str | None = None
+) -> None:
+    """Drop the lease if this writer holds it (no-op otherwise)."""
+    wid = writer_id or _PROCESS_WRITER_ID
+    sidecar = path.rstrip("/") + WRITER_LEASE_SUFFIX
+    fs, jpath = _hadoop_fs(spark, sidecar)
+    if not fs.exists(jpath):
+        return
+    try:
+        held = read_json_sidecar(spark, sidecar)
+    except Exception:
+        return
+    if held.get("writer_id") == wid:
+        fs.delete(jpath, False)
+
+
 def upsert_into(
     path: str,
     batch: FeatureTable,
@@ -140,6 +247,8 @@ def upsert_into(
             "(supported: 'parquet', 'delta')"
         )
     spark = batch.df.sparkSession
+    # single-writer guard (r12): fail loudly before the staged replace
+    acquire_writer_lease(spark, path)
     batch_latest = batch.latest().df
     current = _try_read_parquet(spark, path)
     if current is not None:

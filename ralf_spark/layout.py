@@ -369,6 +369,9 @@ def compact_batch_partitions(
         write_json_sidecar,
     )
 
+    from ralf_spark.connectors import acquire_writer_lease
+
+    acquire_writer_lease(spark, root)  # single-writer guard (r12)
     recover_compaction(spark, root)
     dirs = _batch_dirs(spark, root)
     if not dirs:

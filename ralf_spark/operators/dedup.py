@@ -1414,6 +1414,9 @@ class MinHashIndex:
         sigs = sigs.persist()
         # a rebuild must not inherit stale batch partitions
         spark = table.df.sparkSession
+        from ralf_spark.connectors import acquire_writer_lease
+
+        acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
         fs, jpath = _hadoop_fs(spark, self.path)
         if fs.exists(jpath):
             fs.delete(jpath, True)
@@ -1508,6 +1511,9 @@ class MinHashIndex:
         import uuid
 
         spark = table.df.sparkSession
+        from ralf_spark.connectors import acquire_writer_lease
+
+        acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
         self._check_or_write_meta(spark)
         if self.auto_maintain:
             from ralf_spark.layout import batch_tag_count
@@ -2112,6 +2118,9 @@ class GramIndex:
         from ralf_spark.connectors import _hadoop_fs
 
         spark = table.df.sparkSession
+        from ralf_spark.connectors import acquire_writer_lease
+
+        acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
         fs, jpath = _hadoop_fs(spark, self.path)
         if fs.exists(jpath):
             fs.delete(jpath, True)
@@ -2227,6 +2236,9 @@ class GramIndex:
         import uuid
 
         spark = table.df.sparkSession
+        from ralf_spark.connectors import acquire_writer_lease
+
+        acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
         self._check_or_write_meta(spark)
         if batch_tag is not None and batch_tag in self._folded_tags(spark):
             raise ValueError(

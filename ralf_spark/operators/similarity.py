@@ -966,6 +966,10 @@ class IvfIndex:
             # not have overwritten the quantizer or cleared the cells of
             # a working index (reviewed r7)
             _check_codebooks(codebooks)
+        from ralf_spark.connectors import acquire_writer_lease
+
+        # single-writer guard (r12) — before the first destructive write
+        acquire_writer_lease(table.df.sparkSession, self.path)
         centroids.select(
             F.col("centroid_id").cast("long"),
             F.col("centroid_vec").cast("array<double>"),
@@ -1013,6 +1017,9 @@ class IvfIndex:
         import uuid
 
         spark = table.df.sparkSession
+        from ralf_spark.connectors import acquire_writer_lease
+
+        acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
         if self.auto_maintain:
             from ralf_spark.layout import batch_tag_count
 

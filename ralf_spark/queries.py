@@ -2302,7 +2302,7 @@ def doc_fingerprint_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("near_dup_minhash", near_dup_pairs_sql())
+@query("near_dup_minhash", near_dup_pairs_sql(), headline=True)
 def near_dup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: banded MinHash/LSH near-duplicate detection (16 perms, 8 bands
     of 2) with exact-Jaccard verification at threshold 0.5. Candidate
@@ -3322,17 +3322,19 @@ def headline_queries() -> dict[str, Query]:
 # cleaned text), incremental_gram_index (the GramIndex crawl-loop store;
 # incremental == batch equivalence), sq8_adc_topk (SQ8 per-dim
 # compression + dequantized ADC serving). Each replayed green in a fresh
-# driver-replica session at sf0.01 before rotation. Out (registered +
-# sweep-gated as always): pq_encode_codes (E3 keeps 4 driver rows; the
-# PQ rerank composition exercises encode+ADC inside it),
-# layout_zorder_roundtrip (E8 keeps the partitioned-write stats row),
-# bm25_keyword_search (E9 keeps ewma + both composition gates).
+# driver-replica session at sf0.01 before rotation. r12 out (registered
+# + sweep-gated as always): event_type_counts, exact_substring_removal,
+# incremental_gram_index, similarity_topk_bruteforce, sq8_adc_topk,
+# text_profile; r12 in: gram_index_retro_spans, streaming_gram_dedup,
+# similarity_topk_ivf_sq8, kmeans_plusplus_seeds, multiline_token_stats,
+# cdc_chunk_documents.
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
     # keyed aggregation (SURVEY §2.4 A1/A2/A4; running_sum's cumulative
-    # window is driver-exercised inside feature_pipeline_end2end)
-    "per_key_avg", "latest_per_key", "event_type_counts",
+    # window is driver-exercised inside feature_pipeline_end2end; r12
+    # rotation: event_type_counts to the sweep — A1 keeps per_key_avg)
+    "per_key_avg", "latest_per_key",
     # windows: count (W1/W2 incl. r10's hot-key-safe salted rank — r11
     # rotation in; time_window_hourly to the sweep), event-time, stream
     "tumbling_count_window", "sliding_count_window", "salted_sliding_window",
@@ -3366,24 +3368,29 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # streaming joins (J1a stream-static + interval stream-stream, r7)
     "streaming_interval_join",
     # dedup family (§2.10 E1/E2) + decontamination + incremental index
-    # (r9 rotation: dedup_clusters to the sweep; r11b adds the
-    # exact-substring sub-family: the detect→cut composition and the
-    # incremental gram store)
+    # (r12 rotation: exact_substring_removal and incremental_gram_index
+    # to the sweep — gram_index_retro_spans exercises the gram store's
+    # full lifecycle incl. the new count-mode retro pass, and the
+    # STREAMING gram-dedup spelling rotates in)
     "exact_dedup", "near_dup_minhash",
     "incremental_minhash_index",
     "decontaminate_against_eval",
-    "exact_substring_removal", "incremental_gram_index",
-    # similarity search (E3): one-shot, persistent index (r10 rotation:
-    # the TWO-LEVEL serving spelling replaces the exact-path row, and the
-    # clustered recall@10 gate replaces kmeans_fit — ivf_index_query and
-    # kmeans_fit_centroids to the sweep), quantizer-backed recall,
-    # PQ encode + ADC/rerank two-pass
-    "similarity_topk_bruteforce", "ivf_index_query_twolevel",
-    "ivf_recall_clustered",
-    "similarity_topk_pq_rerank", "sq8_adc_topk",
-    # text analysis + quality filtering (E4; r9 rotation:
-    # gopher_repetition to the sweep, E4 keeps 3 driver rows)
-    "text_profile", "text_quality", "doc_fingerprint_simhash",
+    "gram_index_retro_spans", "streaming_gram_dedup",
+    # similarity search (E3; r12 rotation: similarity_topk_bruteforce
+    # and sq8_adc_topk to the sweep — the IVF-SQ8 composition exercises
+    # SQ8 encode+ADC inside the cell-pruned search, and the new
+    # k-means++ seeding gate covers quantizer training; brute-force
+    # cosine stays indirectly driver-exercised as the recall gates'
+    # in-query baseline)
+    "ivf_index_query_twolevel", "ivf_recall_clustered",
+    "similarity_topk_pq_rerank", "similarity_topk_ivf_sq8",
+    "kmeans_plusplus_seeds",
+    # text analysis + quality filtering (E4; r12 rotation: text_profile
+    # to the sweep — the multi-line tokenization gate guards the whole
+    # token pipeline's whitespace contract, and content-defined chunking
+    # rotates in)
+    "multiline_token_stats", "cdc_chunk_documents",
+    "text_quality", "doc_fingerprint_simhash",
     # cardinality/frequency sketches (E6: batch HLL + the streaming
     # APPEND-LOG state spelling w/ mid-gate merging compaction — r11
     # rotation: streaming_hll_state to the sweep)

@@ -967,7 +967,7 @@ def similarity_topk_ivf_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
-@query("sq8_adc_topk", _sq8_adc_oracle_sql())
+@query("sq8_adc_topk", _sq8_adc_oracle_sql(), headline=True)
 def sq8_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 serving (SQ8 asymmetric distance): full-precision queries vs
     the dequantized uint8 corpus — squared-L2 as a dimension-order left

@@ -331,8 +331,11 @@ def _bucketed_fold_upsert(
     into existing rows (both receive frames WITHOUT the bucket/marker
     columns).
     """
-    from ralf_spark.connectors import _hadoop_fs
+    from ralf_spark.connectors import _hadoop_fs, acquire_writer_lease
 
+    # single-writer guard (r12): two interleaved stage-then-swap publishes
+    # would corrupt each other's manifests — refuse the second writer
+    acquire_writer_lease(spark, path)
     exists = _check_bucket_layout(spark, path, buckets)
     if exists:
         _recover_publish(spark, path)
@@ -553,7 +556,10 @@ def _append_log_batch(
         auto_maintain = AUTO_MAINTAIN_BATCHES
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.connectors import acquire_writer_lease
+
         spark = batch_df.sparkSession
+        acquire_writer_lease(spark, path)  # single-writer guard (r12)
         if f"b{batch_id}" in _read_compacted_tags(spark, path):
             return  # replay of a batch the compaction already folded
         (

@@ -516,6 +516,51 @@ def op_gram_index_add(spark, m: int):
     return idx.add(batch, batch_tag="probe")
 
 
+def op_gram_retro(spark, m: int):
+    """r12: count-mode GramIndex RETRO pass over a store grown with m —
+    one O(store) pass (groupBy(digest) occurrence count over the
+    position log + position rejoin + island merge). Predicted exp ~1 in
+    time and shuffle: this is the once-per-maintenance-cadence cost of
+    full Lee et al. retro-flagging; adds never pay it (see
+    op_gram_index_add_count). Store builds in the warm-up pass."""
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.table import FeatureTable
+
+    idx_path = os.path.join(DATA_ROOT, f"x{m}", "gramidx_cnt")
+    idx = GramIndex(idx_path, hash_fn="xxhash64", count_mode=True)
+    if not os.path.exists(os.path.join(idx_path, "_meta")):
+        idx.build(FeatureTable(
+            spark.read.parquet(_docs_path(m)), key="doc_id"
+        ))
+    return idx.retro(spark)
+
+
+def op_gram_index_add_count(spark, m: int):
+    """r12: count-mode GramIndex add of a FIXED 5k-doc batch vs store
+    grown with m — count mode must keep the membership add's cost shape
+    (shuffle ∝ batch, wall = one store scan; predicted shuffle exp ~0):
+    it changes WHAT is appended (the batch's position rows instead of
+    distinct digests), never the store-side probe."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.table import FeatureTable
+
+    idx_path = os.path.join(DATA_ROOT, f"x{m}", "gramidx_cntadd")
+    idx = GramIndex(idx_path, hash_fn="xxhash64", count_mode=True)
+    if not os.path.exists(os.path.join(idx_path, "_meta")):
+        idx.build(FeatureTable(
+            spark.read.parquet(_docs_path(m)), key="doc_id"
+        ))
+    batch = FeatureTable(
+        spark.read.parquet(_docs_path(1))
+        .where(F.col("doc_id") < 5000)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000),
+        key="doc_id",
+    )
+    return idx.add(batch, batch_tag="probe")
+
+
 def op_substring_spans(spark, m: int):
     """r11b: exact-substring span detection (Lee et al. 2022 re-expressed
     as gram scan -> digest groupBy -> position rejoin -> island merge).
@@ -570,6 +615,8 @@ OPS = {
     "substring_spans": (op_substring_spans, "documents", 1.0),
     "sq8_adc": (op_sq8_adc, "embeddings", 1.0),
     "gram_index_add": (op_gram_index_add, "documents", 0.0),
+    "gram_retro": (op_gram_retro, "documents", 1.0),
+    "gram_index_add_count": (op_gram_index_add_count, "documents", 0.0),
 }
 
 

@@ -32,6 +32,6 @@ for name, fn in qs.items():
         out[name] = {"ok": False, "error": repr(ex)[:300], "sec": round(time.time()-t0,2)}
         traceback.print_exc()
     print(("PASS " if out[name]["ok"] else "FAIL ") + name, out[name].get("sec"), flush=True)
-json.dump(out, open("/root/repo/sweep_r11.json","w"), indent=1)
+json.dump(out, open("/root/repo/sweep_r12.json","w"), indent=1)
 bad = [k for k,v in out.items() if not v["ok"]]
 print("TOTAL", len(out), "FAIL", len(bad), bad)
