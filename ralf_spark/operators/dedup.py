@@ -1857,6 +1857,116 @@ def duplicate_span_ranges_sql(
     """
 
 
+def cross_corpus_duplicate_spans(
+    table: FeatureTable,
+    other: FeatureTable,
+    text_col: str = "text",
+    other_text_col: str | None = None,
+    min_tokens: int = 8,
+    hash_fn: str | None = None,
+    broadcast_other: bool | None = None,
+) -> DataFrame:
+    """Spans of ``table`` documents that appear VERBATIM in ``other`` —
+    span-level decontamination (r12): the ExactSubstr formulation of
+    "remove every training substring that occurs in the eval set", the
+    stronger sibling of the 8-gram DOC-level filter
+    (``decontaminate_against_eval`` flags whole documents; this emits
+    the exact token ranges so the document can be kept minus the leak).
+
+    A training position is contaminated iff its ``min_tokens``-gram
+    digest occurs anywhere in ``other``; surviving positions merge into
+    maximal spans with the same gaps-and-islands rule as
+    :func:`duplicate_span_ranges`. Within-``table`` repeats do NOT
+    count — this is strictly cross-corpus.
+
+    Scale (100 TB train vs bounded eval): the eval side reduces to its
+    DISTINCT gram digests — ``broadcast_other`` None (auto) broadcasts
+    that set into the training-gram scan while it stays under the
+    broadcast bound (an eval suite is millions of grams, not billions),
+    else degrades to a digest-keyed shuffle join (same tri-state
+    contract as the index adds). The train corpus never self-joins and
+    only (digest, id, int) rows ever shuffle.
+
+    Returns (doc_id, span_start, span_end, span_tokens) for ``table``'s
+    documents, 1-based inclusive token positions.
+    """
+    hash_fn = hash_fn or default_hash_fn()
+    idc = table.key
+    if idc is None:
+        raise ValueError("cross_corpus_duplicate_spans needs a keyed table")
+    ocol = other_text_col or text_col
+    pos = _gram_positions(table.df, idc, text_col, min_tokens, hash_fn)
+    if other.key is None:
+        odf = other.df.withColumn("_oid", F.monotonically_increasing_id())
+        okey = "_oid"
+    else:
+        odf = other.df
+        okey = other.key
+    eval_dg = (
+        _gram_positions(odf, okey, ocol, min_tokens, hash_fn)
+        .select("_dg")
+        .distinct()
+    )
+    hint = _choose_broadcast(broadcast_other, lambda: eval_dg.count())
+    probe = F.broadcast(eval_dg) if hint else eval_dg
+    dup_pos = pos.join(probe, "_dg").select("_id", "_pos")
+    return _positions_to_spans(dup_pos, min_tokens)
+
+
+def cross_corpus_duplicate_spans_sql(
+    table: str = "documents",
+    other: str = "documents",
+    text_col: str = "text",
+    other_text_col: str | None = None,
+    id_col: str = "doc_id",
+    other_id_col: str = "doc_id",
+    min_tokens: int = 8,
+) -> str:
+    """DuckDB twin of :func:`cross_corpus_duplicate_spans` (md5 mode)."""
+    from ralf_spark.functions.text import tokens_sql, word_shingles_sql
+
+    n = min_tokens
+    ocol = other_text_col or text_col
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+    ),
+    gs AS (SELECT _id, {word_shingles_sql('w', n)} AS g FROM toks),
+    pos AS (
+      SELECT _id, i AS _pos, md5(g[i]) AS _dg
+      FROM gs, unnest(generate_series(1, len(g))) AS t(i)
+    ),
+    otoks AS (
+      SELECT {other_id_col} AS _oid, {tokens_sql(ocol)} AS w FROM {other}
+    ),
+    ogs AS (SELECT _oid, {word_shingles_sql('w', n)} AS g FROM otoks),
+    eval_dg AS (
+      SELECT DISTINCT md5(g[i]) AS _dg
+      FROM ogs, unnest(generate_series(1, len(g))) AS t(i)
+    ),
+    dup_pos AS (SELECT _id, _pos FROM pos JOIN eval_dg USING (_dg)),
+    marks AS (
+      SELECT _id, _pos,
+             CASE WHEN lag(_pos) OVER w IS NULL
+                    OR _pos > lag(_pos) OVER w + {n} THEN 1 ELSE 0 END
+               AS _brk
+      FROM dup_pos
+      WINDOW w AS (PARTITION BY _id ORDER BY _pos)
+    ),
+    isl AS (
+      SELECT _id, _pos,
+             sum(_brk) OVER (PARTITION BY _id ORDER BY _pos
+                             ROWS UNBOUNDED PRECEDING) AS _isle
+      FROM marks
+    )
+    SELECT _id AS doc_id,
+           min(_pos) AS span_start,
+           max(_pos) + {n - 1} AS span_end,
+           max(_pos) + {n - 1} - min(_pos) + 1 AS span_tokens
+    FROM isl GROUP BY _id, _isle
+    """
+
+
 def remove_duplicate_spans(
     table: FeatureTable,
     text_col: str = "text",

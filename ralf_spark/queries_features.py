@@ -608,6 +608,56 @@ def decontaminate_against_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decon_spans_oracle_sql() -> str:
+    from ralf_spark.operators.dedup import cross_corpus_duplicate_spans_sql
+
+    inner = cross_corpus_duplicate_spans_sql(
+        table=(
+            "(SELECT doc_id, text FROM documents WHERE "
+            f"{stable_hash64_sql('text', salt='decon')} % 100"
+            f" >= {_DECON_EVAL_PCT})"
+        ),
+        other=(
+            "(SELECT doc_id, text FROM documents WHERE "
+            f"{stable_hash64_sql('text', salt='decon')} % 100"
+            f" < {_DECON_EVAL_PCT})"
+        ),
+        min_tokens=_DECON_N,
+    )
+    return f"""
+    WITH spans AS ({inner})
+    SELECT doc_id, span_start, span_end, span_tokens
+    FROM spans ORDER BY doc_id, span_start
+    """
+
+
+@query("decontaminate_spans_eval", _decon_spans_oracle_sql())
+def decontaminate_spans_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination (r12): the exact token ranges of each
+    training document that appear verbatim in the eval split — the
+    ExactSubstr formulation of benchmark decontamination
+    (:func:`cross_corpus_duplicate_spans`). Where
+    ``decontaminate_against_eval`` flags whole documents, this emits the
+    removable ranges, so a 100 TB curation loop keeps the document and
+    cuts only the leak. Same deterministic content-hash train/eval
+    split; same broadcast-eval-grams scale shape (the eval digest set
+    broadcasts into the training-gram scan, auto-degrading past the
+    broadcast bound)."""
+    from ralf_spark.functions.hashing import stable_hash64
+    from ralf_spark.operators.dedup import cross_corpus_duplicate_spans
+    from ralf_spark.table import FeatureTable
+
+    docs = _docs_par(spark, sf_dir).df
+    is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < (
+        _DECON_EVAL_PCT
+    )
+    train = FeatureTable(docs.where(~is_eval), key="doc_id")
+    eval_t = FeatureTable(docs.where(is_eval), key="doc_id")
+    return cross_corpus_duplicate_spans(
+        train, eval_t, min_tokens=_DECON_N
+    ).orderBy("doc_id", "span_start")
+
+
 #: training-sequence chunk length and stride, in tokens
 _CHUNK_LEN = 32
 _CHUNK_STRIDE = 24

@@ -2256,6 +2256,46 @@ def test_gram_index_auto_maintain_cadence(spark, tmp_path):
     assert got == want and got  # doc 5 still matches doc 2 post-compaction
 
 
+def test_cross_corpus_duplicate_spans(spark):
+    """r12 span-level decontamination: only TRAIN substrings that occur
+    in the OTHER corpus are flagged — within-train repeats don't count,
+    overlapping contaminated grams merge to one maximal span, and the
+    positions are 1-based token ranges."""
+    from ralf_spark.operators.dedup import cross_corpus_duplicate_spans
+    from ralf_spark.table import FeatureTable
+
+    leak = "the quick brown fox jumps"
+    train = FeatureTable(
+        spark.createDataFrame(
+            [
+                (1, f"intro words {leak} trailing tail here"),
+                # internal repeat, zero overlap with eval -> no spans
+                (2, "aa bb cc dd aa bb cc dd"),
+                (3, "nothing shared at all in this one"),
+            ],
+            "doc_id long, text string",
+        ),
+        key="doc_id",
+    )
+    eval_t = FeatureTable(
+        spark.createDataFrame(
+            [(100, f"eval set holds {leak} inside it")],
+            "doc_id long, text string",
+        ),
+        key="doc_id",
+    )
+    got = sorted(
+        tuple(r)
+        for r in cross_corpus_duplicate_spans(
+            train, eval_t, min_tokens=3
+        ).collect()
+    )
+    # doc 1 tokens: intro(1) words(2) the(3) quick(4) brown(5) fox(6)
+    # jumps(7) trailing(8) tail(9) here(10); contaminated 3-grams start
+    # at 3,4,5 -> one merged span tokens 3..7
+    assert got == [(1, 3, 7, 5)]
+
+
 def test_gram_index_replay_of_folded_tag_raises(spark, tmp_path):
     """A batch_tag already folded by maintain() must be REFUSED loudly
     (r12): the fold renamed its digests into the compacted partition, so
