@@ -456,6 +456,101 @@ def cdc_chunks(
     )
 
 
+def cdc_chunk_dedup_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    mask_bits: int = 5,
+    hash_fn: str | None = None,
+):
+    """Chunk-level storage-dedup statistics over the CDC chunking (r12):
+    per document, how many of its chunks are DEDUPABLE — their content
+    hash occurs more than once corpus-wide (in another document or
+    repeated within this one), i.e. a content-addressed store would
+    write them once. ``dup_frac`` weighted by chunk tokens is the
+    storage saving the CDC boundaries unlock; because boundaries are
+    edit-stable, near-identical documents share most chunks even when
+    one has an insertion the fixed-window chunker would cascade through.
+
+    Scale: one row-local chunking scan, then ONE groupBy on the 8-byte
+    chunk hash (map-side partial count) and a rejoin keyed by the same
+    hash — only (hash, id, int) rows shuffle, never chunk text. AQE
+    skew-split covers a boilerplate chunk shared by 10^6 docs.
+
+    Returns (doc_id, n_chunks, dup_chunks, dup_tokens, dup_frac) —
+    ``dup_frac`` = dup chunk tokens / total chunk tokens, 0.0 for
+    documents with no dedupable chunk.
+    """
+    ch = cdc_chunks(
+        df, id_col=id_col, text_col=text_col,
+        window=window, mask_bits=mask_bits, hash_fn=hash_fn,
+    )
+    occ = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .where(F.col("_occ") >= 2)
+        .select("chunk_hash")
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        ch.join(occ, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("int")
+            .alias("dup_chunks"),
+            F.sum(
+                F.when(F.col("_dup").isNotNull(), F.col("chunk_tokens"))
+                .otherwise(F.lit(0))
+            ).cast("int").alias("dup_tokens"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("_dup").isNotNull(), F.col("chunk_tokens")
+                    ).otherwise(F.lit(0))
+                ).cast("double") / F.sum("chunk_tokens"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def cdc_chunk_dedup_stats_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    mask_bits: int = 5,
+) -> str:
+    """DuckDB twin of :func:`cdc_chunk_dedup_stats` (md5 mode)."""
+    inner = cdc_chunks_sql(
+        table=table, id_col=id_col, text_col=text_col,
+        window=window, mask_bits=mask_bits,
+    )
+    return f"""
+    WITH chunks AS ({inner}),
+    occ AS (
+      SELECT chunk_hash FROM chunks
+      GROUP BY chunk_hash HAVING count(*) >= 2
+    ),
+    marked AS (
+      SELECT c.doc_id, c.chunk_tokens,
+             (c.chunk_hash IN (SELECT chunk_hash FROM occ)) AS dup
+      FROM chunks c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_chunks,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS INTEGER)
+             AS dup_chunks,
+           CAST(sum(CASE WHEN dup THEN chunk_tokens ELSE 0 END)
+                AS INTEGER) AS dup_tokens,
+           round(sum(CASE WHEN dup THEN chunk_tokens ELSE 0 END)::DOUBLE
+                 / sum(chunk_tokens), 4) AS dup_frac
+    FROM marked GROUP BY doc_id
+    """
+
+
 def cdc_chunks_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -684,6 +684,26 @@ def cdc_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(docs.df).orderBy("doc_id", "chunk_idx")
 
 
+def _cdc_dedup_oracle() -> str:
+    from ralf_spark.operators.text_analysis import cdc_chunk_dedup_stats_sql
+
+    return cdc_chunk_dedup_stats_sql() + "\n    ORDER BY doc_id"
+
+
+@query("cdc_chunk_dedup", _cdc_dedup_oracle())
+def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level storage dedup (r12): per document, the fraction of
+    CDC-chunk tokens whose content hash occurs more than once
+    corpus-wide — what a content-addressed store saves by writing each
+    chunk once (:func:`cdc_chunk_dedup_stats`). One chunking scan + one
+    hash-keyed groupBy/rejoin; edit-stable boundaries mean near-dup
+    documents share most chunks."""
+    from ralf_spark.operators.text_analysis import cdc_chunk_dedup_stats
+
+    docs = _docs_par(spark, sf_dir)
+    return cdc_chunk_dedup_stats(docs.df).orderBy("doc_id")
+
+
 @query(
     "chunk_documents",
     f"""

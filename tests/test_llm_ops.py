@@ -2406,6 +2406,28 @@ def test_remove_duplicate_spans_null_and_empty_text(spark):
 # ------------------------------------------------ content-defined chunking
 
 
+def test_cdc_chunk_dedup_stats_edit_stability(spark):
+    """r12: a document and its one-insertion near-copy must SHARE most
+    chunks (edit-stable boundaries localize the re-cut), so both score
+    dup_frac > 0.5; an unrelated doc scores 0."""
+    from ralf_spark.operators.text_analysis import cdc_chunk_dedup_stats
+
+    base = " ".join(f"tok{i}" for i in range(300))
+    toks = base.split()
+    edited = " ".join(toks[:150] + ["INSERTED"] + toks[150:])
+    other = " ".join(f"zz{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in cdc_chunk_dedup_stats(df).collect()}
+    assert got[3].dup_chunks == 0 and got[3].dup_frac == 0.0
+    assert got[1].dup_frac > 0.5 and got[2].dup_frac > 0.5
+    assert got[1].n_chunks >= 4  # boundaries actually cut
+    # counts are consistent: dup_tokens <= total tokens chunked
+    for d in (1, 2, 3):
+        assert 0 <= got[d].dup_chunks <= got[d].n_chunks
+
+
 def test_cdc_chunks_partition_and_edit_stability(spark):
     """Chunks tile each document exactly (no gaps/overlaps), and the
     defining CDC property holds: prepending tokens only changes the
