@@ -34,6 +34,8 @@ HASH_FAMILY = [
     "near_dup_jaccard_index", "decontaminate_against_eval",
     # r11b: the exact-substring family hashes gram digests per mode too
     "exact_substring_spans", "incremental_gram_index",
+    # r12: span-level decontamination + CDC chunk-hash dedup
+    "decontaminate_spans_eval", "cdc_chunk_dedup",
 ]
 
 

@@ -1994,8 +1994,6 @@ def remove_duplicate_spans(
     idc = table.key
     if idc is None:
         raise ValueError("remove_duplicate_spans needs a keyed table")
-    from ralf_spark.functions.text import tokens
-
     spans = duplicate_span_ranges(
         table,
         text_col=text_col,
@@ -2003,6 +2001,47 @@ def remove_duplicate_spans(
         min_occurrences=min_occurrences,
         hash_fn=hash_fn,
     )
+    return _cut_spans(table.df, idc, text_col, spans)
+
+
+def remove_contaminated_spans(
+    table: FeatureTable,
+    other: FeatureTable,
+    text_col: str = "text",
+    other_text_col: str | None = None,
+    min_tokens: int = 8,
+    hash_fn: str | None = None,
+    broadcast_other: bool | None = None,
+) -> DataFrame:
+    """Cut every span of ``table`` that appears verbatim in ``other`` —
+    the transform half of span-level decontamination (r12):
+    :func:`cross_corpus_duplicate_spans` detects the leaked ranges, the
+    shared row-local cut removes them, so the training document survives
+    minus the benchmark leak (vs the doc-level filter, which drops the
+    whole document). Same every-doc-appears-once contract and cost shape
+    as :func:`remove_duplicate_spans`."""
+    idc = table.key
+    if idc is None:
+        raise ValueError("remove_contaminated_spans needs a keyed table")
+    spans = cross_corpus_duplicate_spans(
+        table, other,
+        text_col=text_col, other_text_col=other_text_col,
+        min_tokens=min_tokens, hash_fn=hash_fn,
+        broadcast_other=broadcast_other,
+    )
+    return _cut_spans(table.df, idc, text_col, spans)
+
+
+def _cut_spans(df: DataFrame, idc: str, text_col: str, spans) -> DataFrame:
+    """Shared row-local span cut (the transform half of both removal
+    operators): the span table rides back to the documents on a doc-id
+    join (spans are a small fraction of docs; broadcastable when the
+    rate is low, AQE decides) and the cut is one filtered re-join of the
+    token array — O(tokens × spans_per_doc), spans_per_doc bounded by
+    tokens/min_tokens. Returns (doc_id, clean_text, n_kept, n_removed);
+    every input doc appears exactly once."""
+    from ralf_spark.functions.text import tokens
+
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(
@@ -2012,7 +2051,7 @@ def remove_duplicate_spans(
     )
     # NULL text -> empty token array (not NULL): the counts below must be
     # 0/0, not NULL, for the every-doc-appears-once contract to hold
-    base = table.df.select(
+    base = df.select(
         F.col(idc).alias("doc_id"),
         F.coalesce(
             tokens(F.col(text_col)), F.array().cast("array<string>")
@@ -2044,13 +2083,38 @@ def remove_duplicate_spans_sql(
     min_occurrences: int = 2,
 ) -> str:
     """DuckDB twin of :func:`remove_duplicate_spans`."""
-    from ralf_spark.functions.text import tokens_sql
-
     spans = duplicate_span_ranges_sql(
         table, text_col, id_col, min_tokens, min_occurrences
     )
+    return _cut_spans_sql(spans, table, text_col, id_col)
+
+
+def remove_contaminated_spans_sql(
+    table: str = "documents",
+    other: str = "documents",
+    text_col: str = "text",
+    other_text_col: str | None = None,
+    id_col: str = "doc_id",
+    other_id_col: str = "doc_id",
+    min_tokens: int = 8,
+) -> str:
+    """DuckDB twin of :func:`remove_contaminated_spans`."""
+    spans = cross_corpus_duplicate_spans_sql(
+        table=table, other=other, text_col=text_col,
+        other_text_col=other_text_col, id_col=id_col,
+        other_id_col=other_id_col, min_tokens=min_tokens,
+    )
+    return _cut_spans_sql(spans, table, text_col, id_col)
+
+
+def _cut_spans_sql(
+    spans_sql: str, table: str, text_col: str, id_col: str
+) -> str:
+    """Shared DuckDB spelling of the row-local span cut."""
+    from ralf_spark.functions.text import tokens_sql
+
     return f"""
-    WITH spans2 AS ({spans}),
+    WITH spans2 AS ({spans_sql}),
     toks2 AS (
       SELECT {id_col} AS doc_id,
              coalesce({tokens_sql(text_col)}, []) AS w

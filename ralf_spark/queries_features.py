@@ -658,6 +658,55 @@ def decontaminate_spans_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def _decon_removal_oracle_sql() -> str:
+    from ralf_spark.operators.dedup import remove_contaminated_spans_sql
+
+    train = (
+        "(SELECT doc_id, text FROM documents WHERE "
+        f"{stable_hash64_sql('text', salt='decon')} % 100"
+        f" >= {_DECON_EVAL_PCT})"
+    )
+    eval_ = (
+        "(SELECT doc_id, text FROM documents WHERE "
+        f"{stable_hash64_sql('text', salt='decon')} % 100"
+        f" < {_DECON_EVAL_PCT})"
+    )
+    inner = remove_contaminated_spans_sql(
+        table=train, other=eval_, min_tokens=_DECON_N
+    )
+    return f"""
+    WITH cleaned AS ({inner})
+    SELECT doc_id, md5(clean_text) AS clean_md5, n_kept, n_removed
+    FROM cleaned ORDER BY doc_id
+    """
+
+
+@query("decontaminate_removal_eval", _decon_removal_oracle_sql())
+def decontaminate_removal_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination, detect→CUT composition (r12): the
+    leaked eval substrings are removed from each training document
+    in-place (:func:`remove_contaminated_spans`) — every train doc
+    appears exactly once, cleaned; the md5 of the cleaned text plus the
+    kept/removed counts are hash-gated against the full DuckDB replay."""
+    from ralf_spark.functions.hashing import stable_hash64
+    from ralf_spark.operators.dedup import remove_contaminated_spans
+    from ralf_spark.table import FeatureTable
+
+    docs = _docs_par(spark, sf_dir).df
+    is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < (
+        _DECON_EVAL_PCT
+    )
+    train = FeatureTable(docs.where(~is_eval), key="doc_id")
+    eval_t = FeatureTable(docs.where(is_eval), key="doc_id")
+    out = remove_contaminated_spans(train, eval_t, min_tokens=_DECON_N)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
 #: training-sequence chunk length and stride, in tokens
 _CHUNK_LEN = 32
 _CHUNK_STRIDE = 24
