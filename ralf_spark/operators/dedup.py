@@ -2463,6 +2463,47 @@ class GramIndex:
             self._write(batch_dg, tag, rows=n_dg)
         return out
 
+    def check(
+        self,
+        table: FeatureTable,
+        text_col: str = "text",
+        within_batch: bool = False,
+        broadcast_digests: bool | None = None,
+    ) -> DataFrame:
+        """READ-ONLY span detection against the store — nothing is
+        folded in (r12): the serving/decontamination spelling of
+        :meth:`add`. With ``within_batch=False`` (default) only spans
+        matching the STORE are reported (a batch checked against a
+        fixed eval-set index: within-batch repeats don't count —
+        strictly cross-corpus, the :func:`cross_corpus_duplicate_spans`
+        semantics served from a persistent store); ``True`` adds the
+        batch's own repeats (the :meth:`add` detection without the
+        fold). No writer lease — concurrent readers are always safe.
+
+        Returns (doc_id, span_start, span_end, span_tokens)."""
+        spark = table.df.sparkSession
+        self._check_or_write_meta(spark)
+        pos = self._positions(table, text_col).persist()
+        batch_dg = pos.select("_dg").distinct().persist()
+        n_dg = batch_dg.count()
+        stored = self._read(spark)
+        if stored is None:
+            raise ValueError(f"GramIndex at {self.path} is empty")
+        hint = _choose_broadcast(broadcast_digests, lambda: n_dg)
+        probe = F.broadcast(batch_dg) if hint else batch_dg
+        seen = stored.join(probe, "_dg").select("_dg").distinct()
+        if within_batch:
+            batch_dup = (
+                pos.groupBy("_dg")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .where(F.col("_c") >= 2)
+                .select("_dg")
+            )
+            seen = seen.unionByName(batch_dup).distinct()
+        dup_pos = pos.join(seen, "_dg").select("_id", "_pos")
+        spans = _positions_to_spans(dup_pos, self.min_tokens)
+        return attach_cached(spans, [pos, batch_dg])
+
     def retro(self, spark) -> DataFrame:
         """Corpus-wide duplicated spans over EVERYTHING ingested so far —
         the retro-flagging pass (r12, ``count_mode=True`` only): earlier

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ralf_spark.functions.hashing import stable_hash64_sql
 from ralf_spark.functions.text import tokens_sql, word_shingles_sql
-from ralf_spark.queries import _docs_par, _t, query
+from ralf_spark.queries import _docs_par, _scratch, _t, query
 
 #: blocklist for the redaction query (inlined into both engines)
 _SCRUB_PATTERN = r"\b(customer|spark)\b"
@@ -705,6 +705,76 @@ def decontaminate_removal_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         "n_removed",
     ).orderBy("doc_id")
+
+
+@query("streaming_decontaminate_eval", _decon_removal_oracle_sql())
+def streaming_decontaminate_eval_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING span-level decontamination (r12): the train split
+    arrives as two micro-batches through
+    ``foreach_batch_gram_decontaminate``, each checked READ-ONLY against
+    a fixed eval-set GramIndex and written with the leaked spans cut.
+    Because the eval store never changes, per-batch cleaning equals
+    cleaning the whole corpus at once — the oracle is the SAME one-shot
+    ``remove_contaminated_spans`` replay that gates the batch
+    composition, which pins batch-decomposition invariance."""
+    import hashlib as _hl
+    import os as _os
+    import time as _time
+
+    from ralf_spark.functions.hashing import stable_hash64
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.streaming import (
+        foreach_batch_gram_decontaminate,
+        run_bounded,
+    )
+    from ralf_spark.table import FeatureTable
+
+    docs = _docs_par(spark, sf_dir).df.select("doc_id", "text")
+    is_eval = stable_hash64(F.col("text"), salt="decon") % 100 < (
+        _DECON_EVAL_PCT
+    )
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = GramIndex(_scratch(f"decon_idx_{tag}_"), min_tokens=_DECON_N)
+    idx.build(FeatureTable(docs.where(is_eval), key="doc_id"))
+    train = docs.where(~is_eval)
+    src = _scratch("decon_stream_")
+    now = _time.time()
+    for i, pred in enumerate(
+        (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)
+    ):
+        staged = f"{src}/_stage{i}"
+        train.where(pred).coalesce(1).write.parquet(staged)
+        part = next(
+            f for f in _os.listdir(staged) if f.endswith(".parquet")
+        )
+        dst = f"{src}/batch{i}.parquet"
+        _os.rename(f"{staged}/{part}", dst)
+        _os.utime(dst, (now - 100 + i, now - 100 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = _scratch(f"decon_out_{tag}_") + "/cleaned"
+    run_bounded(
+        foreach_batch_gram_decontaminate(
+            stream, idx, out_path, key="doc_id"
+        ),
+        checkpoint=_scratch("ck_decon_"),
+        shuffle_partitions=8,
+    )
+    return (
+        spark.read.parquet(out_path)
+        .select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_kept",
+            "n_removed",
+        )
+        .orderBy("doc_id")
+    )
 
 
 #: training-sequence chunk length and stride, in tokens

@@ -1612,6 +1612,56 @@ def foreach_batch_index_add(
     return df.writeStream.foreachBatch(add)
 
 
+def foreach_batch_gram_decontaminate(
+    df: DataFrame,
+    index,
+    out_path: str,
+    key: str,
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Streaming span-level DECONTAMINATION (r12): each micro-batch of
+    training documents is checked READ-ONLY against a fixed eval-set
+    :class:`~ralf_spark.operators.dedup.GramIndex` (``index.check`` —
+    within-batch repeats don't count, strictly cross-corpus) and written
+    to ``out_path`` with the leaked spans CUT — the streaming spelling
+    of ``remove_contaminated_spans``, for the crawl loop that cleans
+    data against benchmarks as it lands.
+
+    The eval store is never written (concurrent streams can share it);
+    the cleaned output is keyed by the checkpointed batch id as a
+    ``_batch`` partition with dynamic overwrite, so a replayed batch
+    rewrites itself (exactly-once), and the final table is
+    batch-decomposition-invariant: the eval store is FIXED, so cleaning
+    per batch equals cleaning the whole corpus at once (the registry
+    gate pins this against the one-shot oracle). Output columns:
+    (doc_id, clean_text, n_kept, n_removed)."""
+
+    def clean(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.operators.dedup import _cut_spans
+        from ralf_spark.operators.util import unpersist_cached
+        from ralf_spark.table import FeatureTable
+
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        acquire_writer_lease(spark, out_path)  # guards the OUTPUT only
+        spans = index.check(
+            FeatureTable(batch_df, key=key), text_col=text_col
+        )
+        cleaned = _cut_spans(batch_df, key, text_col, spans)
+        (
+            cleaned.withColumn("_batch", F.lit(f"b{batch_id}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_path)
+        )
+        unpersist_cached(spans)
+
+    return df.writeStream.foreachBatch(clean)
+
+
 def foreach_batch_gram_dedup(
     df: DataFrame,
     index,

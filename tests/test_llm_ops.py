@@ -2296,6 +2296,36 @@ def test_cross_corpus_duplicate_spans(spark):
     assert got == [(1, 3, 7, 5)]
 
 
+def test_gram_index_check_is_read_only_and_cross_corpus(spark, tmp_path):
+    """r12: check() detects spans vs the STORE without folding the
+    batch in — the store is byte-stable across checks, within-batch
+    repeats only count with within_batch=True, and a second check of
+    the same batch returns the same answer (nothing was learned)."""
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, _ = _gram_batches()
+    idx = GramIndex(str(tmp_path / "gi"), min_tokens=8, auto_maintain=0)
+    idx.build(_docs(spark, list(b1.items())))
+    store = str(tmp_path / "gi" / "grams")
+    before = sorted(r._dg for r in spark.read.parquet(store).collect())
+    batch = _docs(spark, list(b2.items()))
+    first = sorted(tuple(r) for r in idx.check(batch).collect())
+    again = sorted(tuple(r) for r in idx.check(batch).collect())
+    assert first == again
+    after = sorted(r._dg for r in spark.read.parquet(store).collect())
+    assert after == before  # nothing folded in
+    # cross-corpus only: spans vs store must be a subset of add()'s
+    # (which also counts within-batch repeats)
+    with_self = sorted(
+        tuple(r) for r in idx.check(batch, within_batch=True).collect()
+    )
+    dup_pos_only = {(d, s) for d, s, _, _ in first}
+    assert dup_pos_only <= {(d, s) for d, s, _, _ in with_self}
+    # and within_batch=True equals what add() would report
+    added = sorted(tuple(r) for r in idx.add(batch).collect())
+    assert with_self == added
+
+
 def test_gram_index_replay_of_folded_tag_raises(spark, tmp_path):
     """A batch_tag already folded by maintain() must be REFUSED loudly
     (r12): the fold renamed its digests into the compacted partition, so
