@@ -264,10 +264,11 @@ def salted_sliding_count_window(
     (default :data:`~ralf_spark.operators.skew.SALT_STATS_SKIP_ROWS`),
     the count job is skipped entirely and the plain spelling runs —
     ``stats_skip_rows=0`` forces the measured pass. Cold keys always take the plain single-window rank; only hot
-    keys pay the two-phase plumbing. NULL keys always take the plain
-    branch (one window partition there, exactly like the unsalted
-    spelling; a hot NULL key stays an unsalted straggler — ``isin``
-    membership cannot route it). Balance caveat: range buckets
+    keys pay the two-phase plumbing. NULL keys route like any other
+    key (r12): cold NULL → plain branch; hot NULL → the salted
+    two-phase rank through null-safe (``<=>``) joins, which stay
+    broadcast-hash — the r11 "hot NULL key stays an unsalted
+    straggler" residual is closed. Balance caveat: range buckets
     follow the ORDER column's distribution (a hot key whose timestamps
     all collide degrades to one bucket — pre-transform pathological
     order columns). Fixed ``slide_size`` only (the per-key-slide plan
@@ -313,22 +314,19 @@ def salted_sliding_count_window(
         if total == 0:
             return plain()
         thresh = target_ratio * total / p
-        # NULL keys never enter the hot list: `isin` membership is NULL
-        # for a NULL key (it can neither select INTO hdf nor OUT of rest),
-        # so they are routed to the plain-rank branch below uncondition-
-        # ally — same output as the plain spelling's NULL-key window
-        # partition (r11, ADVICE r10: isin(hot) AND ~isin(hot) are both
-        # NULL-filters, which silently dropped NULL-keyed rows from BOTH
-        # branches). A hot NULL key therefore stays an unsalted straggler
-        # — a documented residual, not a correctness hole.
-        hot = [
-            r[0]
-            for r in counts.where(F.col("_c") > thresh).collect()
-            if r[0] is not None
-        ]
+        # `isin` membership is NULL for a NULL key (it can neither
+        # select INTO hdf nor OUT of rest — r11, ADVICE r10), so NULL
+        # is tracked as its own explicit flag: a hot NULL key routes to
+        # the salted branch via isNull() and the downstream joins are
+        # null-safe (r12 — closes the r11 "hot NULL key stays an
+        # unsalted straggler" residual); a cold NULL key takes the
+        # plain-rank branch like any cold key.
+        hot_rows = counts.where(F.col("_c") > thresh).collect()
+        hot = [r[0] for r in hot_rows if r[0] is not None]
+        null_hot = any(r[0] is None for r in hot_rows)
     finally:
         counts.unpersist()
-    if not hot:
+    if not hot and not null_hot:
         return plain()
     if salt_buckets == "auto":
         import math
@@ -356,16 +354,24 @@ def salted_sliding_count_window(
     cols = payload_cols or [c for c in df.columns if c != key]
     payload = F.struct(*[F.col(c) for c in cols])
 
-    hdf = df.where(F.col(key).isin(hot)).persist()
-    # NULL-safe negation: ~isin(hot) is NULL (not False) for a NULL key,
-    # so the rest branch must admit NULL keys explicitly or they vanish
-    # from the output entirely (ADVICE r10 — row-identity contract)
-    rest = df.where(F.col(key).isNull() | ~F.col(key).isin(hot))
+    is_hot = F.col(key).isin(hot) if hot else F.lit(False)
+    if null_hot:
+        is_hot = F.col(key).isNull() | is_hot
+        rest = df.where(F.col(key).isNotNull() & ~F.col(key).isin(hot))
+    else:
+        # NULL-safe negation: ~isin(hot) is NULL (not False) for a NULL
+        # key, so the rest branch must admit cold NULL keys explicitly
+        # or they vanish from the output (ADVICE r10 — row identity)
+        rest = df.where(F.col(key).isNull() | ~F.col(key).isin(hot))
+    hdf = df.where(is_hot).persist()
     w = Window.partitionBy(key).orderBy(*table.order_cols())
     ranked_rest = rest.withColumn("_rn", F.row_number().over(w))
+    # joins below use null-safe equality so a HOT NULL key flows through
+    # the same two-phase rank as any hot key (r12); <=> is hash-joinable,
+    # so the broadcast-hash strategy is unchanged
     stats = hdf.groupBy(key).agg(
         F.min(anchor).alias("_mn"), F.max(anchor).alias("_mx")
-    )
+    ).withColumnRenamed(key, "_sk")
     span = F.col("_mx") - F.col("_mn")
     # NULL anchors bucket to -1 EXPLICITLY: ascending sort puts NULLs
     # FIRST, so bucket -1 preserves the plain row_number order. The
@@ -382,19 +388,36 @@ def salted_sliding_count_window(
             )
         )
     )
-    j = hdf.join(F.broadcast(stats), key).withColumn("_rb", rb)
+    j = (
+        hdf.join(
+            F.broadcast(stats), F.col(key).eqNullSafe(F.col("_sk"))
+        )
+        .drop("_sk")
+        .withColumn("_rb", rb)
+    )
     bc = j.groupBy(key, "_rb").agg(F.count(F.lit(1)).alias("_bc"))
     wofs = (
         Window.partitionBy(key)
         .orderBy("_rb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = bc.withColumn(
-        "_off", F.coalesce(F.sum("_bc").over(wofs), F.lit(0))
-    ).select(key, "_rb", "_off")
+    offs = (
+        bc.withColumn(
+            "_off", F.coalesce(F.sum("_bc").over(wofs), F.lit(0))
+        )
+        .select(
+            F.col(key).alias("_ok"),
+            F.col("_rb").alias("_orb"),
+            "_off",
+        )
+    )
     wloc = Window.partitionBy(key, "_rb").orderBy(*table.order_cols())
     ranked_hot = (
-        j.join(F.broadcast(offs), [key, "_rb"])
+        j.join(
+            F.broadcast(offs),
+            F.col(key).eqNullSafe(F.col("_ok"))
+            & (F.col("_rb") == F.col("_orb")),
+        )
         .withColumn(
             "_rn", (F.col("_off") + F.row_number().over(wloc)).cast("int")
         )

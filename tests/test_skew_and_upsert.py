@@ -480,12 +480,13 @@ def test_salted_sliding_window_equals_plain(spark):
 
 
 def test_salted_sliding_window_keeps_null_keys(spark):
-    """r11 (ADVICE r10): NULL-keyed rows must survive the hot/rest split —
-    `isin(hot)` and `~isin(hot)` are both NULL for a NULL key, which used
-    to drop such rows from BOTH branches while the plain spelling emits
-    their windows as a NULL-key partition. The rest branch now admits
-    NULL keys explicitly; output stays row-identical, including a fixture
-    where the NULL key is itself HOT (it takes the plain branch)."""
+    """r11 (ADVICE r10) + r12: NULL-keyed rows must survive the hot/rest
+    split — `isin(hot)` and `~isin(hot)` are both NULL for a NULL key,
+    which used to drop such rows from BOTH branches. Cold NULL keys take
+    the plain branch; a HOT NULL key (this fixture, at target_ratio=0.5)
+    now routes through the salted two-phase rank via null-safe joins
+    (r12 — the r11 unsalted-straggler residual). Output stays
+    row-identical to the plain spelling either way."""
     from ralf_spark.operators.windows import (
         salted_sliding_count_window,
         sliding_count_window,
