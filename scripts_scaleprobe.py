@@ -1192,6 +1192,90 @@ def window_skew_probe(mults: list[int]) -> dict:
     return out
 
 
+def window_null_skew_probe(mults: list[int]) -> dict:
+    """r12: the hot key IS the NULL key — user 0 (25% of all rows) is
+    remapped to NULL, the shape a real corpus hits when the skewed
+    column is sparsely populated. r11 routed NULL to the plain branch
+    for correctness (documented straggler); r12 routes a HOT NULL
+    through the salted two-phase rank via null-safe joins. Expect the
+    salted spelling's heaviest-stage time max/median ratio to collapse
+    vs plain, same as finding 13's non-null hot key."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ralf_spark.operators.windows import (
+        salted_sliding_count_window,
+        sliding_count_window,
+    )
+    from ralf_spark.table import FeatureTable
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("winnullskew")
+        .config("spark.driver.memory", "100g")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    try:
+        for m in mults:
+            P = 16 * m
+            spark.conf.set("spark.sql.shuffle.partitions", str(P))
+            ev = spark.read.parquet(gen_events_skewed(m)).withColumn(
+                "user_id",
+                F.when(F.col("user_id") == 0, F.lit(None)).otherwise(
+                    F.col("user_id")
+                ),
+            )
+            lt = FeatureTable(ev, key="user_id", ts="t", seq="event_id")
+            for strat in ("explode", "salted"):
+                def build(s, _st=strat):
+                    if _st == "salted":
+                        win = salted_sliding_count_window(
+                            lt, window_size=48, slide_size=12,
+                            payload_cols=["value"],
+                        )
+                    else:
+                        win = sliding_count_window(
+                            lt, window_size=48, slide_size=12,
+                            payload_cols=["value"], payload_strategy=_st,
+                        )
+                    return win.df.select(
+                        "user_id", "pos", F.size("window").alias("n")
+                    )
+
+                import gc
+
+                from ralf_spark.operators.util import unpersist_cached
+
+                df = build(spark)
+                _drain(df)  # warm-up
+                unpersist_cached(df, blocking=True)  # r9 hygiene: the
+                spark.catalog.clearCache()           # salted path persists
+                gc.collect()                         # its hot split per call
+                sid0 = _max_stage_id()
+                t0 = time.perf_counter()
+                df = build(spark)
+                _drain(df)
+                sec = round(time.perf_counter() - t0, 2)
+                unpersist_cached(df, blocking=True)
+                spark.catalog.clearCache()
+                gc.collect()
+                stats = _heaviest_stage_quantiles(sid0, min_tasks=P) or {}
+                rec = {"sec": sec, "P": P, **stats}
+                out.setdefault(f"nullhot_{strat}", {})[str(m)] = rec
+                print(f"# winnullskew {strat} x{m}: {sec}s P={P} "
+                      f"time max/med={rec.get('max_over_median')} "
+                      f"(max {rec.get('task_ms_max')}ms)", flush=True)
+    finally:
+        spark.stop()
+    return out
+
+
 def batch_count_probe(batch_counts: list[int]) -> dict:
     """r10 (VERDICT r9 #4): add/query cost vs BATCH COUNT at fixed store
     size — the small-file axis finding 6 never varied (it scaled store
@@ -1781,6 +1865,9 @@ def main() -> None:
     ap.add_argument("--window-skew", action="store_true",
                     help="hot-key probe for the sliding count window, "
                          "both payload strategies (r10)")
+    ap.add_argument("--window-null-skew", action="store_true",
+                    help="hot-NULL-key probe for the sliding count "
+                         "window, plain vs salted (r12)")
     ap.add_argument("--batch-count", action="store_true",
                     help="index add/query cost vs accumulated BATCH count "
                          "at fixed store size, before/after maintain() "
@@ -1874,6 +1961,20 @@ def main() -> None:
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
         print(json.dumps(bc, indent=1))
+        return
+
+    if args.window_null_skew:
+        ws = window_null_skew_probe(mults)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        merged_ws = data.get("window_null_skew", {})
+        for op, runs in ws.items():
+            merged_ws.setdefault(op, {}).update(runs)
+        data["window_null_skew"] = merged_ws
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(ws, indent=1))
         return
 
     if args.window_skew:
