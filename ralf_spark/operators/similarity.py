@@ -866,6 +866,22 @@ class IvfIndex:
             for j in sorted(by_sub)
         ]
 
+    def _load_sq8_bounds(
+        self, spark
+    ) -> list[tuple[float, float]] | None:
+        """Stored SQ8 per-dimension bounds, or None (not an SQ8 index)."""
+        from ralf_spark.connectors import _hadoop_fs
+
+        bounds_path = f"{self.path}/sq8_bounds"
+        fs, jb = _hadoop_fs(spark, bounds_path)
+        if not fs.exists(jb):
+            return None
+        rows = spark.read.parquet(bounds_path).collect()
+        return [
+            (float(r["lo"]), float(r["hi"]))
+            for r in sorted(rows, key=lambda r: r["dim"])
+        ]
+
     def _encode(self, assigned: DataFrame, books) -> DataFrame:
         """Attach PQ code columns to an assigned projection (raw vector
         kept: it serves the exact path and the rerank refine)."""
@@ -945,11 +961,22 @@ class IvfIndex:
         table: FeatureTable,
         centroids: DataFrame,
         codebooks: list[list[list[float]]] | None = None,
+        sq8: bool = False,
     ) -> None:
         """Freeze the quantizer and write the corpus partitioned by cell.
         ``centroids``: (centroid_id, centroid_vec) — small by contract.
         ``codebooks`` (optional) turns on IVF-PQ mode: the codebooks are
         stored alongside and every cell row carries its PQ codes.
+        ``sq8=True`` (r12) turns on IVF-SQ8 mode instead: per-dimension
+        (min, max) bounds are computed over THIS corpus, stored in an
+        ``sq8_bounds`` sidecar, and every cell row carries its uint8
+        codes — ``query(method="sq8")`` then scans only (id, codes)
+        inside the probed cells, the persistent layout the one-shot
+        :func:`ivf_sq8_topk` models. Bounds are frozen at build like the
+        quantizer: ``add()`` encodes with the STORED bounds (values
+        outside them clamp — recall degrades gracefully as the
+        distribution drifts; periodic re-``build`` refreshes both).
+        Mutually exclusive with ``codebooks``.
 
         A re-``build`` (periodic re-clustering) REPLACES the whole index:
         the cells tree is cleared first, because the dynamic-overwrite
@@ -961,6 +988,11 @@ class IvfIndex:
         codebooks are likewise replaced (or removed on a plain rebuild)."""
         from ralf_spark.connectors import _hadoop_fs
 
+        if codebooks is not None and sq8:
+            raise ValueError(
+                "codebooks and sq8 are mutually exclusive compression "
+                "modes; pick IVF-PQ or IVF-SQ8"
+            )
         if codebooks is not None:
             # validate BEFORE any destructive I/O: a rejected call must
             # not have overwritten the quantizer or cleared the cells of
@@ -993,6 +1025,10 @@ class IvfIndex:
             fs2, jbooks = _hadoop_fs(spark, books_path)
             if fs2.exists(jbooks):
                 fs2.delete(jbooks, True)  # plain rebuild drops PQ mode
+        bounds_path = f"{self.path}/sq8_bounds"
+        fs3, jbounds = _hadoop_fs(spark, bounds_path)
+        if fs3.exists(jbounds):
+            fs3.delete(jbounds, True)  # rebuild drops/refreshes SQ8 mode
         # a re-build replaces the quantizer, so the cached two-level
         # grouping (keyed on the OLD centroid set) must die with it —
         # equal-cardinality rebuilds would otherwise serve queries
@@ -1003,6 +1039,16 @@ class IvfIndex:
         assigned = self._assign(table, cen_rows)
         if codebooks is not None:
             assigned = self._encode(assigned, codebooks)
+        if sq8:
+            bounds = sq8_bounds(assigned, "_v")
+            spark.createDataFrame(
+                [(d, lo, hi) for d, (lo, hi) in enumerate(bounds)],
+                "dim int, lo double, hi double",
+            ).coalesce(1).write.mode("overwrite").parquet(bounds_path)
+            assigned = sq8_encode(
+                assigned, bounds, vec_col="_v", out_col="_sq8",
+                keep_vec=True,
+            )
         self._write_cells(assigned, "base", "overwrite")
 
     def add(self, table: FeatureTable, batch_tag: str | None = None) -> None:
@@ -1034,6 +1080,13 @@ class IvfIndex:
         books = self._load_books(spark)
         if books is not None:
             assigned = self._encode(assigned, books)
+        bounds = self._load_sq8_bounds(spark)
+        if bounds is not None:
+            # STORED bounds (frozen at build): out-of-range values clamp
+            assigned = sq8_encode(
+                assigned, bounds, vec_col="_v", out_col="_sq8",
+                keep_vec=True,
+            )
         self._write_cells(assigned, tag, "overwrite")
 
     def maintain(
@@ -1126,11 +1179,16 @@ class IvfIndex:
         per row, never the float vector (column pruning, asserted in
         tests) — (query_id, neighbor_id, approx_dist, rank); add
         ``rerank=R`` to refine the ADC top-R by exact cosine (output
-        shape as "exact"), the standard two-pass search."""
-        if method not in ("exact", "adc"):
+        shape as "exact"), the standard two-pass search.
+        ``method="sq8"`` (r12, IVF-SQ8 indexes only): dequantized
+        squared-L2 over the stored uint8 code column — same probe shape
+        and output as "adc" (incl. ``rerank``), with SQ8's
+        per-dimension resolution instead of PQ's subspace centroids;
+        the one-shot :func:`ivf_sq8_topk` oracle gates it."""
+        if method not in ("exact", "adc", "sq8"):
             raise ValueError(f"unknown query method {method!r}")
         if rerank is not None:
-            if method != "adc":
+            if method == "exact":
                 raise ValueError(
                     "rerank refines an ADC shortlist; method='exact' is "
                     "already exact — silently ignoring the knob would "
@@ -1221,6 +1279,53 @@ class IvfIndex:
         ).join(F.broadcast(cell_df), query_id)
         probed = sorted({c for _, c in cell_pairs})
         cells = self._read_probed_cells(spark, probed)
+        if method == "sq8":
+            bounds = self._load_sq8_bounds(spark)
+            if bounds is None:
+                raise ValueError(
+                    f"IvfIndex at {self.path} stores no SQ8 bounds; "
+                    "build(..., sq8=True) enables method='sq8'"
+                )
+            enc = cells.select(
+                F.col("_id").alias("neighbor_id"), "cell", "_sq8"
+            )
+            dist = F.aggregate(
+                F.zip_with(
+                    _sq8_rec("_sq8", bounds),
+                    F.col("_qv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            scored = (
+                enc.join(F.broadcast(q), enc.cell == q._cell)
+                .where(F.col("neighbor_id") != F.col(query_id))
+                .select(query_id, "neighbor_id", dist.alias("approx_dist"))
+                # same multi-version keep-best contract as the ADC path
+                .groupBy(query_id, "neighbor_id")
+                .agg(F.min("approx_dist").alias("approx_dist"))
+            )
+            w = Window.partitionBy(query_id).orderBy(
+                F.col("approx_dist").asc(), F.col("neighbor_id")
+            )
+            out = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(
+                    F.col("rank") <= (rerank if rerank is not None else k)
+                )
+            )
+            if rerank is None:
+                return out
+            corpus = FeatureTable(
+                cells.select("_id", F.col("_v").alias(self.vec_col)),
+                key="_id",
+            )
+            return exact_rerank(
+                out, corpus, queries, k=k,
+                vec_col=self.vec_col, query_id=query_id,
+                query_vec=query_vec,
+            )
         if method == "adc":
             books = self._load_books(spark)
             if books is None:

@@ -967,6 +967,39 @@ def similarity_topk_ivf_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+@query("ivf_index_query_sq8", _ivf_sq8_oracle_sql(k=5))
+def ivf_index_query_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 persistent IVF-SQ8 serving (r12): the index spelling of
+    ``similarity_topk_ivf_sq8`` — ``build(..., sq8=True)`` freezes the
+    per-dimension bounds beside the quantizer and persists uint8 codes
+    cell-partitioned; ``query(method='sq8')`` reads ONLY (id, codes)
+    inside the probed cell directories (partition + column pruning at
+    one scan — the deployment layout the one-shot models). Same oracle
+    as the one-shot composition: the index path must be bit-identical."""
+    import hashlib as _hl
+
+    from ralf_spark.operators.similarity import IvfIndex
+    from ralf_spark.queries import _query_vectors, _scratch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.df.groupBy("label").agg(
+        F.min_by("embedding", "vec_id").alias("centroid_vec")
+    ).select(F.col("label").alias("centroid_id"), "centroid_vec")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = IvfIndex(_scratch(f"ivf_sq8_{tag}_"))
+    idx.build(emb, centroids, sq8=True)
+    out = idx.query(
+        _query_vectors(spark, sf_dir), k=5, nprobe=1,
+        method="sq8", coarse_probe=None,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_dist", 4).alias("approx_dist"),
+        F.col("rank").alias("rnk"),
+    ).orderBy("query_id", "rnk")
+
+
 @query("sq8_adc_topk", _sq8_adc_oracle_sql(), headline=True)
 def sq8_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 serving (SQ8 asymmetric distance): full-precision queries vs

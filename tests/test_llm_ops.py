@@ -1386,6 +1386,85 @@ def test_ivf_index_pq_mode_adc_and_rerank(spark, tmp_path):
         plain.query(qdf, method="adc")
 
 
+def test_ivf_index_sq8_mode_query_add_rerank(spark, tmp_path):
+    """IVF-SQ8 persistent index (r12): bounds frozen at build, sq8 query
+    equals the one-shot ivf_sq8_topk, the sq8 scan reads only the code
+    column (no _v in ReadSchema), rerank refines by exact cosine, add()
+    encodes with the STORED bounds, and the modes are mutually
+    exclusive."""
+    import numpy as np
+    import pytest
+
+    from ralf_spark.operators.similarity import IvfIndex, ivf_sq8_topk
+    from ralf_spark.plans.explain import explain_str
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(29)
+    n, dim = 40, 8
+    X = rng.randn(n, dim).round(3)
+    cen = rng.randn(3, dim).round(3)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    ft = FeatureTable(df, key="vec_id")
+    cdf = spark.createDataFrame(
+        [(c, cen[c].tolist()) for c in range(3)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    idx = IvfIndex(str(tmp_path / "ivfsq8"))
+    idx.build(ft, cdf, sq8=True)
+    qdf = df.where("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    out = idx.query(qdf, k=5, nprobe=1, method="sq8")
+    plan = explain_str(out)
+    assert "PartitionFilters" in plan
+    scan_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "_v" not in scan_schema and "_sq8" in scan_schema
+    got = [
+        (r.neighbor_id, round(r.approx_dist, 6))
+        for r in out.orderBy("rank").collect()
+    ]
+    want = [
+        (r.neighbor_id, round(r.approx_dist, 6))
+        for r in ivf_sq8_topk(ft, qdf, cdf, k=5, nprobe=1)
+        .orderBy("rank").collect()
+    ]
+    assert got == want and len(got) > 0
+
+    rer = idx.query(qdf, k=3, nprobe=1, method="sq8", rerank=10)
+    rows = rer.orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    # add() encodes with the STORED bounds: a re-added copy of vec 1
+    # carries identical codes
+    extra = FeatureTable(
+        spark.createDataFrame(
+            [(100, X[1].tolist())], "vec_id long, embedding array<double>"
+        ),
+        key="vec_id",
+    )
+    idx.add(extra, batch_tag="b1")
+    cells = spark.read.parquet(str(tmp_path / "ivfsq8" / "cells"))
+    row = cells.where("_id = 100").collect()[0]
+    ref = cells.where("_id = 1").collect()[0]
+    assert list(row._sq8) == list(ref._sq8)
+
+    # non-SQ8 index refuses method='sq8'; modes are exclusive
+    plain = IvfIndex(str(tmp_path / "plain2"))
+    plain.build(ft, cdf)
+    with pytest.raises(ValueError, match="sq8"):
+        plain.query(qdf, method="sq8")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        IvfIndex(str(tmp_path / "both")).build(
+            ft, cdf, sq8=True,
+            codebooks=[[[0.0] * 4, [1.0] * 4]] * 2,
+        )
+
+
 def test_pq_encode_dim_mismatch_raises(spark):
     """r7 review: a vector whose dims don't match m*dsub must raise at
     execution, not silently encode code 0 everywhere (a short slice
