@@ -1106,7 +1106,7 @@ class IvfIndex:
         manifest-transactional; interrupted attempts finish or roll back
         on the next call), preserving the ``cell=`` layout
         ``_read_probed_cells`` prunes on and the ``_meta``/``centroids``/
-        ``pq_books`` sidecars. Query results are unchanged (pinned by
+        ``pq_books``/``sq8_bounds`` sidecars. Query results are unchanged (pinned by
         test). Single-writer, run between adds; ``keep_last >= 1`` keeps
         the newest tag replayable for an in-flight micro-batch retry.
         ``tiered`` (default, r11): fold only raw batch tags until
