@@ -502,6 +502,79 @@ def _merge_positions(pos: list[int], n: int):
     return [(s, e) for s, e, _ in spans]
 
 
+def _ref_cross_spans(
+    train: dict[int, str], other: dict[int, str], n: int
+):
+    """Independent reference for cross-corpus spans: a train position is
+    contaminated iff its n-gram occurs ANYWHERE in ``other`` (within-
+    train repeats do not count); merge like the corpus-wide detector."""
+    ttoks = {d: s.split() for d, s in train.items()}
+    ograms = {
+        tuple(tk[i : i + n])
+        for tk in (s.split() for s in other.values())
+        for i in range(len(tk) - n + 1)
+    }
+    out = []
+    for d, tk in sorted(ttoks.items()):
+        out.extend(
+            (d, s, e)
+            for s, e in _merge_positions(
+                [
+                    i + 1
+                    for i in range(len(tk) - n + 1)
+                    if tuple(tk[i : i + n]) in ograms
+                ],
+                n,
+            )
+        )
+    return sorted(set(out))
+
+
+@given(
+    train=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=24),
+        min_size=1, max_size=5,
+    ),
+    other=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=24),
+        min_size=1, max_size=4,
+    ),
+    n=st.integers(2, 5),
+)
+@settings(**_SETTINGS)
+def test_cross_corpus_spans_match_reference(spark, train, other, n):
+    """r12 span-level decontamination vs an independent reference —
+    strictly cross-corpus (a train-only repeat must NOT be flagged),
+    maximal-span merge identical to the corpus-wide detector's."""
+    from ralf_spark.operators.dedup import cross_corpus_duplicate_spans
+
+    ttexts = {
+        d: " ".join(f"t{x}" for x in tk) for d, tk in enumerate(train)
+    }
+    otexts = {
+        d: " ".join(f"t{x}" for x in tk) for d, tk in enumerate(other)
+    }
+    tft = FeatureTable(
+        spark.createDataFrame(
+            [(d, s) for d, s in ttexts.items()], "doc_id long, text string"
+        ),
+        key="doc_id",
+    )
+    oft = FeatureTable(
+        spark.createDataFrame(
+            [(d, s) for d, s in otexts.items()], "doc_id long, text string"
+        ),
+        key="doc_id",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in cross_corpus_duplicate_spans(
+            tft, oft, min_tokens=n
+        ).collect()
+    )
+    assert got == _ref_cross_spans(ttexts, otexts, n)
+
+
 @given(
     data=st.lists(
         st.lists(
