@@ -168,18 +168,35 @@ def acquire_writer_lease(
         try:
             held = read_json_sidecar(spark, sidecar)
         except Exception:
-            held = None  # torn read: a writer is mid-renewal right now
-        if held is None or (
-            held.get("writer_id") != wid
-            and now - float(held.get("heartbeat_unix", 0.0)) < ttl
+            held = None  # torn read: mid-renewal, or a writer crashed
+            # between create-truncate and the JSON write. The embedded
+            # heartbeat is unreadable, so expiry falls back to the
+            # FILE's mtime — without this, a 0-byte lease would wedge
+            # the store forever (no writer id ever matches, and the
+            # heartbeat check can never expire).
+        if held is None:
+            try:
+                mtime = fs.getFileStatus(jpath).getModificationTime() / 1e3
+            except Exception:
+                mtime = now  # raced a concurrent delete: treat as live
+            if now - mtime < ttl:
+                raise ConcurrentWriterError(
+                    f"state store {path} has an unreadable writer lease "
+                    f"modified {now - mtime:.0f}s ago (a writer is "
+                    "mid-renewal, or crashed mid-write); refusing until "
+                    f"it expires ({ttl:.0f}s since last touch)."
+                )
+        elif held.get("writer_id") != wid and (
+            now - float(held.get("heartbeat_unix", 0.0)) < ttl
         ):
-            holder = held.get("writer_id") if held else "<unreadable>"
             raise ConcurrentWriterError(
-                f"state store {path} is held by writer {holder!r} "
-                f"(heartbeat within {ttl:.0f}s); refusing to write — a "
-                "second concurrent writer would corrupt the single-writer "
-                "publish protocol. Stop the other writer, or wait for its "
-                "lease to expire if it crashed."
+                f"state store {path} is held by writer "
+                f"{held.get('writer_id')!r} (heartbeat within "
+                f"{ttl:.0f}s); refusing to write — a second concurrent "
+                "writer would corrupt the single-writer publish "
+                "protocol. Stop the other writer (clean handoff: it "
+                "calls release_writer_lease), or wait for its lease to "
+                "expire if it crashed."
             )
     write_json_sidecar(
         spark, sidecar, {"writer_id": wid, "heartbeat_unix": now}
@@ -196,7 +213,11 @@ def acquire_writer_lease(
 def release_writer_lease(
     spark: SparkSession, path: str, writer_id: str | None = None
 ) -> None:
-    """Drop the lease if this writer holds it (no-op otherwise)."""
+    """Drop the lease if this writer holds it (no-op otherwise) — the
+    clean-handoff API: a terminating writer releases so its successor
+    (deploy rollover, cron handoff) starts immediately instead of
+    waiting out the TTL. Crashed writers never release; the TTL steal
+    covers them."""
     wid = writer_id or _PROCESS_WRITER_ID
     sidecar = path.rstrip("/") + WRITER_LEASE_SUFFIX
     fs, jpath = _hadoop_fs(spark, sidecar)

@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 # boundaries: they are content characters in both engines.
 WHITESPACE_RE = r"[ \t\n\r\x0B\f]+"
 
+#: version tag of the tokenization contract, pinned into every persisted
+#: text-derived index's meta sidecar (GramIndex/MinHashIndex): gram and
+#: shingle digests change whenever token BOUNDARIES change, so a store
+#: built under an older tokenizer silently reports zero duplicates for
+#: multi-line text — the pin turns that into a loud rebuild error.
+#: Pre-r12 stores (no field in meta) are the single-space tokenizer,
+#: recorded as "space-r1".
+TOKENIZER_VERSION = "ws-class-r12"
+
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens, empty strings dropped.

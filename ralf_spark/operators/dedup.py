@@ -1358,7 +1358,12 @@ class MinHashIndex:
 
         meta_path = f"{self.path}/_meta"
         fs, jmeta = _hadoop_fs(spark, meta_path)
-        mine = (self.hash_fn, self.num_perm, self.bands, self.shingle_n)
+        from ralf_spark.functions.text import TOKENIZER_VERSION
+
+        mine = (
+            self.hash_fn, self.num_perm, self.bands, self.shingle_n,
+            TOKENIZER_VERSION,
+        )
         rows = []
         if fs.exists(jmeta):
             try:
@@ -1381,20 +1386,30 @@ class MinHashIndex:
                 rows = []  # crashed first writer: no data file committed
         if rows:
             row = rows[0]
-            stored = (row.hash_fn, row.num_perm, row.bands, row.shingle_n)
+            stored = (
+                row.hash_fn, row.num_perm, row.bands, row.shingle_n,
+                # pre-r12 stores carry no tokenizer field: they were
+                # built under the single-space tokenizer ("space-r1") —
+                # their shingle digests differ from the r12 whitespace
+                # tokenizer's on any multi-line text, so they must fail
+                # LOUDLY here instead of silently colliding on nothing
+                getattr(row, "tokenizer", None) or "space-r1",
+            )
             if stored != mine:
                 raise ValueError(
                     f"MinHashIndex at {self.path} stores (hash_fn, "
-                    f"num_perm, bands, shingle_n)={stored} but this handle "
-                    f"has {mine}; mixing hashing configs silently yields "
-                    "zero cross-batch collisions. Match the stored config "
+                    f"num_perm, bands, shingle_n, tokenizer)={stored} "
+                    f"but this handle has {mine}; mixing hashing or "
+                    "tokenization configs silently yields zero "
+                    "cross-batch collisions. Match the stored config "
                     "(hash_fn=None resolves SPARK_GRAFT_HASH_FN) or "
                     "rebuild the index."
                 )
             return
         spark.createDataFrame(
             [mine],
-            "hash_fn string, num_perm int, bands int, shingle_n int",
+            "hash_fn string, num_perm int, bands int, shingle_n int, "
+            "tokenizer string",
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
     def build(self, table: FeatureTable, text_col: str = "text") -> None:
@@ -1460,11 +1475,15 @@ class MinHashIndex:
         write amplification ~8× (the full-store rewrite happens every
         ~threshold × tier_limit batches, not every threshold);
         ``tiered=False`` forces the pre-r11 full fold."""
+        from ralf_spark.connectors import acquire_writer_lease
         from ralf_spark.layout import (
             compact_batch_partitions,
             tiered_compaction_sources,
         )
 
+        # root lease first (r12 review): contend with add()/build() on
+        # the store root, not only per-subtree inside the compaction
+        acquire_writer_lease(spark, self.path)
         out = {}
         for sub in ("sigs", "buckets"):
             root = f"{self.path}/{sub}"
@@ -1906,11 +1925,18 @@ def cross_corpus_duplicate_spans(
         _gram_positions(odf, okey, ocol, min_tokens, hash_fn)
         .select("_dg")
         .distinct()
+        # persisted: the auto-broadcast decision COUNTS this set, and
+        # the join must not re-run the whole eval tokenize/hash/distinct
+        # pipeline a second time (r12 review). Released by the caller
+        # via the attach_cached convention.
+        .persist()
     )
     hint = _choose_broadcast(broadcast_other, lambda: eval_dg.count())
     probe = F.broadcast(eval_dg) if hint else eval_dg
     dup_pos = pos.join(probe, "_dg").select("_id", "_pos")
-    return _positions_to_spans(dup_pos, min_tokens)
+    return attach_cached(
+        _positions_to_spans(dup_pos, min_tokens), [eval_dg]
+    )
 
 
 def cross_corpus_duplicate_spans_sql(
@@ -2029,7 +2055,13 @@ def remove_contaminated_spans(
         min_tokens=min_tokens, hash_fn=hash_fn,
         broadcast_other=broadcast_other,
     )
-    return _cut_spans(table.df, idc, text_col, spans)
+    # re-attach: _cut_spans returns a NEW DataFrame object, which drops
+    # the attribute-based cache handle — carry it forward so the
+    # caller's unpersist_cached still releases the eval digest set
+    return attach_cached(
+        _cut_spans(table.df, idc, text_col, spans),
+        getattr(spans, "_ralf_cached", []),
+    )
 
 
 def _cut_spans(df: DataFrame, idc: str, text_col: str, spans) -> DataFrame:
@@ -2241,17 +2273,27 @@ class GramIndex:
             .parquet(f"{self.path}/grams")
         )
 
-    def _check_or_write_meta(self, spark) -> None:
-        """Pin (hash_fn, min_tokens, count_mode): digests hashed under a
-        different mode or gram length never match the stored set — a
-        silent zero-duplicates failure (same contract as MinHashIndex's
-        pin) — and a membership handle reading a position store (or vice
-        versa) would mis-shape every probe."""
+    def _check_or_write_meta(
+        self, spark, write_if_missing: bool = True
+    ) -> None:
+        """Pin (hash_fn, min_tokens, count_mode, tokenizer): digests
+        hashed under a different mode, gram length, or tokenizer never
+        match the stored set — a silent zero-duplicates failure (same
+        contract as MinHashIndex's pin) — and a membership handle
+        reading a position store (or vice versa) would mis-shape every
+        probe. ``write_if_missing=False`` (the READ-ONLY paths: check,
+        retro) verifies without ever creating the sidecar — a reader
+        must not stamp its own config onto a store it never built."""
         from ralf_spark.connectors import _hadoop_fs
+
+        from ralf_spark.functions.text import TOKENIZER_VERSION
 
         meta_path = f"{self.path}/_meta"
         fs, jmeta = _hadoop_fs(spark, meta_path)
-        mine = (self.hash_fn, self.min_tokens, self.count_mode)
+        mine = (
+            self.hash_fn, self.min_tokens, self.count_mode,
+            TOKENIZER_VERSION,
+        )
         rows = []
         if fs.exists(jmeta):
             try:
@@ -2267,22 +2309,36 @@ class GramIndex:
                     raise
                 rows = []
         if rows:
-            # pre-r12 stores lack the count_mode column: membership mode
+            # pre-r12 stores lack the count_mode column (membership
+            # mode) and the tokenizer column (single-space tokenizer) —
+            # the latter MUST mismatch loudly: its gram digests differ
+            # on any multi-line text under the r12 whitespace tokenizer
             stored = (
                 rows[0].hash_fn,
                 rows[0].min_tokens,
                 bool(getattr(rows[0], "count_mode", False) or False),
+                getattr(rows[0], "tokenizer", None) or "space-r1",
             )
             if stored != mine:
                 raise ValueError(
                     f"GramIndex at {self.path} stores (hash_fn, "
-                    f"min_tokens, count_mode)={stored} but this handle "
-                    f"has {mine}; mixed configs silently report zero "
-                    "duplicates. Match the stored config or rebuild."
+                    f"min_tokens, count_mode, tokenizer)={stored} but "
+                    f"this handle has {mine}; mixed configs silently "
+                    "report zero duplicates. Match the stored config or "
+                    "rebuild."
                 )
             return
+        if not write_if_missing:
+            raise ValueError(
+                f"GramIndex at {self.path} has no _meta sidecar (never "
+                "built, or a build crashed before the pin committed); "
+                "read-only access cannot stamp a config — build() or "
+                "add() first."
+            )
         spark.createDataFrame(
-            [mine], "hash_fn string, min_tokens int, count_mode boolean"
+            [mine],
+            "hash_fn string, min_tokens int, count_mode boolean, "
+            "tokenizer string",
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
     # ------------------------------------------------------------ lifecycle
@@ -2336,12 +2392,21 @@ class GramIndex:
         between the record and the done marker rolls the fold back
         while leaving the tag recorded — the refusal is then overly
         strict, never silently wrong)."""
-        from ralf_spark.connectors import write_json_sidecar
+        from ralf_spark.connectors import (
+            acquire_writer_lease,
+            write_json_sidecar,
+        )
         from ralf_spark.layout import (
             compact_batch_partitions,
             tiered_compaction_sources,
         )
 
+        # root-lease FIRST (r12 review): compaction holds the subtree
+        # lease, but a second PROCESS's maintain() must contend with
+        # this process's add()/build() on the STORE root — without this
+        # acquire, a foreign maintain could fold and delete a batch dir
+        # out from under an in-flight add's frozen file list
+        acquire_writer_lease(spark, self.path)
         root = f"{self.path}/grams"
         sources = (
             tiered_compaction_sources(spark, root, keep_last=keep_last)
@@ -2478,17 +2543,21 @@ class GramIndex:
         strictly cross-corpus, the :func:`cross_corpus_duplicate_spans`
         semantics served from a persistent store); ``True`` adds the
         batch's own repeats (the :meth:`add` detection without the
-        fold). No writer lease — concurrent readers are always safe.
+        fold). No writer lease — concurrent readers are always safe —
+        and strictly read-only: the meta pin is VERIFIED, never written
+        (a reader must not stamp its config onto a store it never
+        built), and the store is read before any batch projection is
+        persisted (no cache leak on an empty store).
 
         Returns (doc_id, span_start, span_end, span_tokens)."""
         spark = table.df.sparkSession
-        self._check_or_write_meta(spark)
-        pos = self._positions(table, text_col).persist()
-        batch_dg = pos.select("_dg").distinct().persist()
-        n_dg = batch_dg.count()
+        self._check_or_write_meta(spark, write_if_missing=False)
         stored = self._read(spark)
         if stored is None:
             raise ValueError(f"GramIndex at {self.path} is empty")
+        pos = self._positions(table, text_col).persist()
+        batch_dg = pos.select("_dg").distinct().persist()
+        n_dg = batch_dg.count()
         hint = _choose_broadcast(broadcast_digests, lambda: n_dg)
         probe = F.broadcast(batch_dg) if hint else batch_dg
         seen = stored.join(probe, "_dg").select("_dg").distinct()
@@ -2523,7 +2592,7 @@ class GramIndex:
                 "retro-flagging is impossible. Rebuild with "
                 "count_mode=True for the retro pass."
             )
-        self._check_or_write_meta(spark)
+        self._check_or_write_meta(spark, write_if_missing=False)
         store = self._read(spark)
         if store is None:
             raise ValueError(f"GramIndex at {self.path} is empty")

@@ -123,9 +123,11 @@ def bm25_oracle_sql(
         for i in range(len(terms))
     )
     matched = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    from ralf_spark.functions.text import tokens_sql
+
     return f"""
     WITH toks AS (
-      SELECT {key}, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '') AS w
+      SELECT {key}, {tokens_sql('text')} AS w
       FROM {table}
     ),
     d AS (
@@ -179,9 +181,11 @@ def unigram_nll(
 def unigram_nll_oracle_sql(
     key: str = "doc_id", table: str = "documents"
 ) -> str:
+    from ralf_spark.functions.text import tokens_sql
+
     return f"""
     WITH toks AS (
-      SELECT {key}, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '') AS w
+      SELECT {key}, {tokens_sql('text')} AS w
       FROM {table}
     ),
     tok AS (SELECT {key}, unnest(w) AS t FROM toks),

@@ -1113,11 +1113,15 @@ class IvfIndex:
         :data:`~ralf_spark.layout.COMPACTED_TIER_LIMIT` compacted
         partitions exist, then one full fold — ~8× less write
         amplification on a growing index (see MinHashIndex.maintain)."""
+        from ralf_spark.connectors import acquire_writer_lease
         from ralf_spark.layout import (
             compact_batch_partitions,
             tiered_compaction_sources,
         )
 
+        # root lease first (r12 review): contend with add()/build() on
+        # the store root, not only per-subtree inside the compaction
+        acquire_writer_lease(spark, self.path)
         root = f"{self.path}/cells"
         sources = (
             tiered_compaction_sources(spark, root, keep_last=keep_last)

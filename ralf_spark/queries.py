@@ -2043,9 +2043,9 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "exact_dedup_prefix",
-    """
+    f"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '') AS w
+      SELECT doc_id, {tokens_sql('text')} AS w
       FROM documents
     )
     SELECT min(doc_id) AS keep_id, count(*) AS n_copies

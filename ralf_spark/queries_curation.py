@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ralf_spark.functions.text import tokens_sql
 from ralf_spark.operators.dedup import containment_pairs, containment_pairs_sql
 from ralf_spark.operators.retrieval import (
     bigram_nll,
@@ -215,7 +216,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
     base AS (
       SELECT d.doc_id AS id,
-             CAST(len(list_filter(regexp_split_to_array(d.text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> ''))
+             CAST(len({tokens_sql('d.text')})
                   AS INTEGER) AS quality,
              coalesce(l.rep, d.doc_id) AS cluster_rep
       FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
@@ -685,7 +686,7 @@ def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     toks AS (
       SELECT doc_id,
-             len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> ''))
+             len({tokens_sql('text')})
                AS n_tokens
       FROM documents
     )
@@ -772,7 +773,16 @@ def incremental_gram_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx.build(even)
     spans = idx.add(odd)
-    return spans.orderBy("doc_id", "span_start")
+    # re-attach through the sort: orderBy returns a NEW DataFrame and
+    # drops the attribute-based cache handle, so the harness's
+    # unpersist_cached would otherwise be a no-op here (r12 review —
+    # this closes ADVICE r11 #4 properly instead of documenting it)
+    from ralf_spark.operators.util import attach_cached
+
+    return attach_cached(
+        spans.orderBy("doc_id", "span_start"),
+        getattr(spans, "_ralf_cached", []),
+    )
 
 
 @query(

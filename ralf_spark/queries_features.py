@@ -653,9 +653,14 @@ def decontaminate_spans_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = FeatureTable(docs.where(~is_eval), key="doc_id")
     eval_t = FeatureTable(docs.where(is_eval), key="doc_id")
-    return cross_corpus_duplicate_spans(
-        train, eval_t, min_tokens=_DECON_N
-    ).orderBy("doc_id", "span_start")
+    from ralf_spark.operators.util import attach_cached
+
+    spans = cross_corpus_duplicate_spans(train, eval_t, min_tokens=_DECON_N)
+    # re-attach through the sort (attribute-based handle; r12 review)
+    return attach_cached(
+        spans.orderBy("doc_id", "span_start"),
+        getattr(spans, "_ralf_cached", []),
+    )
 
 
 def _decon_removal_oracle_sql() -> str:
@@ -699,12 +704,17 @@ def decontaminate_removal_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = FeatureTable(docs.where(~is_eval), key="doc_id")
     eval_t = FeatureTable(docs.where(is_eval), key="doc_id")
     out = remove_contaminated_spans(train, eval_t, min_tokens=_DECON_N)
-    return out.select(
-        "doc_id",
-        F.md5("clean_text").alias("clean_md5"),
-        "n_kept",
-        "n_removed",
-    ).orderBy("doc_id")
+    from ralf_spark.operators.util import attach_cached
+
+    return attach_cached(
+        out.select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_kept",
+            "n_removed",
+        ).orderBy("doc_id"),
+        getattr(out, "_ralf_cached", []),
+    )
 
 
 @query("streaming_decontaminate_eval", _decon_removal_oracle_sql())

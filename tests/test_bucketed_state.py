@@ -477,3 +477,69 @@ def test_concurrent_writer_refused_everywhere(spark, tmp_path, batches,
                                                ts="ts", seq="seq"))
     with pytest.raises(ConcurrentWriterError):
         gi.add(docs)
+
+
+def test_writer_lease_torn_file_expires_by_mtime(spark, tmp_path, monkeypatch):
+    """r12 review: a writer killed between create-truncate and the JSON
+    write leaves a 0-byte lease. It must refuse while fresh (a writer
+    may be mid-renewal) but expire by FILE mtime — not wedge the store
+    forever (the embedded heartbeat is unreadable)."""
+    from ralf_spark import connectors
+    from ralf_spark.connectors import (
+        ConcurrentWriterError,
+        acquire_writer_lease,
+    )
+
+    store = str(tmp_path / "st")
+    torn = store + connectors.WRITER_LEASE_SUFFIX
+    open(torn, "w").close()  # 0 bytes: unreadable JSON
+    with pytest.raises(ConcurrentWriterError, match="unreadable"):
+        acquire_writer_lease(spark, store)
+    monkeypatch.setattr(connectors, "WRITER_LEASE_TTL_SEC", 0.0)
+    acquire_writer_lease(spark, store)  # mtime-expired: stolen
+    # and the sidecar is now a valid lease for this writer
+    acquire_writer_lease(spark, store)
+
+
+def test_writer_lease_clean_release_hands_off_immediately(
+    spark, tmp_path, batches, monkeypatch
+):
+    """r12 review: a terminating writer calls release_writer_lease so a
+    successor starts immediately instead of waiting out the TTL."""
+    from ralf_spark import connectors
+    from ralf_spark.connectors import (
+        ConcurrentWriterError,
+        release_writer_lease,
+    )
+
+    d = str(tmp_path)
+    hll_upsert_batch(f"{d}/hb", ["k"], "v", buckets=8)(batches[0], 0)
+    release_writer_lease(spark, f"{d}/hb")  # clean shutdown of writer A
+    monkeypatch.setattr(connectors, "_PROCESS_WRITER_ID", "writer-b")
+    # no TTL wait needed: the lease is gone
+    hll_upsert_batch(f"{d}/hb", ["k"], "v", buckets=8)(batches[1], 1)
+
+
+def test_foreign_maintain_refused_against_live_writer(spark, tmp_path,
+                                                      monkeypatch):
+    """r12 review: a second PROCESS's maintain() must contend on the
+    STORE root with this process's add()/build() — a foreign compaction
+    could otherwise fold and delete a batch dir out from under an
+    in-flight add's frozen file list."""
+    from ralf_spark import connectors
+    from ralf_spark.connectors import ConcurrentWriterError
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.table import FeatureTable
+
+    gi = GramIndex(str(tmp_path / "gi"), min_tokens=2, auto_maintain=0)
+    docs = FeatureTable(
+        spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+        ),
+        key="doc_id",
+    )
+    gi.build(docs)
+    gi.add(docs, batch_tag="t1").collect()
+    monkeypatch.setattr(connectors, "_PROCESS_WRITER_ID", "writer-b")
+    with pytest.raises(ConcurrentWriterError):
+        gi.maintain(spark, keep_last=0, tiered=False)

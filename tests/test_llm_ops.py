@@ -2405,6 +2405,49 @@ def test_gram_index_check_is_read_only_and_cross_corpus(spark, tmp_path):
     assert with_self == added
 
 
+def test_gram_index_tokenizer_pin_and_readonly_meta(spark, tmp_path):
+    """r12 review: (a) a store built under the pre-r12 single-space
+    tokenizer (meta without the tokenizer column) must be REFUSED — its
+    gram digests differ on multi-line text, the silent-zero-duplicates
+    class the pin exists for; (b) read-only check()/retro() must not
+    stamp a _meta onto a store they never built."""
+    import pytest as _pytest
+
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.table import FeatureTable
+
+    docs = FeatureTable(
+        spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+        ),
+        key="doc_id",
+    )
+    # simulate a pre-r12 store: meta lacks count_mode AND tokenizer
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [("md5", 2)], "hash_fn string, min_tokens int"
+    ).coalesce(1).write.parquet(f"{legacy}/_meta")
+    with _pytest.raises(ValueError, match="tokenizer"):
+        GramIndex(legacy, min_tokens=2).add(docs)
+    # read-only paths refuse to create _meta on a virgin path
+    virgin = GramIndex(str(tmp_path / "virgin"), min_tokens=2)
+    with _pytest.raises(ValueError, match="no _meta"):
+        virgin.check(docs)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "virgin" / "_meta"))
+    # MinHashIndex shares the pin
+    from ralf_spark.operators.dedup import MinHashIndex
+
+    legacy2 = str(tmp_path / "legacy2")
+    spark.createDataFrame(
+        [("md5", 64, 16, 3)],
+        "hash_fn string, num_perm int, bands int, shingle_n int",
+    ).coalesce(1).write.parquet(f"{legacy2}/_meta")
+    with _pytest.raises(ValueError, match="tokeniz"):
+        MinHashIndex(legacy2).add(docs)
+
+
 def test_gram_index_replay_of_folded_tag_raises(spark, tmp_path):
     """A batch_tag already folded by maintain() must be REFUSED loudly
     (r12): the fold renamed its digests into the compacted partition, so
