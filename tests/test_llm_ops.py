@@ -913,11 +913,11 @@ def test_minhash_index_pins_hash_config(spark, tmp_path, monkeypatch):
     assert pairs.count() > 0
     # flipped env default -> resolved hash_fn differs -> hard error
     monkeypatch.setenv("SPARK_GRAFT_HASH_FN", "xxhash64")
-    with pytest.raises(ValueError, match="hashing config"):
+    with pytest.raises(ValueError, match="hashing or tokenization"):
         MinHashIndex(path, num_perm=4, bands=2).add(more)
     monkeypatch.delenv("SPARK_GRAFT_HASH_FN")
     # different banding shape also rejected
-    with pytest.raises(ValueError, match="hashing config"):
+    with pytest.raises(ValueError, match="hashing or tokenization"):
         MinHashIndex(path, num_perm=8, bands=4).add(more)
     # ADVICE r6: a crashed first writer can leave _meta as an empty dir
     # (created, no committed parquet). Treated as ABSENT -> rewritten on
@@ -933,7 +933,7 @@ def test_minhash_index_pins_hash_config(spark, tmp_path, monkeypatch):
     )
     assert pairs2.count() > 0
     # and the rewritten meta pins the config again
-    with pytest.raises(ValueError, match="hashing config"):
+    with pytest.raises(ValueError, match="hashing or tokenization"):
         MinHashIndex(path, num_perm=8, bands=4).add(more)
 
 
