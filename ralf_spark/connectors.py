@@ -120,8 +120,22 @@ WRITER_LEASE_SUFFIX = ".writer_lease.json"
 
 #: a crashed writer's lease expires after this long without a heartbeat
 #: (every guarded write renews); a successor then steals it. Bound it
-#: well above the longest micro-batch/maintenance cycle.
+#: well above the longest micro-batch/maintenance cycle. Deployments
+#: whose guarded builds/compactions run longer (the 100 TB regime)
+#: size it to the workload via ``SPARK_GRAFT_LEASE_TTL_SEC`` or the
+#: explicit ``ttl_sec`` argument — the module constant is only the
+#: local-test default (ADVICE r12).
 WRITER_LEASE_TTL_SEC = 300.0
+
+
+def _lease_ttl(ttl_sec: float | None) -> float:
+    """Resolve the lease TTL: explicit arg > env knob > module default."""
+    import os
+
+    if ttl_sec is not None:
+        return ttl_sec
+    env = os.environ.get("SPARK_GRAFT_LEASE_TTL_SEC")
+    return float(env) if env else WRITER_LEASE_TTL_SEC
 
 
 def acquire_writer_lease(
@@ -160,7 +174,7 @@ def acquire_writer_lease(
     import time
 
     wid = writer_id or _PROCESS_WRITER_ID
-    ttl = WRITER_LEASE_TTL_SEC if ttl_sec is None else ttl_sec
+    ttl = _lease_ttl(ttl_sec)
     sidecar = path.rstrip("/") + WRITER_LEASE_SUFFIX
     fs, jpath = _hadoop_fs(spark, sidecar)
     now = time.time()
@@ -208,6 +222,42 @@ def acquire_writer_lease(
             "this lease renewal; backing off."
         )
     return wid
+
+
+def verify_writer_lease(
+    spark: SparkSession,
+    path: str,
+    writer_id: str | None = None,
+    ttl_sec: float | None = None,
+) -> str:
+    """Fencing read + heartbeat renewal at a guarded protocol's COMMIT
+    point (r13, ADVICE r12): the start-of-operation
+    :func:`acquire_writer_lease` alone leaves a window — a guarded
+    build/add/compaction running longer than the TTL lets a second
+    writer legitimately steal the lease mid-operation, and without a
+    re-check before publish both writers interleave silently. Call this
+    immediately before each irreversible step (manifest write, done
+    marker, staged swap, dynamic-overwrite publish): it re-reads the
+    sidecar, raises :class:`ConcurrentWriterError` if a live foreign
+    writer now holds it (the fence — this writer's publish aborts before
+    corrupting the thief's store), and otherwise renews the heartbeat so
+    multi-step protocols keep the lease alive however long each step
+    takes. Same best-effort contract as acquire: a filesystem sidecar
+    cannot give hard mutual exclusion, so the promise is FAIL LOUDLY at
+    the first heartbeat round-trip, not lock semantics."""
+    try:
+        return acquire_writer_lease(
+            spark, path, writer_id=writer_id, ttl_sec=ttl_sec
+        )
+    except ConcurrentWriterError as e:
+        raise ConcurrentWriterError(
+            f"state store {path}: lease lost mid-operation — another "
+            "writer took over after this operation started (it ran "
+            "longer than the lease TTL, or raced this writer); aborting "
+            "before the publish step to avoid interleaving with the new "
+            "holder. Size SPARK_GRAFT_LEASE_TTL_SEC (or ttl_sec) above "
+            f"the longest guarded operation. Original: {e}"
+        ) from e
 
 
 def release_writer_lease(
@@ -393,6 +443,9 @@ def _staged_overwrite(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
+    # fencing read (r13): the staging write above is the long step; only
+    # publish over ``path`` if this writer still holds the lease
+    verify_writer_lease(spark, path)
     reread = spark.read.parquet(tmp).write.mode("overwrite")
     if partition_by:
         reread = reread.partitionBy(partition_by)

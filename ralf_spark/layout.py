@@ -242,13 +242,22 @@ def batch_tag_count(spark: SparkSession, root: str) -> int:
     return len(_batch_dirs(spark, root))
 
 
-def recover_compaction(spark: SparkSession, root: str) -> None:
+def recover_compaction(spark: SparkSession, root: str, on_rollback=None) -> None:
     """Finish (or roll back) an interrupted :func:`compact_batch_partitions`
     from its manifest: a crash after the done-marker leaves source
     directories to delete (their rows already live in the compacted
     partition); a crash before it leaves a partial compacted partition to
     delete (sources are intact). Either way the index is exact afterwards
-    — never both copies. No-op without a manifest."""
+    — never both copies. No-op without a manifest.
+
+    ``on_rollback`` (r13, ADVICE r12): callback invoked with the
+    manifest's source-tag list when the attempt is ROLLED BACK (crash
+    before done) — the undo hook for callers whose ``on_before_done``
+    durably recorded those tags as folded: the crash window between the
+    record and the done marker leaves tags recorded for a fold that
+    never happened, and without this undo those tags are refused
+    forever (replaying them is in fact safe — the rollback restored
+    their source partitions intact)."""
     from ralf_spark.connectors import read_json_sidecar
 
     mpath = f"{root}/.compact_manifest.json"
@@ -260,6 +269,8 @@ def recover_compaction(spark: SparkSession, root: str) -> None:
         _delete_tag_dirs(spark, root, list(man["sources"]))
     else:
         _delete_tag_dirs(spark, root, [man["ctag"]])
+        if on_rollback is not None:
+            on_rollback(list(man["sources"]))
     fs.delete(jm, False)
 
 
@@ -309,6 +320,7 @@ def compact_batch_partitions(
     target_file_bytes: int = 128 * 1024 * 1024,
     transform=None,
     on_before_done=None,
+    on_rollback=None,
     sources: list[str] | None = None,
 ) -> dict | None:
     """Fold old ``_batch=<tag>`` partitions into ONE compacted partition
@@ -353,6 +365,13 @@ def compact_batch_partitions(
     identical content — a refused replay is harmless); a crash after
     done can no longer lose the record.
 
+    ``on_rollback`` (r13, ADVICE r12): the undo twin of
+    ``on_before_done``, forwarded to :func:`recover_compaction` — when
+    an earlier interrupted attempt is rolled back here, the callback
+    receives its source-tag list so the caller can un-record tags its
+    ``on_before_done`` durably marked as folded (the fold never
+    happened; the rollback restored those partitions intact).
+
     ``sources`` (r11, the tiered spelling's hook): an explicit tag list
     overrides the default all-but-newest-``keep_last`` selection — the
     caller (e.g. :func:`tiered_compaction_sources`) decides WHICH tags
@@ -372,7 +391,7 @@ def compact_batch_partitions(
     from ralf_spark.connectors import acquire_writer_lease
 
     acquire_writer_lease(spark, root)  # single-writer guard (r12)
-    recover_compaction(spark, root)
+    recover_compaction(spark, root, on_rollback=on_rollback)
     dirs = _batch_dirs(spark, root)
     if not dirs:
         return None
@@ -413,6 +432,11 @@ def compact_batch_partitions(
             spark, mpath,
             {"ctag": ctag, "sources": sources, "done": False},
         )
+        from ralf_spark.connectors import verify_writer_lease
+
+        # fencing read (r13, ADVICE r12): re-check ownership before the
+        # compacted write begins
+        verify_writer_lease(spark, root)
         df = spark.read.option("basePath", root).parquet(*files)
         if transform is not None:
             df = transform(df.drop("_batch"))
@@ -428,6 +452,9 @@ def compact_batch_partitions(
             .partitionBy(*pcols)
             .parquet(root)
         )
+        # fencing read (r13): the merged write above is the long step —
+        # only commit (done marker + source deletion) while still owner
+        verify_writer_lease(spark, root)
         if on_before_done is not None:
             on_before_done(list(sources))
         write_json_sidecar(

@@ -1313,6 +1313,11 @@ class MinHashIndex:
         `build()`` materialize the persisted projection FIRST — the
         hash pipeline keeps its full parallelism, only the cached rows
         funnel into the writers."""
+        from ralf_spark.connectors import verify_writer_lease
+
+        # fencing read (r13, ADVICE r12): the projection pipeline between
+        # acquire and this publish can outlive the lease TTL
+        verify_writer_lease(df.sparkSession, self.path)
         out = df
         if rows is not None:
             n_files = max(1, -(-rows // self._ROWS_PER_FILE[sub]))
@@ -2261,6 +2266,11 @@ class GramIndex:
     _ROWS_PER_FILE = 2_000_000
 
     def _write(self, dg: DataFrame, tag: str, rows: int) -> None:
+        from ralf_spark.connectors import verify_writer_lease
+
+        # fencing read (r13, ADVICE r12): abort the fold if the lease was
+        # stolen while the span plan / position scan ran
+        verify_writer_lease(dg.sparkSession, self.path)
         out = dg
         n_files = max(1, -(-rows // self._ROWS_PER_FILE))
         if n_files < dg.rdd.getNumPartitions():
@@ -2378,6 +2388,27 @@ class GramIndex:
             return set()
         return set(read_json_sidecar(spark, sidecar).get("tags", []))
 
+    def _unrecord_folded_tags(self, spark, rolled_back: list[str]) -> None:
+        """Remove ``rolled_back`` source tags from the replay-refusal
+        sidecar (r13, ADVICE r12): a crash between :meth:`maintain`'s
+        record callback and the compaction's done marker rolls the fold
+        back — the tags' source partitions are restored intact — but
+        the sidecar still names them folded, so :meth:`add` would refuse
+        their replays FOREVER with no remedy short of a rebuild. The
+        recovery path calls this with the rolled-back manifest sources
+        so a replay of those (never actually folded) tags is accepted
+        again."""
+        from ralf_spark.connectors import write_json_sidecar
+
+        tags = self._folded_tags(spark)
+        drop = {t for t in rolled_back if not t.startswith("compacted-")}
+        if not (tags & drop):
+            return
+        write_json_sidecar(
+            spark, f"{self.path}/grams/.compacted_tags.json",
+            {"tags": sorted(tags - drop)},
+        )
+
     def maintain(self, spark, keep_last: int = 1, tiered: bool = True) -> dict:
         """Fold batch partitions with a ``distinct()`` MERGING compaction
         (membership algebra: union folds exactly), tiered by default —
@@ -2391,7 +2422,13 @@ class GramIndex:
         duplicated (r12, closes the documented replay window: a crash
         between the record and the done marker rolls the fold back
         while leaving the tag recorded — the refusal is then overly
-        strict, never silently wrong)."""
+        strict, never silently wrong; r13 heals even that: the
+        rollback's ``on_rollback`` un-records the never-folded tags,
+        both here and in :meth:`add`'s recovery pass). The sidecar
+        grows O(folded raw tags) — ~40 bytes per crawl batch, ~400 KB
+        at the 10⁴-batch crawl-loop horizon — an accepted bound:
+        pruning by age would re-open the silent-misreport window for
+        replays of genuinely folded old tags."""
         from ralf_spark.connectors import (
             acquire_writer_lease,
             write_json_sidecar,
@@ -2435,6 +2472,9 @@ class GramIndex:
                     else (lambda df: df.distinct())
                 ),
                 on_before_done=record,
+                # undo the record if an interrupted earlier attempt is
+                # rolled back here (r13, ADVICE r12)
+                on_rollback=lambda rb: self._unrecord_folded_tags(spark, rb),
             )
         }
 
@@ -2476,9 +2516,17 @@ class GramIndex:
 
         spark = table.df.sparkSession
         from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.layout import recover_compaction
 
         acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
         self._check_or_write_meta(spark)
+        # heal an interrupted maintain() BEFORE the replay check (r13,
+        # ADVICE r12): a rollback un-records tags the crashed attempt
+        # falsely marked folded, so their replays are accepted again
+        recover_compaction(
+            spark, f"{self.path}/grams",
+            on_rollback=lambda rb: self._unrecord_folded_tags(spark, rb),
+        )
         if batch_tag is not None and batch_tag in self._folded_tags(spark):
             raise ValueError(
                 f"GramIndex at {self.path}: batch_tag {batch_tag!r} was "

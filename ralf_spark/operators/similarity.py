@@ -947,6 +947,11 @@ class IvfIndex:
         one file per touched (cell, batch); the write stays parallel
         across cells, and at build scale a cell's file is its member
         count (cells ∝ √corpus keeps that bounded)."""
+        from ralf_spark.connectors import verify_writer_lease
+
+        # fencing read (r13, ADVICE r12): assignment/encoding between
+        # acquire and this publish can outlive the lease TTL
+        verify_writer_lease(assigned.sparkSession, self.path)
         (
             assigned.withColumn("_batch", F.lit(tag))
             .repartition(F.col("cell"))

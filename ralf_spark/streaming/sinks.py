@@ -451,6 +451,11 @@ def _bucketed_fold_upsert(
             for b in eligible
             if fs.exists(jvm_path(f"{staging}/{STATE_BUCKET_COL}={b}"))
         ]
+        from ralf_spark.connectors import verify_writer_lease
+
+        # fencing read (r13, ADVICE r12): the merge+staging write is the
+        # long step — start the swap only while still the lease owner
+        verify_writer_lease(spark, path)
         write_json_sidecar(
             spark,
             f"{path}/{_PUBLISH_MANIFEST_NAME}",

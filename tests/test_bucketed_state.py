@@ -543,3 +543,73 @@ def test_foreign_maintain_refused_against_live_writer(spark, tmp_path,
     monkeypatch.setattr(connectors, "_PROCESS_WRITER_ID", "writer-b")
     with pytest.raises(ConcurrentWriterError):
         gi.maintain(spark, keep_last=0, tiered=False)
+
+
+def test_verify_writer_lease_fences_mid_operation_steal(spark, tmp_path):
+    """r13 (ADVICE r12): a lease stolen AFTER an operation started (the
+    operation outlived the TTL) is detected by the fencing read at the
+    publish step — the original writer aborts loudly instead of
+    interleaving its publish with the new holder's writes. The happy
+    path doubles as the heartbeat renewal: verify re-stamps the
+    sidecar, so multi-step protocols stay live past the TTL as long as
+    each step fences."""
+    from ralf_spark.connectors import (
+        ConcurrentWriterError,
+        acquire_writer_lease,
+        read_json_sidecar,
+        verify_writer_lease,
+        WRITER_LEASE_SUFFIX,
+    )
+
+    store = str(tmp_path / "st")
+    acquire_writer_lease(spark, store)  # writer A starts an operation
+    # A's heartbeat "expires" (ttl_sec=0): writer B legitimately steals
+    acquire_writer_lease(spark, store, writer_id="writer-b", ttl_sec=0.0)
+    # A reaches its publish step -> the fence aborts it
+    with pytest.raises(ConcurrentWriterError, match="lease lost"):
+        verify_writer_lease(spark, store)
+    # B's own fence renews B's heartbeat (no raise), and re-stamps
+    hb0 = read_json_sidecar(spark, store + WRITER_LEASE_SUFFIX)
+    verify_writer_lease(spark, store, writer_id="writer-b")
+    hb1 = read_json_sidecar(spark, store + WRITER_LEASE_SUFFIX)
+    assert hb1["writer_id"] == "writer-b"
+    assert hb1["heartbeat_unix"] >= hb0["heartbeat_unix"]
+
+
+def test_index_publish_fenced_after_steal(spark, tmp_path, monkeypatch):
+    """End-to-end fence: a GramIndex.add whose lease is stolen while the
+    span plan runs aborts BEFORE folding the batch — the store keeps
+    only the pre-add content, so the thief's view is never corrupted."""
+    import os
+
+    from ralf_spark.connectors import (
+        ConcurrentWriterError,
+        acquire_writer_lease,
+    )
+    from ralf_spark.operators import dedup as dedup_mod
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.table import FeatureTable
+
+    gi = GramIndex(str(tmp_path / "gi"), min_tokens=2, auto_maintain=0)
+    docs = FeatureTable(
+        spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+        ),
+        key="doc_id",
+    )
+    gi.build(docs)
+    real = dedup_mod._positions_to_spans
+
+    def steal_then_spans(*a, **kw):
+        # simulate the add outliving its TTL: writer B steals mid-add
+        acquire_writer_lease(spark, gi.path, writer_id="writer-b",
+                             ttl_sec=0.0)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup_mod, "_positions_to_spans", steal_then_spans)
+    with pytest.raises(ConcurrentWriterError, match="lease lost"):
+        gi.add(docs, batch_tag="stolen")
+    batch_dirs = [
+        d for d in os.listdir(f"{gi.path}/grams") if d.startswith("_batch=")
+    ]
+    assert batch_dirs == ["_batch=base"]  # the aborted fold never landed

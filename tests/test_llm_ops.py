@@ -2624,3 +2624,56 @@ def test_cdc_chunks_partition_and_edit_stability(spark):
            and h1[-1 - common] == h2[-1 - common]):
         common += 1
     assert common >= max(1, len(h1) - 3), (len(h1), len(h2), common)
+
+
+def test_gram_index_rollback_unrecords_falsely_folded_tags(spark, tmp_path):
+    """r13 (ADVICE r12): a maintain() crash BETWEEN the folded-tag record
+    and the compaction's done marker rolls the fold back (source
+    partitions intact) but left the tags recorded — pre-r13 those
+    replays were refused forever. The recovery pass (run by add() and
+    maintain()) now un-records the rolled-back sources, so the replay is
+    accepted and rewrites its partition idempotently; tags from a
+    COMPLETED fold stay refused."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, _ = _gram_batches()
+    idx = GramIndex(str(tmp_path / "gi"), min_tokens=8, auto_maintain=0)
+    idx.build(_docs(spark, list(b1.items())))
+    before = sorted(
+        tuple(r)
+        for r in idx.add(
+            _docs(spark, list(b2.items())), batch_tag="t1"
+        ).collect()
+    )
+    grams = f"{idx.path}/grams"
+    # simulate the crash window: the record callback ran (sidecar names
+    # t1 folded), the done marker did NOT (manifest says done=false);
+    # t1's source partition is still on disk — exactly the state a kill
+    # between layout.py's on_before_done and its done-marker write leaves
+    with open(f"{grams}/.compacted_tags.json", "w") as f:
+        json.dump({"tags": ["t1"]}, f)
+    with open(f"{grams}/.compact_manifest.json", "w") as f:
+        json.dump(
+            {"ctag": "compacted-deadbeef00", "sources": ["base", "t1"],
+             "done": False},
+            f,
+        )
+    # pre-r13 this raised "already folded"; now recovery rolls the
+    # attempt back, un-records t1, and the replay lands idempotently
+    replay = sorted(
+        tuple(r)
+        for r in idx.add(
+            _docs(spark, list(b2.items())), batch_tag="t1"
+        ).collect()
+    )
+    assert replay == before
+    assert not os.path.exists(f"{grams}/.compact_manifest.json")
+    # a genuinely COMPLETED fold still refuses the replay
+    idx.maintain(spark, keep_last=0, tiered=False)
+    with _pytest.raises(ValueError, match="already folded"):
+        idx.add(_docs(spark, list(b2.items())), batch_tag="t1")
