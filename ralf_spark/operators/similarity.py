@@ -1301,7 +1301,9 @@ class IvfIndex:
             dist = F.aggregate(
                 F.zip_with(
                     _sq8_rec("_sq8", bounds),
-                    F.col("_qv"),
+                    _sq8_qv_guard(
+                        F.col("_qv"), bounds, "IvfIndex.query(method='sq8')"
+                    ),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
@@ -1551,13 +1553,21 @@ def kmeans_plusplus_seeds(
     (operators/sketches.py), so the selection is identical across runs,
     partitionings, and engines (DuckDB-replayable; the registry gate
     pins the chosen ids). Rows at zero distance to a seed (w <= 0) are
-    never picked.
+    never picked, and ZERO-NORM rows are dropped before round 0 (r13,
+    ADVICE r12): they have no direction under the angular metric, and a
+    zero-norm pick would put 0 in every later round's cosine
+    denominator, NULL-ing d for all rows and silently truncating the
+    seed set.
 
     Scale: k - 1 corpus scans, each a row-local expression against the
     plan-literal seed set followed by a distributed TakeOrdered(1) —
-    no shuffle of the corpus, no pairwise join, O(k·n) total cosines.
-    k is small by the coarse-quantizer contract; for k in the thousands
-    seed from a deterministic sample (``weighted_sample``) first.
+    no shuffle of the corpus, no pairwise join. Round i recomputes the
+    max-cosine against all i seeds chosen so far, so the total work is
+    O(k²·n) cosines (not O(k·n) — r13 correction, ADVICE r12); an
+    incrementally-maintained per-row running max would shave the k
+    factor at the cost of k materialized corpus passes. k is small by
+    the coarse-quantizer contract; for k in the thousands seed from a
+    deterministic sample (``weighted_sample``) first.
 
     Returns (centroid_id, seed_id, centroid_vec) — feed straight into
     :func:`kmeans_fit` as ``init_centroids``.
@@ -1567,12 +1577,19 @@ def kmeans_plusplus_seeds(
         raise ValueError("kmeans_plusplus_seeds needs a keyed table")
     if k < 1:
         raise ValueError("k must be >= 1")
-    emb = ensure_parallelism(
-        corpus.df.select(
-            F.col(idc).alias("_id"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
+    emb = (
+        ensure_parallelism(
+            corpus.df.select(
+                F.col(idc).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
         )
-    ).persist()
+        # zero-norm rows have no direction under the angular metric:
+        # excluded before round 0 so a degenerate pick can never NULL
+        # every later round's d and truncate the seed set (r13, ADVICE)
+        .where(F.expr("aggregate(`_v`, 0.0D, (acc, x) -> acc + x * x)") > 0)
+        .persist()
+    )
     try:
         def u_log(i: int) -> Column:
             # ln(u), u = (stable_hash64(id, salt)+1)/2^60 ∈ (0, 1]
@@ -2138,6 +2155,30 @@ def sq8_encode(
     return df.select(*keep, codes.alias(out_col))
 
 
+def _sq8_qv_guard(
+    qv: Column, bounds: list[tuple[float, float]], what: str
+) -> Column:
+    """Dim-guard the QUERY side of an SQ8 search (r13, ADVICE r12): the
+    corpus side raises on mismatch in :func:`sq8_encode`, but a
+    mis-dimensioned query vector would ``zip_with``-null-pad, make
+    ``approx_dist`` NULL, and the ascending rank window then returns
+    garbage rows at ranks 1..k (Spark orders NULLs FIRST ascending) —
+    silent wrong answers. Same one-expression-per-row spelling as the
+    encode guard."""
+    expected = len(bounds)
+    return F.when(F.size(qv) == expected, qv).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{what}: query vector must have exactly "
+                    f"{expected} dims (the stored SQ8 bounds), got "
+                ),
+                F.size(qv).cast("string"),
+            )
+        )
+    )
+
+
 def _sq8_rec(codes_col: str, bounds: list[tuple[float, float]]) -> Column:
     """Dequantized vector ``rec = lo + code * (hi - lo) / 255`` as a
     row-local expression against plan-literal bounds (shared by the flat
@@ -2180,7 +2221,11 @@ def sq8_adc_topk_precoded(
     )
     q = queries.select(
         F.col(query_id),
-        F.col(query_vec).cast("array<double>").alias("_qv"),
+        _sq8_qv_guard(
+            F.col(query_vec).cast("array<double>"),
+            bounds,
+            "sq8_adc_topk_precoded",
+        ).alias("_qv"),
     )
     dist = F.aggregate(
         F.zip_with("_rec", "_qv", lambda a, b: (a - b) * (a - b)),

@@ -435,8 +435,14 @@ def kmeans_plusplus_oracle_sql(k: int = 8, seed: str = "kpp") -> str:
     parts = [
         f"""
     WITH e AS (
+      -- zero-norm rows are excluded from selection (same filter as the
+      -- Spark side, r13): no direction under the angular metric
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
+      WHERE list_reduce(
+        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        (acc, x) -> acc + x
+      ) > 0
     ),
     s0 AS (
       SELECT id, v FROM e

@@ -2677,3 +2677,77 @@ def test_gram_index_rollback_unrecords_falsely_folded_tags(spark, tmp_path):
     idx.maintain(spark, keep_last=0, tiered=False)
     with _pytest.raises(ValueError, match="already folded"):
         idx.add(_docs(spark, list(b2.items())), batch_tag="t1")
+
+
+def test_sq8_query_vector_dim_guard_raises(spark, tmp_path):
+    """r13 (ADVICE r12): the QUERY side of the SQ8 search is dim-guarded
+    like the corpus side — a mis-dimensioned query vector raised loudly
+    instead of zip_with-null-padding approx_dist to NULL and returning
+    garbage rows at ranks 1..k (Spark orders NULLs FIRST ascending)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ralf_spark.operators.similarity import (
+        IvfIndex,
+        sq8_adc_topk_precoded,
+        sq8_encode,
+    )
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(31)
+    n, dim = 20, 6
+    X = rng.randn(n, dim).round(3)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = [(-3.0, 3.0)] * dim
+    enc = sq8_encode(
+        df.selectExpr("vec_id AS neighbor_id", "embedding"), bounds
+    )
+    bad_q = spark.createDataFrame(
+        [(100, [0.0, 1.0])], "query_id long, query_vec array<double>"
+    )
+    with _pytest.raises(Exception, match="exactly 6 dims"):
+        sq8_adc_topk_precoded(enc, bad_q, bounds, k=3).collect()
+    # the persistent index's sq8 mode shares the guard
+    cdf = spark.createDataFrame(
+        [(0, [0.0] * (dim - 1) + [1.0]), (1, [1.0] + [0.0] * (dim - 1))],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    idx = IvfIndex(str(tmp_path / "g"))
+    idx.build(FeatureTable(df, key="vec_id"), cdf, sq8=True)
+    bad_q6 = spark.createDataFrame(
+        [(100, [0.0, 1.0, 2.0])], "query_id long, query_vec array<double>"
+    )
+    with _pytest.raises(Exception, match="exactly 6 dims"):
+        idx.query(bad_q6, k=3, nprobe=2, method="sq8").collect()
+    # well-formed queries are unaffected
+    ok_q = df.limit(1).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    assert sq8_adc_topk_precoded(enc, ok_q, bounds, k=3).count() == 3
+
+
+def test_kmeans_plusplus_zero_norm_rows_never_truncate_seeds(spark):
+    """r13 (ADVICE r12): zero-norm vectors are excluded from k-means++
+    selection — a degenerate pick would otherwise put 0 in every later
+    round's cosine denominator, NULL d for all rows, and silently
+    return fewer than k seeds."""
+    import numpy as np
+
+    from ralf_spark.operators.similarity import kmeans_plusplus_seeds
+    from ralf_spark.table import FeatureTable
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(4).round(3).tolist()) for i in range(12)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # the degenerate row
+    corpus = FeatureTable(
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ),
+        key="vec_id",
+    )
+    seeds = kmeans_plusplus_seeds(corpus, k=5).collect()
+    assert len(seeds) == 5  # not truncated
+    assert 99 not in {r.seed_id for r in seeds}
