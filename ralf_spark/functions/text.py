@@ -33,24 +33,133 @@ WHITESPACE_RE = r"[ \t\n\r\x0B\f]+"
 #: recorded as "space-r1".
 TOKENIZER_VERSION = "ws-class-r12"
 
+#: pin for ``token_mode="unicode"`` (r13, VERDICT r12 #2) — a DIFFERENT
+#: contract string, so a store built in one mode refuses probes hashed
+#: under the other (same loud-rebuild discipline as the r12 pin).
+TOKENIZER_VERSION_UNICODE = "nfc-lower-uws-r13"
 
-def tokens(col: Column) -> Column:
+# Unicode whitespace run (White_Space=Yes): the ASCII set plus NEL, NBSP,
+# OGHAM SPACE MARK, the U+2000–U+200A space block, LINE/PARAGRAPH
+# SEPARATOR, NARROW NBSP, MMSP, IDEOGRAPHIC SPACE. LITERAL characters in
+# the class (not \s, not \p{..}): Java regex and RE2 disagree on both
+# shorthands' unicode coverage, but literal chars split byte-identically.
+UNICODE_WHITESPACE_RE = (
+    "[ \t\n\r\x0b\f"
+    "\u0085\u00a0\u1680"
+    "\u2000-\u200a"
+    "\u2028\u2029\u202f\u205f\u3000]+"
+)
+
+
+def tokenizer_version(mode: str = "ascii") -> str:
+    """The contract pin for ``token_mode=mode`` — stamped into every
+    persisted text index's meta so a mode mismatch is a loud error, not
+    a silent zero-duplicates report."""
+    if mode == "ascii":
+        return TOKENIZER_VERSION
+    if mode == "unicode":
+        return TOKENIZER_VERSION_UNICODE
+    raise ValueError(f"unknown token_mode {mode!r} ('ascii' or 'unicode')")
+
+
+_NFC_LOWER_UDF = None
+
+
+def normalize_text(col: Column) -> Column:
+    """Opt-in Unicode normalization (r13, VERDICT r12 #1): NFC
+    composition + SIMPLE lowercase — the pre-shingling normalization
+    most published pipelines (Gopher, RefinedWeb, Dolma) apply so that
+    two visually identical documents differing only in composed vs
+    decomposed accents or case do not survive dedup as distinct.
+
+    Contract (pinned cross-engine, DuckDB twin
+    :func:`normalize_text_sql` = ``lower(nfc_normalize(x))``): Unicode
+    NFC, then per-codepoint simple lowercase. Python's ``str.lower``
+    applies the two FULL/contextual mappings DuckDB's utf8proc does not,
+    so those are pinned to the simple forms first (U+0130 İ → i, losing
+    the combining dot; final-position Σ → σ, not ς). A full-BMP sweep
+    against DuckDB measured exactly one residual divergence (U+2C2F,
+    whose lowercase postdates utf8proc's Unicode table) — engines can
+    differ on codepoints newer than their Unicode version; the oracle
+    gate pins the contract over real-corpus alphabets.
+
+    The ONLY Python in the text family, Arrow-batched and opt-in: NFC
+    has no Catalyst expression, and the default (``token_mode="ascii"``)
+    path stays zero-UDF. One streaming pass per row; at 100 TB this is
+    a map-side projection with no shuffle, fused into the scan stage.
+    """
+    global _NFC_LOWER_UDF
+    if _NFC_LOWER_UDF is None:
+        import pandas as pd
+
+        def _nfc_lower(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: None
+                if x is None
+                else unicodedata.normalize("NFC", x)
+                .replace("İ", "i")
+                .replace("Σ", "σ")
+                .lower()
+            )
+
+        # real annotation objects: this module's PEP-563 string
+        # annotations defeat pandas_udf's signature inference
+        _nfc_lower.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _NFC_LOWER_UDF = F.pandas_udf(_nfc_lower, "string")
+    return _NFC_LOWER_UDF(col)
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_text` (utf8proc lowercase IS the
+    simple mapping, so no pre-replacements are needed on this side)."""
+    return f"lower(nfc_normalize({expr}))"
+
+
+def tokens(col: Column, mode: str = "ascii") -> Column:
     """Whitespace tokens, empty strings dropped.
 
-    Splits on RUNS of ASCII whitespace (space/tab/newline/CR/VT/FF), so
-    ``"foo\\nbar"`` and ``"foo  bar"`` both yield two tokens — matching
-    standard tokenization on real corpora where documents are multi-line.
-    The leading/trailing-run empties are dropped by the filter.
+    ``mode="ascii"`` (default): splits on RUNS of ASCII whitespace
+    (space/tab/newline/CR/VT/FF), so ``"foo\\nbar"`` and ``"foo  bar"``
+    both yield two tokens — matching standard tokenization on real
+    corpora where documents are multi-line. Unicode spaces (NBSP etc.)
+    are content characters. The leading/trailing-run empties are
+    dropped by the filter.
+
+    ``mode="unicode"`` (r13, VERDICT r12 #1): :func:`normalize_text`
+    (NFC + simple lowercase) first, then splits on runs of ANY Unicode
+    whitespace — NBSP/ideographic-space-separated and case-variant
+    copies of a document now tokenize identically, so every downstream
+    dedup family (shingles, grams, fingerprints) treats them as the
+    duplicates they are.
     """
-    return F.filter(F.split(col, WHITESPACE_RE), lambda t: t != "")
+    if mode == "ascii":
+        return F.filter(F.split(col, WHITESPACE_RE), lambda t: t != "")
+    if mode == "unicode":
+        return F.filter(
+            F.split(normalize_text(col), UNICODE_WHITESPACE_RE),
+            lambda t: t != "",
+        )
+    raise ValueError(f"unknown token_mode {mode!r} ('ascii' or 'unicode')")
 
 
-def tokens_sql(expr: str) -> str:
-    """DuckDB twin of :func:`tokens` — same explicit whitespace class."""
-    return (
-        f"list_filter(regexp_split_to_array({expr},"
-        f" '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '')"
-    )
+def tokens_sql(expr: str, mode: str = "ascii") -> str:
+    """DuckDB twin of :func:`tokens` — same explicit whitespace class
+    (and, in unicode mode, the same normalization) so both engines
+    split byte-identically."""
+    if mode == "ascii":
+        return (
+            f"list_filter(regexp_split_to_array({expr},"
+            f" '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '')"
+        )
+    if mode == "unicode":
+        return (
+            f"list_filter(regexp_split_to_array("
+            f"{normalize_text_sql(expr)},"
+            f" '{UNICODE_WHITESPACE_RE}'), t -> t <> '')"
+        )
+    raise ValueError(f"unknown token_mode {mode!r} ('ascii' or 'unicode')")
 
 
 def _let_bound(value: Column, body) -> Column:
@@ -101,13 +210,14 @@ def word_shingles_sql(w: str = "w", n: int = 3) -> str:
     )
 
 
-def distinct_shingles(col: Column, n: int = 3) -> Column:
+def distinct_shingles(col: Column, n: int = 3, mode: str = "ascii") -> Column:
     """The shingle *set* (order-insensitive identity of a document) used by
-    MinHash/Jaccard near-dedup."""
-    return F.array_distinct(word_shingles(tokens(col), n))
+    MinHash/Jaccard near-dedup. ``mode`` picks the tokenizer contract
+    (:func:`tokens`): "unicode" normalizes (NFC + lowercase) first."""
+    return F.array_distinct(word_shingles(tokens(col, mode), n))
 
 
-def hashed_shingles(col: Column, n: int = 3) -> Column:
+def hashed_shingles(col: Column, n: int = 3, mode: str = "ascii") -> Column:
     """Production fast path: the distinct shingle set as BIGINTs — each
     n-gram hashed directly via multi-arg ``xxhash64`` over its tokens,
     never materialized as a concatenated string.
@@ -129,7 +239,7 @@ def hashed_shingles(col: Column, n: int = 3) -> Column:
             F.array().cast("array<bigint>")
         )
 
-    return _let_bound(tokens(col), hashed_of)
+    return _let_bound(tokens(col, mode), hashed_of)
 
 
 def distinct_shingles_sql(w: str = "w", n: int = 3) -> str:

@@ -170,6 +170,7 @@ def near_dup_pairs(
     shingle_n: int = 3,
     hash_fn: str | None = None,
     broadcast_candidates: bool | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -218,9 +219,9 @@ def near_dup_pairs(
     # signature, bucket and Jaccard stages are all fixed-width integer
     # work. md5 mode keeps string shingles: the DuckDB oracle replays them.
     if hash_fn == "xxhash64":
-        sh_expr = hashed_shingles(F.col("_text"), shingle_n)
+        sh_expr = hashed_shingles(F.col("_text"), shingle_n, token_mode)
     else:
-        sh_expr = distinct_shingles(F.col("_text"), shingle_n)
+        sh_expr = distinct_shingles(F.col("_text"), shingle_n, token_mode)
     # The shingle projection feeds three branches (signatures + both sides
     # of the verification join); Spark does not CSE across DAG branches, so
     # without a persist each branch re-tokenizes the corpus. At cluster
@@ -405,6 +406,7 @@ def jaccard_pairs_inverted(
     max_df: int = 5,
     shingle_n: int = 3,
     broadcast_candidates: bool | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """n-gram Jaccard near-dup via INVERTED-INDEX blocking — the classic
     alternative to MinHash/LSH: candidate pairs share at least one *rare*
@@ -432,7 +434,10 @@ def jaccard_pairs_inverted(
     # same multi-pass algorithm: checkpoint these to parquet.
     docs = (
         ids.select(
-            "_id", distinct_shingles(F.col("_text"), shingle_n).alias("_sh")
+            "_id",
+            distinct_shingles(
+                F.col("_text"), shingle_n, token_mode
+            ).alias("_sh"),
         )
         .where(F.size("_sh") > 0)
         .persist()
@@ -484,13 +489,15 @@ def jaccard_pairs_inverted_sql(
     threshold: float = 0.5,
     max_df: int = 5,
     shingle_n: int = 3,
+    token_mode: str = "ascii",
 ) -> str:
     """DuckDB oracle for :func:`jaccard_pairs_inverted`."""
     from ralf_spark.functions.text import distinct_shingles_sql, tokens_sql
 
     return f"""
     WITH toks AS (
-      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+      SELECT {id_col} AS _id, {tokens_sql(text_col, token_mode)} AS w
+      FROM {table}
     ),
     docs AS (
       SELECT _id, {distinct_shingles_sql('w', shingle_n)} AS sh FROM toks
@@ -523,9 +530,12 @@ def near_dup_pairs_sql(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    token_mode: str = "ascii",
 ) -> str:
     """The DuckDB oracle for :func:`near_dup_pairs` — replays the identical
-    shingle/MinHash/band pipeline (same md5 hashing) in SQL."""
+    shingle/MinHash/band pipeline (same md5 hashing) in SQL.
+    ``token_mode="unicode"`` replays the r13 normalizing tokenizer
+    (``lower(nfc_normalize(..))`` + unicode-whitespace split)."""
     from ralf_spark.functions.text import distinct_shingles_sql, tokens_sql
 
     rows_per_band = num_perm // bands
@@ -548,7 +558,8 @@ def near_dup_pairs_sql(
     )
     return f"""
     WITH toks AS (
-      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+      SELECT {id_col} AS _id, {tokens_sql(text_col, token_mode)} AS w
+      FROM {table}
     ),
     docs AS (
       SELECT _id, {distinct_shingles_sql('w', shingle_n)} AS sh FROM toks
@@ -769,6 +780,7 @@ def simhash_near_dup_pairs(
     hash_fn: str | None = None,
     blocks: int | None = None,
     n_docs: int | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """SimHash near-dup PAIRS via Hamming-pigeonhole banding — the
     web-crawl dedup of Manku, Jain & Das Sarma, "Detecting Near-Duplicates
@@ -926,6 +938,7 @@ def simhash_pairs_oracle_sql(
     bits: int = 48,
     max_hamming: int = 3,
     shingle_n: int = 3,
+    token_mode: str = "ascii",
 ) -> str:
     """DuckDB replay of :func:`simhash_near_dup_pairs`: same fingerprint
     bits (md5-derived votes), same band split, same pigeonhole join, same
@@ -944,7 +957,8 @@ def simhash_pairs_oracle_sql(
     )
     return f"""
     WITH toks AS (
-      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+      SELECT {id_col} AS _id, {tokens_sql(text_col, token_mode)} AS w
+      FROM {table}
     ),
     shs AS (
       SELECT _id, {distinct_shingles_sql('w', shingle_n)} AS sh FROM toks
@@ -976,6 +990,7 @@ def containment_pairs(
     max_df: int = 5,
     shingle_n: int = 3,
     broadcast_candidates: bool | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Directed n-gram CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A|.
 
@@ -999,7 +1014,10 @@ def containment_pairs(
     )
     docs = (
         ids.select(
-            "_id", distinct_shingles(F.col("_text"), shingle_n).alias("_sh")
+            "_id",
+            distinct_shingles(
+                F.col("_text"), shingle_n, token_mode
+            ).alias("_sh"),
         )
         .where(F.size("_sh") > 0)
         .persist()
@@ -1199,15 +1217,24 @@ class MinHashIndex:
         shingle_n: int = 3,
         hash_fn: str | None = None,
         auto_maintain: int | None = None,
+        token_mode: str = "ascii",
     ):
         if num_perm % bands:
             raise ValueError("num_perm must be divisible by bands")
+        from ralf_spark.functions.text import tokenizer_version
+
+        tokenizer_version(token_mode)  # validate early (raises on unknown)
         self.path = path
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
         self.hash_fn = hash_fn or default_hash_fn()
+        #: tokenizer contract (r13): "unicode" normalizes (NFC + simple
+        #: lowercase) and splits on unicode whitespace before shingling;
+        #: pinned into _meta via its version string, so a handle in the
+        #: other mode fails loudly instead of reporting zero duplicates
+        self.token_mode = token_mode
         if auto_maintain is None:
             from ralf_spark.layout import AUTO_MAINTAIN_BATCHES
 
@@ -1233,9 +1260,11 @@ class MinHashIndex:
             )
         )
         sh_expr = (
-            hashed_shingles(F.col("_text"), self.shingle_n)
+            hashed_shingles(F.col("_text"), self.shingle_n, self.token_mode)
             if self.hash_fn == "xxhash64"
-            else distinct_shingles(F.col("_text"), self.shingle_n)
+            else distinct_shingles(
+                F.col("_text"), self.shingle_n, self.token_mode
+            )
         )
         perm = (
             _int_perm_hash
@@ -1363,11 +1392,11 @@ class MinHashIndex:
 
         meta_path = f"{self.path}/_meta"
         fs, jmeta = _hadoop_fs(spark, meta_path)
-        from ralf_spark.functions.text import TOKENIZER_VERSION
+        from ralf_spark.functions.text import tokenizer_version
 
         mine = (
             self.hash_fn, self.num_perm, self.bands, self.shingle_n,
-            TOKENIZER_VERSION,
+            tokenizer_version(self.token_mode),
         )
         rows = []
         if fs.exists(jmeta):
@@ -1647,6 +1676,7 @@ def incremental_minhash_oracle_sql(
     threshold: float = 0.5,
     shingle_n: int = 3,
     new_pred: str = "_id % 2 = 1",
+    token_mode: str = "ascii",
 ) -> str:
     """DuckDB oracle for the :class:`MinHashIndex` build+add round: batch
     LSH over the WHOLE corpus, restricted to candidate pairs touching the
@@ -1680,7 +1710,8 @@ def incremental_minhash_oracle_sql(
     )
     return f"""
     WITH toks AS (
-      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+      SELECT {id_col} AS _id, {tokens_sql(text_col, token_mode)} AS w
+      FROM {table}
     ),
     docs AS (
       SELECT _id, {distinct_shingles_sql('w', shingle_n)} AS sh FROM toks
@@ -1717,6 +1748,7 @@ def duplicate_span_ranges(
     min_tokens: int = 8,
     min_occurrences: int = 2,
     hash_fn: str | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Exact-substring duplicate spans — the suffix-array dedup of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1762,7 +1794,9 @@ def duplicate_span_ranges(
     idc = table.key
     if idc is None:
         raise ValueError("duplicate_span_ranges needs a keyed table")
-    pos = _gram_positions(table.df, idc, text_col, min_tokens, hash_fn)
+    pos = _gram_positions(
+        table.df, idc, text_col, min_tokens, hash_fn, token_mode
+    )
     dup_digests = (
         pos.groupBy("_dg")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1779,6 +1813,7 @@ def _gram_positions(
     text_col: str,
     min_tokens: int,
     hash_fn: str,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """(_id, _pos, _dg): every overlapping ``min_tokens``-gram's 1-based
     start position with its digest — the linear scan-side stage shared by
@@ -1790,7 +1825,7 @@ def _gram_positions(
     ids = ensure_parallelism(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     )
-    grams = word_shingles(tokens(F.col("_t")), min_tokens)
+    grams = word_shingles(tokens(F.col("_t"), token_mode), min_tokens)
     if hash_fn == "xxhash64":
         dg = F.xxhash64(F.col("_g"))
     else:
@@ -1839,6 +1874,7 @@ def duplicate_span_ranges_sql(
     id_col: str = "doc_id",
     min_tokens: int = 8,
     min_occurrences: int = 2,
+    token_mode: str = "ascii",
 ) -> str:
     """DuckDB twin of :func:`duplicate_span_ranges` (md5 mode) — identical gram
     digests, duplicated-position set, and island merge."""
@@ -1847,7 +1883,8 @@ def duplicate_span_ranges_sql(
     n = min_tokens
     return f"""
     WITH toks AS (
-      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+      SELECT {id_col} AS _id, {tokens_sql(text_col, token_mode)} AS w
+      FROM {table}
     ),
     gs AS (SELECT _id, {word_shingles_sql('w', n)} AS g FROM toks),
     pos AS (
@@ -1889,6 +1926,7 @@ def cross_corpus_duplicate_spans(
     min_tokens: int = 8,
     hash_fn: str | None = None,
     broadcast_other: bool | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Spans of ``table`` documents that appear VERBATIM in ``other`` —
     span-level decontamination (r12): the ExactSubstr formulation of
@@ -1919,7 +1957,9 @@ def cross_corpus_duplicate_spans(
     if idc is None:
         raise ValueError("cross_corpus_duplicate_spans needs a keyed table")
     ocol = other_text_col or text_col
-    pos = _gram_positions(table.df, idc, text_col, min_tokens, hash_fn)
+    pos = _gram_positions(
+        table.df, idc, text_col, min_tokens, hash_fn, token_mode
+    )
     if other.key is None:
         odf = other.df.withColumn("_oid", F.monotonically_increasing_id())
         okey = "_oid"
@@ -1927,7 +1967,7 @@ def cross_corpus_duplicate_spans(
         odf = other.df
         okey = other.key
     eval_dg = (
-        _gram_positions(odf, okey, ocol, min_tokens, hash_fn)
+        _gram_positions(odf, okey, ocol, min_tokens, hash_fn, token_mode)
         .select("_dg")
         .distinct()
         # persisted: the auto-broadcast decision COUNTS this set, and
@@ -1952,6 +1992,7 @@ def cross_corpus_duplicate_spans_sql(
     id_col: str = "doc_id",
     other_id_col: str = "doc_id",
     min_tokens: int = 8,
+    token_mode: str = "ascii",
 ) -> str:
     """DuckDB twin of :func:`cross_corpus_duplicate_spans` (md5 mode)."""
     from ralf_spark.functions.text import tokens_sql, word_shingles_sql
@@ -1960,7 +2001,8 @@ def cross_corpus_duplicate_spans_sql(
     ocol = other_text_col or text_col
     return f"""
     WITH toks AS (
-      SELECT {id_col} AS _id, {tokens_sql(text_col)} AS w FROM {table}
+      SELECT {id_col} AS _id, {tokens_sql(text_col, token_mode)} AS w
+      FROM {table}
     ),
     gs AS (SELECT _id, {word_shingles_sql('w', n)} AS g FROM toks),
     pos AS (
@@ -2227,11 +2269,17 @@ class GramIndex:
         hash_fn: str | None = None,
         auto_maintain: int | None = None,
         count_mode: bool = False,
+        token_mode: str = "ascii",
     ):
+        from ralf_spark.functions.text import tokenizer_version
+
+        tokenizer_version(token_mode)  # validate early (raises on unknown)
         self.path = path
         self.min_tokens = min_tokens
         self.hash_fn = hash_fn or default_hash_fn()
         self.count_mode = count_mode
+        #: tokenizer contract (r13): see MinHashIndex.token_mode
+        self.token_mode = token_mode
         if self.hash_fn not in ("md5", "xxhash64"):
             raise ValueError(f"unknown hash_fn: {self.hash_fn!r}")
         if auto_maintain is None:
@@ -2246,7 +2294,8 @@ class GramIndex:
         if idc is None:
             raise ValueError("GramIndex needs a keyed table")
         return _gram_positions(
-            table.df, idc, text_col, self.min_tokens, self.hash_fn
+            table.df, idc, text_col, self.min_tokens, self.hash_fn,
+            self.token_mode,
         )
 
     def _read(self, spark, exclude_tag: str | None = None) -> DataFrame | None:
@@ -2296,13 +2345,13 @@ class GramIndex:
         must not stamp its own config onto a store it never built."""
         from ralf_spark.connectors import _hadoop_fs
 
-        from ralf_spark.functions.text import TOKENIZER_VERSION
+        from ralf_spark.functions.text import tokenizer_version
 
         meta_path = f"{self.path}/_meta"
         fs, jmeta = _hadoop_fs(spark, meta_path)
         mine = (
             self.hash_fn, self.min_tokens, self.count_mode,
-            TOKENIZER_VERSION,
+            tokenizer_version(self.token_mode),
         )
         rows = []
         if fs.exists(jmeta):

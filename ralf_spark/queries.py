@@ -2148,6 +2148,111 @@ def multiline_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unicode_norm_token_stats",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             replace(text, 'e', 'e' || chr(769)) AS orig,
+             replace(replace(upper(text), 'E', chr(201)), ' ', chr(160))
+               AS variant
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             {tokens_sql('orig', mode='unicode')} AS wo,
+             {tokens_sql('variant', mode='unicode')} AS wv,
+             {tokens_sql('variant')} AS wa
+      FROM synth
+    )
+    SELECT doc_id,
+           CAST(len(wv) AS INTEGER) AS n_tokens_unicode,
+           CAST(len(wa) AS INTEGER) AS n_tokens_ascii,
+           md5(array_to_string(wv, ' ')) AS norm_sig,
+           (md5(array_to_string(wo, ' ')) =
+            md5(array_to_string(wv, ' '))) AS variants_collapse
+    FROM toks ORDER BY doc_id
+    """,
+)
+def unicode_norm_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 gate for the r13 unicode tokenizer (VERDICT r12 #2).
+
+    The fixture corpus is plain ASCII, so this gate synthesizes the
+    unicode shapes production corpora carry: one copy of each document
+    with DECOMPOSED accents (e + U+0301), and one UPPERCASED copy with
+    COMPOSED accents (U+00C9) whose spaces are NBSP (U+00A0). Pins, per
+    document and hash-matched against DuckDB: the unicode-mode token
+    count of the NBSP variant (NBSP must be a boundary), the ascii-mode
+    count of the same text (NBSP must NOT be — the r12 contract is
+    untouched), an md5 signature of the normalized token stream, and
+    that the two visually-identical variants normalize to the SAME
+    token stream (``variants_collapse`` — the property that makes the
+    dedup family treat them as duplicates). Zero shuffles; the only
+    Python is the Arrow-batched NFC kernel."""
+    docs = _t(spark, sf_dir, "documents")
+    orig = F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
+    variant = F.replace(
+        F.replace(F.upper(F.col("text")), F.lit("E"), F.lit("\u00c9")),
+        F.lit(" "),
+        F.lit("\u00a0"),
+    )
+    wo = tokens(orig, "unicode")
+    wv = tokens(variant, "unicode")
+    wa = tokens(variant)
+    return (
+        docs.df.select(
+            "doc_id",
+            F.size(wv).alias("n_tokens_unicode"),
+            F.size(wa).alias("n_tokens_ascii"),
+            F.md5(F.concat_ws(" ", wv)).alias("norm_sig"),
+            (
+                F.md5(F.concat_ws(" ", wo)) == F.md5(F.concat_ws(" ", wv))
+            ).alias("variants_collapse"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_UNICODE_SYNTH_SQL = """(
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             replace(upper(text), ' ', chr(160)) AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ) synth"""
+
+
+@query(
+    "unicode_near_dup_variants",
+    near_dup_pairs_sql(table=_UNICODE_SYNTH_SQL, token_mode="unicode"),
+)
+def unicode_near_dup_variants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 × r13 unicode tokenizer, end-to-end: the full banded-MinHash
+    near-dup pipeline with ``token_mode="unicode"`` over a corpus where
+    every tenth document also appears UPPERCASED with NBSP separators —
+    byte-level distinct, semantically identical. Under the normalizing
+    tokenizer each such pair MUST surface at jaccard 1.0 (under the
+    ascii tokenizer the variant is one giant token and surfaces
+    nowhere); the DuckDB oracle replays the identical normalize +
+    shingle + MinHash + band pipeline. Same no-cross-join plan as
+    ``near_dup_minhash``."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.df.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    variant = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.replace(
+            F.upper(F.col("text")), F.lit(" "), F.lit("\u00a0")
+        ).alias("text"),
+    )
+    synth = FeatureTable(base.unionByName(variant), key="doc_id")
+    out = near_dup_pairs(
+        synth, num_perm=16, bands=8, threshold=0.5, token_mode="unicode"
+    )
+    return out.select(
+        "id1", "id2", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id1", "id2")
+
+
+@query(
     "text_profile",
     f"""
     WITH toks AS (

@@ -2751,3 +2751,90 @@ def test_kmeans_plusplus_zero_norm_rows_never_truncate_seeds(spark):
     seeds = kmeans_plusplus_seeds(corpus, k=5).collect()
     assert len(seeds) == 5  # not truncated
     assert 99 not in {r.seed_id for r in seeds}
+
+
+def test_unicode_tokens_normalize_and_split(spark):
+    """r13 (VERDICT r12 #2): token_mode='unicode' = NFC + simple
+    lowercase + unicode-whitespace boundaries; the default ascii mode is
+    byte-identical to r12 (NBSP stays content)."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.functions.text import tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello World FOO"),        # NBSP + case
+            (2, "Café du　MONDE"),     # decomposed accent + ideo space
+            (3, "plain ascii text"),
+        ],
+        "doc_id long, text string",
+    )
+    uni = {
+        r.doc_id: r.w
+        for r in df.select(
+            "doc_id", tokens(F.col("text"), "unicode").alias("w")
+        ).collect()
+    }
+    assert uni[1] == ["hello", "world", "foo"]
+    assert uni[2] == ["café", "du", "monde"]  # NFC-composed, lowered
+    assert uni[3] == ["plain", "ascii", "text"]
+    asc = {
+        r.doc_id: r.w
+        for r in df.select(
+            "doc_id", tokens(F.col("text")).alias("w")
+        ).collect()
+    }
+    assert asc[1] == ["Hello World", "FOO"]  # NBSP is content in ascii
+
+
+def test_token_mode_pinned_in_index_meta(spark, tmp_path):
+    """A store built under token_mode='unicode' refuses a default-mode
+    handle loudly (and vice versa) — same pin discipline as the r12
+    tokenizer version."""
+    import pytest as _pytest
+
+    from ralf_spark.operators.dedup import GramIndex, MinHashIndex
+
+    docs = _docs(spark, [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")])
+    gi = GramIndex(str(tmp_path / "gi"), min_tokens=8, token_mode="unicode")
+    gi.build(docs)
+    with _pytest.raises(ValueError, match="tokeniz"):
+        GramIndex(str(tmp_path / "gi"), min_tokens=8).add(docs)
+    mi = MinHashIndex(str(tmp_path / "mi"), num_perm=4, bands=2,
+                      token_mode="unicode")
+    mi.build(docs)
+    with _pytest.raises(ValueError, match="tokeniz"):
+        MinHashIndex(str(tmp_path / "mi"), num_perm=4, bands=2).add(docs)
+    # matching mode reopens fine
+    assert (
+        MinHashIndex(str(tmp_path / "mi"), num_perm=4, bands=2,
+                     token_mode="unicode")
+        .add(docs, threshold=0.0)
+        .count()
+        >= 0
+    )
+    with _pytest.raises(ValueError, match="token_mode"):
+        GramIndex(str(tmp_path / "x"), token_mode="nfkc")
+
+
+def test_unicode_mode_collapses_case_nbsp_variants(spark):
+    """End-to-end: near_dup_pairs(token_mode='unicode') surfaces an
+    UPPERCASED NBSP-separated copy at jaccard 1.0; the ascii tokenizer
+    cannot see it (the variant is one giant token -> no shingles)."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.dedup import near_dup_pairs
+    from ralf_spark.table import FeatureTable
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    var = text.upper().replace(" ", " ")
+    t = FeatureTable(
+        spark.createDataFrame(
+            [(1, text), (2, var)], "doc_id long, text string"
+        ),
+        key="doc_id",
+    )
+    got = near_dup_pairs(t, num_perm=8, bands=4, threshold=0.5,
+                         token_mode="unicode").collect()
+    assert [(r.id1, r.id2, r.jaccard) for r in got] == [(1, 2, 1.0)]
+    assert near_dup_pairs(t, num_perm=8, bands=4, threshold=0.5).count() == 0
