@@ -2510,7 +2510,7 @@ class GramIndex:
                 {"tags": sorted(tags)},
             )
 
-        return {
+        out = {
             "grams": compact_batch_partitions(
                 spark, root, keep_last=keep_last, sources=sources,
                 # membership algebra folds by distinct(); the count-mode
@@ -2526,6 +2526,10 @@ class GramIndex:
                 on_rollback=lambda rb: self._unrecord_folded_tags(spark, rb),
             )
         }
+        if self.count_mode and out["grams"]:
+            # keep the retro_delta watermark valid across the tag rename
+            self._advance_retro_watermark(spark, out["grams"])
+        return out
 
     def add(
         self,
@@ -2701,3 +2705,154 @@ class GramIndex:
         )
         dup_pos = store.join(dup, "_dg").select("_id", "_pos")
         return _positions_to_spans(dup_pos, self.min_tokens)
+
+    # ------------------------------------------------- delta retro (r13)
+    @staticmethod
+    def _tag_of(file_path: str) -> str:
+        return file_path.split("/_batch=", 1)[1].split("/", 1)[0]
+
+    def _retro_done_tags(self, spark) -> set[str]:
+        """Tags already covered by a :meth:`retro_delta` cadence — the
+        since-tag watermark (r13, VERDICT r12 #3)."""
+        from ralf_spark.connectors import _hadoop_fs, read_json_sidecar
+
+        sidecar = f"{self.path}/grams/.retro_watermark.json"
+        fs, jpath = _hadoop_fs(spark, sidecar)
+        if not fs.exists(jpath):
+            return set()
+        return set(read_json_sidecar(spark, sidecar).get("tags", []))
+
+    def _advance_retro_watermark(self, spark, summary: dict) -> None:
+        """Keep the retro watermark valid across a compaction: the folded
+        source tags disappear and their rows reappear under the compacted
+        tag, so the compacted tag counts as covered iff EVERY source was.
+        If some source had not been retro'd yet, the compacted partition
+        stays out of the watermark — the next :meth:`retro_delta` then
+        treats the whole compacted partition as new (O(store), correct,
+        expensive) — so run retro_delta BEFORE maintain for the cheap
+        path."""
+        from ralf_spark.connectors import write_json_sidecar
+
+        done = self._retro_done_tags(spark)
+        if not done:
+            return  # no delta cadence has ever run: nothing to keep valid
+        src = set(summary.get("sources") or [])
+        if not src:
+            return
+        new_done = done - src
+        if src <= done:
+            new_done.add(summary["ctag"])
+        write_json_sidecar(
+            spark, f"{self.path}/grams/.retro_watermark.json",
+            {"tags": sorted(new_done)},
+        )
+
+    def retro_delta(
+        self, spark, broadcast_digests: bool | None = None
+    ) -> DataFrame:
+        """Incremental retro-flagging (r13, VERDICT r12 #4): the spans of
+        every document TOUCHED by data ingested since the last
+        ``retro_delta`` — instead of :meth:`retro`'s recompute-and-re-emit
+        of the entire store each cadence. Emissions fold by
+        LATEST-WINS PER DOCUMENT: a touched document's CURRENT full span
+        set is (re-)emitted, so
+
+            ``fold(retro_delta() after each add)  ==  retro()``
+
+        (the oracle gate pins exactly this; spans only grow — positions
+        accumulate and counts never decrease — so latest-wins is exact).
+
+        A document's spans can only change when some gram digest it
+        holds gains an occurrence, and every gained occurrence lives in
+        a tag newer than the watermark. So the cadence:
+
+        1. distinct digests of the NEW tags only — O(batch);
+        2. corpus-wide occurrence count of THOSE digests (the new-digest
+           set broadcasts into one store scan; no store shuffle) — the
+           digests now at count >= 2 are the changed ones;
+        3. documents holding a changed digest = the touched set
+           (broadcast-joined against the store scan);
+        4. the touched documents' complete duplicated-position set (all
+           their digests, counted corpus-wide the same way) merges into
+           maximal spans — O(touched), not O(store).
+
+        Store IO is still a handful of column-pruned scans (only
+        ``_dg``/``_id``/``_pos`` ever leave the parquet reader), but the
+        SHUFFLED and EMITTED volume — the part that dominated retro()'s
+        cadence at a growing store — scales with the batch and its
+        touched neighborhood (probe-measured in SCALEPROBE.md).
+        ``broadcast_digests``: same tri-state as :meth:`add` — auto
+        degrades every probe-side broadcast to a shuffle join when the
+        batch digest count outgrows the broadcast bound.
+
+        The watermark advances when this method is CALLED (the returned
+        plan reads the frozen pre-call file snapshot, same discipline as
+        :meth:`add`); :meth:`maintain` keeps it valid across compaction
+        renames (see :meth:`_advance_retro_watermark`)."""
+        if not self.count_mode:
+            raise ValueError(
+                f"GramIndex at {self.path} is a membership store "
+                "(count_mode=False): digests carry no positions, so "
+                "retro-flagging is impossible. Rebuild with "
+                "count_mode=True for the retro pass."
+            )
+        from ralf_spark.connectors import (
+            _list_parquet_files,
+            acquire_writer_lease,
+            write_json_sidecar,
+        )
+
+        # writes the watermark sidecar, and must not interleave with a
+        # maintain() renaming tags out from under the tag arithmetic
+        acquire_writer_lease(spark, self.path)
+        self._check_or_write_meta(spark, write_if_missing=False)
+        files = _list_parquet_files(spark, f"{self.path}/grams")
+        if not files:
+            raise ValueError(f"GramIndex at {self.path} is empty")
+        store = spark.read.parquet(*files)
+        done = self._retro_done_tags(spark)
+        all_tags = {self._tag_of(f) for f in files}
+        new_files = [f for f in files if self._tag_of(f) not in done]
+        if not new_files:
+            dup_pos = store.select("_id", "_pos").where(F.lit(False))
+            return _positions_to_spans(dup_pos, self.min_tokens)
+
+        def counted(probe: DataFrame) -> DataFrame:
+            """Corpus-wide occurrence count restricted to ``probe``'s
+            digests; broadcast per the tri-state hint."""
+            p = F.broadcast(probe) if hint else probe
+            return (
+                store.join(p, "_dg")
+                .groupBy("_dg")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .where(F.col("_c") >= 2)
+                .select("_dg")
+            )
+
+        new_dg = spark.read.parquet(*new_files).select("_dg").distinct()
+        hint = _choose_broadcast(broadcast_digests, lambda: new_dg.count())
+        changed_dg = counted(new_dg)
+        touched = (
+            store.join(
+                F.broadcast(changed_dg) if hint else changed_dg, "_dg"
+            )
+            .select("_id")
+            .distinct()
+        )
+        touched_pos = store.join(
+            F.broadcast(touched) if hint else touched, "_id"
+        ).persist()
+        dup_tdg = counted(touched_pos.select("_dg").distinct())
+        dup_pos = touched_pos.join(
+            F.broadcast(dup_tdg) if hint else dup_tdg, "_dg"
+        ).select("_id", "_pos")
+        out = attach_cached(
+            _positions_to_spans(dup_pos, self.min_tokens), [touched_pos]
+        )
+        # advance AFTER the plan is defined: it reads the frozen file
+        # snapshot, so the watermark flip can never starve it
+        write_json_sidecar(
+            spark, f"{self.path}/grams/.retro_watermark.json",
+            {"tags": sorted(done | all_tags)},
+        )
+        return out

@@ -831,6 +831,63 @@ def gram_index_retro_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gram_index_retro_delta_spans",
+    f"""
+    WITH allspans AS ({duplicate_span_ranges_sql()})
+    SELECT doc_id, span_start, span_end, span_tokens
+    FROM allspans ORDER BY doc_id, span_start
+    """,
+)
+def gram_index_retro_delta_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 DELTA retro-flagging (r13, VERDICT r12 #3): the corpus arrives
+    as two crawl batches into a count-mode :class:`GramIndex`; after
+    each batch one ``retro_delta()`` cadence runs, and the deltas fold
+    LATEST-WINS PER DOCUMENT. The folded result must equal the one-shot
+    batch detector over the whole corpus — i.e. accumulated
+    ``retro_delta()`` ≡ ``retro()`` — while each cadence joins only the
+    NEW tags' digests against the store and emits only documents the
+    new data touched (the lazy latest-wins fold here is
+    ``delta2 ∪ (delta1 ⟕̸ delta2.doc_id)``: a broadcast anti-join over
+    two delta-sized frames, never the store)."""
+    import hashlib as _hl
+
+    from ralf_spark.operators.dedup import GramIndex
+
+    docs = _docs_par(spark, sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = GramIndex(
+        _scratch(f"gram_rdelta_{tag}_"), min_tokens=8, count_mode=True
+    )
+    even = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 0), key="doc_id"
+    )
+    odd = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 1), key="doc_id"
+    )
+    idx.build(even)
+    d1 = idx.retro_delta(spark)  # covers the base tag
+    spans = idx.add(odd)
+    spans.count()  # drain the add
+    from ralf_spark.operators.util import attach_cached, unpersist_cached
+
+    unpersist_cached(spans)
+    d2 = idx.retro_delta(spark)  # covers the odd batch's tag
+    folded = d2.unionByName(
+        d1.join(
+            F.broadcast(d2.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    cached = list(getattr(d1, "_ralf_cached", [])) + list(
+        getattr(d2, "_ralf_cached", [])
+    )
+    return attach_cached(
+        folded.orderBy("doc_id", "span_start"), cached
+    )
+
+
+@query(
     "streaming_gram_dedup",
     f"""
     WITH even_spans AS (

@@ -2838,3 +2838,44 @@ def test_unicode_mode_collapses_case_nbsp_variants(spark):
                          token_mode="unicode").collect()
     assert [(r.id1, r.id2, r.jaccard) for r in got] == [(1, 2, 1.0)]
     assert near_dup_pairs(t, num_perm=8, bands=4, threshold=0.5).count() == 0
+
+
+def test_gram_index_retro_delta_accumulates_to_full_retro(spark, tmp_path):
+    """r13 (VERDICT r12 #3): retro_delta() emits the CURRENT spans of
+    documents touched by data since the watermark; folding the per-add
+    deltas latest-wins-per-doc equals the one-shot retro() (and the
+    batch detector over everything). Untouched cadences emit nothing;
+    maintain() keeps the watermark valid across the compaction rename."""
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, b3 = _gram_batches()
+    idx = GramIndex(
+        str(tmp_path / "gi"), min_tokens=8, count_mode=True,
+        auto_maintain=0,
+    )
+    idx.build(_docs(spark, list(b1.items())))
+    folded: dict[int, list[tuple]] = {}
+
+    def fold(delta_rows):
+        by_doc: dict[int, list[tuple]] = {}
+        for r in delta_rows:
+            by_doc.setdefault(r.doc_id, []).append(tuple(r))
+        folded.update(by_doc)
+
+    d0 = idx.retro_delta(spark).collect()  # covers build's base tag
+    fold(d0)
+    idx.add(_docs(spark, list(b2.items()))).collect()
+    fold(idx.retro_delta(spark).collect())
+    # watermark caught up -> an empty cadence emits nothing
+    assert idx.retro_delta(spark).collect() == []
+    # compaction between cadences must not break the watermark
+    idx.maintain(spark, keep_last=0, tiered=False)
+    assert idx.retro_delta(spark).collect() == []
+    idx.add(_docs(spark, list(b3.items()))).collect()
+    fold(idx.retro_delta(spark).collect())
+    got = sorted(s for spans in folded.values() for s in spans)
+    want_full = sorted(tuple(r) for r in idx.retro(spark).collect())
+    seen = {**b1, **b2, **b3}
+    assert got == want_full == _brute_spans(seen, 8) and got
+    # doc 2 (batch-1, unique then duplicated by batch 3) was retro-flagged
+    assert any(s[0] == 2 for s in got)
