@@ -1073,6 +1073,55 @@ def point_query_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "state_bulk_export_roundtrip",
+    """
+    SELECT user_id, event_id, event_type, round(value, 4) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def state_bulk_export_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S7 bulk export (r13, VERDICT r12 #6): ``bulk_query`` collects
+    the full state to the driver (reference parity — fine at serving
+    size, wrong at 100 TB); ``bulk_export`` is its distributed twin — a
+    key-bucketed parquet write (``bucket=pmod(xxhash64(key), n)``) no
+    row of which visits the driver. The gate runs the whole lifecycle:
+    save the latest-per-user events state through a
+    ``ParquetStateConnector``, ``bulk_export`` it, reload the EXPORT
+    through a fresh connector handle, and pin the reloaded rows against
+    the plain latest-per-key oracle — proving the export is lossless
+    and itself point-query-prunable."""
+    import hashlib as _hl
+
+    from ralf_spark.connectors import ParquetStateConnector
+
+    ev = _t(spark, sf_dir, "events")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    state = ParquetStateConnector(
+        _scratch(f"bulkexp_state_{tag}_"), key="user_id", num_buckets=16
+    )
+    state.save(
+        FeatureTable(ev.df, key="user_id", ts="ts", seq="event_id")
+    )
+    export = _scratch(f"bulkexp_out_{tag}_")
+    state.bulk_export(spark, export, num_buckets=16)
+    back = ParquetStateConnector(export, key="user_id", num_buckets=16)
+    return (
+        back.load(spark)
+        .df.select(
+            "user_id", "event_id", "event_type",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # Registry finalization: re-applies the driver-prefix ordering when THIS
 # module was the import entry point (circular-entry tolerance; no-op when
 # ralf_spark.queries was imported first and has already finalized). Must

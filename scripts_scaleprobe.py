@@ -1638,6 +1638,127 @@ def lifecycle_probe(n_batches: int = 50) -> dict:
         spark.stop()
 
 
+def count_mode_lifecycle_probe(n_batches: int = 50) -> dict:
+    """r13 (VERDICT r12 #5 + #3): the count-mode GramIndex lifecycle.
+
+    Feeds ``n_batches`` fixed-size doc batches through a
+    ``count_mode=True`` GramIndex with the default auto-maintenance
+    cadence and zero manual maintain calls. Claims under test:
+
+    1. FILE COUNTS STAY BOUNDED: the position log only concatenates
+       (positions are the payload — no distinct() fold), so without the
+       tiered maintain() discipline the store would accrete one
+       directory per add forever. Checkpoints record data-file and
+       batch-tag counts every 10 batches.
+    2. DELTA RETRO SCALES WITH THE BATCH, NOT THE STORE: at each
+       checkpoint, one ``retro_delta()`` cadence (covering the 10
+       batches since the last) is timed against a full ``retro()`` over
+       the same store — emitted rows and wall are recorded for both.
+       retro_delta's emission is O(touched-by-new); retro's is O(all
+       duplicated docs), growing with the store.
+    """
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ralf_spark.operators.dedup as dd
+    from ralf_spark.connectors import _list_parquet_files
+    from ralf_spark.layout import batch_tag_count
+    from ralf_spark.operators.util import unpersist_cached
+    from ralf_spark.table import FeatureTable
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    DOCS_PER = 600
+    work = tempfile.mkdtemp(prefix="cm_lifecycle_")
+    per_batch: list[dict] = []
+    checkpoints: dict[str, dict] = {}
+    try:
+        docs_all = spark.read.parquet(gen_documents(12)).select(
+            "doc_id", "text"
+        )
+        gram = dd.GramIndex(
+            f"{work}/gram", hash_fn="xxhash64", count_mode=True
+        )  # auto-maintenance on (default cadence)
+        gram.build(FeatureTable(
+            docs_all.where(F.col("doc_id") < DOCS_PER), key="doc_id"
+        ))
+        d0 = gram.retro_delta(spark)
+        d0.count()  # cover the base tag so later cadences are deltas
+        unpersist_cached(d0)
+
+        def files(p):
+            try:
+                return len(_list_parquet_files(spark, p))
+            except Exception:
+                return 0
+
+        for b in range(1, n_batches + 1):
+            rec = {"b": b}
+            lo, hi = b * DOCS_PER, (b + 1) * DOCS_PER
+            t0 = time.perf_counter()
+            spans = gram.add(
+                FeatureTable(
+                    docs_all.where(
+                        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                    ),
+                    key="doc_id",
+                ),
+                batch_tag=f"b{b}",
+            )
+            rec["gram_spans"] = spans.count()
+            unpersist_cached(spans)
+            rec["gram_add_s"] = round(time.perf_counter() - t0, 2)
+            per_batch.append(rec)
+            if b % 10 == 0 or b == n_batches:
+                cp = {
+                    "gram_tags": batch_tag_count(spark, f"{work}/gram/grams"),
+                    "gram_files": files(f"{work}/gram/grams"),
+                }
+                t0 = time.perf_counter()
+                d = gram.retro_delta(spark)
+                cp["retro_delta_rows"] = d.count()
+                cp["retro_delta_s"] = round(time.perf_counter() - t0, 2)
+                unpersist_cached(d)
+                t0 = time.perf_counter()
+                cp["retro_full_rows"] = gram.retro(spark).count()
+                cp["retro_full_s"] = round(time.perf_counter() - t0, 2)
+                checkpoints[str(b)] = cp
+                print(f"# cm-lifecycle b={b}: add {rec['gram_add_s']}s | "
+                      f"tags={cp['gram_tags']} files={cp['gram_files']} | "
+                      f"delta {cp['retro_delta_rows']} rows "
+                      f"{cp['retro_delta_s']}s vs full "
+                      f"{cp['retro_full_rows']} rows "
+                      f"{cp['retro_full_s']}s", flush=True)
+
+        def med(key, lo, hi):
+            return round(statistics.median(
+                r[key] for r in per_batch if lo <= r["b"] <= hi
+            ), 2)
+
+        early, late = (2, min(12, n_batches)), (max(1, n_batches - 10),
+                                                n_batches)
+        e, l = med("gram_add_s", *early), med("gram_add_s", *late)
+        return {
+            "batches": n_batches,
+            "docs_per_batch": DOCS_PER,
+            "manual_maintain_calls": 0,
+            "per_batch": per_batch,
+            "checkpoints": checkpoints,
+            "summary": {
+                "gram_add_s": {
+                    "early_median": e, "late_median": l,
+                    "ratio": round(l / e, 2) if e else None,
+                },
+            },
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def write_amp_probe(n_batches: int = 40, every: int = 4) -> dict:
     """r11 (finding 18): MEASURE the tiered compaction's write-
     amplification claim. Two identical 600-doc × ``n_batches`` MinHash
@@ -1879,6 +2000,10 @@ def main() -> None:
                          "(r11; --batches sets N)")
     ap.add_argument("--batches", type=int, default=50,
                     help="batch count for --lifecycle")
+    ap.add_argument("--count-lifecycle", action="store_true",
+                    help="count-mode GramIndex lifecycle: bounded file "
+                         "counts under auto-maintenance + retro_delta "
+                         "vs full retro per cadence (r13; --batches)")
     ap.add_argument("--write-amp", action="store_true",
                     help="tiered vs full-fold maintenance: cumulative "
                          "bytes rewritten over a fixed feed (r11; "
@@ -1908,6 +2033,18 @@ def main() -> None:
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
         print(json.dumps(wa, indent=1))
+        return
+
+    if args.count_lifecycle:
+        lc = count_mode_lifecycle_probe(args.batches)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data["count_mode_lifecycle"] = lc
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps({"summary": lc["summary"],
+                          "checkpoints": lc["checkpoints"]}, indent=1))
         return
 
     if args.lifecycle:

@@ -613,3 +613,27 @@ def test_index_publish_fenced_after_steal(spark, tmp_path, monkeypatch):
         d for d in os.listdir(f"{gi.path}/grams") if d.startswith("_batch=")
     ]
     assert batch_dirs == ["_batch=base"]  # the aborted fold never landed
+
+
+def test_bulk_export_roundtrip_and_prunable(spark, tmp_path, batches):
+    """r13 (VERDICT r12 #6): bulk_export writes the full state as a
+    key-bucketed distributed parquet tree — same rows as bulk_query,
+    zero driver collect in the write path — and the export itself
+    answers pruned point queries through a ParquetStateConnector."""
+    from ralf_spark.connectors import ParquetStateConnector
+    from ralf_spark.plans.explain import explain_str
+    from ralf_spark.table import FeatureTable
+
+    d = str(tmp_path)
+    st = ParquetStateConnector(f"{d}/state", key="k", num_buckets=8)
+    st.save(FeatureTable(batches[0], key="k", ts="ts", seq="seq"))
+    st.bulk_export(spark, f"{d}/export", num_buckets=8)
+    back = ParquetStateConnector(f"{d}/export", key="k", num_buckets=8)
+    want = sorted(map(tuple, st.bulk_query(spark)))
+    got = sorted(map(tuple, back.bulk_query(spark)))
+    assert got == want and got
+    # the export is point-query-prunable (PartitionFilters on bucket)
+    some_key = want[0][0]
+    plan = explain_str(back.pruned_point_plan(spark, some_key))
+    assert "PartitionFilters" in plan
+    assert back.point_query(spark, some_key)
