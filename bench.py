@@ -9,6 +9,16 @@ Each query is fully executed via a noop-format write: the complete plan —
 including final sorts, limits and window payloads that a ``count()`` would
 let Catalyst prune — runs on the executors, and nothing is collected to
 the driver.
+
+r13 (VERDICT r12 #4, drift-proofing): the headline run now makes N
+INTERLEAVED passes over the query set (pass 1 of all queries, then pass 2,
+...) and reports the per-query MEDIAN, with every raw sample kept in the
+JSON (``samples``). This sandbox swings >2x between identical back-to-back
+runs (measured by builder and judge independently in r12); interleaved
+medians make a round-over-round comparison reflect the plans, not the
+minute the machine was sampled. ``SPARK_GRAFT_BENCH_PASSES`` overrides N
+(default 5 for the headline set; 1 for BENCH_ALL/named subsets, whose cost
+is already dominated by breadth).
 """
 
 from __future__ import annotations
@@ -124,23 +134,36 @@ def main() -> None:
         # so its recorded time includes its dominant stages
         spark.catalog.clearCache()
 
-    times: dict[str, float] = {}
-    for name, q in targets.items():
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        drain(df)
-        times[name] = round(time.perf_counter() - t0, 4)
-        # some queries persist() intermediates (winnow pairs, LSH dedup,
-        # curation/semdedup/textrank via attach_cached); release after
-        # EVERY drain — including the headline path — so storage blocks
-        # don't accumulate across the run and skew later timings
-        # (mirrors scripts_sweep.py; ADVICE r7)
-        unpersist_cached(df)
-        if bench_all or named:
-            # ...and in multi-query runs additionally clear the whole
-            # cache so a sibling query can't reuse a matching persisted
-            # subtree (which would misattribute time)
-            spark.catalog.clearCache()
+    env_passes = os.environ.get("SPARK_GRAFT_BENCH_PASSES")
+    if env_passes:
+        passes = max(1, int(env_passes))
+    else:
+        passes = 1 if (bench_all or named) else 5
+
+    import statistics
+
+    samples: dict[str, list[float]] = {name: [] for name in targets}
+    for _ in range(passes):
+        for name, q in targets.items():
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            drain(df)
+            samples[name].append(round(time.perf_counter() - t0, 4))
+            # some queries persist() intermediates (winnow pairs, LSH
+            # dedup, curation/semdedup/textrank via attach_cached);
+            # release after EVERY drain — including the headline path —
+            # so storage blocks don't accumulate across the run and skew
+            # later timings (mirrors scripts_sweep.py; ADVICE r7)
+            unpersist_cached(df)
+            if bench_all or named:
+                # ...and in multi-query runs additionally clear the whole
+                # cache so a sibling query can't reuse a matching
+                # persisted subtree (which would misattribute time)
+                spark.catalog.clearCache()
+    times = {
+        name: round(statistics.median(runs), 4)
+        for name, runs in samples.items()
+    }
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -149,6 +172,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "passes": passes,
+                "samples": samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
