@@ -3433,6 +3433,21 @@ def headline_queries() -> dict[str, Query]:
 # text_profile; r12 in: gram_index_retro_spans, streaming_gram_dedup,
 # similarity_topk_ivf_sq8, kmeans_plusplus_seeds, multiline_token_stats,
 # cdc_chunk_documents.
+# Round-13 rotation (VERDICT r12 #7 + builder-initiated, each incoming
+# gate replayed green in a fresh driver-replica session at sf0.01 before
+# rotation; every donor keeps its identical oracle in the sweep):
+# in: decontaminate_spans_eval (span-level cross-corpus decontamination —
+# the exact leaked token ranges, eval digests broadcast into the train
+# scan), ivf_index_query_sq8 (the PERSISTENT IVF-SQ8 store's serving
+# path: partition + column pruning at one scan), cdc_chunk_dedup (CDC
+# chunking composed with chunk-hash dedup), gram_index_retro_delta_spans
+# (r13: the watermark delta-retro — accumulated deltas ≡ one-shot retro ≡
+# batch detector, strictly stronger than the full-retro gate it
+# replaces), unicode_norm_token_stats (r13: the NFC+lowercase unicode
+# tokenizer contract — NBSP/case/composed-vs-decomposed variants
+# normalize to one token stream).
+# out: decontaminate_against_eval, similarity_topk_ivf_sq8,
+# cdc_chunk_documents, gram_index_retro_spans, text_quality.
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
@@ -3479,8 +3494,8 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # STREAMING gram-dedup spelling rotates in)
     "exact_dedup", "near_dup_minhash",
     "incremental_minhash_index",
-    "decontaminate_against_eval",
-    "gram_index_retro_spans", "streaming_gram_dedup",
+    "decontaminate_spans_eval",
+    "gram_index_retro_delta_spans", "streaming_gram_dedup",
     # similarity search (E3; r12 rotation: similarity_topk_bruteforce
     # and sq8_adc_topk to the sweep — the IVF-SQ8 composition exercises
     # SQ8 encode+ADC inside the cell-pruned search, and the new
@@ -3488,14 +3503,14 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # cosine stays indirectly driver-exercised as the recall gates'
     # in-query baseline)
     "ivf_index_query_twolevel", "ivf_recall_clustered",
-    "similarity_topk_pq_rerank", "similarity_topk_ivf_sq8",
+    "similarity_topk_pq_rerank", "ivf_index_query_sq8",
     "kmeans_plusplus_seeds",
     # text analysis + quality filtering (E4; r12 rotation: text_profile
     # to the sweep — the multi-line tokenization gate guards the whole
     # token pipeline's whitespace contract, and content-defined chunking
     # rotates in)
-    "multiline_token_stats", "cdc_chunk_documents",
-    "text_quality", "doc_fingerprint_simhash",
+    "multiline_token_stats", "cdc_chunk_dedup",
+    "unicode_norm_token_stats", "doc_fingerprint_simhash",
     # cardinality/frequency sketches (E6: batch HLL + the streaming
     # APPEND-LOG state spelling w/ mid-gate merging compaction — r11
     # rotation: streaming_hll_state to the sweep)

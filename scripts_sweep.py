@@ -1,4 +1,11 @@
-"""One-off driver replica: vanilla session, sf0.01, all queries vs oracles."""
+"""One-off driver replica: vanilla session, sf0.01, all queries vs oracles.
+
+The per-query ``sec`` fields are measured on a machine that swings >2x
+between identical back-to-back runs (r12 adjudication) and each query runs
+ONCE — they exist only to spot hangs, and the output stamps
+``wall_clocks: untrusted`` so nobody cites them as a perf record (VERDICT
+r12 #4). Perf claims live in bench.py's interleaved-pass medians.
+"""
 import json, time, traceback
 from pyspark.sql import SparkSession
 
@@ -32,6 +39,11 @@ for name, fn in qs.items():
         out[name] = {"ok": False, "error": repr(ex)[:300], "sec": round(time.time()-t0,2)}
         traceback.print_exc()
     print(("PASS " if out[name]["ok"] else "FAIL ") + name, out[name].get("sec"), flush=True)
-json.dump(out, open("/root/repo/sweep_r12.json","w"), indent=1)
-bad = [k for k,v in out.items() if not v["ok"]]
-print("TOTAL", len(out), "FAIL", len(bad), bad)
+out["_meta"] = {
+    "wall_clocks": "untrusted",
+    "note": "sec fields are single-sample on a >2x-drifting box; "
+            "hang detection only — perf record is BENCH (medians)",
+}
+json.dump(out, open("/root/repo/sweep_r13.json","w"), indent=1)
+bad = [k for k, v in out.items() if k != "_meta" and not v["ok"]]
+print("TOTAL", len(out) - 1, "FAIL", len(bad), bad)
