@@ -260,6 +260,83 @@ def verify_writer_lease(
         ) from e
 
 
+class _LeaseKeeper:
+    """Background heartbeat for :func:`hold_writer_lease` — renews the
+    sidecar every ``interval`` seconds from a daemon thread so a healthy
+    writer whose guarded operation runs LONGER than the TTL never loses
+    the lease to a legitimate steal mid-write (the fencing read would
+    then abort it spuriously). py4j gateway calls are thread-safe (each
+    thread gets its own connection). Renewal failures are remembered and
+    re-raised at exit so a detected theft still fails the operation."""
+
+    def __init__(self, spark, path, writer_id, ttl_sec, interval):
+        import threading
+
+        self._spark = spark
+        self._path = path
+        self._wid = writer_id
+        self._ttl = ttl_sec
+        self._stop = threading.Event()
+        self._error: Exception | None = None
+        self._thread = threading.Thread(
+            target=self._run, args=(interval,), daemon=True,
+            name=f"lease-keeper:{path}",
+        )
+
+    def _run(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            try:
+                acquire_writer_lease(
+                    self._spark, self._path,
+                    writer_id=self._wid, ttl_sec=self._ttl,
+                )
+            except Exception as e:  # theft detected (or FS trouble):
+                self._error = e  # remember; the exit re-raises
+                return
+
+    def check(self) -> None:
+        if self._error is not None:
+            raise self._error
+
+
+from contextlib import contextmanager  # noqa: E402  (local to the lease API)
+
+
+@contextmanager
+def hold_writer_lease(
+    spark: SparkSession,
+    path: str,
+    writer_id: str | None = None,
+    ttl_sec: float | None = None,
+):
+    """Acquire the single-writer lease on ``path`` and KEEP it renewed
+    for the duration of the block (r13, ADVICE r12): a background
+    heartbeat re-stamps the sidecar every ``ttl/3`` seconds, so a
+    guarded build/add/compaction that outlives the TTL stays the
+    uncontested owner instead of being stolen mid-write and aborted at
+    its fencing read. On exit (success or error) any heartbeat failure
+    — i.e. a detected theft — is re-raised, and the lease is left held
+    (released only by :func:`release_writer_lease` on clean shutdown or
+    by TTL expiry on crash, same as a plain acquire).
+
+    Use around long-running guarded operations::
+
+        with hold_writer_lease(spark, store_path):
+            index.build(big_corpus)
+    """
+    acquire_writer_lease(spark, path, writer_id=writer_id, ttl_sec=ttl_sec)
+    keeper = _LeaseKeeper(
+        spark, path, writer_id, ttl_sec, interval=_lease_ttl(ttl_sec) / 3.0
+    )
+    keeper._thread.start()
+    try:
+        yield keeper
+        keeper.check()
+    finally:
+        keeper._stop.set()
+        keeper._thread.join(timeout=5.0)
+
+
 def release_writer_lease(
     spark: SparkSession, path: str, writer_id: str | None = None
 ) -> None:

@@ -637,3 +637,37 @@ def test_bulk_export_roundtrip_and_prunable(spark, tmp_path, batches):
     plan = explain_str(back.pruned_point_plan(spark, some_key))
     assert "PartitionFilters" in plan
     assert back.point_query(spark, some_key)
+
+
+def test_hold_writer_lease_renews_past_ttl(spark, tmp_path):
+    """r13 (ADVICE r12): the heartbeat keeper renews the lease faster
+    than the TTL, so a long operation is never stolen from a healthy
+    writer; a theft that does happen (forced here by stamping a foreign
+    lease) surfaces as ConcurrentWriterError at block exit."""
+    import time as _time
+
+    from ralf_spark.connectors import (
+        ConcurrentWriterError,
+        acquire_writer_lease,
+        hold_writer_lease,
+        read_json_sidecar,
+        WRITER_LEASE_SUFFIX,
+    )
+
+    store = str(tmp_path / "st")
+    side = store + WRITER_LEASE_SUFFIX
+    with hold_writer_lease(spark, store, ttl_sec=0.9):
+        hb0 = read_json_sidecar(spark, side)["heartbeat_unix"]
+        _time.sleep(2.0)  # > 2 TTLs: without renewal the lease expires
+        hb1 = read_json_sidecar(spark, side)["heartbeat_unix"]
+        assert hb1 > hb0  # the keeper renewed
+        # a foreign acquire is still refused (the heartbeat is fresh)
+        with pytest.raises(ConcurrentWriterError):
+            acquire_writer_lease(spark, store, writer_id="writer-b",
+                                 ttl_sec=0.9)
+    # theft while held -> the keeper notices and the block raises
+    with pytest.raises(ConcurrentWriterError):
+        with hold_writer_lease(spark, store, ttl_sec=0.9):
+            acquire_writer_lease(spark, store, writer_id="thief",
+                                 ttl_sec=0.0)  # force-steal
+            _time.sleep(1.2)  # let the keeper observe the theft
