@@ -2046,6 +2046,7 @@ def remove_duplicate_spans(
     min_tokens: int = 8,
     min_occurrences: int = 2,
     hash_fn: str | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Cut every duplicated span out of the corpus — the transform half
     of the Lee et al. 2022 ExactSubstr pipeline (their pass deletes all
@@ -2073,8 +2074,9 @@ def remove_duplicate_spans(
         min_tokens=min_tokens,
         min_occurrences=min_occurrences,
         hash_fn=hash_fn,
+        token_mode=token_mode,
     )
-    return _cut_spans(table.df, idc, text_col, spans)
+    return _cut_spans(table.df, idc, text_col, spans, token_mode)
 
 
 def remove_contaminated_spans(
@@ -2085,6 +2087,7 @@ def remove_contaminated_spans(
     min_tokens: int = 8,
     hash_fn: str | None = None,
     broadcast_other: bool | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Cut every span of ``table`` that appears verbatim in ``other`` —
     the transform half of span-level decontamination (r12):
@@ -2100,25 +2103,34 @@ def remove_contaminated_spans(
         table, other,
         text_col=text_col, other_text_col=other_text_col,
         min_tokens=min_tokens, hash_fn=hash_fn,
-        broadcast_other=broadcast_other,
+        broadcast_other=broadcast_other, token_mode=token_mode,
     )
     # re-attach: _cut_spans returns a NEW DataFrame object, which drops
     # the attribute-based cache handle — carry it forward so the
     # caller's unpersist_cached still releases the eval digest set
     return attach_cached(
-        _cut_spans(table.df, idc, text_col, spans),
+        _cut_spans(table.df, idc, text_col, spans, token_mode),
         getattr(spans, "_ralf_cached", []),
     )
 
 
-def _cut_spans(df: DataFrame, idc: str, text_col: str, spans) -> DataFrame:
+def _cut_spans(
+    df: DataFrame, idc: str, text_col: str, spans,
+    token_mode: str = "ascii",
+) -> DataFrame:
     """Shared row-local span cut (the transform half of both removal
     operators): the span table rides back to the documents on a doc-id
     join (spans are a small fraction of docs; broadcastable when the
     rate is low, AQE decides) and the cut is one filtered re-join of the
     token array — O(tokens × spans_per_doc), spans_per_doc bounded by
     tokens/min_tokens. Returns (doc_id, clean_text, n_kept, n_removed);
-    every input doc appears exactly once."""
+    every input doc appears exactly once.
+
+    ``token_mode`` MUST match the mode the spans were detected under
+    (r13): span positions are indexes into that tokenizer's stream — a
+    unicode-mode span cut with ascii tokens would delete the wrong
+    words. In unicode mode the clean_text is therefore the NORMALIZED
+    text rejoined on single spaces (the mode's canonical form)."""
     from ralf_spark.functions.text import tokens
 
     per_doc = spans.groupBy("doc_id").agg(
@@ -2133,7 +2145,8 @@ def _cut_spans(df: DataFrame, idc: str, text_col: str, spans) -> DataFrame:
     base = df.select(
         F.col(idc).alias("doc_id"),
         F.coalesce(
-            tokens(F.col(text_col)), F.array().cast("array<string>")
+            tokens(F.col(text_col), token_mode),
+            F.array().cast("array<string>"),
         ).alias("_tk"),
     )
     joined = base.join(per_doc, "doc_id", "left")

@@ -1654,7 +1654,12 @@ def foreach_batch_gram_decontaminate(
         spans = index.check(
             FeatureTable(batch_df, key=key), text_col=text_col
         )
-        cleaned = _cut_spans(batch_df, key, text_col, spans)
+        # cut with the INDEX's tokenizer mode (r13): span positions are
+        # indexes into that tokenizer's stream
+        cleaned = _cut_spans(
+            batch_df, key, text_col, spans,
+            getattr(index, "token_mode", "ascii"),
+        )
         (
             cleaned.withColumn("_batch", F.lit(f"b{batch_id}"))
             .write.mode("overwrite")

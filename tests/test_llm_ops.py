@@ -2879,3 +2879,37 @@ def test_gram_index_retro_delta_accumulates_to_full_retro(spark, tmp_path):
     assert got == want_full == _brute_spans(seen, 8) and got
     # doc 2 (batch-1, unique then duplicated by batch 3) was retro-flagged
     assert any(s[0] == 2 for s in got)
+
+
+def test_unicode_mode_span_removal_cuts_normalized_stream(spark):
+    """r13: remove_duplicate_spans(token_mode='unicode') detects AND cuts
+    in the same normalized token stream — an NBSP/uppercase copy of a
+    repeated passage is removed from both documents, and the clean text
+    is the normalized rejoin."""
+    from ralf_spark.operators.dedup import remove_duplicate_spans
+    from ralf_spark.table import FeatureTable
+
+    boiler = " ".join(f"w{i}" for i in range(10))
+    variant = boiler.upper().replace(" ", " ")
+    t = FeatureTable(
+        spark.createDataFrame(
+            [
+                (1, "head1 head2 " + boiler + " tail1 tail2"),
+                (2, variant + " other1 other2 other3"),
+            ],
+            "doc_id long, text string",
+        ),
+        key="doc_id",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(t, token_mode="unicode").collect()
+    }
+    assert got[1].clean_text == "head1 head2 tail1 tail2"
+    assert got[2].clean_text == "other1 other2 other3"
+    assert got[1].n_removed == got[2].n_removed == 10
+    # ascii mode sees no duplicate at all (the variant is 1 giant token)
+    asc = {
+        r.doc_id: r for r in remove_duplicate_spans(t).collect()
+    }
+    assert asc[2].n_removed == 0
