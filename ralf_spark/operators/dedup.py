@@ -668,6 +668,7 @@ def duplicated_spans(
     n: int = 10,
     text_col: str = "text",
     hash_fn: str | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Per-document duplicated-span statistics — the Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better",
@@ -696,7 +697,9 @@ def duplicated_spans(
     key = docs.key
     spans = ensure_parallelism(docs.df).select(
         F.col(key),
-        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("_span"),
+        F.explode(
+            word_shingles(tokens(F.col(text_col), token_mode), n)
+        ).alias("_span"),
     )
     span_hash = (
         F.xxhash64(F.col("_span"))
