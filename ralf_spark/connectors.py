@@ -324,7 +324,10 @@ def hold_writer_lease(
         with hold_writer_lease(spark, store_path):
             index.build(big_corpus)
     """
-    acquire_writer_lease(spark, path, writer_id=writer_id, ttl_sec=ttl_sec)
+    # verify (not plain acquire): at the internal publish-point uses this
+    # doubles as the fencing read, so a theft since the operation-start
+    # acquire is reported as the mid-operation loss it is
+    verify_writer_lease(spark, path, writer_id=writer_id, ttl_sec=ttl_sec)
     keeper = _LeaseKeeper(
         spark, path, writer_id, ttl_sec, interval=_lease_ttl(ttl_sec) / 3.0
     )
@@ -520,13 +523,14 @@ def _staged_overwrite(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    # fencing read (r13): the staging write above is the long step; only
-    # publish over ``path`` if this writer still holds the lease
-    verify_writer_lease(spark, path)
-    reread = spark.read.parquet(tmp).write.mode("overwrite")
-    if partition_by:
-        reread = reread.partitionBy(partition_by)
-    reread.parquet(path)
+    # fence + heartbeat keeper (r13): the staging write above is the long
+    # step; publish over ``path`` only while still the owner, renewing
+    # through the final rewrite
+    with hold_writer_lease(spark, path):
+        reread = spark.read.parquet(tmp).write.mode("overwrite")
+        if partition_by:
+            reread = reread.partitionBy(partition_by)
+        reread.parquet(path)
     fs, jtmp = _hadoop_fs(spark, tmp)
     fs.delete(jtmp, True)
 

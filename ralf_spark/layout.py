@@ -432,11 +432,11 @@ def compact_batch_partitions(
             spark, mpath,
             {"ctag": ctag, "sources": sources, "done": False},
         )
-        from ralf_spark.connectors import verify_writer_lease
+        from ralf_spark.connectors import (
+            hold_writer_lease,
+            verify_writer_lease,
+        )
 
-        # fencing read (r13, ADVICE r12): re-check ownership before the
-        # compacted write begins
-        verify_writer_lease(spark, root)
         df = spark.read.option("basePath", root).parquet(*files)
         if transform is not None:
             df = transform(df.drop("_batch"))
@@ -446,12 +446,16 @@ def compact_batch_partitions(
         else:
             n_files = max(1, -(-total_bytes // target_file_bytes))
             df = df.repartition(n_files)
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*pcols)
-            .parquet(root)
-        )
+        # fence + heartbeat keeper (r13, ADVICE r12): re-check ownership
+        # before the compacted write, renew during it (the store rewrite
+        # is the longest step of the whole protocol)
+        with hold_writer_lease(spark, root):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*pcols)
+                .parquet(root)
+            )
         # fencing read (r13): the merged write above is the long step —
         # only commit (done marker + source deletion) while still owner
         verify_writer_lease(spark, root)

@@ -1345,23 +1345,26 @@ class MinHashIndex:
         `build()`` materialize the persisted projection FIRST — the
         hash pipeline keeps its full parallelism, only the cached rows
         funnel into the writers."""
-        from ralf_spark.connectors import verify_writer_lease
+        from ralf_spark.connectors import hold_writer_lease
 
-        # fencing read (r13, ADVICE r12): the projection pipeline between
-        # acquire and this publish can outlive the lease TTL
-        verify_writer_lease(df.sparkSession, self.path)
         out = df
         if rows is not None:
             n_files = max(1, -(-rows // self._ROWS_PER_FILE[sub]))
             if n_files < df.rdd.getNumPartitions():
                 out = df.coalesce(n_files)
-        (
-            out.withColumn("_batch", F.lit(tag))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(f"{self.path}/{sub}")
-        )
+        # fencing read + heartbeat keeper (r13, ADVICE r12): the acquire
+        # inside hold_writer_lease is the fence (the projection pipeline
+        # between the operation-start acquire and this publish can
+        # outlive the TTL), and the keeper renews DURING the write so a
+        # long fold is never stolen from a live writer mid-publish
+        with hold_writer_lease(df.sparkSession, self.path):
+            (
+                out.withColumn("_batch", F.lit(tag))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(f"{self.path}/{sub}")
+            )
 
     @staticmethod
     def _est_jaccard(s1: Column, s2: Column, num_perm: int) -> Column:
@@ -2331,22 +2334,22 @@ class GramIndex:
     _ROWS_PER_FILE = 2_000_000
 
     def _write(self, dg: DataFrame, tag: str, rows: int) -> None:
-        from ralf_spark.connectors import verify_writer_lease
+        from ralf_spark.connectors import hold_writer_lease
 
-        # fencing read (r13, ADVICE r12): abort the fold if the lease was
-        # stolen while the span plan / position scan ran
-        verify_writer_lease(dg.sparkSession, self.path)
         out = dg
         n_files = max(1, -(-rows // self._ROWS_PER_FILE))
         if n_files < dg.rdd.getNumPartitions():
             out = dg.coalesce(n_files)
-        (
-            out.withColumn("_batch", F.lit(tag))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(f"{self.path}/grams")
-        )
+        # fence + heartbeat keeper (r13, ADVICE r12): abort if the lease
+        # was stolen while the span plan ran; renew during the fold write
+        with hold_writer_lease(dg.sparkSession, self.path):
+            (
+                out.withColumn("_batch", F.lit(tag))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(f"{self.path}/grams")
+            )
 
     def _check_or_write_meta(
         self, spark, write_if_missing: bool = True

@@ -947,19 +947,20 @@ class IvfIndex:
         one file per touched (cell, batch); the write stays parallel
         across cells, and at build scale a cell's file is its member
         count (cells ∝ √corpus keeps that bounded)."""
-        from ralf_spark.connectors import verify_writer_lease
+        from ralf_spark.connectors import hold_writer_lease
 
-        # fencing read (r13, ADVICE r12): assignment/encoding between
-        # acquire and this publish can outlive the lease TTL
-        verify_writer_lease(assigned.sparkSession, self.path)
-        (
-            assigned.withColumn("_batch", F.lit(tag))
-            .repartition(F.col("cell"))
-            .write.mode(mode)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell", "_batch")
-            .parquet(f"{self.path}/cells")
-        )
+        # fence + heartbeat keeper (r13, ADVICE r12): assignment/encoding
+        # between acquire and this publish can outlive the lease TTL; the
+        # keeper renews during the cell write itself
+        with hold_writer_lease(assigned.sparkSession, self.path):
+            (
+                assigned.withColumn("_batch", F.lit(tag))
+                .repartition(F.col("cell"))
+                .write.mode(mode)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell", "_batch")
+                .parquet(f"{self.path}/cells")
+            )
 
     def build(
         self,

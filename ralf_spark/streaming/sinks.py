@@ -455,6 +455,7 @@ def _bucketed_fold_upsert(
 
         # fencing read (r13, ADVICE r12): the merge+staging write is the
         # long step — start the swap only while still the lease owner
+        # (the swap itself is per-bucket renames: fast, no keeper needed)
         verify_writer_lease(spark, path)
         write_json_sidecar(
             spark,
