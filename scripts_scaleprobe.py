@@ -561,6 +561,55 @@ def op_gram_index_add_count(spark, m: int):
     return idx.add(batch, batch_tag="probe")
 
 
+def op_gram_retro_delta(spark, m: int):
+    """r13 (finding 22's scale half): retro_delta over a count-mode
+    store grown with m, covering ONE FIXED 5k-doc batch — the watermark
+    is reset before every call so each pass measures the same cadence
+    ("everything but the probe batch is already covered"). Predicted:
+    SHUFFLE flat-ish in m (the touched neighborhood ∝ the fixed batch's
+    dup structure, not the store) where op_gram_retro's shuffle is ∝ m —
+    wall keeps an O(store) column-pruned scan component by design (the
+    new-digest probes broadcast into store scans), so the deterministic
+    shuffle/emission metric is the conclusion-bearing one."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.connectors import write_json_sidecar
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.operators.util import unpersist_cached
+    from ralf_spark.table import FeatureTable
+
+    idx_path = os.path.join(DATA_ROOT, f"x{m}", "gramidx_delta")
+    idx = GramIndex(
+        idx_path, hash_fn="xxhash64", count_mode=True, auto_maintain=0
+    )
+    if not os.path.exists(os.path.join(idx_path, "_meta")):
+        idx.build(FeatureTable(
+            spark.read.parquet(_docs_path(m)), key="doc_id"
+        ))
+    if not os.path.exists(
+        os.path.join(idx_path, "grams", "_batch=probe")
+    ):
+        batch = FeatureTable(
+            spark.read.parquet(_docs_path(1))
+            .where(F.col("doc_id") < 5000)
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000),
+            key="doc_id",
+        )
+        spans = idx.add(batch, batch_tag="probe")
+        spans.count()
+        unpersist_cached(spans)
+    # reset the watermark to "covered everything except the probe batch"
+    done = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(os.path.join(idx_path, "grams"))
+        if d.startswith("_batch=") and d != "_batch=probe"
+    )
+    write_json_sidecar(
+        spark, f"{idx_path}/grams/.retro_watermark.json", {"tags": done}
+    )
+    return idx.retro_delta(spark)
+
+
 def op_substring_spans(spark, m: int):
     """r11b: exact-substring span detection (Lee et al. 2022 re-expressed
     as gram scan -> digest groupBy -> position rejoin -> island merge).
@@ -616,6 +665,7 @@ OPS = {
     "sq8_adc": (op_sq8_adc, "embeddings", 1.0),
     "gram_index_add": (op_gram_index_add, "documents", 0.0),
     "gram_retro": (op_gram_retro, "documents", 1.0),
+    "gram_retro_delta": (op_gram_retro_delta, "documents", 0.0),
     "gram_index_add_count": (op_gram_index_add_count, "documents", 0.0),
 }
 
