@@ -307,6 +307,23 @@ def op_lsh_near_dup(spark, m: int):
     )
 
 
+def op_lsh_near_dup_unicode(spark, m: int):
+    """r13: the identical LSH near-dup pipeline with
+    token_mode="unicode" — the ONLY Python in the text family (the
+    Arrow-batched NFC+lowercase kernel) inserted before the split.
+    Predicted exp ~1 like the ascii twin; the absolute delta vs
+    op_lsh_near_dup at each scale point is the kernel's measured cost
+    (one extra Arrow round-trip per row, no shuffle, no new stage)."""
+    from ralf_spark.operators.dedup import near_dup_pairs
+    from ralf_spark.table import FeatureTable
+
+    docs = spark.read.parquet(_docs_path(m))
+    return near_dup_pairs(
+        FeatureTable(docs, key="doc_id"), hash_fn="xxhash64",
+        token_mode="unicode",
+    )
+
+
 def op_simhash_pairs(spark, m: int):
     from ralf_spark.operators.dedup import simhash_near_dup_pairs
     from ralf_spark.table import FeatureTable
@@ -648,6 +665,7 @@ def op_sq8_adc(spark, m: int):
 
 OPS = {
     "lsh_near_dup": (op_lsh_near_dup, "documents", 1.0),
+    "lsh_near_dup_unicode": (op_lsh_near_dup_unicode, "documents", 1.0),
     "simhash_pairs": (op_simhash_pairs, "documents", 2.0),
     "simhash_blocks6": (op_simhash_blocks6, "documents", 1.0),
     "jaccard_inverted": (op_jaccard_inverted, "documents", 1.0),
