@@ -329,7 +329,10 @@ def hold_writer_lease(
     # acquire is reported as the mid-operation loss it is
     verify_writer_lease(spark, path, writer_id=writer_id, ttl_sec=ttl_sec)
     keeper = _LeaseKeeper(
-        spark, path, writer_id, ttl_sec, interval=_lease_ttl(ttl_sec) / 3.0
+        spark, path, writer_id, ttl_sec,
+        # floor: a degenerate ttl (tests use 0 to force expiry) must not
+        # turn the keeper into a busy renewal loop
+        interval=max(_lease_ttl(ttl_sec) / 3.0, 0.05),
     )
     keeper._thread.start()
     try:

@@ -2944,3 +2944,28 @@ def test_retro_delta_scans_are_column_pruned(spark, tmp_path):
     digest_only = [s for s in schemas if s == "struct<_dg:string>"]
     assert len(full) == 1  # exactly one scan pays the position column
     assert len(digest_only) >= 3  # every probe scan pruned to the digest
+
+
+def test_retro_delta_shuffle_join_degrade_matches_broadcast(spark, tmp_path):
+    """retro_delta's broadcast tri-state: forcing the shuffle-join
+    spelling (broadcast_digests=False — the past-the-bound degrade at
+    100 TB batch sizes) returns the identical spans as the broadcast
+    path."""
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, _ = _gram_batches()
+    spans = {}
+    for mode, flag in (("bcast", True), ("shuffle", False)):
+        idx = GramIndex(
+            str(tmp_path / mode), min_tokens=8, count_mode=True,
+            auto_maintain=0,
+        )
+        idx.build(_docs(spark, list(b1.items())))
+        idx.add(_docs(spark, list(b2.items()))).collect()
+        spans[mode] = sorted(
+            tuple(r)
+            for r in idx.retro_delta(
+                spark, broadcast_digests=flag
+            ).collect()
+        )
+    assert spans["bcast"] == spans["shuffle"] and spans["bcast"]
