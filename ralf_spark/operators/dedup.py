@@ -1374,7 +1374,9 @@ class MinHashIndex:
         return F.round(agree / F.lit(float(num_perm)), 4)
 
     # ------------------------------------------------------------- lifecycle
-    def _check_or_write_meta(self, spark) -> None:
+    def _check_or_write_meta(
+        self, spark, write_if_missing: bool = True
+    ) -> None:
         """Pin the index's hashing configuration next to its data.
 
         Signatures hashed under a different mode/shape produce ZERO
@@ -1446,6 +1448,13 @@ class MinHashIndex:
                     "rebuild the index."
                 )
             return
+        if not write_if_missing:
+            raise ValueError(
+                f"MinHashIndex at {self.path} has no _meta sidecar "
+                "(never built, or a build crashed before the pin "
+                "committed); read-only access cannot stamp a config — "
+                "build() or add() first."
+            )
         spark.createDataFrame(
             [mine],
             "hash_fn string, num_perm int, bands int, shingle_n int, "
@@ -1672,6 +1681,98 @@ class MinHashIndex:
         self._write(new_buckets, "buckets", tag, rows=n * self.bands)
         return out
 
+    def check(
+        self,
+        table: FeatureTable,
+        text_col: str = "text",
+        threshold: float = 0.5,
+        within_batch: bool = False,
+        broadcast_candidates: bool | None = None,
+    ) -> DataFrame:
+        """READ-ONLY near-dup check against the store — nothing is
+        folded in (r13): the serving/decontamination spelling of
+        :meth:`add`, completing the symmetry with ``GramIndex.check``
+        (r12). Use it to answer "is this incoming document a near-dup
+        of the corpus?" without mutating the index: no writer lease
+        (concurrent readers are always safe), and the meta pin is
+        VERIFIED, never written (a reader must not stamp its config
+        onto a store it never built).
+
+        ``within_batch=False`` (default) returns only CROSS pairs — one
+        id from the batch, one from the store (a batch screened against
+        a fixed corpus: its own internal repeats don't count);
+        ``True`` adds the batch's self-pairs (the :meth:`add` detection
+        without the fold). Same candidate bound, chained-broadcast
+        verification, and auto shuffle degrade as :meth:`add`.
+
+        Returns (id1, id2, est_jaccard) with id1 < id2."""
+        spark = table.df.sparkSession
+        self._check_or_write_meta(spark, write_if_missing=False)
+        stored_b = self._read(spark, "buckets")
+        stored_s = self._read(spark, "sigs")
+        if stored_b is None or stored_s is None:
+            raise ValueError(f"MinHashIndex at {self.path} is empty")
+        new_sigs, new_buckets = self._project(table, text_col)
+        new_sigs = new_sigs.persist()
+        new_buckets = new_buckets.persist()
+        other_b = (
+            stored_b.unionByName(new_buckets)
+            if within_batch
+            else stored_b
+        )
+        all_s = stored_s.unionByName(new_sigs)
+        cand = (
+            new_buckets.alias("n")
+            .join(
+                other_b.alias("o"),
+                (F.col("n._band") == F.col("o._band"))
+                & (F.col("n._key") == F.col("o._key"))
+                & (F.col("n._id") != F.col("o._id")),
+            )
+            .select(
+                F.least("n._id", "o._id").alias("id1"),
+                F.greatest("n._id", "o._id").alias("id2"),
+            )
+            .distinct()
+        )
+
+        def _check_pair_bound() -> int:
+            new_counts = new_buckets.groupBy("_band", "_key").agg(
+                F.count(F.lit(1)).alias("_nc")
+            )
+            row = (
+                other_b.join(F.broadcast(new_counts), ["_band", "_key"])
+                .select(F.sum("_nc").alias("_pairs"))
+                .first()
+            )
+            return int(row["_pairs"] or 0)
+
+        hint = _choose_broadcast(broadcast_candidates, _check_pair_bound)
+        s1 = all_s.select(
+            F.col("_id").alias("id1"), F.col("_sig").alias("_sig1")
+        )
+        s2 = all_s.select(
+            F.col("_id").alias("id2"), F.col("_sig").alias("_sig2")
+        )
+        half = (
+            (F.broadcast(cand) if hint else cand)
+            .join(s1, "id1")
+            .select("id1", "id2", "_sig1")
+        )
+        pairs = (
+            (F.broadcast(half) if hint else half)
+            .join(s2, "id2")
+            .select(
+                "id1",
+                "id2",
+                self._est_jaccard(
+                    F.col("_sig1"), F.col("_sig2"), self.num_perm
+                ).alias("est_jaccard"),
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
+        return attach_cached(pairs, [new_sigs, new_buckets])
+
 
 def incremental_minhash_oracle_sql(
     table: str = "documents",
@@ -1683,6 +1784,7 @@ def incremental_minhash_oracle_sql(
     shingle_n: int = 3,
     new_pred: str = "_id % 2 = 1",
     token_mode: str = "ascii",
+    cross_only: bool = False,
 ) -> str:
     """DuckDB oracle for the :class:`MinHashIndex` build+add round: batch
     LSH over the WHOLE corpus, restricted to candidate pairs touching the
@@ -1730,7 +1832,7 @@ def incremental_minhash_oracle_sql(
       FROM buckets a JOIN buckets b
         ON a._band = b._band AND a._key = b._key AND a._id < b._id
       WHERE ({new_pred.replace('_id', 'a._id')})
-         OR ({new_pred.replace('_id', 'b._id')})
+         {"<>" if cross_only else "OR"} ({new_pred.replace('_id', 'b._id')})
     )
     SELECT id1, id2,
            round(list_sum(list_transform(range(1, {num_perm + 1}),

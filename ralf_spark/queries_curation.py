@@ -292,6 +292,38 @@ def incremental_minhash_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_index_check_serving",
+    incremental_minhash_oracle_sql(cross_only=True),
+)
+def minhash_index_check_serving_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 read-only serving check (r13): build the persistent LSH index
+    on the even-doc half, then ``check()`` the odd half WITHOUT folding
+    it in — "is this incoming batch a near-dup of the corpus?". Returns
+    only CROSS pairs (one odd, one even id: the batch's own internal
+    repeats don't count when screening against a fixed corpus), pinned
+    against the batch pipeline restricted to exactly-one-odd pairs. The
+    index is byte-untouched by the check (read-only contract: no lease,
+    meta verified never written) — re-running the same check twice is
+    trivially idempotent, and GramIndex.check() gains its MinHash
+    sibling."""
+    import hashlib as _hl
+
+    docs = _docs_par(spark, sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _scratch(f"mh_check_{tag}_")
+    index = MinHashIndex(path, num_perm=16, bands=8)
+    even = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 0), key="doc_id"
+    )
+    odd = FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 1), key="doc_id"
+    )
+    index.build(even)
+    pairs = index.check(odd, threshold=0.5)
+    return pairs.orderBy("id1", "id2")
+
+
+@query(
     "domain_quota_cap",
     """
     SELECT doc_id, source,

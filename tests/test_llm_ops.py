@@ -2969,3 +2969,49 @@ def test_retro_delta_shuffle_join_degrade_matches_broadcast(spark, tmp_path):
             ).collect()
         )
     assert spans["bcast"] == spans["shuffle"] and spans["bcast"]
+
+
+def test_minhash_index_check_is_read_only(spark, tmp_path):
+    """r13: MinHashIndex.check() screens a batch against the store
+    without folding (cross pairs only by default; within_batch=True
+    adds the batch's self-pairs), never writes the store or its meta,
+    and refuses a virgin path instead of stamping a config."""
+    import os
+
+    import pytest as _pytest
+
+    from ralf_spark.operators.dedup import MinHashIndex
+
+    corpus = _docs(spark, [(2, "a b c d e f g"), (4, "p q r s t u v")])
+    batch = _docs(
+        spark,
+        [(1, "a b c d e f g"), (3, "a b c d e f h"), (5, "z z2 z3 z4")],
+    )
+    idx = MinHashIndex(str(tmp_path / "mi"), num_perm=8, bands=4)
+    idx.build(corpus)
+
+    def tree(p):
+        return sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    before = tree(str(tmp_path / "mi"))
+    cross = sorted(
+        (r.id1, r.id2) for r in idx.check(batch, threshold=0.3).collect()
+    )
+    assert cross and all((a % 2 == 0) != (b % 2 == 0) for a, b in cross)
+    assert (1, 2) in cross  # batch doc 1 duplicates corpus doc 2
+    both = sorted(
+        (r.id1, r.id2)
+        for r in idx.check(batch, threshold=0.3,
+                           within_batch=True).collect()
+    )
+    assert (1, 3) in both and set(cross) <= set(both)
+    assert tree(str(tmp_path / "mi")) == before  # byte-untouched
+    with _pytest.raises(ValueError, match="no _meta"):
+        MinHashIndex(str(tmp_path / "virgin"), num_perm=8, bands=4).check(
+            batch
+        )
+    assert not os.path.exists(str(tmp_path / "virgin" / "_meta"))
