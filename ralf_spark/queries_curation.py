@@ -324,6 +324,70 @@ def minhash_index_check_serving_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_minhash_screen",
+    incremental_minhash_oracle_sql(cross_only=True),
+)
+def streaming_minhash_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup screening (r13): the odd-doc half arrives as
+    two micro-batches through ``foreach_batch_minhash_screen``, each
+    checked READ-ONLY against a fixed even-doc MinHashIndex and its
+    cross pairs appended exactly-once (batch-id-keyed dynamic
+    overwrite). Because the corpus store never changes, per-batch
+    screening equals screening all odd docs at once — the oracle is the
+    SAME one-shot cross-pairs replay that gates
+    ``minhash_index_check_serving``, which pins batch-decomposition
+    invariance."""
+    import hashlib as _hl
+    import os as _os
+    import time as _time
+
+    from ralf_spark.streaming import (
+        foreach_batch_minhash_screen,
+        run_bounded,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    index = MinHashIndex(_scratch(f"mh_screen_{tag}_"), num_perm=16,
+                         bands=8)
+    index.build(FeatureTable(
+        docs.df.where(F.col("doc_id") % 2 == 0), key="doc_id"
+    ))
+    odd = docs.df.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    src = _scratch("mh_screen_stream_")
+    now = _time.time()
+    for i, pred in enumerate(
+        (F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3)
+    ):
+        staged = f"{src}/_stage{i}"
+        odd.where(pred).coalesce(1).write.parquet(staged)
+        part = next(
+            f for f in _os.listdir(staged) if f.endswith(".parquet")
+        )
+        dst = f"{src}/batch{i}.parquet"
+        _os.rename(f"{staged}/{part}", dst)
+        _os.utime(dst, (now - 100 + i, now - 100 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = _scratch(f"mh_screen_out_{tag}_") + "/pairs"
+    run_bounded(
+        foreach_batch_minhash_screen(
+            stream, index, out_path, key="doc_id", threshold=0.5
+        ),
+        checkpoint=_scratch("ck_mh_screen_"),
+        shuffle_partitions=8,
+    )
+    return (
+        spark.read.parquet(out_path)
+        .select("id1", "id2", "est_jaccard")
+        .orderBy("id1", "id2")
+    )
+
+
+@query(
     "domain_quota_cap",
     """
     SELECT doc_id, source,

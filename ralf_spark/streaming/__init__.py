@@ -15,6 +15,7 @@ from ralf_spark.streaming.sinks import (
     foreach_batch_enriched_write,
     foreach_batch_ewma_upsert,
     foreach_batch_gram_decontaminate,
+    foreach_batch_minhash_screen,
     foreach_batch_gram_dedup,
     foreach_batch_index_add,
     foreach_batch_cms_append,
@@ -86,6 +87,7 @@ __all__ = [
     "foreach_batch_enriched_write",
     "foreach_batch_ewma_upsert",
     "foreach_batch_gram_decontaminate",
+    "foreach_batch_minhash_screen",
     "foreach_batch_gram_dedup",
     "foreach_batch_index_add",
     "cms_log_state",

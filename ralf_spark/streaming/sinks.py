@@ -1673,6 +1673,59 @@ def foreach_batch_gram_decontaminate(
     return df.writeStream.foreachBatch(clean)
 
 
+def foreach_batch_minhash_screen(
+    df: DataFrame,
+    index,
+    out_path: str,
+    key: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataStreamWriter:
+    """Streaming near-dup SCREENING (r13): each micro-batch of incoming
+    documents is checked READ-ONLY against a fixed corpus
+    :class:`~ralf_spark.operators.dedup.MinHashIndex`
+    (``index.check`` — cross pairs only: the batch's internal repeats
+    don't count when screening against a fixed corpus) and the flagged
+    pairs are written to ``out_path`` — the streaming spelling of the
+    serving check, the near-dup sibling of
+    :func:`foreach_batch_gram_decontaminate`, for the crawl loop that
+    flags incoming near-dups of an already-curated corpus as they land.
+
+    The corpus store is never written (concurrent screening streams can
+    share it); output pairs land keyed by the checkpointed batch id as
+    a ``_batch`` partition with dynamic overwrite, so a replayed batch
+    rewrites itself (exactly-once), and the final pair table is
+    batch-decomposition-invariant: the store is FIXED, so screening per
+    batch equals screening the whole stream at once (the registry gate
+    pins this against the one-shot cross-pairs oracle). Output columns:
+    (id1, id2, est_jaccard)."""
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.operators.util import unpersist_cached
+        from ralf_spark.table import FeatureTable
+
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        acquire_writer_lease(spark, out_path)  # guards the OUTPUT only
+        pairs = index.check(
+            FeatureTable(batch_df, key=key),
+            text_col=text_col,
+            threshold=threshold,
+        )
+        (
+            pairs.withColumn("_batch", F.lit(f"b{batch_id}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_path)
+        )
+        unpersist_cached(pairs)
+
+    return df.writeStream.foreachBatch(screen)
+
+
 def foreach_batch_gram_dedup(
     df: DataFrame,
     index,
