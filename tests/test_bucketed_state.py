@@ -656,10 +656,22 @@ def test_hold_writer_lease_renews_past_ttl(spark, tmp_path):
 
     store = str(tmp_path / "st")
     side = store + WRITER_LEASE_SUFFIX
+
+    def read_hb() -> float:
+        # the keeper renews every ttl/3: a direct read can land in the
+        # documented torn-write window (create-truncate before the JSON
+        # bytes) — retry instead of failing the test on the race
+        for _ in range(100):
+            try:
+                return read_json_sidecar(spark, side)["heartbeat_unix"]
+            except Exception:
+                _time.sleep(0.05)
+        raise AssertionError("lease sidecar unreadable after retries")
+
     with hold_writer_lease(spark, store, ttl_sec=0.9):
-        hb0 = read_json_sidecar(spark, side)["heartbeat_unix"]
+        hb0 = read_hb()
         _time.sleep(2.0)  # > 2 TTLs: without renewal the lease expires
-        hb1 = read_json_sidecar(spark, side)["heartbeat_unix"]
+        hb1 = read_hb()
         assert hb1 > hb0  # the keeper renewed
         # a foreign acquire is still refused (the heartbeat is fresh)
         with pytest.raises(ConcurrentWriterError):
