@@ -2902,9 +2902,13 @@ class GramIndex:
         SHUFFLED and EMITTED volume — the part that dominated retro()'s
         cadence at a growing store — scales with the batch and its
         touched neighborhood (probe-measured in SCALEPROBE.md).
-        ``broadcast_digests``: same tri-state as :meth:`add` — auto
-        degrades every probe-side broadcast to a shuffle join when the
-        batch digest count outgrows the broadcast bound.
+        ``broadcast_digests``: same tri-state as :meth:`add`, decided
+        PER STAGE (r13 review): the derived probe sets (changed digests,
+        touched docs, their digest universe) can be arbitrarily larger
+        than the new-digest set they grew from — one boilerplate gram
+        makes ``touched`` approach every doc — so auto sizes each
+        stage's broadcast from that stage's own (persisted) set and
+        degrades it independently to a shuffle join past the bound.
 
         The watermark advances when this method is CALLED (the returned
         plan reads the frozen pre-call file snapshot, same discipline as
@@ -2938,9 +2942,9 @@ class GramIndex:
             dup_pos = store.select("_id", "_pos").where(F.lit(False))
             return _positions_to_spans(dup_pos, self.min_tokens)
 
-        def counted(probe: DataFrame) -> DataFrame:
+        def counted(probe: DataFrame, hint: bool) -> DataFrame:
             """Corpus-wide occurrence count restricted to ``probe``'s
-            digests; broadcast per the tri-state hint."""
+            digests; broadcast per the caller's hint."""
             p = F.broadcast(probe) if hint else probe
             return (
                 store.join(p, "_dg")
@@ -2950,25 +2954,47 @@ class GramIndex:
                 .select("_dg")
             )
 
-        new_dg = spark.read.parquet(*new_files).select("_dg").distinct()
-        hint = _choose_broadcast(broadcast_digests, lambda: new_dg.count())
-        changed_dg = counted(new_dg)
+        # EACH probe set gets its own broadcast decision (r13 review):
+        # the derived sets can be arbitrarily larger than the new-digest
+        # set they grew from — one boilerplate gram in the batch makes
+        # `touched` approach the whole doc-id universe, and broadcasting
+        # it under a hint sized from the (tiny) new-digest set would OOM
+        # the driver at 100 TB. `broadcast_digests=None` therefore pays
+        # one count per stage (each probe is persisted and reused by the
+        # final plan, so the stats pass materializes work the plan needs
+        # anyway); True/False skip the counts and force one spelling.
+        def stage_hint(probe: DataFrame) -> bool:
+            return _choose_broadcast(broadcast_digests, probe.count)
+
+        new_dg = (
+            spark.read.parquet(*new_files)
+            .select("_dg")
+            .distinct()
+            .persist()
+        )
+        changed_dg = counted(new_dg, stage_hint(new_dg)).persist()
+        hint_c = stage_hint(changed_dg)
         touched = (
             store.join(
-                F.broadcast(changed_dg) if hint else changed_dg, "_dg"
+                F.broadcast(changed_dg) if hint_c else changed_dg, "_dg"
             )
             .select("_id")
             .distinct()
+            .persist()
         )
+        hint_t = stage_hint(touched)
         touched_pos = store.join(
-            F.broadcast(touched) if hint else touched, "_id"
+            F.broadcast(touched) if hint_t else touched, "_id"
         ).persist()
-        dup_tdg = counted(touched_pos.select("_dg").distinct())
+        tdg = touched_pos.select("_dg").distinct().persist()
+        hint_g = stage_hint(tdg)
+        dup_tdg = counted(tdg, hint_g)
         dup_pos = touched_pos.join(
-            F.broadcast(dup_tdg) if hint else dup_tdg, "_dg"
+            F.broadcast(dup_tdg) if hint_g else dup_tdg, "_dg"
         ).select("_id", "_pos")
         out = attach_cached(
-            _positions_to_spans(dup_pos, self.min_tokens), [touched_pos]
+            _positions_to_spans(dup_pos, self.min_tokens),
+            [new_dg, changed_dg, touched, touched_pos, tdg],
         )
         # advance AFTER the plan is defined: it reads the frozen file
         # snapshot, so the watermark flip can never starve it
