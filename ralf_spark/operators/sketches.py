@@ -35,6 +35,28 @@ just the true count — bit-reproducible in any engine that can run SQL:
   the sample identical across runs/engines/partitionings. Executed as
   TakeOrdered (distributed partial top-k), never a global sort.
 
+- ``reservoir_quantile`` (r14, VERDICT r13 #3): mergeable QUANTILE
+  sketch — per group, the k rows whose row-identity hash is smallest
+  (a bottom-k sketch, Cohen & Kaplan "Summarizing data using bottom-k
+  sketches", PODC 2007: a uniform fixed-size sample of the group's
+  rows that is a pure function of the row SET), and the estimate is
+  the sample's type-1 empirical quantile. Exact below k (the sample
+  IS the group). Rank error is DKW-bounded: P(|rank err| > ε·n) <=
+  2·exp(-2kε²) — k=256 gives ε ≈ 8% at 95% confidence, k=4096 ≈ 2%.
+
+  Why not KLL / t-digest: their state depends on INSERTION ORDER
+  (compaction coin flips resp. cluster boundaries), and their merge is
+  lossy — fold(sketch(A), sketch(B)) != sketch(A ∪ B) — so the pinned
+  discipline of this family (state == order-independent function of
+  the data multiset; merge associative/commutative/IDEMPOTENT; the
+  whole estimate replayable bit-for-bit in DuckDB) is unreachable for
+  them on any distributed engine: two partitionings of the same data
+  would publish two different "correct" states. Bottom-k is the
+  quantile sketch with the KMV algebra — union-distinct-keep-k — at
+  the cost of a √k (sampling) rather than 1/k (KLL) error rate; at
+  k=4096 the state is ~64 KB/group, still O(groups·k) shuffle via the
+  same WindowGroupLimit map-side pre-limit as KMV.
+
 Reference parity: the reference sheds load by sampling/priority policies
 (`ralf/policies/load_shedding_policy.py`); sketching is the analytics-side
 extension SURVEY §2.10 calls for.
@@ -151,6 +173,152 @@ def kmv_distinct_sql(
                 END AS BIGINT) AS est_distinct
     FROM ranked WHERE rk <= {k}
     GROUP BY {g}
+    """
+
+
+def rq_state_update(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    id_col: str | Column,
+    k: int = 256,
+) -> DataFrame:
+    """The quantile sketch STATE: per group, the (<= k) rows whose
+    row-identity hash is smallest — ``group_cols + [h, v]``. ``id_col``
+    must identify rows uniquely (the draw is uniform over ROWS; hashing
+    the value instead would dedup repeats and skew every quantile).
+
+    Mergeable by union-distinct-keep-k (:func:`rq_merge_state`) —
+    IDEMPOTENT by algebra like the KMV min-k set, so any micro-batching
+    and any replay converge on the identical sample. Deterministic: the
+    keep-k rank orders by ``(h, v)``, so even a 60-bit hash collision
+    between rows of different values cannot make the kept set depend on
+    shuffle order (equal ``(h, v)`` rows collapse in the distinct — the
+    one lossy case, vanishing at 2^-60 per pair and itself
+    deterministic). Spark executes the per-group k-smallest as
+    WindowGroupLimit: each map task pre-limits to k rows per group
+    before the shuffle, so the exchange carries O(groups·k)."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    ident = F.col(id_col) if isinstance(id_col, str) else id_col
+    hashed = (
+        df.select(
+            *group_cols,
+            stable_hash64(ident).alias("h"),
+            value.cast("double").alias("v"),
+        )
+        # NULL values are excluded BEFORE the draw (a quantile over
+        # nulls is undefined, and Spark/DuckDB disagree on null sort
+        # position — the one spot that would break cross-engine replay)
+        .where(F.col("v").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def rq_merge_state(
+    state: DataFrame, batch: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Merge two bottom-k sample tables: union, dedup, keep each group's
+    k smallest by ``(h, v)`` — associative, commutative, idempotent
+    (re-folding seen rows cannot change a min-k set). Same
+    WindowGroupLimit shape as the update."""
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
+    return (
+        state.select(*group_cols, "h", "v")
+        .unionByName(batch.select(*group_cols, "h", "v"))
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def _q_label(q: float) -> str:
+    """Column name for quantile q: 0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9."""
+    s = f"{q * 100:.10g}".replace(".", "_")
+    return f"p{s}"
+
+
+def rq_quantiles(
+    state: DataFrame, group_cols: list[str], qs: tuple[float, ...] = (0.5,)
+) -> DataFrame:
+    """Estimate per-group quantiles from a bottom-k sample table (the
+    read side of the sketch state): type-1 (inverted-CDF) empirical
+    quantile of the sample — value at rank ``max(1, ceil(q·m))`` of the
+    m sorted sample values. Exact when the group never exceeded k rows.
+    No arithmetic touches the returned values (they are input doubles
+    passed through), so the estimate replays bit-for-bit in the oracle.
+    The per-group sample is <= k rows, so the collect_list is bounded
+    by construction — never corpus-sized."""
+    arr = F.sort_array(F.collect_list("v"))
+    agg = state.groupBy(*group_cols).agg(arr.alias("_vs"))
+    m = F.size("_vs")
+    cols = [
+        F.element_at(
+            "_vs",
+            F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * m)).cast("int"),
+        ).alias(_q_label(q))
+        for q in qs
+    ]
+    return agg.select(*group_cols, *cols)
+
+
+def reservoir_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    id_col: str | Column,
+    qs: tuple[float, ...] = (0.5,),
+    k: int = 256,
+) -> DataFrame:
+    """Per-group quantile estimates from the bottom-k sketch (one-shot
+    spelling). Returns ``group_cols + [p50, p90, ...]`` (one column per
+    requested quantile, doubles). See the module docstring for the
+    error bound and the KLL/t-digest determinism argument."""
+    return rq_quantiles(
+        rq_state_update(df, group_cols, value_col, id_col, k), group_cols, qs
+    )
+
+
+def reservoir_quantile_sql(
+    table: str,
+    group_cols: list[str],
+    value_expr: str,
+    id_expr: str,
+    qs: tuple[float, ...] = (0.5,),
+    k: int = 256,
+) -> str:
+    """DuckDB oracle replaying ``reservoir_quantile`` bit-for-bit."""
+    g = ", ".join(group_cols)
+    picks = ",\n           ".join(
+        f"max(CASE WHEN vr = greatest(1, CAST(ceil({float(q)!r} * m) "
+        f"AS BIGINT)) THEN v END) AS {_q_label(q)}"
+        for q in qs
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {g}, {stable_hash64_sql(id_expr)} AS h,
+             CAST({value_expr} AS DOUBLE) AS v
+      FROM {table}
+      WHERE {value_expr} IS NOT NULL
+    ), ranked AS (
+      SELECT {g}, h, v,
+             row_number() OVER (PARTITION BY {g} ORDER BY h, v) AS rk
+      FROM hashed
+    ), samp AS (
+      SELECT {g}, v,
+             row_number() OVER (PARTITION BY {g} ORDER BY v) AS vr,
+             count(*) OVER (PARTITION BY {g}) AS m
+      FROM ranked WHERE rk <= {k}
+    )
+    SELECT {g},
+           {picks}
+    FROM samp GROUP BY {g}
     """
 
 

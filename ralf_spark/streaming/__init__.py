@@ -28,11 +28,14 @@ from ralf_spark.streaming.sinks import (
     foreach_batch_kmv_upsert,
     foreach_batch_latest_upsert,
     foreach_batch_quality_log,
+    foreach_batch_rq_append,
     cms_log_state,
     hll_log_state,
     hll_upsert_batch,
     kmv_log_state,
     kmv_upsert_batch,
+    rq_log_merge,
+    rq_log_state,
     maintain_sketch_log,
     read_bucketed_state,
     run_bounded,
@@ -96,8 +99,11 @@ __all__ = [
     "foreach_batch_hll_append",
     "foreach_batch_hll_upsert",
     "foreach_batch_kmv_append",
+    "foreach_batch_rq_append",
     "hll_log_state",
     "kmv_log_state",
+    "rq_log_merge",
+    "rq_log_state",
     "maintain_sketch_log",
     "foreach_batch_ivf_add",
     "foreach_batch_kmv_upsert",

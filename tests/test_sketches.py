@@ -85,3 +85,111 @@ def test_weighted_sample_deterministic_and_biased(spark):
     avg_all = docs.agg(F.avg("n_chars")).first()[0]
     avg_sample = s1.agg(F.avg("n_chars")).first()[0]
     assert avg_sample > avg_all
+
+
+# ---------------------------------------------------------------- r14: rq
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_rq_exact_below_k(spark, events):
+    """Groups whose row count never exceeds k: the sample IS the group,
+    so every quantile equals the exact type-1 quantile."""
+    from ralf_spark.operators.sketches import reservoir_quantile
+
+    est = {
+        r["event_type"]: (r["p50"], r["p99"])
+        for r in reservoir_quantile(
+            events, ["event_type"], "value", "event_id",
+            qs=(0.5, 0.99), k=10**6,
+        ).collect()
+    }
+    import math
+
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for t, vs in vals.items():
+        vs.sort()
+        for q, got in zip((0.5, 0.99), est[t]):
+            want = vs[max(1, math.ceil(q * len(vs))) - 1]
+            assert got == want, (t, q, got, want)
+
+
+def test_rq_accuracy_at_small_k(spark, events):
+    """k=256 sample: estimated p50/p90 within the DKW rank band of the
+    exact quantile (checked in RANK space — value space can be spiky)."""
+    from ralf_spark.operators.sketches import reservoir_quantile
+
+    import bisect
+
+    est = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in reservoir_quantile(
+            events, ["event_type"], "value", "event_id",
+            qs=(0.5, 0.9), k=256,
+        ).collect()
+    }
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for t, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        for q, got in zip((0.5, 0.9), est[t]):
+            rank = bisect.bisect_left(vs, got) / n
+            assert abs(rank - q) < 0.12, (t, q, rank)  # 4σ at k=256
+
+
+def test_rq_state_fold_equals_batch(spark, events):
+    """The sketch algebra: fold(partial states over ANY row split) ==
+    batch state — the property that makes the streaming log sink
+    exactly-once by algebra — and replay idempotence (re-merging a
+    batch changes nothing)."""
+    from ralf_spark.operators.sketches import rq_merge_state, rq_state_update
+
+    ev = events.select("event_type", "event_id", "value")
+    batch_state = rq_state_update(ev, ["event_type"], "value", "event_id", k=64)
+    a = ev.where(F.col("event_id") % 3 == 0)
+    b = ev.where(F.col("event_id") % 3 == 1)
+    c = ev.where(F.col("event_id") % 3 == 2)
+    sa = rq_state_update(a, ["event_type"], "value", "event_id", k=64)
+    sb = rq_state_update(b, ["event_type"], "value", "event_id", k=64)
+    sc = rq_state_update(c, ["event_type"], "value", "event_id", k=64)
+    folded = rq_merge_state(
+        rq_merge_state(sa, sb, ["event_type"], k=64), sc, ["event_type"], k=64
+    )
+    assert _rows(folded) == _rows(batch_state)
+    replayed = rq_merge_state(folded, sb, ["event_type"], k=64)
+    assert _rows(replayed) == _rows(batch_state)
+
+
+def test_rq_partitioning_independent(spark, events):
+    """Same estimate whatever the physical partitioning (the state is a
+    pure function of the row set)."""
+    from ralf_spark.operators.sketches import reservoir_quantile
+
+    ev = events.select("event_type", "event_id", "value")
+    e1 = reservoir_quantile(
+        ev, ["event_type"], "value", "event_id", qs=(0.5, 0.9), k=64
+    )
+    e2 = reservoir_quantile(
+        ev.repartition(13), ["event_type"], "value", "event_id",
+        qs=(0.5, 0.9), k=64,
+    )
+    assert _rows(e1) == _rows(e2)
+
+
+def test_rq_null_values_excluded(spark):
+    """NULL values never enter the sample (cross-engine null-ordering
+    is the one replay hazard; the operator filters them up front)."""
+    from ralf_spark.operators.sketches import reservoir_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0), ("a", 4, 20.0)],
+        "g string, id int, v double",
+    )
+    row = reservoir_quantile(
+        df, ["g"], "v", "id", qs=(0.5, 1.0), k=16
+    ).first()
+    assert row["p50"] == 20.0 and row["p100"] == 30.0
