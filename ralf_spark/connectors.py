@@ -283,16 +283,29 @@ class _LeaseKeeper:
             name=f"lease-keeper:{path}",
         )
 
+    #: consecutive transient renewal failures tolerated before the keeper
+    #: gives up (ADVICE r13: a single filesystem hiccup must not silently
+    #: stop the heartbeat mid-write — the failure would only surface at
+    #: block exit, after the guarded publish already ran)
+    _TRANSIENT_RETRIES = 3
+
     def _run(self, interval: float) -> None:
+        transient = 0
         while not self._stop.wait(interval):
             try:
                 acquire_writer_lease(
                     self._spark, self._path,
                     writer_id=self._wid, ttl_sec=self._ttl,
                 )
-            except Exception as e:  # theft detected (or FS trouble):
+                transient = 0
+            except ConcurrentWriterError as e:  # theft: unrecoverable
                 self._error = e  # remember; the exit re-raises
                 return
+            except Exception as e:  # FS trouble: retry a bounded number
+                transient += 1
+                if transient > self._TRANSIENT_RETRIES:
+                    self._error = e
+                    return
 
     def check(self) -> None:
         if self._error is not None:
@@ -362,6 +375,172 @@ def release_writer_lease(
         return
     if held.get("writer_id") == wid:
         fs.delete(jpath, False)
+
+
+#: in-flight tag-scoped add leases live under ``<store>/_addleases/``
+#: (leading underscore: invisible to every Spark/parquet reader). Each
+#: concurrent adder holds ``<store>/_addleases/<tag>.writer_lease.json``
+#: for the duration of its add — the shared-intent half of the r14
+#: reader-writer protocol (VERDICT r13 #1): adds take tag leases,
+#: exclusive operations (build/maintain/retro/compaction) take the store
+#: ROOT lease and refuse while any foreign tag lease is live.
+ADD_LEASE_DIR = "_addleases"
+
+
+def _add_lease_target(path: str, tag: str) -> str:
+    return f"{path.rstrip('/')}/{ADD_LEASE_DIR}/{tag}"
+
+
+def check_no_foreign_root_lease(
+    spark: SparkSession,
+    path: str,
+    writer_id: str | None = None,
+    ttl_sec: float | None = None,
+) -> None:
+    """READ-ONLY root-lease check for tag-scoped adders (r14): raise if
+    a live FOREIGN root lease exists — an exclusive operation
+    (build/maintain/retro-cadence/compaction) is running and an add
+    must not race it. Unlike :func:`acquire_writer_lease` this never
+    WRITES the sidecar: two concurrent adders re-stamping the root
+    would see each other as foreign root holders and deadlock the very
+    concurrency the tag leases exist to admit."""
+    import time
+
+    wid = writer_id or _PROCESS_WRITER_ID
+    ttl = _lease_ttl(ttl_sec)
+    sidecar = path.rstrip("/") + WRITER_LEASE_SUFFIX
+    fs, jpath = _hadoop_fs(spark, sidecar)
+    now = time.time()
+    if not fs.exists(jpath):
+        return
+    try:
+        held = read_json_sidecar(spark, sidecar)
+    except Exception:
+        # torn read: expiry falls back to the file mtime, same as acquire
+        try:
+            mtime = fs.getFileStatus(jpath).getModificationTime() / 1e3
+        except Exception:
+            return  # raced a delete: the holder released
+        if now - mtime < ttl:
+            raise ConcurrentWriterError(
+                f"state store {path} has an unreadable root writer lease "
+                f"modified {now - mtime:.0f}s ago (an exclusive operation "
+                "is mid-renewal or crashed mid-write); refusing the "
+                "concurrent add until it expires."
+            )
+        return
+    if held.get("writer_id") != wid and (
+        now - float(held.get("heartbeat_unix", 0.0)) < ttl
+    ):
+        raise ConcurrentWriterError(
+            f"state store {path} root is held by writer "
+            f"{held.get('writer_id')!r} (an exclusive operation — "
+            "build/maintain/retro/compaction — is in progress); "
+            "concurrent adds must wait for it to finish (clean handoff: "
+            "it releases the root lease) or for its lease to expire."
+        )
+
+
+def acquire_add_lease(
+    spark: SparkSession,
+    path: str,
+    tag: str,
+    writer_id: str | None = None,
+    ttl_sec: float | None = None,
+) -> str:
+    """Announce an in-flight tag-scoped add on store ``path`` (r14,
+    VERDICT r13 #1): take the ``<store>/_addleases/<tag>`` lease, then
+    verify no exclusive operation holds the store root. Ordering is the
+    race shield: adders announce FIRST and check the root second, while
+    exclusive operations take the root first and check the announce
+    directory second — whichever interleaving occurs, at least one side
+    observes the other and fails loudly (same best-effort filesystem
+    contract as the root lease). Returns the lease target path (pass to
+    ``hold_writer_lease`` for the publish step). A crashed adder's tag
+    lease expires by TTL like any other lease."""
+    target = _add_lease_target(path, tag)
+    acquire_writer_lease(spark, target, writer_id=writer_id, ttl_sec=ttl_sec)
+    try:
+        check_no_foreign_root_lease(
+            spark, path, writer_id=writer_id, ttl_sec=ttl_sec
+        )
+    except ConcurrentWriterError:
+        release_writer_lease(spark, target, writer_id=writer_id)
+        raise
+    return target
+
+
+def release_add_lease(
+    spark: SparkSession,
+    path: str,
+    tag: str,
+    writer_id: str | None = None,
+) -> None:
+    """Drop a tag-scoped add lease (clean finish of a concurrent add)."""
+    release_writer_lease(
+        spark, _add_lease_target(path, tag), writer_id=writer_id
+    )
+
+
+def live_foreign_add_leases(
+    spark: SparkSession,
+    path: str,
+    writer_id: str | None = None,
+    ttl_sec: float | None = None,
+) -> list[str]:
+    """Tags with a live foreign add lease on store ``path`` — the adds
+    an exclusive operation must not fold under (r14). Expired leases
+    (crashed adders) are ignored; unreadable ones fall back to file
+    mtime, same as the root-lease torn-read rule."""
+    import time
+
+    wid = writer_id or _PROCESS_WRITER_ID
+    ttl = _lease_ttl(ttl_sec)
+    root = f"{path.rstrip('/')}/{ADD_LEASE_DIR}"
+    fs, jroot = _hadoop_fs(spark, root)
+    if not fs.exists(jroot):
+        return []
+    now = time.time()
+    live: list[str] = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not name.endswith(WRITER_LEASE_SUFFIX):
+            continue
+        tag = name[: -len(WRITER_LEASE_SUFFIX)]
+        sidecar = f"{root}/{name}"
+        try:
+            held = read_json_sidecar(spark, sidecar)
+        except Exception:
+            if now - st.getModificationTime() / 1e3 < ttl:
+                live.append(tag)  # torn read of a fresh lease: live
+            continue
+        if held.get("writer_id") != wid and (
+            now - float(held.get("heartbeat_unix", 0.0)) < ttl
+        ):
+            live.append(tag)
+    return sorted(live)
+
+
+def assert_no_concurrent_adds(
+    spark: SparkSession,
+    path: str,
+    writer_id: str | None = None,
+    ttl_sec: float | None = None,
+) -> None:
+    """Refuse an exclusive operation while foreign adds are in flight
+    (r14): compaction deletes/renames the very ``_batch=`` partitions an
+    in-flight add's frozen file snapshot reads, so the root-lease holder
+    checks the announce directory right after taking the root."""
+    live = live_foreign_add_leases(
+        spark, path, writer_id=writer_id, ttl_sec=ttl_sec
+    )
+    if live:
+        raise ConcurrentWriterError(
+            f"state store {path} has {len(live)} in-flight concurrent "
+            f"add(s) (tags {live[:5]}{'...' if len(live) > 5 else ''}); "
+            "exclusive operations (build/maintain/retro/compaction) must "
+            "wait for them to finish or for their tag leases to expire."
+        )
 
 
 def upsert_into(
@@ -573,18 +752,25 @@ class StateConnector(ABC):
         :class:`ParquetStateConnector` (``bucket=pmod(xxhash64(key),
         n)`` partitions), so the export is itself point-query-prunable
         and loads straight back through a ``ParquetStateConnector(path,
-        key, num_buckets)`` handle."""
+        key, num_buckets)`` handle.
+
+        Published via :func:`_staged_overwrite` (r14, ADVICE r13): the
+        full export lands in a staging directory first, and the target
+        is rewritten only under the writer lease — a crash during the
+        long distributed write leaves the target untouched instead of a
+        partial tree a fresh connector handle would happily load, and a
+        second concurrent exporter to the same target fails loudly."""
         t = self.load(spark)
         if t.key is None:
             raise ValueError("bulk_export needs a keyed state table")
-        (
+        _staged_overwrite(
+            spark,
             t.df.withColumn(
                 "bucket",
                 F.pmod(F.xxhash64(F.col(t.key)), F.lit(num_buckets)),
-            )
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(path)
+            ),
+            path,
+            partition_by="bucket",
         )
 
     def count(self, spark: SparkSession) -> int:

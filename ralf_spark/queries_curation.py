@@ -961,13 +961,20 @@ def gram_index_retro_delta_spans_q(spark: SparkSession, sf_dir: str) -> DataFram
         docs.df.where(F.col("doc_id") % 2 == 1), key="doc_id"
     )
     idx.build(even)
-    d1 = idx.retro_delta(spark)  # covers the base tag
+    # r14 two-phase watermark: each cadence is consumed (persisted +
+    # drained) BEFORE commit_retro_delta promotes its pending tags —
+    # the exactly-once sequencing a crash-safe caller uses
+    d1 = idx.retro_delta(spark).persist()  # covers the base tag
+    d1.count()
+    idx.commit_retro_delta(spark)
     spans = idx.add(odd)
     spans.count()  # drain the add
     from ralf_spark.operators.util import attach_cached, unpersist_cached
 
     unpersist_cached(spans)
-    d2 = idx.retro_delta(spark)  # covers the odd batch's tag
+    d2 = idx.retro_delta(spark).persist()  # covers the odd batch's tag
+    d2.count()
+    idx.commit_retro_delta(spark)
     folded = d2.unionByName(
         d1.join(
             F.broadcast(d2.select("doc_id").distinct()),
@@ -975,8 +982,10 @@ def gram_index_retro_delta_spans_q(spark: SparkSession, sf_dir: str) -> DataFram
             "left_anti",
         )
     )
-    cached = list(getattr(d1, "_ralf_cached", [])) + list(
-        getattr(d2, "_ralf_cached", [])
+    cached = (
+        [d1, d2]
+        + list(getattr(d1, "_ralf_cached", []))
+        + list(getattr(d2, "_ralf_cached", []))
     )
     return attach_cached(
         folded.orderBy("doc_id", "span_start"), cached

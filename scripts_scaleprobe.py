@@ -1756,6 +1756,7 @@ def count_mode_lifecycle_probe(n_batches: int = 50) -> dict:
         d0 = gram.retro_delta(spark)
         d0.count()  # cover the base tag so later cadences are deltas
         unpersist_cached(d0)
+        gram.commit_retro_delta(spark)  # r14 two-phase watermark
 
         def files(p):
             try:
@@ -1788,6 +1789,7 @@ def count_mode_lifecycle_probe(n_batches: int = 50) -> dict:
                 t0 = time.perf_counter()
                 d = gram.retro_delta(spark)
                 cp["retro_delta_rows"] = d.count()
+                gram.commit_retro_delta(spark)  # consume-then-commit
                 cp["retro_delta_s"] = round(time.perf_counter() - t0, 2)
                 unpersist_cached(d)
                 t0 = time.perf_counter()

@@ -683,3 +683,45 @@ def test_hold_writer_lease_renews_past_ttl(spark, tmp_path):
             acquire_writer_lease(spark, store, writer_id="thief",
                                  ttl_sec=0.0)  # force-steal
             _time.sleep(1.2)  # let the keeper observe the theft
+
+
+def test_lease_keeper_retries_transient_renewal_failures(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (ADVICE r13): a transient filesystem hiccup during a keeper
+    renewal must not silently stop the heartbeat — the keeper retries a
+    bounded number of times and only records a persistent failure (or a
+    theft, immediately)."""
+    import time as _time
+
+    import ralf_spark.connectors as conn
+
+    store = str(tmp_path / "st")
+    real = conn.acquire_writer_lease
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] in (2, 3):  # two isolated hiccups, then healthy
+            raise IOError("transient fs hiccup")
+        return real(*a, **k)
+
+    monkeypatch.setattr(conn, "acquire_writer_lease", flaky)
+    with conn.hold_writer_lease(spark, store, ttl_sec=0.3):
+        _time.sleep(1.0)  # several keeper rounds across the hiccups
+    assert calls["n"] >= 4  # the keeper kept renewing past the failures
+
+    # persistent failure (> retry budget) still surfaces at block exit
+    calls2 = {"n": 0}
+
+    def dead(*a, **k):
+        calls2["n"] += 1
+        if calls2["n"] == 1:  # the entry verify passes; renewals fail
+            return real(*a, **k)
+        raise IOError("disk on fire")
+
+    store2 = str(tmp_path / "st2")
+    monkeypatch.setattr(conn, "acquire_writer_lease", dead)
+    with pytest.raises(IOError, match="disk on fire"):
+        with conn.hold_writer_lease(spark, store2, ttl_sec=0.3):
+            _time.sleep(2.0)  # > retries * interval

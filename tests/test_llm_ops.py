@@ -2863,9 +2863,11 @@ def test_gram_index_retro_delta_accumulates_to_full_retro(spark, tmp_path):
         folded.update(by_doc)
 
     d0 = idx.retro_delta(spark).collect()  # covers build's base tag
+    idx.commit_retro_delta(spark)  # r14: consume-then-commit
     fold(d0)
     idx.add(_docs(spark, list(b2.items()))).collect()
     fold(idx.retro_delta(spark).collect())
+    idx.commit_retro_delta(spark)
     # watermark caught up -> an empty cadence emits nothing
     assert idx.retro_delta(spark).collect() == []
     # compaction between cadences must not break the watermark
@@ -2873,6 +2875,7 @@ def test_gram_index_retro_delta_accumulates_to_full_retro(spark, tmp_path):
     assert idx.retro_delta(spark).collect() == []
     idx.add(_docs(spark, list(b3.items()))).collect()
     fold(idx.retro_delta(spark).collect())
+    idx.commit_retro_delta(spark)
     got = sorted(s for spans in folded.values() for s in spans)
     want_full = sorted(tuple(r) for r in idx.retro(spark).collect())
     seen = {**b1, **b2, **b3}
@@ -2916,11 +2919,11 @@ def test_unicode_mode_span_removal_cuts_normalized_stream(spark):
 
 
 def test_retro_delta_scans_are_column_pruned(spark, tmp_path):
-    """r13 scale contract: retro_delta's extra store scans are COLUMN
+    """Scale contract of the UNFUSED spelling (r13; r14 keeps it behind
+    ``fuse_store_scan=False``): the per-stage store scans are COLUMN
     PRUNED at the parquet reader — the digest probes read only _dg, the
     touched-doc scan (_id, _dg); only the final touched-position scan
-    reads the full (_id, _pos, _dg) log. Pins the 'a handful of
-    column-pruned scans' claim in the docstring and finding 22."""
+    reads the full (_id, _pos, _dg) log."""
     import re
 
     from ralf_spark.operators.dedup import GramIndex
@@ -2938,12 +2941,118 @@ def test_retro_delta_scans_are_column_pruned(spark, tmp_path):
         auto_maintain=0,
     )
     idx.build(docs)
-    plan = explain_str(idx.retro_delta(spark))
+    plan = explain_str(idx.retro_delta(spark, fuse_store_scan=False))
     schemas = sorted(re.findall(r"ReadSchema: (struct<[^\n]*>)", plan))
     full = [s for s in schemas if "_pos" in s]
     digest_only = [s for s in schemas if s == "struct<_dg:string>"]
     assert len(full) == 1  # exactly one scan pays the position column
     assert len(digest_only) >= 3  # every probe scan pruned to the digest
+
+
+def test_retro_delta_fused_store_scan(spark, tmp_path):
+    """r14 (VERDICT r13 #4): the default cadence persists ONE
+    (_id, _pos, _dg) store projection and routes all four probe joins
+    through it — no per-stage store re-scan survives in the plan — and
+    returns the identical spans as the scan-per-stage spelling."""
+    import re
+
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.plans.explain import explain_str
+
+    b1, b2, _ = _gram_batches()
+    spans = {}
+    for mode, flag in (("fused", True), ("scans", False)):
+        idx = GramIndex(
+            str(tmp_path / mode), min_tokens=8, count_mode=True,
+            auto_maintain=0,
+        )
+        idx.build(_docs(spark, list(b1.items())))
+        idx.add(_docs(spark, list(b2.items()))).collect()
+        d = idx.retro_delta(spark, fuse_store_scan=flag)
+        if flag:
+            plan = explain_str(d)
+            schemas = re.findall(r"ReadSchema: (struct<[^\n]*>)", plan)
+            # the store is read through the cache: at most the one
+            # fused projection scan pays the position column, and the
+            # cadence plan carries cache nodes
+            assert len([s for s in schemas if "_pos" in s]) <= 1
+            assert "InMemory" in plan
+        spans[mode] = sorted(tuple(r) for r in d.collect())
+        from ralf_spark.operators.util import unpersist_cached
+
+        unpersist_cached(d)
+    assert spans["fused"] == spans["scans"] and spans["fused"]
+
+
+def test_retro_delta_two_phase_watermark(spark, tmp_path):
+    """r14 (VERDICT r13 #2 / ADVICE r13): the default cadence is
+    exactly-once — the watermark advances only at
+    ``commit_retro_delta`` (the consume point). A caller that 'crashes'
+    between the call and the commit loses nothing: the next cadence
+    re-emits the uncommitted tags' spans."""
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, _ = _gram_batches()
+    idx = GramIndex(
+        str(tmp_path / "gi"), min_tokens=8, count_mode=True,
+        auto_maintain=0,
+    )
+    idx.build(_docs(spark, list(b1.items())))
+    idx.add(_docs(spark, list(b2.items()))).collect()
+    first = sorted(tuple(r) for r in idx.retro_delta(spark).collect())
+    assert first
+    # no commit: the caller died before persisting its output
+    again = sorted(tuple(r) for r in idx.retro_delta(spark).collect())
+    assert again == first  # re-emitted in full
+    idx.commit_retro_delta(spark)
+    assert idx.retro_delta(spark).collect() == []  # now covered
+    assert idx.commit_retro_delta(spark) == []  # idempotent no-op
+
+
+def test_retro_delta_at_call_and_output_path_modes(spark, tmp_path):
+    """r14: durability='at_call' restores the advance-at-call behavior
+    (documented at-most-once); output_path writes the spans durably and
+    commits ONLY after the write — a failed write leaves the watermark
+    untouched so the retry re-emits."""
+    import pytest as _pytest
+
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, _ = _gram_batches()
+    idx = GramIndex(
+        str(tmp_path / "gi"), min_tokens=8, count_mode=True,
+        auto_maintain=0,
+    )
+    idx.build(_docs(spark, list(b1.items())))
+    d = idx.retro_delta(spark, durability="at_call")
+    rows = sorted(tuple(r) for r in d.collect())
+    # at_call: covered immediately, no commit needed
+    assert idx.retro_delta(spark).collect() == []
+    idx.add(_docs(spark, list(b2.items()))).collect()
+    # a failed output write must not advance the watermark
+    import ralf_spark.connectors as _conn
+
+    orig = _conn._staged_overwrite
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    _conn._staged_overwrite = boom
+    try:
+        with _pytest.raises(RuntimeError, match="disk full"):
+            idx.retro_delta(spark, output_path=str(tmp_path / "out"))
+    finally:
+        _conn._staged_overwrite = orig
+    # retry: the write lands, THEN the watermark commits
+    out = idx.retro_delta(spark, output_path=str(tmp_path / "out"))
+    written = sorted(tuple(r) for r in out.collect())
+    assert written and written == sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert idx.retro_delta(spark).collect() == []  # committed by the write
+    with _pytest.raises(ValueError, match="durability"):
+        idx.retro_delta(spark, durability="bogus")
 
 
 def test_retro_delta_shuffle_join_degrade_matches_broadcast(spark, tmp_path):
@@ -3015,3 +3124,34 @@ def test_minhash_index_check_is_read_only(spark, tmp_path):
             batch
         )
     assert not os.path.exists(str(tmp_path / "virgin" / "_meta"))
+
+
+def test_maintain_reports_retro_watermark_coverage(spark, tmp_path):
+    """r14 (ADVICE r13): maintain()'s summary says whether the compacted
+    tag could be marked retro-covered — covered=False warns the operator
+    that the next retro_delta pays a one-time O(store) cadence."""
+    from ralf_spark.operators.dedup import GramIndex
+
+    b1, b2, _ = _gram_batches()
+    idx = GramIndex(
+        str(tmp_path / "gi"), min_tokens=8, count_mode=True,
+        auto_maintain=0,
+    )
+    idx.build(_docs(spark, list(b1.items())))
+    idx.retro_delta(spark).collect()
+    idx.commit_retro_delta(spark)  # base covered
+    idx.add(_docs(spark, list(b2.items()))).collect()  # b2 NOT covered
+    out = idx.maintain(spark, keep_last=0, tiered=False)
+    wm = out["retro_watermark"]
+    assert wm is not None and wm["covered"] is False
+    assert wm["uncovered_sources"]  # names the never-retro'd tag
+    # the cadence after the uncovered fold is O(store) but CORRECT
+    spans = sorted(tuple(r) for r in idx.retro_delta(spark).collect())
+    idx.commit_retro_delta(spark)
+    assert spans == sorted(tuple(r) for r in idx.retro(spark).collect())
+    # a fully covered fold reports covered=True
+    idx.add(_docs(spark, [(900, "x1 x2 x3 x4 x5 x6 x7 x8 x9")])).collect()
+    idx.retro_delta(spark).collect()
+    idx.commit_retro_delta(spark)
+    out2 = idx.maintain(spark, keep_last=0, tiered=False)
+    assert out2["retro_watermark"]["covered"] is True
