@@ -69,8 +69,22 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         p = it.next().getPath()
-        if p.getName().endswith(".parquet"):
-            out.append(p.toString())
+        if not p.getName().endswith(".parquet"):
+            continue
+        # skip hidden subtrees (r14): an IN-FLIGHT write's task-attempt
+        # files live under _temporary/ (or .spark-staging-*) and are
+        # named part-*.parquet too — a concurrent adder's snapshot must
+        # never catch a peer's uncommitted attempt (the files vanish at
+        # its commit rename and the plan would die on the missing path).
+        # Partition directories (_batch=<tag>, bucket=<n>) contain '='
+        # and are NOT hidden.
+        segs = p.toString().split("/")
+        if any(
+            s == "_temporary" or s.startswith(".spark-staging")
+            for s in segs[:-1]
+        ):
+            continue
+        out.append(p.toString())
     return out
 
 

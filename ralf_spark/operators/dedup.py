@@ -1221,6 +1221,7 @@ class MinHashIndex:
         hash_fn: str | None = None,
         auto_maintain: int | None = None,
         token_mode: str = "ascii",
+        concurrent_adds: bool = False,
     ):
         if num_perm % bands:
             raise ValueError("num_perm must be divisible by bands")
@@ -1249,6 +1250,23 @@ class MinHashIndex:
         #: the newest — possibly in-flight-replay — tag survives via
         #: keep_last=1). 0 disables; a crawl loop then owns the cadence.
         self.auto_maintain = auto_maintain
+        #: r14 multi-writer ingest — same contract as
+        #: ``GramIndex.concurrent_adds``: tag-scoped add leases, root
+        #: lease reserved for build/maintain (which refuse under
+        #: in-flight adds and release the root on completion). The
+        #: bucket/signature union is commutative, so the folded store is
+        #: serialization-independent; each add's RETURNED pairs reflect
+        #: whatever subset of concurrent peers' folds its frozen
+        #: snapshot saw (cross-pairs between two in-flight batches
+        #: surface in the next add/check against the settled store).
+        self.concurrent_adds = concurrent_adds
+
+    def _handoff_root(self, spark) -> None:
+        """See ``GramIndex._handoff_root`` (r14 clean handoff)."""
+        if self.concurrent_adds:
+            from ralf_spark.connectors import release_writer_lease
+
+            release_writer_lease(spark, self.path)
 
     # ------------------------------------------------------------ internals
     def _project(self, table: FeatureTable, text_col: str):
@@ -1328,7 +1346,13 @@ class MinHashIndex:
     _ROWS_PER_FILE = {"sigs": 250_000, "buckets": 1_000_000}
 
     def _write(
-        self, df: DataFrame, sub: str, tag: str, rows: int | None = None
+        self,
+        df: DataFrame,
+        sub: str,
+        tag: str,
+        rows: int | None = None,
+        lease_path: str | None = None,
+        writer_id: str | None = None,
     ) -> None:
         """Fold a projection into its ``_batch=<tag>`` partition. Dynamic
         overwrite touches ONLY the partitions present in ``df`` — replaying
@@ -1356,8 +1380,11 @@ class MinHashIndex:
         # inside hold_writer_lease is the fence (the projection pipeline
         # between the operation-start acquire and this publish can
         # outlive the TTL), and the keeper renews DURING the write so a
-        # long fold is never stolen from a live writer mid-publish
-        with hold_writer_lease(df.sparkSession, self.path):
+        # long fold is never stolen from a live writer mid-publish.
+        # Concurrent adds (r14) hold their TAG lease here, not the root.
+        with hold_writer_lease(
+            df.sparkSession, lease_path or self.path, writer_id=writer_id
+        ):
             (
                 out.withColumn("_batch", F.lit(tag))
                 .write.mode("overwrite")
@@ -1478,9 +1505,13 @@ class MinHashIndex:
         sigs = sigs.persist()
         # a rebuild must not inherit stale batch partitions
         spark = table.df.sparkSession
-        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.connectors import (
+            acquire_writer_lease,
+            assert_no_concurrent_adds,
+        )
 
         acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
+        assert_no_concurrent_adds(spark, self.path)  # r14
         fs, jpath = _hadoop_fs(spark, self.path)
         if fs.exists(jpath):
             fs.delete(jpath, True)
@@ -1491,6 +1522,7 @@ class MinHashIndex:
             self._write(buckets, "buckets", "base", rows=n * self.bands)
         finally:
             sigs.unpersist()
+        self._handoff_root(spark)
 
     def maintain(
         self,
@@ -1524,15 +1556,20 @@ class MinHashIndex:
         write amplification ~8× (the full-store rewrite happens every
         ~threshold × tier_limit batches, not every threshold);
         ``tiered=False`` forces the pre-r11 full fold."""
-        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.connectors import (
+            acquire_writer_lease,
+            assert_no_concurrent_adds,
+        )
         from ralf_spark.layout import (
             compact_batch_partitions,
             tiered_compaction_sources,
         )
 
         # root lease first (r12 review): contend with add()/build() on
-        # the store root, not only per-subtree inside the compaction
+        # the store root, not only per-subtree inside the compaction;
+        # r14: refuse while tag-scoped adds are in flight
         acquire_writer_lease(spark, self.path)
+        assert_no_concurrent_adds(spark, self.path)
         out = {}
         for sub in ("sigs", "buckets"):
             root = f"{self.path}/{sub}"
@@ -1548,6 +1585,7 @@ class MinHashIndex:
                 spark, root, keep_last=keep_last,
                 target_file_bytes=target_file_bytes, sources=sources,
             )
+        self._handoff_root(spark)
         return out
 
     def add(
@@ -1557,6 +1595,7 @@ class MinHashIndex:
         threshold: float = 0.5,
         batch_tag: str | None = None,
         broadcast_candidates: bool | None = None,
+        writer_id: str | None = None,
     ) -> DataFrame:
         """Dedup-check ``table`` against the index AND itself, then fold it
         in. Returns (id1, id2, est_jaccard) with id1 < id2, covering every
@@ -1575,15 +1614,52 @@ class MinHashIndex:
         add; the scoring join already scans the store once, so the
         per-batch contract stays O(store-scan), and SCALEPROBE re-measures
         the flat exponent. Batches with known-bounded dup volume can pass
-        ``True`` to skip the stats pass entirely (the pre-r9 behavior)."""
+        ``True`` to skip the stats pass entirely (the pre-r9 behavior).
+
+        CONCURRENT mode (r14 — ``concurrent_adds=True``): tag-scoped
+        lease instead of the root, auto-maintenance skipped (the
+        coordinator owns the cadence); see ``GramIndex.add``."""
         import uuid
 
         spark = table.df.sparkSession
-        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.connectors import (
+            acquire_add_lease,
+            acquire_writer_lease,
+            release_add_lease,
+        )
 
-        acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
+        tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
+        lease_path: str | None = None
+        if self.concurrent_adds:
+            lease_path = acquire_add_lease(
+                spark, self.path, tag, writer_id=writer_id
+            )
+        else:
+            acquire_writer_lease(spark, self.path)  # single-writer (r12)
+        try:
+            return self._add_guarded(
+                table, text_col, threshold, tag, broadcast_candidates,
+                lease_path, writer_id,
+            )
+        finally:
+            if lease_path is not None:
+                release_add_lease(
+                    spark, self.path, tag, writer_id=writer_id
+                )
+
+    def _add_guarded(
+        self,
+        table: FeatureTable,
+        text_col: str,
+        threshold: float,
+        tag: str,
+        broadcast_candidates: bool | None,
+        lease_path: str | None,
+        writer_id: str | None,
+    ) -> DataFrame:
+        spark = table.df.sparkSession
         self._check_or_write_meta(spark)
-        if self.auto_maintain:
+        if self.auto_maintain and not self.concurrent_adds:
             from ralf_spark.layout import batch_tag_count
 
             # cadence check BEFORE the snapshot: compaction here can
@@ -1595,7 +1671,6 @@ class MinHashIndex:
                 > self.auto_maintain
             ):
                 self.maintain(spark)
-        tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
         new_sigs, new_buckets = self._project(table, text_col)
         new_sigs = new_sigs.persist()
         new_buckets = new_buckets.persist()
@@ -1677,8 +1752,14 @@ class MinHashIndex:
         # batch projections plus an explicit pre-add file snapshot of the
         # store (_read), so it can never observe its own append.
         n = new_sigs.count()  # materializes the cache; sizes the files
-        self._write(new_sigs, "sigs", tag, rows=n)
-        self._write(new_buckets, "buckets", tag, rows=n * self.bands)
+        self._write(
+            new_sigs, "sigs", tag, rows=n,
+            lease_path=lease_path, writer_id=writer_id,
+        )
+        self._write(
+            new_buckets, "buckets", tag, rows=n * self.bands,
+            lease_path=lease_path, writer_id=writer_id,
+        )
         return out
 
     def check(
@@ -2453,7 +2534,14 @@ class GramIndex:
     #: ~2M digest rows per file (32-char md5 strings ≈ 64 MB; longs less)
     _ROWS_PER_FILE = 2_000_000
 
-    def _write(self, dg: DataFrame, tag: str, rows: int) -> None:
+    def _write(
+        self,
+        dg: DataFrame,
+        tag: str,
+        rows: int,
+        lease_path: str | None = None,
+        writer_id: str | None = None,
+    ) -> None:
         from ralf_spark.connectors import hold_writer_lease
 
         out = dg
@@ -2461,8 +2549,11 @@ class GramIndex:
         if n_files < dg.rdd.getNumPartitions():
             out = dg.coalesce(n_files)
         # fence + heartbeat keeper (r13, ADVICE r12): abort if the lease
-        # was stolen while the span plan ran; renew during the fold write
-        with hold_writer_lease(dg.sparkSession, self.path):
+        # was stolen while the span plan ran; renew during the fold write.
+        # Concurrent adds (r14) hold their TAG lease here, not the root.
+        with hold_writer_lease(
+            dg.sparkSession, lease_path or self.path, writer_id=writer_id
+        ):
             (
                 out.withColumn("_batch", F.lit(tag))
                 .write.mode("overwrite")
@@ -2539,6 +2630,17 @@ class GramIndex:
             "tokenizer string",
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
+    def _handoff_root(self, spark) -> None:
+        """In concurrent-adds mode (r14), exclusive operations RELEASE
+        the store-root lease on completion: waiting tag-scoped adders
+        resume immediately instead of seeing a live foreign root lease
+        until the TTL. Exclusive-mode handles keep the root (the
+        process identity renews it on every call, pre-r14 behavior)."""
+        if self.concurrent_adds:
+            from ralf_spark.connectors import release_writer_lease
+
+            release_writer_lease(spark, self.path)
+
     # ------------------------------------------------------------ lifecycle
     def build(self, table: FeatureTable, text_col: str = "text") -> None:
         """Full (re)build: record every gram digest of ``table`` (no span
@@ -2546,9 +2648,15 @@ class GramIndex:
         from ralf_spark.connectors import _hadoop_fs
 
         spark = table.df.sparkSession
-        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.connectors import (
+            acquire_writer_lease,
+            assert_no_concurrent_adds,
+        )
 
         acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
+        # a rebuild deletes every batch partition — refuse while foreign
+        # tag-scoped adds are in flight (r14)
+        assert_no_concurrent_adds(spark, self.path)
         fs, jpath = _hadoop_fs(spark, self.path)
         if fs.exists(jpath):
             fs.delete(jpath, True)
@@ -2564,6 +2672,7 @@ class GramIndex:
             self._write(dg, "base", rows=n)
         finally:
             dg.unpersist()
+        self._handoff_root(spark)
 
     def _folded_tags(self, spark) -> set[str]:
         """Tags already folded by :meth:`maintain` — the replay-refusal
@@ -2619,6 +2728,7 @@ class GramIndex:
         replays of genuinely folded old tags."""
         from ralf_spark.connectors import (
             acquire_writer_lease,
+            assert_no_concurrent_adds,
             write_json_sidecar,
         )
         from ralf_spark.layout import (
@@ -2630,8 +2740,12 @@ class GramIndex:
         # lease, but a second PROCESS's maintain() must contend with
         # this process's add()/build() on the STORE root — without this
         # acquire, a foreign maintain could fold and delete a batch dir
-        # out from under an in-flight add's frozen file list
+        # out from under an in-flight add's frozen file list. r14: then
+        # check the announce dir — tag-scoped adds in flight hold tag
+        # leases, and folding their partitions away mid-add would break
+        # their frozen snapshots.
         acquire_writer_lease(spark, self.path)
+        assert_no_concurrent_adds(spark, self.path)
         root = f"{self.path}/grams"
         sources = (
             tiered_compaction_sources(spark, root, keep_last=keep_last)
@@ -2674,6 +2788,7 @@ class GramIndex:
             out["retro_watermark"] = self._advance_retro_watermark(
                 spark, out["grams"]
             )
+        self._handoff_root(spark)
         return out
 
     def add(
@@ -2682,6 +2797,7 @@ class GramIndex:
         text_col: str = "text",
         batch_tag: str | None = None,
         broadcast_digests: bool | None = None,
+        writer_id: str | None = None,
     ) -> DataFrame:
         """Detect the batch's duplicated spans vs everything seen so far
         (store ∪ the batch itself), then fold the batch's digests in.
@@ -2709,69 +2825,111 @@ class GramIndex:
         — the only one an in-flight micro-batch retry targets — always
         survives), and the streaming spelling
         (``foreach_batch_gram_dedup``) additionally skips folded tags
-        via its own sidecar before reaching this check."""
+        via its own sidecar before reaching this check.
+
+        CONCURRENT mode (r14, VERDICT r13 #1 — ``concurrent_adds=True``
+        on the handle): this add announces itself under a TAG-scoped
+        lease instead of taking the store root, so disjoint batches
+        from N workers fold in parallel (``writer_id`` identifies the
+        worker; defaults to the process identity). Auto-maintenance and
+        compaction healing are skipped — the root-lease coordinator
+        owns both — and an exclusive operation in flight (or starting
+        mid-add) fails one side loudly via the announce-first/
+        root-first ordering in ``acquire_add_lease``."""
         import uuid
 
         spark = table.df.sparkSession
-        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.connectors import (
+            acquire_add_lease,
+            acquire_writer_lease,
+            release_add_lease,
+        )
         from ralf_spark.layout import recover_compaction
 
-        acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
-        self._check_or_write_meta(spark)
-        # heal an interrupted maintain() BEFORE the replay check (r13,
-        # ADVICE r12): a rollback un-records tags the crashed attempt
-        # falsely marked folded, so their replays are accepted again
-        recover_compaction(
-            spark, f"{self.path}/grams",
-            on_rollback=lambda rb: self._unrecord_folded_tags(spark, rb),
-        )
-        if batch_tag is not None and batch_tag in self._folded_tags(spark):
-            raise ValueError(
-                f"GramIndex at {self.path}: batch_tag {batch_tag!r} was "
-                "already folded by maintain(); replaying it would "
-                "misreport every position of the batch as duplicated "
-                "(membership digests carry no doc identity). Replay only "
-                "tags newer than the last compaction (keep_last spares "
-                "them), or rebuild the index."
-            )
-        if self.auto_maintain:
-            from ralf_spark.layout import batch_tag_count
-
-            if (
-                batch_tag_count(spark, f"{self.path}/grams")
-                > self.auto_maintain
-            ):
-                self.maintain(spark)
         tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
-        pos = self._positions(table, text_col).persist()
-        batch_dg = pos.select("_dg").distinct().persist()
-        n_dg = batch_dg.count()  # materializes both caches' parent scan
-        batch_dup = (
-            pos.groupBy("_dg")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .where(F.col("_c") >= 2)
-            .select("_dg")
-        )
-        stored = self._read(spark, exclude_tag=tag)
-        if stored is None:
-            seen = batch_dup
-        else:
-            hint = _choose_broadcast(broadcast_digests, lambda: n_dg)
-            probe = F.broadcast(batch_dg) if hint else batch_dg
-            seen_in_store = (
-                stored.join(probe, "_dg").select("_dg").distinct()
+        lease_path: str | None = None
+        if self.concurrent_adds:
+            lease_path = acquire_add_lease(
+                spark, self.path, tag, writer_id=writer_id
             )
-            seen = seen_in_store.unionByName(batch_dup).distinct()
-        dup_pos = pos.join(seen, "_dg").select("_id", "_pos")
-        spans = _positions_to_spans(dup_pos, self.min_tokens)
-        out = attach_cached(spans, [pos, batch_dg])
-        # fold AFTER the span plan is defined: the plan reads the frozen
-        # pre-add file snapshot + persisted batch projections, so it can
-        # never observe its own append
-        if self.count_mode:
-            self._write(pos, tag, rows=pos.count())
         else:
-            self._write(batch_dg, tag, rows=n_dg)
+            acquire_writer_lease(spark, self.path)  # single-writer (r12)
+        try:
+            self._check_or_write_meta(spark)
+            if not self.concurrent_adds:
+                # heal an interrupted maintain() BEFORE the replay check
+                # (r13, ADVICE r12): a rollback un-records tags the
+                # crashed attempt falsely marked folded, so their replays
+                # are accepted again. Concurrent adds never heal — the
+                # recovery rewrites shared state under peers; the
+                # membership union tolerates an interrupted fold's
+                # double-listed rows until the coordinator heals it.
+                recover_compaction(
+                    spark, f"{self.path}/grams",
+                    on_rollback=lambda rb: self._unrecord_folded_tags(
+                        spark, rb
+                    ),
+                )
+            if (
+                batch_tag is not None
+                and batch_tag in self._folded_tags(spark)
+            ):
+                raise ValueError(
+                    f"GramIndex at {self.path}: batch_tag {batch_tag!r} "
+                    "was already folded by maintain(); replaying it would "
+                    "misreport every position of the batch as duplicated "
+                    "(membership digests carry no doc identity). Replay "
+                    "only tags newer than the last compaction (keep_last "
+                    "spares them), or rebuild the index."
+                )
+            if self.auto_maintain and not self.concurrent_adds:
+                from ralf_spark.layout import batch_tag_count
+
+                if (
+                    batch_tag_count(spark, f"{self.path}/grams")
+                    > self.auto_maintain
+                ):
+                    self.maintain(spark)
+            pos = self._positions(table, text_col).persist()
+            batch_dg = pos.select("_dg").distinct().persist()
+            n_dg = batch_dg.count()  # materializes both caches' parent scan
+            batch_dup = (
+                pos.groupBy("_dg")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .where(F.col("_c") >= 2)
+                .select("_dg")
+            )
+            stored = self._read(spark, exclude_tag=tag)
+            if stored is None:
+                seen = batch_dup
+            else:
+                hint = _choose_broadcast(broadcast_digests, lambda: n_dg)
+                probe = F.broadcast(batch_dg) if hint else batch_dg
+                seen_in_store = (
+                    stored.join(probe, "_dg").select("_dg").distinct()
+                )
+                seen = seen_in_store.unionByName(batch_dup).distinct()
+            dup_pos = pos.join(seen, "_dg").select("_id", "_pos")
+            spans = _positions_to_spans(dup_pos, self.min_tokens)
+            out = attach_cached(spans, [pos, batch_dg])
+            # fold AFTER the span plan is defined: the plan reads the
+            # frozen pre-add file snapshot + persisted batch projections,
+            # so it can never observe its own append
+            if self.count_mode:
+                self._write(
+                    pos, tag, rows=pos.count(),
+                    lease_path=lease_path, writer_id=writer_id,
+                )
+            else:
+                self._write(
+                    batch_dg, tag, rows=n_dg,
+                    lease_path=lease_path, writer_id=writer_id,
+                )
+        finally:
+            if lease_path is not None:
+                release_add_lease(
+                    spark, self.path, tag, writer_id=writer_id
+                )
         return out
 
     def check(
@@ -2906,6 +3064,7 @@ class GramIndex:
         pend_path = f"{self.path}/grams/.retro_watermark_pending.json"
         fs, jpend = _hadoop_fs(spark, pend_path)
         if not fs.exists(jpend):
+            self._handoff_root(spark)
             return []
         pend = set(read_json_sidecar(spark, pend_path).get("tags", []))
         done = self._retro_done_tags(spark)
@@ -2914,6 +3073,7 @@ class GramIndex:
             {"tags": sorted(done | pend)},
         )
         fs.delete(jpend, False)
+        self._handoff_root(spark)
         return sorted(pend - done)
 
     def _advance_retro_watermark(self, spark, summary: dict) -> dict | None:
@@ -3063,8 +3223,13 @@ class GramIndex:
         )
 
         # writes the watermark sidecar, and must not interleave with a
-        # maintain() renaming tags out from under the tag arithmetic
+        # maintain() renaming tags out from under the tag arithmetic;
+        # r14: nor with in-flight tag-scoped adds — a partially visible
+        # in-flight tag would be marked covered while missing rows
         acquire_writer_lease(spark, self.path)
+        from ralf_spark.connectors import assert_no_concurrent_adds
+
+        assert_no_concurrent_adds(spark, self.path)
         self._check_or_write_meta(spark, write_if_missing=False)
         files = _list_parquet_files(spark, f"{self.path}/grams")
         if not files:
@@ -3074,6 +3239,7 @@ class GramIndex:
         all_tags = {self._tag_of(f) for f in files}
         new_files = [f for f in files if self._tag_of(f) not in done]
         if not new_files:
+            self._handoff_root(spark)
             dup_pos = store.select("_id", "_pos").where(F.lit(False))
             return _positions_to_spans(dup_pos, self.min_tokens)
         cached: list = []
@@ -3157,6 +3323,7 @@ class GramIndex:
             write_json_sidecar(
                 spark, f"{self.path}/grams/.retro_watermark.json", covered
             )
+            self._handoff_root(spark)
             return spark.read.parquet(output_path)
         # the sidecar write happens AFTER the plan is defined either
         # way: the plan reads the frozen file snapshot, so neither
@@ -3169,4 +3336,5 @@ class GramIndex:
         write_json_sidecar(
             spark, f"{self.path}/grams/{sidecar}", covered
         )
+        self._handoff_root(spark)
         return out

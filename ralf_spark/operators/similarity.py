@@ -826,6 +826,7 @@ class IvfIndex:
         path: str,
         vec_col: str = "embedding",
         auto_maintain: int | None = None,
+        concurrent_adds: bool = False,
     ):
         self.path = path
         self.vec_col = vec_col
@@ -839,6 +840,22 @@ class IvfIndex:
         #: checked before the batch is written; keep_last=1 preserves
         #: the newest — possibly in-flight-replay — tag). 0 disables.
         self.auto_maintain = auto_maintain
+        #: r14 multi-writer ingest — same contract as
+        #: ``GramIndex.concurrent_adds`` (tag-scoped add leases; root
+        #: lease reserved for build/maintain, which refuse under
+        #: in-flight adds and release the root on completion).
+        #: Assignment under the FROZEN quantizer is deterministic and
+        #: each batch owns its ``(cell, _batch=<tag>)`` directories, so
+        #: concurrent folds commute exactly — the settled cell tree is
+        #: byte-identical to any serial order.
+        self.concurrent_adds = concurrent_adds
+
+    def _handoff_root(self, spark) -> None:
+        """See ``GramIndex._handoff_root`` (r14 clean handoff)."""
+        if self.concurrent_adds:
+            from ralf_spark.connectors import release_writer_lease
+
+            release_writer_lease(spark, self.path)
 
     def _cen_rows(self, spark) -> list[tuple[int, list[float]]]:
         rows = spark.read.parquet(f"{self.path}/centroids").collect()
@@ -933,7 +950,14 @@ class IvfIndex:
             .where(F.col("cell").isin(probed))
         )
 
-    def _write_cells(self, assigned: DataFrame, tag: str, mode: str) -> None:
+    def _write_cells(
+        self,
+        assigned: DataFrame,
+        tag: str,
+        mode: str,
+        lease_path: str | None = None,
+        writer_id: str | None = None,
+    ) -> None:
         """Fold an assigned projection into its ``_batch=<tag>`` subtree.
         Dynamic overwrite touches only the ``(cell, _batch)`` directories
         present in ``assigned`` — a replayed tag rewrites itself in place
@@ -951,8 +975,12 @@ class IvfIndex:
 
         # fence + heartbeat keeper (r13, ADVICE r12): assignment/encoding
         # between acquire and this publish can outlive the lease TTL; the
-        # keeper renews during the cell write itself
-        with hold_writer_lease(assigned.sparkSession, self.path):
+        # keeper renews during the cell write itself. Concurrent adds
+        # (r14) hold their TAG lease here, not the root.
+        with hold_writer_lease(
+            assigned.sparkSession, lease_path or self.path,
+            writer_id=writer_id,
+        ):
             (
                 assigned.withColumn("_batch", F.lit(tag))
                 .repartition(F.col("cell"))
@@ -1004,10 +1032,15 @@ class IvfIndex:
             # not have overwritten the quantizer or cleared the cells of
             # a working index (reviewed r7)
             _check_codebooks(codebooks)
-        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.connectors import (
+            acquire_writer_lease,
+            assert_no_concurrent_adds,
+        )
 
-        # single-writer guard (r12) — before the first destructive write
+        # single-writer guard (r12) — before the first destructive write;
+        # r14: refuse while tag-scoped adds are in flight
         acquire_writer_lease(table.df.sparkSession, self.path)
+        assert_no_concurrent_adds(table.df.sparkSession, self.path)
         centroids.select(
             F.col("centroid_id").cast("long"),
             F.col("centroid_vec").cast("array<double>"),
@@ -1056,8 +1089,14 @@ class IvfIndex:
                 keep_vec=True,
             )
         self._write_cells(assigned, "base", "overwrite")
+        self._handoff_root(spark)
 
-    def add(self, table: FeatureTable, batch_tag: str | None = None) -> None:
+    def add(
+        self,
+        table: FeatureTable,
+        batch_tag: str | None = None,
+        writer_id: str | None = None,
+    ) -> None:
         """Assign a new batch with the stored quantizer and fold it into
         the cell layout — only the batch is assigned and written (encoded
         with the STORED codebooks when the index is in IVF-PQ mode).
@@ -1065,35 +1104,58 @@ class IvfIndex:
         ``batch_tag`` names the batch's partition: re-running ``add``
         with the same tag (a micro-batch replay after failure) REPLACES
         that batch's directories instead of duplicating vectors; unnamed
-        batches get a unique tag (plain append semantics)."""
+        batches get a unique tag (plain append semantics).
+
+        CONCURRENT mode (r14 — ``concurrent_adds=True``): tag-scoped
+        lease instead of the root, auto-maintenance skipped (the
+        coordinator owns the cadence); see ``GramIndex.add``."""
         import uuid
 
         spark = table.df.sparkSession
-        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.connectors import (
+            acquire_add_lease,
+            acquire_writer_lease,
+            release_add_lease,
+        )
 
-        acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
-        if self.auto_maintain:
-            from ralf_spark.layout import batch_tag_count
-
-            if (
-                batch_tag_count(spark, f"{self.path}/cells")
-                > self.auto_maintain
-            ):
-                self.maintain(spark)
-        cen_rows = self._cen_rows(spark)
         tag = batch_tag if batch_tag is not None else uuid.uuid4().hex[:12]
-        assigned = self._assign(table, cen_rows)
-        books = self._load_books(spark)
-        if books is not None:
-            assigned = self._encode(assigned, books)
-        bounds = self._load_sq8_bounds(spark)
-        if bounds is not None:
-            # STORED bounds (frozen at build): out-of-range values clamp
-            assigned = sq8_encode(
-                assigned, bounds, vec_col="_v", out_col="_sq8",
-                keep_vec=True,
+        lease_path: str | None = None
+        if self.concurrent_adds:
+            lease_path = acquire_add_lease(
+                spark, self.path, tag, writer_id=writer_id
             )
-        self._write_cells(assigned, tag, "overwrite")
+        else:
+            acquire_writer_lease(spark, self.path)  # single-writer (r12)
+        try:
+            if self.auto_maintain and not self.concurrent_adds:
+                from ralf_spark.layout import batch_tag_count
+
+                if (
+                    batch_tag_count(spark, f"{self.path}/cells")
+                    > self.auto_maintain
+                ):
+                    self.maintain(spark)
+            cen_rows = self._cen_rows(spark)
+            assigned = self._assign(table, cen_rows)
+            books = self._load_books(spark)
+            if books is not None:
+                assigned = self._encode(assigned, books)
+            bounds = self._load_sq8_bounds(spark)
+            if bounds is not None:
+                # STORED bounds (frozen at build): out-of-range values clamp
+                assigned = sq8_encode(
+                    assigned, bounds, vec_col="_v", out_col="_sq8",
+                    keep_vec=True,
+                )
+            self._write_cells(
+                assigned, tag, "overwrite",
+                lease_path=lease_path, writer_id=writer_id,
+            )
+        finally:
+            if lease_path is not None:
+                release_add_lease(
+                    spark, self.path, tag, writer_id=writer_id
+                )
 
     def maintain(
         self,
@@ -1119,15 +1181,20 @@ class IvfIndex:
         :data:`~ralf_spark.layout.COMPACTED_TIER_LIMIT` compacted
         partitions exist, then one full fold — ~8× less write
         amplification on a growing index (see MinHashIndex.maintain)."""
-        from ralf_spark.connectors import acquire_writer_lease
+        from ralf_spark.connectors import (
+            acquire_writer_lease,
+            assert_no_concurrent_adds,
+        )
         from ralf_spark.layout import (
             compact_batch_partitions,
             tiered_compaction_sources,
         )
 
         # root lease first (r12 review): contend with add()/build() on
-        # the store root, not only per-subtree inside the compaction
+        # the store root, not only per-subtree inside the compaction;
+        # r14: refuse while tag-scoped adds are in flight
         acquire_writer_lease(spark, self.path)
+        assert_no_concurrent_adds(spark, self.path)
         root = f"{self.path}/cells"
         sources = (
             tiered_compaction_sources(spark, root, keep_last=keep_last)
@@ -1135,11 +1202,14 @@ class IvfIndex:
             else None
         )
         if tiered and sources is None:
+            self._handoff_root(spark)
             return None
-        return compact_batch_partitions(
+        out = compact_batch_partitions(
             spark, root, keep_last=keep_last,
             target_file_bytes=target_file_bytes, sources=sources,
         )
+        self._handoff_root(spark)
+        return out
 
     def query(
         self,

@@ -992,6 +992,71 @@ def gram_index_retro_delta_spans_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+from ralf_spark.operators.dedup import (  # noqa: E402
+    cross_corpus_duplicate_spans_sql,
+)
+
+
+@query(
+    "concurrent_gram_adds_serial_equiv",
+    cross_corpus_duplicate_spans_sql(
+        table="(SELECT * FROM documents WHERE doc_id % 4 = 3)",
+        other="(SELECT * FROM documents WHERE doc_id % 4 < 3)",
+    )
+    + " ORDER BY doc_id, span_start",
+)
+def concurrent_gram_adds_serial_equiv_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E2 multi-writer ingest (r14, VERDICT r13 #1): the train corpus
+    arrives as a base build plus TWO crawl batches folded by CONCURRENT
+    ``add()`` calls (tag-scoped leases — neither takes the store root,
+    neither serializes behind the other), and a held-out eval quarter
+    is then screened read-only against the settled store. The result
+    must equal the one-shot cross-corpus detector over train ∪ eval —
+    i.e. the concurrently-folded store is byte-equivalent to serial
+    ingest (the digest-set union commutes; the tag leases only order
+    writers against EXCLUSIVE operations, never against each other)."""
+    import hashlib as _hl
+    import threading
+
+    from ralf_spark.operators.dedup import GramIndex
+
+    docs = _docs_par(spark, sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = GramIndex(
+        _scratch(f"gram_conc_{tag}_"), min_tokens=8, auto_maintain=0,
+        concurrent_adds=True,
+    )
+    part = lambda m: FeatureTable(  # noqa: E731
+        docs.df.where(F.col("doc_id") % 4 == m), key="doc_id"
+    )
+    idx.build(part(0))
+    errors: list[BaseException] = []
+
+    def add(m: int, wid: str) -> None:
+        try:
+            spans = idx.add(part(m), batch_tag=f"t{m}", writer_id=wid)
+            spans.count()
+            from ralf_spark.operators.util import unpersist_cached
+
+            unpersist_cached(spans)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=add, args=(1, "worker-a")),
+        threading.Thread(target=add, args=(2, "worker-b")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    if errors:
+        raise errors[0]
+    return idx.check(part(3)).orderBy("doc_id", "span_start")
+
+
 @query(
     "streaming_gram_dedup",
     f"""

@@ -29,6 +29,7 @@ from ralf_spark.streaming.sinks import (
     foreach_batch_latest_upsert,
     foreach_batch_quality_log,
     foreach_batch_rq_append,
+    foreach_batch_rq_upsert,
     cms_log_state,
     hll_log_state,
     hll_upsert_batch,
@@ -100,6 +101,7 @@ __all__ = [
     "foreach_batch_hll_upsert",
     "foreach_batch_kmv_append",
     "foreach_batch_rq_append",
+    "foreach_batch_rq_upsert",
     "hll_log_state",
     "kmv_log_state",
     "rq_log_merge",

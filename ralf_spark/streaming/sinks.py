@@ -1399,6 +1399,72 @@ def kmv_upsert_batch(
     return upsert
 
 
+def foreach_batch_rq_upsert(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    buckets: int | None = None,
+) -> DataStreamWriter:
+    """Maintain a persisted per-group quantile sketch (bottom-k row
+    sample) from a stream (r14) — the merged-state sibling of
+    :func:`foreach_batch_rq_append`, completing the three state
+    spellings the other sketches have (full-rewrite, bucketed merge,
+    append log): each micro-batch reduces to its own bottom-k table and
+    merges by union-distinct-keep-k (idempotent by algebra — replays
+    harmless). State is O(groups × k); read estimates with
+    ``rq_quantiles`` under the same oracle as the one-shot
+    ``reservoir_quantile``. ``buckets=N``: hash-bucketed layout,
+    per-batch cost ∝ touched buckets."""
+    return df.writeStream.foreachBatch(
+        rq_upsert_batch(path, group_cols, value_col, id_col, k, buckets)
+    )
+
+
+def rq_upsert_batch(
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    buckets: int | None = None,
+):
+    """The foreachBatch callback behind :func:`foreach_batch_rq_upsert`,
+    exposed for direct use/testing: ``(batch_df, batch_id) -> None``."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from ralf_spark.operators.sketches import (
+            rq_merge_state,
+            rq_state_update,
+        )
+
+        spark = batch_df.sparkSession
+        batch = rq_state_update(batch_df, group_cols, value_col, id_col, k)
+        if buckets is not None:
+            _bucketed_fold_upsert(
+                spark, path, batch, group_cols,
+                init=lambda s: s,
+                merge=lambda cur, bat: rq_merge_state(
+                    cur, bat, group_cols, k
+                ),
+                batch_id=batch_id, buckets=buckets,
+            )
+            return
+        current, last = _load_state(spark, path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch (merge would be harmless; skip work)
+        merged = (
+            rq_merge_state(current, batch, group_cols, k)
+            if current is not None
+            else batch
+        )
+        _store_state(spark, merged, path, batch_id)
+
+    return upsert
+
+
 def foreach_batch_cms_upsert(
     df: DataFrame,
     path: str,

@@ -1829,6 +1829,115 @@ def count_mode_lifecycle_probe(n_batches: int = 50) -> dict:
         spark.stop()
 
 
+def concurrent_adds_probe(n_batches: int = 8, workers: int = 2) -> dict:
+    """r14 (VERDICT r13 #1): add throughput under concurrent writers.
+
+    The same ``n_batches`` fixed-size crawl batches are folded into a
+    fresh ``concurrent_adds=True`` GramIndex twice — once serially by a
+    single writer, once split across ``workers`` threads with distinct
+    writer ids (tag-scoped leases; no call takes the store root) — and
+    the two walls are compared. The settled stores must hold the same
+    distinct digest set (fold ≡ serial). One untimed warmup add runs
+    first so plan-compile cost doesn't bias whichever mode runs second.
+
+    Honest caveat for the local[32] box: both writers share one JVM and
+    32 cores, so the measured speedup comes from overlapping the
+    driver-side phases of one add (listing, lease IO, plan compile,
+    small-stage scheduling) with the executor phases of the other —
+    the multi-PROCESS cluster regime the leases actually target (N
+    crawl drivers on one shared store) has no shared driver and
+    overlaps more.
+    """
+    import shutil
+    import threading
+
+    from pyspark.sql import functions as F
+
+    spark = _session()
+    work = os.path.join(DATA_ROOT, "concadds")
+    shutil.rmtree(work, ignore_errors=True)
+    from ralf_spark.operators import dedup as dd
+    from ralf_spark.operators.util import unpersist_cached
+    from ralf_spark.table import FeatureTable
+
+    DOCS_PER = 2500
+    docs_all = spark.read.parquet(gen_documents(8)).select(
+        "doc_id", "text"
+    )
+
+    def part(lo: int, hi: int) -> FeatureTable:
+        return FeatureTable(
+            docs_all.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ),
+            key="doc_id",
+        )
+
+    def do_add(idx, i: int, wid: str) -> None:
+        lo = (i + 1) * DOCS_PER
+        spans = idx.add(
+            part(lo, lo + DOCS_PER), batch_tag=f"b{i}", writer_id=wid
+        )
+        spans.count()
+        unpersist_cached(spans)
+
+    # untimed warmup: pay the shingle/hash plan compile once
+    warm = dd.GramIndex(
+        f"{work}/warm", hash_fn="xxhash64", auto_maintain=0,
+        concurrent_adds=True,
+    )
+    warm.build(part(0, DOCS_PER))
+    do_add(warm, 0, "w0")
+
+    out: dict = {
+        "n_batches": n_batches,
+        "workers": workers,
+        "docs_per_batch": DOCS_PER,
+    }
+    for mode in ("serial", "concurrent"):
+        idx = dd.GramIndex(
+            f"{work}/{mode}", hash_fn="xxhash64", auto_maintain=0,
+            concurrent_adds=True,
+        )
+        idx.build(part(0, DOCS_PER))
+        t0 = time.perf_counter()
+        if mode == "serial":
+            for i in range(n_batches):
+                do_add(idx, i, "w0")
+        else:
+            errs: list[BaseException] = []
+
+            def worker(w: int, index=idx) -> None:
+                try:
+                    for i in range(w, n_batches, workers):
+                        do_add(index, i, f"w{w}")
+                except BaseException as e:  # noqa: BLE001
+                    errs.append(e)
+
+            ths = [
+                threading.Thread(target=worker, args=(w,))
+                for w in range(workers)
+            ]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            if errs:
+                raise errs[0]
+        out[f"{mode}_wall_s"] = round(time.perf_counter() - t0, 2)
+        out[f"{mode}_distinct_dg"] = (
+            idx._read(spark).select("_dg").distinct().count()
+        )
+    assert out["serial_distinct_dg"] == out["concurrent_distinct_dg"]
+    out["speedup"] = round(
+        out["serial_wall_s"] / out["concurrent_wall_s"], 2
+    )
+    print(f"# concurrent-adds: serial {out['serial_wall_s']}s vs "
+          f"{workers}-writer {out['concurrent_wall_s']}s "
+          f"(speedup {out['speedup']}x, stores identical)", flush=True)
+    return out
+
+
 def write_amp_probe(n_batches: int = 40, every: int = 4) -> dict:
     """r11 (finding 18): MEASURE the tiered compaction's write-
     amplification claim. Two identical 600-doc × ``n_batches`` MinHash
@@ -2074,6 +2183,9 @@ def main() -> None:
                     help="count-mode GramIndex lifecycle: bounded file "
                          "counts under auto-maintenance + retro_delta "
                          "vs full retro per cadence (r13; --batches)")
+    ap.add_argument("--concurrent-adds", action="store_true",
+                    help="2-writer vs serial GramIndex add throughput "
+                         "under tag-scoped leases (r14; --batches)")
     ap.add_argument("--write-amp", action="store_true",
                     help="tiered vs full-fold maintenance: cumulative "
                          "bytes rewritten over a fixed feed (r11; "
@@ -2093,6 +2205,17 @@ def main() -> None:
     unknown = [o for o in ops if o not in OPS]
     if unknown:
         raise SystemExit(f"unknown ops {unknown}")
+
+    if args.concurrent_adds:
+        ca = concurrent_adds_probe(args.batches)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALEPROBE.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data["concurrent_adds"] = ca
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(ca, indent=1))
+        return
 
     if args.write_amp:
         wa = write_amp_probe(args.batches)

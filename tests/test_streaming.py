@@ -2401,3 +2401,62 @@ def test_streaming_gram_dedup_matches_sequential_contract(spark, tmp_path):
     assert any(r[0] == 3 for r in got) and any(r[0] == 5 for r in got)
     # batch-1 copies are NOT retro-flagged (crawl-loop contract)
     assert not any(r[0] in (1, 2) for r in got)
+
+
+def test_streaming_rq_state_merge_and_replay(spark, tmp_path):
+    """r14 quantile-sketch state sink: the bottom-k merge is idempotent
+    by algebra — forced re-merge of already-seen rows cannot change the
+    k-smallest-by-hash set — and any micro-batching converges on the
+    identical estimate (bucketed layout exercised)."""
+    from ralf_spark.operators.sketches import (
+        reservoir_quantile,
+        rq_quantiles,
+    )
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_rq_upsert,
+        read_bucketed_state,
+        run_bounded,
+    )
+    from ralf_spark.streaming.sinks import rq_upsert_batch
+
+    ev = load_fixture(spark, "events", SF_DIR).df.select(
+        "event_type", "event_id", "value"
+    )
+    want = sorted(
+        tuple(r)
+        for r in reservoir_quantile(
+            ev, ["event_type"], "value", "event_id", qs=(0.5, 0.9), k=32
+        ).collect()
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+    stream = file_events(
+        spark, src,
+        schema="event_type string, event_id long, value double",
+        max_files_per_trigger=1,
+    )
+    run_bounded(
+        foreach_batch_rq_upsert(
+            stream, state, ["event_type"], "value", "event_id",
+            k=32, buckets=4,
+        ),
+        checkpoint=str(tmp_path / "ck"),
+        shuffle_partitions=4,
+    )
+
+    def estimate():
+        return sorted(
+            tuple(r)
+            for r in rq_quantiles(
+                read_bucketed_state(spark, state),
+                ["event_type"], qs=(0.5, 0.9),
+            ).collect()
+        )
+
+    assert estimate() == want and want
+    cb = rq_upsert_batch(state, ["event_type"], "value", "event_id", 32,
+                         buckets=4)
+    cb(ev.limit(500), 99)  # NEW id, seen rows -> bottom-k no-op by algebra
+    assert estimate() == want
