@@ -3274,7 +3274,19 @@ class GramIndex:
         # one count per stage (each probe is persisted and reused by the
         # final plan, so the stats pass materializes work the plan needs
         # anyway); True/False skip the counts and force one spelling.
+        # r14 small-store shortcut: every derived probe set is a subset
+        # of the store's rows, so ONE count of the (fused, persisted)
+        # store — a job the cadence wants anyway, it warms the cache the
+        # final plan reads — bounds all four stage hints at once; the
+        # per-stage counts only run when the store itself outgrows the
+        # broadcast bound (the 100 TB regime, where they are noise).
+        all_small = False
+        if broadcast_digests is None and fuse_store_scan:
+            all_small = store.count() <= BROADCAST_CANDIDATE_LIMIT
+
         def stage_hint(probe: DataFrame) -> bool:
+            if all_small:
+                return True
             return _choose_broadcast(broadcast_digests, probe.count)
 
         new_dg = (
