@@ -62,13 +62,24 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     overwrite of the directory can never be re-resolved into the plan
     (directory reads snapshot only as long as Spark's InMemoryFileIndex
     listing cache survives — an undocumented invariant; ADVICE r4)."""
+    return [f for f, _ in _list_parquet_files_sized(spark, path)]
+
+
+def _list_parquet_files_sized(
+    spark: SparkSession, path: str
+) -> list[tuple[str, int]]:
+    """:func:`_list_parquet_files` plus each file's on-disk byte length —
+    free metadata from the same driver-side listing (r14): callers that
+    gate a plan shape on store size (broadcast-vs-shuffle, small-store
+    shortcuts) read it here instead of paying a count job."""
     fs, jpath = _hadoop_fs(spark, path)
     if not fs.exists(jpath):
         return []
-    out: list[str] = []
+    out: list[tuple[str, int]] = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
-        p = it.next().getPath()
+        st = it.next()
+        p = st.getPath()
         if not p.getName().endswith(".parquet"):
             continue
         # skip hidden subtrees (r14): an IN-FLIGHT write's task-attempt
@@ -84,7 +95,7 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
             for s in segs[:-1]
         ):
             continue
-        out.append(p.toString())
+        out.append((p.toString(), int(st.getLen())))
     return out
 
 

@@ -3010,6 +3010,15 @@ class GramIndex:
         return _positions_to_spans(dup_pos, self.min_tokens)
 
     # ------------------------------------------------- delta retro (r13)
+    #: stores whose position log is under this many ON-DISK bytes take
+    #: the r14 small-store shortcut in :meth:`retro_delta`: every probe
+    #: broadcast is trivially driver-safe (derived sets ⊆ store rows;
+    #: 64 MB of snappy parquet ≈ 2-5M (id,pos,digest) rows ≈ well under
+    #: the 5M-row broadcast bound even at ~4× in-memory expansion), so
+    #: the per-stage stats counts are skipped — the MB-scale cadence
+    #: drops its fixed job overhead to near the full-retro floor.
+    _SMALL_STORE_BYTES = 64 * 1024 * 1024
+
     @staticmethod
     def _tag_of(file_path: str) -> str:
         return file_path.split("/_batch=", 1)[1].split("/", 1)[0]
@@ -3217,7 +3226,7 @@ class GramIndex:
                 "(expected 'deferred' or 'at_call')"
             )
         from ralf_spark.connectors import (
-            _list_parquet_files,
+            _list_parquet_files_sized,
             acquire_writer_lease,
             write_json_sidecar,
         )
@@ -3231,7 +3240,9 @@ class GramIndex:
 
         assert_no_concurrent_adds(spark, self.path)
         self._check_or_write_meta(spark, write_if_missing=False)
-        files = _list_parquet_files(spark, f"{self.path}/grams")
+        sized = _list_parquet_files_sized(spark, f"{self.path}/grams")
+        files = [f for f, _ in sized]
+        store_bytes = sum(b for _, b in sized)
         if not files:
             raise ValueError(f"GramIndex at {self.path} is empty")
         store = spark.read.parquet(*files)
@@ -3275,14 +3286,16 @@ class GramIndex:
         # final plan, so the stats pass materializes work the plan needs
         # anyway); True/False skip the counts and force one spelling.
         # r14 small-store shortcut: every derived probe set is a subset
-        # of the store's rows, so ONE count of the (fused, persisted)
-        # store — a job the cadence wants anyway, it warms the cache the
-        # final plan reads — bounds all four stage hints at once; the
-        # per-stage counts only run when the store itself outgrows the
-        # broadcast bound (the 100 TB regime, where they are noise).
-        all_small = False
-        if broadcast_digests is None and fuse_store_scan:
-            all_small = store.count() <= BROADCAST_CANDIDATE_LIMIT
+        # of the store's rows, so the store's ON-DISK byte size — free
+        # metadata from the driver listing above, zero jobs — bounds
+        # all four stage hints at once while it stays under
+        # _SMALL_STORE_BYTES (sized so even the whole store broadcast
+        # is driver-safe). Past the bound (the 100 TB regime) each
+        # stage keeps its own count-based decision, where those count
+        # jobs are noise against the joins they protect.
+        all_small = broadcast_digests is None and (
+            store_bytes <= self._SMALL_STORE_BYTES
+        )
 
         def stage_hint(probe: DataFrame) -> bool:
             if all_small:

@@ -3448,6 +3448,30 @@ def headline_queries() -> dict[str, Query]:
 # normalize to one token stream).
 # out: decontaminate_against_eval, similarity_topk_ivf_sq8,
 # cdc_chunk_documents, gram_index_retro_spans, text_quality.
+# Round-14 rotation (VERDICT r13 #6 + builder-initiated; every incoming
+# gate replayed green in a fresh driver-replica session at sf0.01 before
+# rotation; every donor keeps its identical oracle in the sweep):
+# in: unicode_near_dup_variants (the full LSH pipeline in unicode
+# token_mode — NBSP/case/composed variants collide), streaming_minhash_
+# screen (read-only serving screen of micro-batches against a fixed
+# corpus index — wraps MinHashIndex.check(), exactly-once pair log),
+# state_bulk_export_roundtrip (distributed key-bucketed export, staged
+# publish, reload re-pinned), reservoir_quantile_values +
+# streaming_rq_log_state (r14: the mergeable bottom-k quantile sketch,
+# batch + append-log state spellings, one oracle), and
+# concurrent_gram_adds_serial_equiv (r14: two writers fold crawl
+# batches under tag-scoped leases concurrently; held-out screen equals
+# the one-shot cross-corpus detector).
+# out: decontaminate_spans_eval (its read-only GramIndex.check() serving
+# path stays driver-exercised inside concurrent_gram_adds_serial_equiv),
+# streaming_gram_dedup (streaming dedup-sink discipline now represented
+# by streaming_minhash_screen), streaming_hll_log_state (the append-log
+# + merging-compaction machinery now represented by
+# streaming_rq_log_state), sliding_count_window (the salted spelling
+# stays — a strict superset of the plain rank path), semi_join_active_
+# customers (J-free keeps interval/point-in-time/SCD2 driver rows),
+# ewma_per_user (A4 moments family fully sweep-gated; A1/A2 keep
+# per_key_avg).
 DRIVER_CHECKED_FIRST: list[str] = [
     # TPC-H relational core (scan/filter/join/agg/having)
     "q1_pricing_summary", "q3_unshipped_orders", "q18_large_orders",
@@ -3457,7 +3481,9 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "per_key_avg", "latest_per_key",
     # windows: count (W1/W2 incl. r10's hot-key-safe salted rank — r11
     # rotation in; time_window_hourly to the sweep), event-time, stream
-    "tumbling_count_window", "sliding_count_window", "salted_sliding_window",
+    # (r14 rotation: sliding_count_window to the sweep — the salted
+    # spelling is a strict superset of the plain per-key rank path)
+    "tumbling_count_window", "salted_sliding_window",
     "streaming_tumbling_window",
     # analytic / order-based (§2.6)
     "topk_users_by_value",
@@ -3466,7 +3492,8 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # joins (§2.3 J1a/J1b/J1c + interval/point-in-time/SCD2; r10
     # rotation: J1b's driver row is the SALTED as-of spelling — same
     # oracle as asof_join_latest_state, which moves to the sweep)
-    "enrichment_join", "semi_join_active_customers",
+    # (r14 rotation: semi_join_active_customers to the sweep)
+    "enrichment_join",
     "salted_asof_join_state", "one_shot_join",
     "interval_join_clicks_before_purchase",
     "point_in_time_training_join", "scd2_user_value_history",
@@ -3477,8 +3504,9 @@ DRIVER_CHECKED_FIRST: list[str] = [
     "json_props_extract",
     # state maintenance (S9: changelog apply over persisted state)
     "apply_changelog_state",
-    # serving reads (S7: point query over latest-per-key state)
-    "point_query_latest_state",
+    # serving reads (S7: point query over latest-per-key state; r14:
+    # the distributed key-bucketed bulk export, staged publish)
+    "point_query_latest_state", "state_bulk_export_roundtrip",
     # END-TO-END COMPOSITION GATES: the full curation build, the full
     # feature-store pipeline, and the chained streaming pipeline
     # (source -> stateful window -> change policy -> EWMA state), each
@@ -3492,10 +3520,17 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # to the sweep — gram_index_retro_spans exercises the gram store's
     # full lifecycle incl. the new count-mode retro pass, and the
     # STREAMING gram-dedup spelling rotates in)
+    # (r14 rotation: decontaminate_spans_eval + streaming_gram_dedup to
+    # the sweep — the read-only GramIndex.check() serving path stays
+    # driver-exercised inside the concurrent-adds gate, and the
+    # streaming dedup-sink discipline moves to the MinHash screen; in:
+    # the two-writer tag-scoped-lease ingest gate, the unicode-mode LSH
+    # pipeline, and the read-only streaming near-dup screen)
     "exact_dedup", "near_dup_minhash",
     "incremental_minhash_index",
-    "decontaminate_spans_eval",
-    "gram_index_retro_delta_spans", "streaming_gram_dedup",
+    "gram_index_retro_delta_spans",
+    "concurrent_gram_adds_serial_equiv",
+    "unicode_near_dup_variants", "streaming_minhash_screen",
     # similarity search (E3; r12 rotation: similarity_topk_bruteforce
     # and sq8_adc_topk to the sweep — the IVF-SQ8 composition exercises
     # SQ8 encode+ADC inside the cell-pruned search, and the new
@@ -3514,9 +3549,14 @@ DRIVER_CHECKED_FIRST: list[str] = [
     # cardinality/frequency sketches (E6: batch HLL + the streaming
     # APPEND-LOG state spelling w/ mid-gate merging compaction — r11
     # rotation: streaming_hll_state to the sweep)
-    "hll_distinct_event_ids", "streaming_hll_log_state",
-    # retrieval/curation (E9; r11b rotation: bm25 to the sweep)
-    "ewma_per_user",
+    # (r14 rotation: streaming_hll_log_state to the sweep — the
+    # append-log + merging-compaction machinery is driver-exercised by
+    # the quantile sketch's log spelling; in: the bottom-k mergeable
+    # quantile sketch, batch + streaming, one oracle)
+    "hll_distinct_event_ids",
+    "reservoir_quantile_values", "streaming_rq_log_state",
+    # retrieval/curation (E9; r11b rotation: bm25 to the sweep; r14:
+    # ewma_per_user to the sweep — A4 moments family fully sweep-gated)
     # data quality (r7 family, first driver-green rows — r8 rotation)
     "events_quality_gate", "feature_drift_psi",
     # storage layout (E8; r11b rotation: zorder roundtrip to the sweep)
