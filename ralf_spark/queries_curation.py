@@ -324,6 +324,63 @@ def minhash_index_check_serving_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "concurrent_minhash_adds_serial_equiv",
+    incremental_minhash_oracle_sql(
+        new_pred="_id % 4 = 3", cross_only=True
+    ),
+)
+def concurrent_minhash_adds_serial_equiv_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E2 multi-writer ingest, MinHash spelling (r14, VERDICT r13 #1 —
+    the GramIndex gate's LSH sibling): the corpus quarters %4∈{1,2}
+    fold into an even-quarter-built index by two CONCURRENT ``add()``
+    calls under tag-scoped leases, then the held-out quarter (%4==3)
+    is screened read-only against the settled store. The cross pairs
+    must equal the one-shot batch LSH over the full corpus restricted
+    to exactly-one-%4==3 pairs — i.e. the concurrently-folded
+    bucket/signature store is byte-equivalent to serial ingest (the
+    projection under frozen hashing is deterministic per document and
+    each batch owns its ``_batch`` partition, so folds commute)."""
+    import hashlib as _hl
+    import threading
+
+    docs = _docs_par(spark, sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = MinHashIndex(
+        _scratch(f"mh_conc_{tag}_"), num_perm=16, bands=8,
+        auto_maintain=0, concurrent_adds=True,
+    )
+    part = lambda m: FeatureTable(  # noqa: E731
+        docs.df.where(F.col("doc_id") % 4 == m), key="doc_id"
+    )
+    idx.build(part(0))
+    errors: list[BaseException] = []
+
+    def add(m: int, wid: str) -> None:
+        try:
+            pairs = idx.add(part(m), batch_tag=f"t{m}", writer_id=wid)
+            pairs.count()
+            from ralf_spark.operators.util import unpersist_cached
+
+            unpersist_cached(pairs)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=add, args=(1, "worker-a")),
+        threading.Thread(target=add, args=(2, "worker-b")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    if errors:
+        raise errors[0]
+    return idx.check(part(3), threshold=0.5).orderBy("id1", "id2")
+
+
+@query(
     "streaming_minhash_screen",
     incremental_minhash_oracle_sql(cross_only=True),
 )
