@@ -1532,6 +1532,8 @@ def foreach_batch_ivf_add(
     df: DataFrame,
     index,
     key: str,
+    tag_prefix: str = "b",
+    writer_id: str | None = None,
 ) -> DataStreamWriter:
     """Streaming embedding ingest (r7): fold each micro-batch of vectors
     into a persistent :class:`~ralf_spark.operators.similarity.IvfIndex`
@@ -1546,12 +1548,19 @@ def foreach_batch_ivf_add(
     overwrites its own ``(cell, _batch)`` directories — assignment is
     deterministic, so the rewrite is idempotent and vectors are never
     duplicated (asserted in tests: forced double-delivery leaves the
-    index equal to the single-delivery build)."""
+    index equal to the single-delivery build). Multi-stream ingest into
+    one shared index: distinct ``tag_prefix``/``writer_id`` per stream
+    + a ``concurrent_adds=True`` handle (see
+    :func:`foreach_batch_index_add`)."""
 
     def add(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        index.add(FeatureTable(batch_df, key=key), batch_tag=f"b{batch_id}")
+        index.add(
+            FeatureTable(batch_df, key=key),
+            batch_tag=f"{tag_prefix}{batch_id}",
+            writer_id=writer_id,
+        )
 
     return df.writeStream.foreachBatch(add)
 
@@ -1661,6 +1670,8 @@ def foreach_batch_index_add(
     threshold: float = 0.5,
     text_col: str = "text",
     auto_maintain: int | None = None,
+    tag_prefix: str = "b",
+    writer_id: str | None = None,
 ) -> DataStreamWriter:
     """Streaming incremental near-dedup: fold each micro-batch of
     documents into a persistent :class:`~ralf_spark.operators.dedup.
@@ -1691,6 +1702,17 @@ def foreach_batch_index_add(
     no-op (its pairs already live in the compacted partition and the
     index fold is idempotent anyway); keep_last=1 keeps the newest tag
     replayable in place. ``auto_maintain=0`` disables.
+
+    MULTI-STREAM ingest (r14): N crawl workers each running this sink
+    against ONE shared index need writer-unique tags — every stream's
+    checkpoint counts batch ids from 0, so without a distinct
+    ``tag_prefix`` per stream the second worker's ``b0`` would
+    dynamically overwrite the first's. Give each stream its own
+    ``tag_prefix`` (e.g. ``"w3-"``) and ``writer_id``, open the index
+    handle with ``concurrent_adds=True`` (tag-scoped leases), point
+    each stream at its own ``pairs_path`` (or share one with
+    ``auto_maintain=0`` and let the coordinator compact), and the
+    folds commute exactly as in the batch multi-writer contract.
     """
     if auto_maintain is None:
         from ralf_spark.layout import AUTO_MAINTAIN_BATCHES
@@ -1703,7 +1725,7 @@ def foreach_batch_index_add(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        tag = f"b{batch_id}"
+        tag = f"{tag_prefix}{batch_id}"
         if tag in _read_compacted_tags(spark, pairs_path):
             return  # replay of a tag already folded into the compacted log
         pairs = index.add(
@@ -1711,6 +1733,7 @@ def foreach_batch_index_add(
             text_col=text_col,
             threshold=threshold,
             batch_tag=tag,
+            writer_id=writer_id,
         )
         (
             pairs.withColumn("_batch", F.lit(tag))
@@ -1868,13 +1891,17 @@ def foreach_batch_gram_dedup(
     key: str,
     text_col: str = "text",
     auto_maintain: int | None = None,
+    tag_prefix: str = "b",
+    writer_id: str | None = None,
 ) -> DataStreamWriter:
     """Streaming incremental EXACT-SUBSTRING dedup: fold each micro-batch
     of documents into a persistent :class:`~ralf_spark.operators.dedup.
     GramIndex` and append the batch's duplicated spans (vs everything
     indexed so far AND within the batch) to ``spans_path`` — the
     streaming spelling of the Lee et al. 2022 crawl-loop round, the
-    ExactSubstr sibling of :func:`foreach_batch_index_add`.
+    ExactSubstr sibling of :func:`foreach_batch_index_add` (whose
+    multi-stream ``tag_prefix``/``writer_id`` contract applies here
+    unchanged).
 
     Contract: spans are emitted for the LATER copy at its arrival batch
     (the crawl-loop shape — incoming data is cleaned against everything
@@ -1903,13 +1930,14 @@ def foreach_batch_gram_dedup(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        tag = f"b{batch_id}"
+        tag = f"{tag_prefix}{batch_id}"
         if tag in _read_compacted_tags(spark, spans_path):
             return  # replay of a tag already folded into the compacted log
         spans = index.add(
             FeatureTable(batch_df, key=key),
             text_col=text_col,
             batch_tag=tag,
+            writer_id=writer_id,
         )
         (
             spans.withColumn("_batch", F.lit(tag))

@@ -267,3 +267,64 @@ def test_ivf_concurrent_adds_fold_equals_serial(spark, tmp_path):
         tuple(r) for r in serial.query(q, k=4, nprobe=3).collect()
     )
     assert got == want and got
+
+
+def test_multi_stream_index_ingest_needs_unique_tag_prefixes(
+    spark, tmp_path
+):
+    """r14: N crawl workers each run their own stream into ONE shared
+    MinHashIndex. Every stream's checkpoint counts batch ids from 0, so
+    per-stream ``tag_prefix``es keep the tags writer-unique — without
+    them the second stream's b0 would dynamically overwrite the
+    first's partition. Two bounded streams with distinct prefixes +
+    writer ids must fold to the same store as one-shot ingest."""
+    from ralf_spark.operators.dedup import MinHashIndex
+    from ralf_spark.streaming import (
+        file_events,
+        foreach_batch_index_add,
+        run_bounded,
+    )
+
+    base, a, b = _batches()
+    kw = dict(num_perm=16, bands=8, shingle_n=3, auto_maintain=0)
+    idx = MinHashIndex(
+        str(tmp_path / "shared"), concurrent_adds=True, **kw
+    )
+    idx.build(_docs(spark, base))
+    for name, rows in (("wa", a), ("wb", b)):
+        src = str(tmp_path / f"src_{name}")
+        _docs(spark, rows).df.repartition(1).write.parquet(src)
+        stream = file_events(
+            spark, src, schema="doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        run_bounded(
+            foreach_batch_index_add(
+                stream, idx, str(tmp_path / f"pairs_{name}"),
+                key="doc_id", threshold=0.3, auto_maintain=0,
+                tag_prefix=f"{name}-", writer_id=f"writer-{name}",
+            ),
+            checkpoint=str(tmp_path / f"ck_{name}"),
+        )
+    # both streams' batch-0 partitions coexist (no tag collision)
+    from ralf_spark.connectors import _list_parquet_files
+
+    tags = {
+        f.split("/_batch=", 1)[1].split("/", 1)[0]
+        for f in _list_parquet_files(spark, str(tmp_path / "shared/sigs"))
+    }
+    assert {"wa-0", "wb-0"} <= tags
+    serial = MinHashIndex(str(tmp_path / "serial"), **kw)
+    serial.build(_docs(spark, base))
+    serial.add(_docs(spark, a)).collect()
+    serial.add(_docs(spark, b)).collect()
+    probe = _docs(spark, base + a + b)
+    got = sorted(
+        (r.id1, r.id2, r.est_jaccard)
+        for r in idx.check(probe, threshold=0.3).collect()
+    )
+    want = sorted(
+        (r.id1, r.id2, r.est_jaccard)
+        for r in serial.check(probe, threshold=0.3).collect()
+    )
+    assert got == want and got
