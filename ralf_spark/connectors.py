@@ -507,6 +507,57 @@ def release_add_lease(
     )
 
 
+@contextmanager
+def held_add_lease(
+    spark: SparkSession,
+    path: str,
+    tag: str,
+    writer_id: str | None = None,
+    ttl_sec: float | None = None,
+):
+    """Announce a tag-scoped add AND keep its lease heartbeated for the
+    whole add (r15, ADVICE r14 medium): previously the tag lease was
+    stamped once at :func:`acquire_add_lease` and renewed only inside the
+    publish-time ``hold_writer_lease`` — a projection phase outliving the
+    TTL let an exclusive operation legitimately pass
+    :func:`assert_no_concurrent_adds`, rebuild/compact the store, and the
+    late add then still published its partition silently (double-counted
+    positions in a count-mode GramIndex whose rebuild included the
+    batch). The keeper pins the announce alive from acquire through
+    publish, so the exclusive side keeps refusing for as long as the
+    adder is healthy; a theft detected by the keeper aborts the add at
+    block exit instead of interleaving.
+
+    The default writer id is PER-ADD UNIQUE — process identity + tag —
+    (ADVICE r14 low): under the plain process identity, a coordinator
+    thread's ``maintain()`` and a sink thread's concurrent add in the
+    SAME driver treated each other's leases as self and could
+    interleave; distinct ids make the root/announce shields fence
+    same-process writers too. The streaming index sinks (writer_id=None)
+    get this default automatically.
+
+    Yields ``(lease_path, effective_writer_id)`` — pass BOTH to the
+    publish step so its fencing read renews the same identity. The lease
+    is released at block exit (success or error); an in-flight crash
+    leaves it to TTL expiry like any other lease."""
+    wid = writer_id or f"{_PROCESS_WRITER_ID}#add:{tag}"
+    target = acquire_add_lease(
+        spark, path, tag, writer_id=wid, ttl_sec=ttl_sec
+    )
+    keeper = _LeaseKeeper(
+        spark, target, wid, ttl_sec,
+        interval=max(_lease_ttl(ttl_sec) / 3.0, 0.05),
+    )
+    keeper._thread.start()
+    try:
+        yield target, wid
+        keeper.check()
+    finally:
+        keeper._stop.set()
+        keeper._thread.join(timeout=5.0)
+        release_add_lease(spark, path, tag, writer_id=wid)
+
+
 def live_foreign_add_leases(
     spark: SparkSession,
     path: str,

@@ -1369,7 +1369,10 @@ class MinHashIndex:
         `build()`` materialize the persisted projection FIRST — the
         hash pipeline keeps its full parallelism, only the cached rows
         funnel into the writers."""
-        from ralf_spark.connectors import hold_writer_lease
+        from ralf_spark.connectors import (
+            check_no_foreign_root_lease,
+            hold_writer_lease,
+        )
 
         out = df
         if rows is not None:
@@ -1385,6 +1388,15 @@ class MinHashIndex:
         with hold_writer_lease(
             df.sparkSession, lease_path or self.path, writer_id=writer_id
         ):
+            if lease_path is not None:
+                # concurrent-mode publish fence (r15, ADVICE r14 medium):
+                # nobody contends the tag lease, so re-check the ROOT —
+                # if this add's announce ever lapsed and an exclusive op
+                # took over, fail loudly instead of publishing into its
+                # rebuilt/compacted store
+                check_no_foreign_root_lease(
+                    df.sparkSession, self.path, writer_id=writer_id
+                )
             (
                 out.withColumn("_batch", F.lit(tag))
                 .write.mode("overwrite")
@@ -1620,32 +1632,39 @@ class MinHashIndex:
         lease instead of the root, auto-maintenance skipped (the
         coordinator owns the cadence); see ``GramIndex.add``."""
         import uuid
+        from contextlib import ExitStack
 
         spark = table.df.sparkSession
         from ralf_spark.connectors import (
-            acquire_add_lease,
             acquire_writer_lease,
-            release_add_lease,
+            held_add_lease,
         )
 
         tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
         lease_path: str | None = None
-        if self.concurrent_adds:
-            lease_path = acquire_add_lease(
-                spark, self.path, tag, writer_id=writer_id
-            )
-        else:
-            acquire_writer_lease(spark, self.path)  # single-writer (r12)
-        try:
+        with ExitStack() as stack:
+            if self.concurrent_adds:
+                # announce + KEEP the tag lease heartbeated through the
+                # publish (r15, ADVICE r14 medium) under a per-add-unique
+                # writer id (ADVICE r14 low)
+                lease_path, writer_id = stack.enter_context(
+                    held_add_lease(
+                        spark, self.path, tag, writer_id=writer_id
+                    )
+                )
+            else:
+                # single-writer mode IGNORES writer_id (r15, ADVICE r14
+                # low): the handle's whole lifecycle (this acquire, the
+                # publish-time hold, a nested auto-maintain) runs under
+                # the process identity — honoring a caller id on just
+                # this acquire made the publish's re-acquire (and any
+                # nested maintain) self-conflict on every batch
+                writer_id = None
+                acquire_writer_lease(spark, self.path)  # single-writer (r12)
             return self._add_guarded(
                 table, text_col, threshold, tag, broadcast_candidates,
                 lease_path, writer_id,
             )
-        finally:
-            if lease_path is not None:
-                release_add_lease(
-                    spark, self.path, tag, writer_id=writer_id
-                )
 
     def _add_guarded(
         self,
@@ -2542,7 +2561,10 @@ class GramIndex:
         lease_path: str | None = None,
         writer_id: str | None = None,
     ) -> None:
-        from ralf_spark.connectors import hold_writer_lease
+        from ralf_spark.connectors import (
+            check_no_foreign_root_lease,
+            hold_writer_lease,
+        )
 
         out = dg
         n_files = max(1, -(-rows // self._ROWS_PER_FILE))
@@ -2554,6 +2576,14 @@ class GramIndex:
         with hold_writer_lease(
             dg.sparkSession, lease_path or self.path, writer_id=writer_id
         ):
+            if lease_path is not None:
+                # concurrent-mode publish fence (r15, ADVICE r14 medium):
+                # nobody contends the tag lease, so re-check the ROOT —
+                # a TTL-overrun add must fail loudly here, not publish
+                # into a store an exclusive op rebuilt/compacted meanwhile
+                check_no_foreign_root_lease(
+                    dg.sparkSession, self.path, writer_id=writer_id
+                )
             (
                 out.withColumn("_batch", F.lit(tag))
                 .write.mode("overwrite")
@@ -2837,24 +2867,36 @@ class GramIndex:
         mid-add) fails one side loudly via the announce-first/
         root-first ordering in ``acquire_add_lease``."""
         import uuid
+        from contextlib import ExitStack
 
         spark = table.df.sparkSession
         from ralf_spark.connectors import (
-            acquire_add_lease,
             acquire_writer_lease,
-            release_add_lease,
+            held_add_lease,
         )
         from ralf_spark.layout import recover_compaction
 
         tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
         lease_path: str | None = None
-        if self.concurrent_adds:
-            lease_path = acquire_add_lease(
-                spark, self.path, tag, writer_id=writer_id
-            )
-        else:
-            acquire_writer_lease(spark, self.path)  # single-writer (r12)
-        try:
+        with ExitStack() as stack:
+            if self.concurrent_adds:
+                # announce + KEEP the tag lease heartbeated through the
+                # publish (r15, ADVICE r14 medium) under a per-add-unique
+                # writer id (ADVICE r14 low)
+                lease_path, writer_id = stack.enter_context(
+                    held_add_lease(
+                        spark, self.path, tag, writer_id=writer_id
+                    )
+                )
+            else:
+                # single-writer mode IGNORES writer_id (r15, ADVICE r14
+                # low): the handle's whole lifecycle (this acquire, the
+                # publish-time hold, a nested auto-maintain) runs under
+                # the process identity — honoring a caller id on just
+                # this acquire made the publish's re-acquire (and any
+                # nested maintain) self-conflict on every batch
+                writer_id = None
+                acquire_writer_lease(spark, self.path)  # single-writer (r12)
             self._check_or_write_meta(spark)
             if not self.concurrent_adds:
                 # heal an interrupted maintain() BEFORE the replay check
@@ -2924,11 +2966,6 @@ class GramIndex:
                 self._write(
                     batch_dg, tag, rows=n_dg,
                     lease_path=lease_path, writer_id=writer_id,
-                )
-        finally:
-            if lease_path is not None:
-                release_add_lease(
-                    spark, self.path, tag, writer_id=writer_id
                 )
         return out
 
@@ -3018,6 +3055,30 @@ class GramIndex:
     #: the per-stage stats counts are skipped — the MB-scale cadence
     #: drops its fixed job overhead to near the full-retro floor.
     _SMALL_STORE_BYTES = 64 * 1024 * 1024
+
+    @staticmethod
+    def _footer_rows(files: list[str]) -> int | None:
+        """Total row count from the parquet FOOTERS — driver-side
+        metadata reads, no Spark job (r15, ADVICE r14 low): the on-disk
+        byte gate alone under-counts rows on well-compressed position
+        logs (sorted ``_id``/``_pos`` delta-encode, repeated digests
+        dictionary-encode, far better than the ~4x the byte gate
+        assumed), so a sub-64 MB store can decompress past the 5M-row
+        broadcast bound the count-based path enforces. Returns None when
+        any footer is unreadable — callers fall back to the measured
+        per-stage counts."""
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                local = f[7:] if f.startswith("file://") else (
+                    f[5:] if f.startswith("file:") else f
+                )
+                total += pq.ParquetFile(local).metadata.num_rows
+            return total
+        except Exception:
+            return None
 
     @staticmethod
     def _tag_of(file_path: str) -> str:
@@ -3238,13 +3299,24 @@ class GramIndex:
         acquire_writer_lease(spark, self.path)
         from ralf_spark.connectors import assert_no_concurrent_adds
 
-        assert_no_concurrent_adds(spark, self.path)
-        self._check_or_write_meta(spark, write_if_missing=False)
-        sized = _list_parquet_files_sized(spark, f"{self.path}/grams")
-        files = [f for f, _ in sized]
-        store_bytes = sum(b for _, b in sized)
-        if not files:
-            raise ValueError(f"GramIndex at {self.path} is empty")
+        # non-destructive pre-flight (r15, ADVICE r14 low): these checks
+        # mutate nothing, so a failure here releases the root in
+        # concurrent mode — otherwise every waiting adder is blocked for
+        # the full TTL after a transient refusal (in-flight adds, a meta
+        # mismatch, an empty store). Failures AFTER this block keep the
+        # lease: from the sidecar writes on, the coordinator may own
+        # partial state that the next exclusive call must heal.
+        try:
+            assert_no_concurrent_adds(spark, self.path)
+            self._check_or_write_meta(spark, write_if_missing=False)
+            sized = _list_parquet_files_sized(spark, f"{self.path}/grams")
+            files = [f for f, _ in sized]
+            store_bytes = sum(b for _, b in sized)
+            if not files:
+                raise ValueError(f"GramIndex at {self.path} is empty")
+        except Exception:
+            self._handoff_root(spark)
+            raise
         store = spark.read.parquet(*files)
         done = self._retro_done_tags(spark)
         all_tags = {self._tag_of(f) for f in files}
@@ -3293,9 +3365,20 @@ class GramIndex:
         # is driver-safe). Past the bound (the 100 TB regime) each
         # stage keeps its own count-based decision, where those count
         # jobs are noise against the joins they protect.
+        # r15 (ADVICE r14 low): the byte gate alone can over-admit —
+        # delta/dictionary-encoded position logs compress far better
+        # than the ~4x the 64 MB bound assumed, so ALSO cap by the
+        # footer row count (driver-side metadata, still zero jobs)
+        # against the same bound the count-based path enforces.
         all_small = broadcast_digests is None and (
             store_bytes <= self._SMALL_STORE_BYTES
         )
+        if all_small:
+            footer_rows = self._footer_rows(files)
+            all_small = (
+                footer_rows is not None
+                and footer_rows <= BROADCAST_CANDIDATE_LIMIT
+            )
 
         def stage_hint(probe: DataFrame) -> bool:
             if all_small:

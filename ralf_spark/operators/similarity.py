@@ -971,7 +971,10 @@ class IvfIndex:
         one file per touched (cell, batch); the write stays parallel
         across cells, and at build scale a cell's file is its member
         count (cells ∝ √corpus keeps that bounded)."""
-        from ralf_spark.connectors import hold_writer_lease
+        from ralf_spark.connectors import (
+            check_no_foreign_root_lease,
+            hold_writer_lease,
+        )
 
         # fence + heartbeat keeper (r13, ADVICE r12): assignment/encoding
         # between acquire and this publish can outlive the lease TTL; the
@@ -981,6 +984,14 @@ class IvfIndex:
             assigned.sparkSession, lease_path or self.path,
             writer_id=writer_id,
         ):
+            if lease_path is not None:
+                # concurrent-mode publish fence (r15, ADVICE r14 medium):
+                # nobody contends the tag lease, so re-check the ROOT —
+                # a TTL-overrun add must fail loudly here, not publish
+                # into a store an exclusive op rebuilt/compacted meanwhile
+                check_no_foreign_root_lease(
+                    assigned.sparkSession, self.path, writer_id=writer_id
+                )
             (
                 assigned.withColumn("_batch", F.lit(tag))
                 .repartition(F.col("cell"))
@@ -1110,23 +1121,35 @@ class IvfIndex:
         lease instead of the root, auto-maintenance skipped (the
         coordinator owns the cadence); see ``GramIndex.add``."""
         import uuid
+        from contextlib import ExitStack
 
         spark = table.df.sparkSession
         from ralf_spark.connectors import (
-            acquire_add_lease,
             acquire_writer_lease,
-            release_add_lease,
+            held_add_lease,
         )
 
         tag = batch_tag if batch_tag is not None else uuid.uuid4().hex[:12]
         lease_path: str | None = None
-        if self.concurrent_adds:
-            lease_path = acquire_add_lease(
-                spark, self.path, tag, writer_id=writer_id
-            )
-        else:
-            acquire_writer_lease(spark, self.path)  # single-writer (r12)
-        try:
+        with ExitStack() as stack:
+            if self.concurrent_adds:
+                # announce + KEEP the tag lease heartbeated through the
+                # publish (r15, ADVICE r14 medium) under a per-add-unique
+                # writer id (ADVICE r14 low)
+                lease_path, writer_id = stack.enter_context(
+                    held_add_lease(
+                        spark, self.path, tag, writer_id=writer_id
+                    )
+                )
+            else:
+                # single-writer mode IGNORES writer_id (r15, ADVICE r14
+                # low): the handle's whole lifecycle (this acquire, the
+                # publish-time hold, a nested auto-maintain) runs under
+                # the process identity — honoring a caller id on just
+                # this acquire made the publish's re-acquire (and any
+                # nested maintain) self-conflict on every batch
+                writer_id = None
+                acquire_writer_lease(spark, self.path)  # single-writer (r12)
             if self.auto_maintain and not self.concurrent_adds:
                 from ralf_spark.layout import batch_tag_count
 
@@ -1151,11 +1174,6 @@ class IvfIndex:
                 assigned, tag, "overwrite",
                 lease_path=lease_path, writer_id=writer_id,
             )
-        finally:
-            if lease_path is not None:
-                release_add_lease(
-                    spark, self.path, tag, writer_id=writer_id
-                )
 
     def maintain(
         self,

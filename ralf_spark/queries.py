@@ -3211,16 +3211,22 @@ def pq_rerank_recall_clustered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = pq_adc_topk(corpus, qdf, books, k=50)
     refined = exact_rerank(short, corpus, qdf, k=10)
     brute = cosine_topk(corpus, qdf, k=10)
+    # broadcast hints (r15, same class as ivf_recall_clustered's r11
+    # fix): both sides are per-query top-10 frames (|queries| × 10 rows —
+    # provably small), but they sit under window/agg subtrees whose size
+    # estimates freeze pessimistic, so the static plan picked two
+    # SortMergeJoins (r15 full-registry audit; this query was missed by
+    # the r11 de-SMJ pass, which only covered the driver prefix)
     hits = (
         refined.select("query_id", "neighbor_id")
-        .join(brute.select("query_id", "neighbor_id"),
+        .join(F.broadcast(brute.select("query_id", "neighbor_id")),
               ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         qdf.select("query_id")
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),

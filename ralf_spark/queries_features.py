@@ -227,8 +227,12 @@ def kmeans_refine_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("av") * F.col("av")), 4).alias("new_sq_norm")
     )
     counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    # broadcast hint (r15): counts is ≤ k rows by the same k-tiny
+    # contract that broadcasts the seed centroids, but it sits under an
+    # agg whose size estimate freezes pessimistic — the static plan
+    # paired two exchanges + sorts into a SortMergeJoin for a k-row join
     return (
-        norms.join(counts, "cid")
+        norms.join(F.broadcast(counts), "cid")
         .select("cid", "n_members", "new_sq_norm")
         .orderBy("cid")
     )
