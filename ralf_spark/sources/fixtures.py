@@ -7,6 +7,7 @@ same FeatureTables.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -29,11 +30,31 @@ FIXTURE_TABLES: dict[str, tuple[str | None, str | None, str | None]] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: per-session memo of loaded fixture FeatureTables (r15, guide §6): every
+#: ``spark.read.parquet(path)`` builds a fresh InMemoryFileIndex — a
+#: driver-side file listing plus a footer read for schema inference — so a
+#: 6-table query paid ~0.5-1 s of pure metadata work per CONSTRUCTION, and
+#: a bench pass re-paid it for every query. A catalog deployment gets this
+#: amortization for free (the session caches table metadata); the memo is
+#: the path-based spelling. Only the ANALYZED PLAN is reused — no rows, no
+#: ``.cache()``: every action still computes from the parquet files.
+#: Keyed weakly on the session so a stopped/replaced session re-lists.
+_FIXTURE_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
 
 def load_fixture(
     spark: SparkSession, name: str, sf_dir: str | None = None
 ) -> FeatureTable:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    use_memo = os.environ.get("SPARK_GRAFT_FIXTURE_CACHE", "1") != "0"
+    if use_memo:
+        try:
+            memo = _FIXTURE_MEMO.setdefault(spark, {})
+        except TypeError:  # un-weakrefable session stub (tests/mocks)
+            memo, use_memo = {}, False
+        hit = memo.get((sf_dir, name))
+        if hit is not None:
+            return hit
     key, ts, seq = FIXTURE_TABLES[name]
     # Fixture generations have stored event time three ways; normalize all
     # of them to TIMESTAMP_NTZ so every downstream plan sees one canonical
@@ -79,4 +100,7 @@ def load_fixture(
                     F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
                 ),
             )
-    return FeatureTable(df, key=key, ts=ts, seq=seq)
+    out = FeatureTable(df, key=key, ts=ts, seq=seq)
+    if use_memo:
+        memo[(sf_dir, name)] = out
+    return out
