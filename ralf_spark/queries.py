@@ -171,7 +171,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # bounded-domain global sort (r15): the result is ≤ |returnflag| ×
+        # |linestatus| rows at ANY scale, so a single-partition sort
+        # replaces the range exchange — whose bounds SAMPLING re-executes
+        # the final agg stage as an extra job — with a local sort of a
+        # handful of rows. Identical rows and order (A/B-verified).
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -271,7 +277,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy(F.col("revenue").desc(), "n_name")
+        # bounded-domain global sort (r15, same class as q1): ≤ |nations
+        # in the region| rows at any scale — a single-partition sort
+        # replaces the range exchange and its bounds-sampling job.
+        .coalesce(1)
+        .sortWithinPartitions(F.col("revenue").desc(), "n_name")
     )
 
 

@@ -66,6 +66,15 @@ def get_spark(
     if master:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
+    # deployment-level overrides without code edits (r15): JSON map of
+    # spark confs, applied over the engine defaults but under the
+    # caller's explicit extra_confs — the knob the A/B harnesses and a
+    # cluster submit script use to vary scale-dependent settings.
+    env_confs = os.environ.get("SPARK_GRAFT_EXTRA_CONFS")
+    if env_confs:
+        import json
+
+        confs.update(json.loads(env_confs))
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():
