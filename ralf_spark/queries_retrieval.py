@@ -1026,12 +1026,16 @@ def sq8_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sq8_adc_topk_precoded(
         enc, _query_vectors(spark, sf_dir), bounds, k=5
     )
+    # bounded-domain global sort (r15, same class as q1/q5): the result
+    # is ≤ |queries| × k rows — bounded by the broadcast-small query-set
+    # contract, not by corpus size — so a single-partition sort replaces
+    # the range exchange and its bounds-sampling job.
     return out.select(
         "query_id",
         "neighbor_id",
         F.round("approx_dist", 4).alias("approx_dist"),
         F.col("rank").alias("rnk"),
-    ).orderBy("query_id", "rnk")
+    ).coalesce(1).sortWithinPartitions("query_id", "rnk")
 
 
 # Registry finalization: re-applies the driver-prefix ordering when THIS
