@@ -105,7 +105,14 @@ BUDGETS = {
 #: with broadcast hints; subtree size estimates freeze pessimistic under
 #: windows/aggs) and feature_drift_psi's FULL OUTER histogram align
 #: (fixed by union + re-aggregate — Spark cannot broadcast a full outer).
-SMJ_FREE = ("ivf_recall_clustered", "feature_drift_psi")
+#: r15: the full-registry audit (scripts_r15_full_audit.py) found the
+#: same estimate-freeze class OUTSIDE the prefix — pq_rerank joins two
+#: per-query top-10 frames, kmeans_refine joins two k-row aggregates;
+#: both now carry the broadcast hints and must stay SMJ-free.
+SMJ_FREE = (
+    "ivf_recall_clustered", "feature_drift_psi",
+    "pq_rerank_recall_clustered", "kmeans_refine_step",
+)
 
 
 @pytest.fixture(scope="module")
