@@ -128,6 +128,121 @@ def write_json_sidecar(spark: SparkSession, path: str, payload: dict) -> None:
         out.close()
 
 
+def read_parquet_sidecar(
+    spark: SparkSession, path: str
+) -> list[dict] | None:
+    """Driver-side read of a SMALL parquet sidecar directory (config
+    pins, centroids, codebooks, quantizer bounds — KBs, not data)
+    through the Hadoop FS API + pyarrow: no Spark job. The Spark
+    spelling (``spark.read.parquet(path).collect()``) pays scheduler +
+    listing + a task round-trip (~0.3–2 s) to move a handful of rows the
+    driver already needs locally (guide §5: driver-side small state
+    belongs on the driver). Works on any configured filesystem — the
+    bytes travel through the same ``FileSystem.open`` stream the JSON
+    sidecars use.
+
+    Returns ``None`` if ``path`` does not exist, ``[]`` if it exists but
+    holds no committed non-empty ``part-*`` file (a crashed writer's
+    empty/partial directory — callers treat it as absent), else the
+    concatenated rows of every committed part file (filename order) as
+    plain dicts. A committed-but-unparseable file RAISES — silently
+    rewriting a config pin on corruption is the exact failure the
+    sidecars exist to prevent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    committed = sorted(
+        (
+            st.getPath()
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("part-")
+            and st.getLen() > 0
+        ),
+        key=lambda p: p.getName(),
+    )
+    if not committed:
+        return []
+    io_utils = spark._jvm.org.apache.commons.io.IOUtils  # type: ignore[attr-defined]
+    rows: list[dict] = []
+    for jfile in committed:
+        stream = fs.open(jfile)
+        try:
+            buf = bytes(io_utils.toByteArray(stream))
+        finally:
+            stream.close()
+        rows.extend(pq.read_table(pa.BufferReader(buf)).to_pylist())
+    return rows
+
+
+def write_parquet_sidecar(
+    spark: SparkSession, path: str, rows: list[tuple], schema_ddl: str
+) -> None:
+    """Overwrite ``path`` with a one-file parquet sidecar written
+    DRIVER-side (pyarrow → ``FileSystem.create``): the Spark spelling
+    (``createDataFrame(...).coalesce(1).write``) pays a job plus the
+    commit protocol for rows that already live on the driver. The
+    on-disk layout matches Spark's — a directory holding one
+    ``part-*.snappy.parquet`` plus ``_SUCCESS`` — so every existing
+    reader (``spark.read.parquet``, the committed-``part-`` checks, and
+    :func:`read_parquet_sidecar`) keeps working on both old and new
+    stores. The data file is staged under a dot-prefixed name and
+    RENAMED into place: a crash mid-write leaves no committed part file,
+    preserving the crashed-writer ≡ absent semantics of the Spark
+    committer.
+
+    ``schema_ddl`` is the same Spark DDL string ``createDataFrame``
+    took (``"name type, ..."`` with string/int/bigint/boolean/double
+    fields) — kept in that spelling so the pinned schemas read
+    identically at both call sites."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _ARROW_TYPES = {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "boolean": pa.bool_(),
+        "double": pa.float64(),
+        "array<double>": pa.list_(pa.float64()),
+    }
+    fields = []
+    for part in schema_ddl.split(","):
+        name, typ = part.split()
+        fields.append(pa.field(name, _ARROW_TYPES[typ]))
+    table = pa.Table.from_pylist(
+        [dict(zip([f.name for f in fields], r)) for r in rows],
+        schema=pa.schema(fields),
+    )
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink, compression="snappy")
+    buf = sink.getvalue().to_pybytes()
+
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.delete(jpath, True)
+    fs.mkdirs(jpath)
+    jtmp = jvm.org.apache.hadoop.fs.Path(
+        path, ".part-00000-ralf.snappy.parquet.staged"
+    )
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(buf))
+    finally:
+        out.close()
+    jfinal = jvm.org.apache.hadoop.fs.Path(
+        path, "part-00000-ralf.snappy.parquet"
+    )
+    if not fs.rename(jtmp, jfinal):
+        raise IOError(f"sidecar commit rename failed under {path}")
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS"), True
+    ).close()
+
+
 class ConcurrentWriterError(RuntimeError):
     """A second writer touched a single-writer state store (r12)."""
 

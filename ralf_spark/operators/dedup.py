@@ -1474,47 +1474,38 @@ class MinHashIndex:
         A crash between directory creation and the parquet commit leaves
         an empty/partial ``_meta``; that is treated as ABSENT and
         rewritten rather than surfacing an opaque read error on every
-        later open."""
-        from ralf_spark.connectors import _hadoop_fs
+        later open.
+
+        r15: the one-row pin moves through the driver-side sidecar
+        helpers (guide §5) — the old ``spark.read.parquet(...).collect``
+        spelling paid a full Spark job per open (~2 s of the lifecycle
+        gates' driver gap), and ``read_parquet_sidecar`` keeps the exact
+        tri-state semantics (absent / crashed-empty → rewrite /
+        committed-corrupt → raise)."""
+        from ralf_spark.connectors import (
+            read_parquet_sidecar,
+            write_parquet_sidecar,
+        )
 
         meta_path = f"{self.path}/_meta"
-        fs, jmeta = _hadoop_fs(spark, meta_path)
         from ralf_spark.functions.text import tokenizer_version
 
         mine = (
             self.hash_fn, self.num_perm, self.bands, self.shingle_n,
             tokenizer_version(self.token_mode),
         )
-        rows = []
-        if fs.exists(jmeta):
-            try:
-                rows = spark.read.parquet(meta_path).collect()
-            except Exception:
-                # Distinguish "crashed first writer left an empty/partial
-                # directory" (no committed part files — treat as absent
-                # and rewrite) from a real read failure on a COMMITTED
-                # _meta (throttle/permission/corruption): rewriting the
-                # pin on the latter would silently flip the stored hash
-                # config — the exact failure the pin exists to prevent.
-                committed = [
-                    s
-                    for s in fs.listStatus(jmeta)
-                    if s.getPath().getName().startswith("part-")
-                    and s.getLen() > 0
-                ]
-                if committed:
-                    raise
-                rows = []  # crashed first writer: no data file committed
+        rows = read_parquet_sidecar(spark, meta_path) or []
         if rows:
             row = rows[0]
             stored = (
-                row.hash_fn, row.num_perm, row.bands, row.shingle_n,
+                row["hash_fn"], row["num_perm"], row["bands"],
+                row["shingle_n"],
                 # pre-r12 stores carry no tokenizer field: they were
                 # built under the single-space tokenizer ("space-r1") —
                 # their shingle digests differ from the r12 whitespace
                 # tokenizer's on any multi-line text, so they must fail
                 # LOUDLY here instead of silently colliding on nothing
-                getattr(row, "tokenizer", None) or "space-r1",
+                row.get("tokenizer") or "space-r1",
             )
             if stored != mine:
                 raise ValueError(
@@ -1534,11 +1525,11 @@ class MinHashIndex:
                 "committed); read-only access cannot stamp a config — "
                 "build() or add() first."
             )
-        spark.createDataFrame(
-            [mine],
+        write_parquet_sidecar(
+            spark, meta_path, [mine],
             "hash_fn string, num_perm int, bands int, shingle_n int, "
             "tokenizer string",
-        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        )
 
     def build(self, table: FeatureTable, text_col: str = "text") -> None:
         """Full (re)build: index every document of ``table``."""
@@ -2642,41 +2633,32 @@ class GramIndex:
         reading a position store (or vice versa) would mis-shape every
         probe. ``write_if_missing=False`` (the READ-ONLY paths: check,
         retro) verifies without ever creating the sidecar — a reader
-        must not stamp its own config onto a store it never built."""
-        from ralf_spark.connectors import _hadoop_fs
+        must not stamp its own config onto a store it never built.
 
+        r15: driver-side sidecar read/write (guide §5) — see
+        ``MinHashIndex._check_or_write_meta``."""
+        from ralf_spark.connectors import (
+            read_parquet_sidecar,
+            write_parquet_sidecar,
+        )
         from ralf_spark.functions.text import tokenizer_version
 
         meta_path = f"{self.path}/_meta"
-        fs, jmeta = _hadoop_fs(spark, meta_path)
         mine = (
             self.hash_fn, self.min_tokens, self.count_mode,
             tokenizer_version(self.token_mode),
         )
-        rows = []
-        if fs.exists(jmeta):
-            try:
-                rows = spark.read.parquet(meta_path).collect()
-            except Exception:
-                committed = [
-                    s
-                    for s in fs.listStatus(jmeta)
-                    if s.getPath().getName().startswith("part-")
-                    and s.getLen() > 0
-                ]
-                if committed:
-                    raise
-                rows = []
+        rows = read_parquet_sidecar(spark, meta_path) or []
         if rows:
             # pre-r12 stores lack the count_mode column (membership
             # mode) and the tokenizer column (single-space tokenizer) —
             # the latter MUST mismatch loudly: its gram digests differ
             # on any multi-line text under the r12 whitespace tokenizer
             stored = (
-                rows[0].hash_fn,
-                rows[0].min_tokens,
-                bool(getattr(rows[0], "count_mode", False) or False),
-                getattr(rows[0], "tokenizer", None) or "space-r1",
+                rows[0]["hash_fn"],
+                rows[0]["min_tokens"],
+                bool(rows[0].get("count_mode") or False),
+                rows[0].get("tokenizer") or "space-r1",
             )
             if stored != mine:
                 raise ValueError(
@@ -2694,11 +2676,11 @@ class GramIndex:
                 "read-only access cannot stamp a config — build() or "
                 "add() first."
             )
-        spark.createDataFrame(
-            [mine],
+        write_parquet_sidecar(
+            spark, meta_path, [mine],
             "hash_fn string, min_tokens int, count_mode boolean, "
             "tokenizer string",
-        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        )
 
     def _handoff_root(self, spark) -> None:
         """In concurrent-adds mode (r14), exclusive operations RELEASE

@@ -858,21 +858,39 @@ class IvfIndex:
             release_writer_lease(spark, self.path)
 
     def _cen_rows(self, spark) -> list[tuple[int, list[float]]]:
-        rows = spark.read.parquet(f"{self.path}/centroids").collect()
+        """Stored coarse quantizer, read DRIVER-side (r15, guide §5):
+        the centroid set is nlist × dim doubles — KBs that every query/
+        add/build path needs on the driver anyway, so the old
+        ``spark.read.parquet(...).collect()`` paid a Spark job per call
+        for nothing. The sidecar helper streams the committed part files
+        through the Hadoop FS API (any filesystem) + pyarrow."""
+        from ralf_spark.connectors import read_parquet_sidecar
+
+        rows = read_parquet_sidecar(spark, f"{self.path}/centroids")
+        if not rows:
+            raise FileNotFoundError(
+                f"IvfIndex at {self.path} has no committed centroids "
+                "(never built, or a build crashed before the quantizer "
+                "committed); build() first."
+            )
         return sorted(
             (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
             for r in rows
         )
 
     def _load_books(self, spark) -> list[list[list[float]]] | None:
-        """Stored PQ codebooks, or None for a plain-IVF index."""
-        from ralf_spark.connectors import _hadoop_fs
+        """Stored PQ codebooks, or None for a plain-IVF index.
+        Driver-side sidecar read (r15) — see ``_cen_rows``."""
+        from ralf_spark.connectors import read_parquet_sidecar
 
-        books_path = f"{self.path}/pq_books"
-        fs, jbooks = _hadoop_fs(spark, books_path)
-        if not fs.exists(jbooks):
+        rows = read_parquet_sidecar(spark, f"{self.path}/pq_books")
+        if rows is None:
             return None
-        rows = spark.read.parquet(books_path).collect()
+        if not rows:
+            raise FileNotFoundError(
+                f"IvfIndex at {self.path}: pq_books exists but holds no "
+                "committed part file (crashed codebook write); rebuild."
+            )
         by_sub: dict[int, dict[int, list[float]]] = {}
         for r in rows:
             by_sub.setdefault(int(r["subspace"]), {})[int(r["code"])] = [
@@ -886,14 +904,18 @@ class IvfIndex:
     def _load_sq8_bounds(
         self, spark
     ) -> list[tuple[float, float]] | None:
-        """Stored SQ8 per-dimension bounds, or None (not an SQ8 index)."""
-        from ralf_spark.connectors import _hadoop_fs
+        """Stored SQ8 per-dimension bounds, or None (not an SQ8 index).
+        Driver-side sidecar read (r15) — see ``_cen_rows``."""
+        from ralf_spark.connectors import read_parquet_sidecar
 
-        bounds_path = f"{self.path}/sq8_bounds"
-        fs, jb = _hadoop_fs(spark, bounds_path)
-        if not fs.exists(jb):
+        rows = read_parquet_sidecar(spark, f"{self.path}/sq8_bounds")
+        if rows is None:
             return None
-        rows = spark.read.parquet(bounds_path).collect()
+        if not rows:
+            raise FileNotFoundError(
+                f"IvfIndex at {self.path}: sq8_bounds exists but holds "
+                "no committed part file (crashed bounds write); rebuild."
+            )
         return [
             (float(r["lo"]), float(r["hi"]))
             for r in sorted(rows, key=lambda r: r["dim"])
@@ -1063,14 +1085,19 @@ class IvfIndex:
             fs.delete(jcells, True)
         books_path = f"{self.path}/pq_books"
         if codebooks is not None:
-            spark.createDataFrame(
+            # driver-side sidecar write (r15, guide §5): the codebooks
+            # are a driver-local list — no Spark job for KBs
+            from ralf_spark.connectors import write_parquet_sidecar
+
+            write_parquet_sidecar(
+                spark, books_path,
                 [
-                    (j, c, cv)
+                    (j, c, [float(x) for x in cv])
                     for j, book in enumerate(codebooks)
                     for c, cv in enumerate(book)
                 ],
                 "subspace int, code int, vec array<double>",
-            ).coalesce(1).write.mode("overwrite").parquet(books_path)
+            )
         else:
             fs2, jbooks = _hadoop_fs(spark, books_path)
             if fs2.exists(jbooks):
@@ -1091,10 +1118,14 @@ class IvfIndex:
             assigned = self._encode(assigned, codebooks)
         if sq8:
             bounds = sq8_bounds(assigned, "_v")
-            spark.createDataFrame(
-                [(d, lo, hi) for d, (lo, hi) in enumerate(bounds)],
+            from ralf_spark.connectors import write_parquet_sidecar
+
+            write_parquet_sidecar(
+                spark, bounds_path,
+                [(d, float(lo), float(hi))
+                 for d, (lo, hi) in enumerate(bounds)],
                 "dim int, lo double, hi double",
-            ).coalesce(1).write.mode("overwrite").parquet(bounds_path)
+            )
             assigned = sq8_encode(
                 assigned, bounds, vec_col="_v", out_col="_sq8",
                 keep_vec=True,

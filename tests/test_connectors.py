@@ -307,3 +307,50 @@ def test_redis_client_requires_redis_package_or_injected_client():
     c.hset("t", "k2", b"v2")
     c.delete("t")
     assert c.hlen("t") == 0
+
+
+def test_parquet_sidecar_roundtrip_and_tristate(spark, tmp_path):
+    """r15 driver-side sidecar IO: the helpers that replaced the
+    per-open Spark jobs on config pins / quantizer sidecars must (a)
+    round-trip rows bit-exactly, (b) keep the tri-state read semantics
+    (missing -> None, empty dir -> [], committed garbage -> raise), and
+    (c) stay byte-compatible with Spark's parquet reader/writer in BOTH
+    directions — old stores keep opening, new stores stay readable by
+    spark.read.parquet."""
+    from ralf_spark.connectors import (
+        read_parquet_sidecar,
+        write_parquet_sidecar,
+    )
+
+    p = str(tmp_path / "side")
+    # missing path
+    assert read_parquet_sidecar(spark, p) is None
+    # crashed writer: directory exists, no committed part file
+    (tmp_path / "side").mkdir()
+    assert read_parquet_sidecar(spark, p) == []
+    # round-trip, overwriting the empty dir
+    rows = [("md5", 8, None, True, 0.5, [1.0, 2.0])]
+    ddl = ("a string, b int, c bigint, d boolean, e double, "
+           "f array<double>")
+    write_parquet_sidecar(spark, p, rows, ddl)
+    got = read_parquet_sidecar(spark, p)
+    assert got == [
+        {"a": "md5", "b": 8, "c": None, "d": True, "e": 0.5,
+         "f": [1.0, 2.0]}
+    ]
+    # Spark can read what the driver-side writer committed
+    svals = spark.read.parquet(p).collect()[0]
+    assert (svals.a, svals.b, svals.c, svals.d, svals.e, list(svals.f)) \
+        == ("md5", 8, None, True, 0.5, [1.0, 2.0])
+    # and the driver-side reader can read what Spark committed
+    sp = str(tmp_path / "sparkside")
+    spark.createDataFrame([(1, "x")], "k int, v string").coalesce(
+        1
+    ).write.parquet(sp)
+    assert read_parquet_sidecar(spark, sp) == [{"k": 1, "v": "x"}]
+    # committed-but-unparseable raises (corruption stays loud)
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000-garbage.parquet").write_bytes(b"not parquet")
+    with pytest.raises(Exception):
+        read_parquet_sidecar(spark, str(bad))
