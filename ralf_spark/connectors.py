@@ -209,9 +209,33 @@ def write_parquet_sidecar(
         "double": pa.float64(),
         "array<double>": pa.list_(pa.float64()),
     }
+    # split on TOP-LEVEL commas only (angle-bracket depth aware), so a
+    # future nested type fails on the explicit check below instead of
+    # producing a garbled field list (ADVICE r15 low); unsupported types
+    # raise by name with the supported set — this writer is a deliberate
+    # 7-type contract for KB-scale config pins, not a general DDL parser.
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(schema_ddl):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(schema_ddl[start:i])
+            start = i + 1
+    parts.append(schema_ddl[start:])
     fields = []
-    for part in schema_ddl.split(","):
-        name, typ = part.split()
+    for part in parts:
+        name, typ = part.split(None, 1)
+        typ = typ.strip().lower()
+        if typ not in _ARROW_TYPES:
+            raise ValueError(
+                f"write_parquet_sidecar: unsupported sidecar field type "
+                f"{typ!r} for field {name!r}; supported types: "
+                f"{sorted(_ARROW_TYPES)} (sidecars are KB-scale config "
+                "pins — extend _ARROW_TYPES deliberately if a new pin "
+                "needs more)"
+            )
         fields.append(pa.field(name, _ARROW_TYPES[typ]))
     table = pa.Table.from_pylist(
         [dict(zip([f.name for f in fields], r)) for r in rows],

@@ -48,13 +48,28 @@ def load_fixture(
     sf_dir = sf_dir or DEFAULT_SF_DIR
     use_memo = os.environ.get("SPARK_GRAFT_FIXTURE_CACHE", "1") != "0"
     if use_memo:
+        # liveness guard (r16, ADVICE r15 low): a memo hit must never
+        # serve frames bound to a stopped SparkContext — getOrCreate can
+        # hand back the same Python session object across a JVM restart,
+        # and the cached DataFrames pin the session strongly, so the
+        # WeakKeyDictionary alone can't evict them. A stopped session's
+        # entries are dropped eagerly here (frees the leaked frames too).
         try:
-            memo = _FIXTURE_MEMO.setdefault(spark, {})
+            stopped = spark.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            stopped = False
+        try:
+            if stopped:
+                _FIXTURE_MEMO.pop(spark, None)
+                use_memo = False
+            else:
+                memo = _FIXTURE_MEMO.setdefault(spark, {})
         except TypeError:  # un-weakrefable session stub (tests/mocks)
             memo, use_memo = {}, False
-        hit = memo.get((sf_dir, name))
-        if hit is not None:
-            return hit
+        if use_memo:
+            hit = memo.get((sf_dir, name))
+            if hit is not None:
+                return hit
     key, ts, seq = FIXTURE_TABLES[name]
     # Fixture generations have stored event time three ways; normalize all
     # of them to TIMESTAMP_NTZ so every downstream plan sees one canonical
