@@ -282,6 +282,63 @@ _PROCESS_WRITER_ID = __import__("uuid").uuid4().hex
 #: non-empty to existence checks and be deleted by staged full rewrites.
 WRITER_LEASE_SUFFIX = ".writer_lease.json"
 
+#: store generation counter, also NEXT TO the store (r16, ADVICE r15
+#: low): every destructive exclusive operation (rebuild, compaction
+#: fold) bumps it at commit. A concurrent add records the epoch at its
+#: announce and re-reads it inside the publish critical section — a
+#: mismatch aborts the publish even when every lease involved has
+#: expired or been released, closing the lease-only fence's residual
+#: window (driver pause past TTL + exclusive op runs to completion →
+#: root lease already released → the lease fence passes vacuously).
+STORE_EPOCH_SUFFIX = ".store_epoch.json"
+
+
+def read_store_epoch(spark: SparkSession, path: str) -> int:
+    """Current store generation (0 for a store no exclusive op has ever
+    rewritten). Raises on a committed-but-unparseable sidecar: a torn
+    epoch must abort the publish that consults it, not pass it."""
+    sidecar = path.rstrip("/") + STORE_EPOCH_SUFFIX
+    fs, jpath = _hadoop_fs(spark, sidecar)
+    if not fs.exists(jpath):
+        return 0
+    return int(read_json_sidecar(spark, sidecar).get("epoch", 0))
+
+
+def bump_store_epoch(spark: SparkSession, path: str) -> int:
+    """Advance the store generation — called by exclusive operations at
+    the commit of a destructive rewrite (rebuild / compaction fold),
+    while they still hold the store root lease (so bumps never race
+    each other). Returns the new epoch."""
+    new = read_store_epoch(spark, path) + 1
+    write_json_sidecar(
+        spark, path.rstrip("/") + STORE_EPOCH_SUFFIX, {"epoch": new}
+    )
+    return new
+
+
+def check_store_epoch(
+    spark: SparkSession, path: str, expect_epoch: int | None
+) -> None:
+    """Publish-fence half of the epoch protocol: a concurrent add
+    records the epoch at announce and calls this inside its publish
+    critical section — a bump in between means an exclusive op rewrote
+    the store under the add (its announce lease must have lapsed), so
+    the publish aborts instead of committing a duplicate partition into
+    the rebuilt/compacted store. ``None`` (single-writer mode, where the
+    root lease is held for the whole lifecycle) skips the check."""
+    if expect_epoch is None:
+        return
+    cur = read_store_epoch(spark, path)
+    if cur != expect_epoch:
+        raise ConcurrentWriterError(
+            f"state store {path}: store epoch advanced from "
+            f"{expect_epoch} to {cur} while this add was in flight — an "
+            "exclusive operation (rebuild/compaction) ran to completion "
+            "meanwhile (this add's announce lease must have lapsed past "
+            "its TTL). Refusing to publish the batch into the rewritten "
+            "store; re-run the add."
+        )
+
 #: a crashed writer's lease expires after this long without a heartbeat
 #: (every guarded write renews); a successor then steals it. Bound it
 #: well above the longest micro-batch/maintenance cycle. Deployments

@@ -1406,6 +1406,7 @@ class MinHashIndex:
         rows: int | None = None,
         lease_path: str | None = None,
         writer_id: str | None = None,
+        expect_epoch: int | None = None,
     ) -> None:
         """Fold a projection into its ``_batch=<tag>`` partition. Dynamic
         overwrite touches ONLY the partitions present in ``df`` — replaying
@@ -1424,6 +1425,7 @@ class MinHashIndex:
         funnel into the writers."""
         from ralf_spark.connectors import (
             check_no_foreign_root_lease,
+            check_store_epoch,
             hold_writer_lease,
         )
 
@@ -1449,9 +1451,14 @@ class MinHashIndex:
                 # nobody contends the tag lease, so re-check the ROOT —
                 # if this add's announce ever lapsed and an exclusive op
                 # took over, fail loudly instead of publishing into its
-                # rebuilt/compacted store
+                # rebuilt/compacted store. r16 (ADVICE r15 low): plus the
+                # epoch compare — a COMPLETED exclusive op releases the
+                # root, so the lease check alone passes vacuously after.
                 check_no_foreign_root_lease(
                     df.sparkSession, self.path, writer_id=writer_id
+                )
+                check_store_epoch(
+                    df.sparkSession, self.path, expect_epoch
                 )
             (
                 out.withColumn("_batch", F.lit(tag))
@@ -1581,6 +1588,12 @@ class MinHashIndex:
             self._write(buckets, "buckets", "base", rows=n * self.bands)
         finally:
             sigs.unpersist()
+        # generation bump at rebuild commit (r16, ADVICE r15 low): a
+        # concurrent add whose announce lapsed while this ran now fails
+        # its epoch fence instead of publishing into the rebuilt store
+        from ralf_spark.connectors import bump_store_epoch
+
+        bump_store_epoch(spark, self.path)
         self._handoff_root(spark)
 
     def maintain(
@@ -1644,6 +1657,12 @@ class MinHashIndex:
                 spark, root, keep_last=keep_last,
                 target_file_bytes=target_file_bytes, sources=sources,
             )
+        if any(out.get(s) for s in ("sigs", "buckets")):
+            # a fold happened: bump the store generation so a lapsed
+            # concurrent add's publish fence observes it (r16)
+            from ralf_spark.connectors import bump_store_epoch
+
+            bump_store_epoch(spark, self.path)
         self._handoff_root(spark)
         return out
 
@@ -1689,6 +1708,7 @@ class MinHashIndex:
 
         tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
         lease_path: str | None = None
+        expect_epoch: int | None = None
         with ExitStack() as stack:
             if self.concurrent_adds:
                 # announce + KEEP the tag lease heartbeated through the
@@ -1699,6 +1719,13 @@ class MinHashIndex:
                         spark, self.path, tag, writer_id=writer_id
                     )
                 )
+                # record the store generation AT ANNOUNCE (r16, ADVICE
+                # r15 low): the publish fence compares it, closing the
+                # window where an exclusive op completes (and releases
+                # the root) during an announce-lease lapse
+                from ralf_spark.connectors import read_store_epoch
+
+                expect_epoch = read_store_epoch(spark, self.path)
             else:
                 # single-writer mode IGNORES writer_id (r15, ADVICE r14
                 # low): the handle's whole lifecycle (this acquire, the
@@ -1710,7 +1737,7 @@ class MinHashIndex:
                 acquire_writer_lease(spark, self.path)  # single-writer (r12)
             return self._add_guarded(
                 table, text_col, threshold, tag, broadcast_candidates,
-                lease_path, writer_id,
+                lease_path, writer_id, expect_epoch,
             )
 
     def _add_guarded(
@@ -1722,6 +1749,7 @@ class MinHashIndex:
         broadcast_candidates: bool | None,
         lease_path: str | None,
         writer_id: str | None,
+        expect_epoch: int | None = None,
     ) -> DataFrame:
         from pyspark.sql import Observation
 
@@ -1835,10 +1863,12 @@ class MinHashIndex:
         self._write(
             new_sigs, "sigs", tag, rows=n,
             lease_path=lease_path, writer_id=writer_id,
+            expect_epoch=expect_epoch,
         )
         self._write(
             new_buckets, "buckets", tag, rows=n * self.bands,
             lease_path=lease_path, writer_id=writer_id,
+            expect_epoch=expect_epoch,
         )
         return out
 
@@ -2621,9 +2651,11 @@ class GramIndex:
         rows: int,
         lease_path: str | None = None,
         writer_id: str | None = None,
+        expect_epoch: int | None = None,
     ) -> None:
         from ralf_spark.connectors import (
             check_no_foreign_root_lease,
+            check_store_epoch,
             hold_writer_lease,
         )
 
@@ -2642,9 +2674,15 @@ class GramIndex:
                 # concurrent-mode publish fence (r15, ADVICE r14 medium):
                 # nobody contends the tag lease, so re-check the ROOT —
                 # a TTL-overrun add must fail loudly here, not publish
-                # into a store an exclusive op rebuilt/compacted meanwhile
+                # into a store an exclusive op rebuilt/compacted meanwhile.
+                # r16 (ADVICE r15 low): plus the epoch compare — a
+                # COMPLETED exclusive op releases the root, so the lease
+                # check alone passes vacuously after the fact.
                 check_no_foreign_root_lease(
                     dg.sparkSession, self.path, writer_id=writer_id
+                )
+                check_store_epoch(
+                    dg.sparkSession, self.path, expect_epoch
                 )
             (
                 out.withColumn("_batch", F.lit(tag))
@@ -2755,6 +2793,12 @@ class GramIndex:
             self._write(dg, "base", rows=n)
         finally:
             dg.unpersist()
+        # generation bump at rebuild commit (r16, ADVICE r15 low): any
+        # concurrent add whose announce lapsed while this ran now fails
+        # its epoch fence instead of publishing into the rebuilt store
+        from ralf_spark.connectors import bump_store_epoch
+
+        bump_store_epoch(spark, self.path)
         self._handoff_root(spark)
 
     def _folded_tags(self, spark) -> set[str]:
@@ -2871,6 +2915,12 @@ class GramIndex:
             out["retro_watermark"] = self._advance_retro_watermark(
                 spark, out["grams"]
             )
+        if out["grams"]:
+            # a fold happened: bump the store generation so a lapsed
+            # concurrent add's publish fence observes it (r16)
+            from ralf_spark.connectors import bump_store_epoch
+
+            bump_store_epoch(spark, self.path)
         self._handoff_root(spark)
         return out
 
@@ -2931,6 +2981,7 @@ class GramIndex:
 
         tag = batch_tag if batch_tag is not None else f"u{uuid.uuid4().hex}"
         lease_path: str | None = None
+        expect_epoch: int | None = None
         with ExitStack() as stack:
             if self.concurrent_adds:
                 # announce + KEEP the tag lease heartbeated through the
@@ -2941,6 +2992,13 @@ class GramIndex:
                         spark, self.path, tag, writer_id=writer_id
                     )
                 )
+                # record the store generation AT ANNOUNCE (r16, ADVICE
+                # r15 low): the publish fence compares it, closing the
+                # window where an exclusive op completes (and releases
+                # the root) during an announce-lease lapse
+                from ralf_spark.connectors import read_store_epoch
+
+                expect_epoch = read_store_epoch(spark, self.path)
             else:
                 # single-writer mode IGNORES writer_id (r15, ADVICE r14
                 # low): the handle's whole lifecycle (this acquire, the
@@ -3029,11 +3087,13 @@ class GramIndex:
                 self._write(
                     pos, tag, rows=int(pos_obs.get["rows"]),
                     lease_path=lease_path, writer_id=writer_id,
+                    expect_epoch=expect_epoch,
                 )
             else:
                 self._write(
                     batch_dg, tag, rows=n_dg,
                     lease_path=lease_path, writer_id=writer_id,
+                    expect_epoch=expect_epoch,
                 )
         return out
 
@@ -3451,15 +3511,35 @@ class GramIndex:
             dup_pos = store.select("_id", "_pos").where(F.lit(False))
             return _positions_to_spans(dup_pos, self.min_tokens)
         cached: list = []
+        new_src = None
         if fuse_store_scan:
             # one store read feeds all four probe joins; memory-and-disk
-            # so a store larger than executor memory spills, never OOMs
+            # so a store larger than executor memory spills, never OOMs.
+            # r16 (VERDICT r15 #1): the fused projection also carries a
+            # 1-byte newness flag derived from the scanned file path, so
+            # the new-digest stage below reads THIS cache instead of
+            # paying a second parquet scan (+ decode) of the new tags —
+            # the store pass the cadence must do anyway covers both.
             from pyspark import StorageLevel
 
-            store = store.select("_id", "_pos", "_dg").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            cached.append(store)
+            new_tags = {self._tag_of(f) for f in new_files}
+            is_new = F.split(
+                F.split(F.col("_metadata.file_path"), "/_batch=")
+                .getItem(1),
+                "/",
+            ).getItem(0).isin(*new_tags)
+            # parallelize the CACHE, not just the scan (r16): the four
+            # probe stages each re-read this projection, and a store
+            # compacted into few files would pin every one of them to a
+            # near-single-task stage — serialized back to back under
+            # AQE. ensure_parallelism is metadata-only and a no-op at
+            # cluster scale (a 100 TB store already yields ~10^5 splits).
+            fused = ensure_parallelism(
+                store.select("_id", "_pos", "_dg", is_new.alias("_new"))
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            new_src = fused.where("_new").select("_dg")
+            store = fused.select("_id", "_pos", "_dg")
+            cached.append(fused)
 
         def counted(probe: DataFrame, hint: bool) -> DataFrame:
             """Corpus-wide occurrence count restricted to ``probe``'s
@@ -3511,13 +3591,20 @@ class GramIndex:
             return _choose_broadcast(broadcast_digests, probe.count)
 
         new_dg = (
-            spark.read.parquet(*new_files)
-            .select("_dg")
+            (
+                new_src
+                if new_src is not None
+                else spark.read.parquet(*new_files).select("_dg")
+            )
             .distinct()
             .persist()
         )
-        changed_dg = counted(new_dg, stage_hint(new_dg)).persist()
-        hint_c = stage_hint(changed_dg)
+        hint_n = stage_hint(new_dg)
+        changed_dg = counted(new_dg, hint_n).persist()
+        # changed_dg ⊆ new_dg's digests (it is new_dg filtered by corpus
+        # count), so a broadcast-safe stage 1 proves stage 2 safe — no
+        # second count job in the at-scale (non-small-store) regime (r16)
+        hint_c = True if hint_n else stage_hint(changed_dg)
         touched = (
             store.join(
                 F.broadcast(changed_dg) if hint_c else changed_dg, "_dg"

@@ -979,6 +979,7 @@ class IvfIndex:
         mode: str,
         lease_path: str | None = None,
         writer_id: str | None = None,
+        expect_epoch: int | None = None,
     ) -> None:
         """Fold an assigned projection into its ``_batch=<tag>`` subtree.
         Dynamic overwrite touches only the ``(cell, _batch)`` directories
@@ -995,6 +996,7 @@ class IvfIndex:
         count (cells ∝ √corpus keeps that bounded)."""
         from ralf_spark.connectors import (
             check_no_foreign_root_lease,
+            check_store_epoch,
             hold_writer_lease,
         )
 
@@ -1010,9 +1012,15 @@ class IvfIndex:
                 # concurrent-mode publish fence (r15, ADVICE r14 medium):
                 # nobody contends the tag lease, so re-check the ROOT —
                 # a TTL-overrun add must fail loudly here, not publish
-                # into a store an exclusive op rebuilt/compacted meanwhile
+                # into a store an exclusive op rebuilt/compacted meanwhile.
+                # r16 (ADVICE r15 low): plus the epoch compare — a
+                # COMPLETED exclusive op releases the root, so the lease
+                # check alone passes vacuously after the fact.
                 check_no_foreign_root_lease(
                     assigned.sparkSession, self.path, writer_id=writer_id
+                )
+                check_store_epoch(
+                    assigned.sparkSession, self.path, expect_epoch
                 )
             (
                 assigned.withColumn("_batch", F.lit(tag))
@@ -1117,7 +1125,9 @@ class IvfIndex:
         if codebooks is not None:
             assigned = self._encode(assigned, codebooks)
         if sq8:
-            bounds = sq8_bounds(assigned, "_v")
+            # dim from the centroid literals already on the driver (r16,
+            # VERDICT r15 #4): no probe row, one fixed-width agg job
+            bounds = sq8_bounds(assigned, "_v", dim=len(cen_rows[0][1]))
             from ralf_spark.connectors import write_parquet_sidecar
 
             write_parquet_sidecar(
@@ -1131,6 +1141,10 @@ class IvfIndex:
                 keep_vec=True,
             )
         self._write_cells(assigned, "base", "overwrite")
+        # generation bump at rebuild commit (r16, ADVICE r15 low)
+        from ralf_spark.connectors import bump_store_epoch
+
+        bump_store_epoch(spark, self.path)
         self._handoff_root(spark)
 
     def add(
@@ -1162,6 +1176,7 @@ class IvfIndex:
 
         tag = batch_tag if batch_tag is not None else uuid.uuid4().hex[:12]
         lease_path: str | None = None
+        expect_epoch: int | None = None
         with ExitStack() as stack:
             if self.concurrent_adds:
                 # announce + KEEP the tag lease heartbeated through the
@@ -1172,6 +1187,11 @@ class IvfIndex:
                         spark, self.path, tag, writer_id=writer_id
                     )
                 )
+                # record the store generation AT ANNOUNCE (r16, ADVICE
+                # r15 low) — the publish fence compares it
+                from ralf_spark.connectors import read_store_epoch
+
+                expect_epoch = read_store_epoch(spark, self.path)
             else:
                 # single-writer mode IGNORES writer_id (r15, ADVICE r14
                 # low): the handle's whole lifecycle (this acquire, the
@@ -1204,6 +1224,7 @@ class IvfIndex:
             self._write_cells(
                 assigned, tag, "overwrite",
                 lease_path=lease_path, writer_id=writer_id,
+                expect_epoch=expect_epoch,
             )
 
     def maintain(
@@ -1257,6 +1278,12 @@ class IvfIndex:
             spark, root, keep_last=keep_last,
             target_file_bytes=target_file_bytes, sources=sources,
         )
+        if out:
+            # a fold happened: bump the store generation so a lapsed
+            # concurrent add's publish fence observes it (r16)
+            from ralf_spark.connectors import bump_store_epoch
+
+            bump_store_epoch(spark, self.path)
         self._handoff_root(spark)
         return out
 
@@ -2197,26 +2224,46 @@ def exact_rerank(
 
 
 def sq8_bounds(
-    df: DataFrame, vec_col: str = "embedding"
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> list[tuple[float, float]]:
     """Per-dimension (min, max) over the corpus — the SQ8 codebook.
 
-    One posexplode + groupBy(dim) pass with map-side partial min/max (the
-    shuffle carries dims x partitions rows, not the corpus), then a
-    dim-row collect — the same k-row quantizer-literal contract as the
-    k-means centroids and PQ codebooks. min/max are order-independent
-    and exact in IEEE doubles, so any engine recomputing these bounds
-    gets bit-identical values (the oracle relies on this)."""
-    rows = (
-        df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
-                  .alias("_d", "_x"))
-        .groupBy("_d")
-        .agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
-        .collect()
+    r16 (VERDICT r15 #4): one FIXED-WIDTH global aggregate — two
+    array-of-aggregates expressions (min/max per dimension), each a
+    single SQL parse — instead of the posexplode + groupBy(dim) pass.
+    The explode multiplied the aggregation input ``dim``× (at 100 TB a
+    64-dim corpus pushed 64× the rows through the partial agg) and the
+    grouped shuffle + dim-row collect cost a grouping exchange the
+    global agg's single-row exchange replaces. min/max are
+    order-independent and exact in IEEE doubles, so the values are
+    bit-identical to the grouped spelling (the oracle relies on this).
+
+    ``dim`` callers that already hold the dimensionality driver-side
+    (centroid literals, stored bounds) pass it for a zero-probe build;
+    otherwise one row is fetched to learn it (a LocalLimit early-exit
+    task, not a scan)."""
+    v = F.col(vec_col).cast("array<double>")
+    if dim is None:
+        probe = df.select(v.alias("_v")).first()
+        if probe is None:
+            return []
+        dim = len(probe["_v"])
+    lo_sql = "array(" + ",".join(
+        f"min(element_at(_v,{i + 1}))" for i in range(dim)
+    ) + ")"
+    hi_sql = "array(" + ",".join(
+        f"max(element_at(_v,{i + 1}))" for i in range(dim)
+    ) + ")"
+    row = (
+        df.select(v.alias("_v"))
+        .agg(F.expr(lo_sql).alias("_lo"), F.expr(hi_sql).alias("_hi"))
+        .first()
     )
+    if row["_lo"] is None or any(x is None for x in row["_lo"]):
+        return []  # empty corpus (grouped spelling returned no rows)
     return [
-        (float(r["_lo"]), float(r["_hi"]))
-        for r in sorted(rows, key=lambda r: r["_d"])
+        (float(lo), float(hi))
+        for lo, hi in zip(row["_lo"], row["_hi"])
     ]
 
 
@@ -2451,7 +2498,8 @@ def ivf_sq8_topk(
         )
     ).withColumn("_cell", nearest_cells(cen_rows, "_v", 1)[0])
     if bounds is None:
-        bounds = sq8_bounds(emb, "_v")
+        # dim from the centroid literals already on the driver (r16)
+        bounds = sq8_bounds(emb, "_v", dim=len(cen_rows[0][1]))
     enc = sq8_encode(emb, bounds, vec_col="_v", out_col="_codes").select(
         "neighbor_id", "_cell", _sq8_rec("_codes", bounds).alias("_rec")
     )

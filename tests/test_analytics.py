@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from ralf_spark.operators.analytics import cohort_retention, funnel_stages
@@ -16,6 +18,7 @@ def _ev(spark, rows):
     )
 
 
+@pytest.mark.slow
 def test_funnel_strict_ordering_and_stage_reached(spark):
     ev = _ev(
         spark,

@@ -53,6 +53,7 @@ def _rows(df, cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
+@pytest.mark.slow
 def test_bucketed_sketch_sinks_equal_legacy(spark, tmp_path, batches):
     d = str(tmp_path)
     for i, b in enumerate(batches):
@@ -89,6 +90,7 @@ def test_bucketed_sketch_sinks_equal_legacy(spark, tmp_path, batches):
     )
 
 
+@pytest.mark.slow
 def test_bucketed_fold_sinks_equal_legacy(spark, tmp_path, batches):
     d = str(tmp_path)
     for i, b in enumerate(batches):
@@ -112,6 +114,7 @@ def test_bucketed_fold_sinks_equal_legacy(spark, tmp_path, batches):
         ) == _rows(read_bucketed_state(spark, f"{d}/{buc}"), cols)
 
 
+@pytest.mark.slow
 def test_bucketed_replay_skips_nonidempotent_folds(spark, tmp_path, batches):
     d = str(tmp_path)
     cb = cms_upsert_batch(f"{d}/c", "k", depth=4, width=32, buckets=4)
@@ -160,6 +163,7 @@ def test_partial_commit_heals_on_replay(spark, tmp_path, batches):
     ) == full
 
 
+@pytest.mark.slow
 def test_append_log_sinks_equal_legacy(spark, tmp_path, batches):
     """r10 append-log spelling: O(batch) writes, merge-on-read estimates
     equal the legacy merged state exactly; replay rewrites its own

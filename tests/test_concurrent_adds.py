@@ -64,6 +64,7 @@ def _run_concurrently(*fns):
         raise errors[0]
 
 
+@pytest.mark.slow
 def test_gram_concurrent_adds_fold_equals_serial(spark, tmp_path):
     """Two workers add disjoint batches to one GramIndex concurrently:
     both land (no ConcurrentWriterError), and the folded store — and a
@@ -174,6 +175,7 @@ def test_gram_same_tag_concurrent_writers_conflict(spark, tmp_path):
     release_add_lease(spark, idx.path, "tA", writer_id="worker-a")
 
 
+@pytest.mark.slow
 def test_minhash_concurrent_adds_fold_equals_serial(spark, tmp_path):
     """Two workers add disjoint batches to one MinHashIndex: the folded
     store serves the same read-only check() as serial ingest."""
@@ -214,6 +216,7 @@ def test_minhash_concurrent_adds_fold_equals_serial(spark, tmp_path):
     assert after == want
 
 
+@pytest.mark.slow
 def test_ivf_concurrent_adds_fold_equals_serial(spark, tmp_path):
     """Two workers fold vector batches into one IvfIndex: assignment
     under the frozen quantizer is deterministic and each batch owns its
@@ -269,6 +272,7 @@ def test_ivf_concurrent_adds_fold_equals_serial(spark, tmp_path):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_multi_stream_index_ingest_needs_unique_tag_prefixes(
     spark, tmp_path
 ):

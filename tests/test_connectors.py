@@ -85,6 +85,7 @@ def _make(kind, tmp_path):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["memory", "parquet", "sqlite", "kv", "kv-redis"])
 def test_connector_crud_contract(spark, tmp_path, kind):
     con = _make(kind, tmp_path)
@@ -151,6 +152,7 @@ def test_sqlite_rejects_unsupported_types(spark, tmp_path):
         con.save(t)
 
 
+@pytest.mark.slow
 def test_sqlite_roundtrips_timestamp_state(spark, tmp_path):
     """The engine's canonical event state carries a TimestampType ts column;
     sqlite stores it as epoch micros and restores the type on load."""
@@ -202,6 +204,7 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_right_t")
 
 
+@pytest.mark.slow
 def test_kv_roundtrips_timestamp_state(spark):
     import datetime as dt
 
@@ -309,6 +312,7 @@ def test_redis_client_requires_redis_package_or_injected_client():
     assert c.hlen("t") == 0
 
 
+@pytest.mark.slow
 def test_parquet_sidecar_roundtrip_and_tristate(spark, tmp_path):
     """r15 driver-side sidecar IO: the helpers that replaced the
     per-open Spark jobs on config pins / quantizer sidecars must (a)
@@ -354,3 +358,73 @@ def test_parquet_sidecar_roundtrip_and_tristate(spark, tmp_path):
     (bad / "part-00000-garbage.parquet").write_bytes(b"not parquet")
     with pytest.raises(Exception):
         read_parquet_sidecar(spark, str(bad))
+
+
+def test_store_epoch_roundtrip_and_fence(spark, tmp_path):
+    """r16 (ADVICE r15 low): the store-generation fence — exclusive ops
+    bump, concurrent adds compare at publish. A bump between the two
+    aborts even when every lease involved has expired/been released."""
+    from ralf_spark.connectors import (
+        ConcurrentWriterError,
+        bump_store_epoch,
+        check_store_epoch,
+        read_store_epoch,
+    )
+
+    p = str(tmp_path / "store")
+    assert read_store_epoch(spark, p) == 0
+    check_store_epoch(spark, p, 0)       # unchanged: publish proceeds
+    check_store_epoch(spark, p, None)    # single-writer mode: skipped
+    assert bump_store_epoch(spark, p) == 1
+    assert read_store_epoch(spark, p) == 1
+    with pytest.raises(ConcurrentWriterError):
+        check_store_epoch(spark, p, 0)   # rewrite happened: abort
+    check_store_epoch(spark, p, 1)
+    assert bump_store_epoch(spark, p) == 2
+
+
+@pytest.mark.slow
+def test_exclusive_ops_bump_store_epoch(spark, tmp_path):
+    """Rebuilds advance the generation the publish fence compares."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.connectors import read_store_epoch
+    from ralf_spark.operators.dedup import GramIndex
+    from ralf_spark.table import FeatureTable
+
+    docs = FeatureTable(
+        spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta eta theta iota")
+             for i in range(4)],
+            "doc_id bigint, text string",
+        ),
+        key="doc_id",
+    )
+    p = str(tmp_path / "gi")
+    idx = GramIndex(p, min_tokens=8)
+    assert read_store_epoch(spark, p) == 0
+    idx.build(docs)
+    assert read_store_epoch(spark, p) == 1
+    idx.build(docs)  # re-build bumps again
+    assert read_store_epoch(spark, p) == 2
+
+
+def test_footer_rows_via_file_scheme_hadoop_path(spark, tmp_path):
+    """r16 (VERDICT r15 #5): the parquet footer row count must be
+    readable through the Hadoop FS API under an explicit scheme (the
+    remote-filesystem code path), not only from a bare local path, and
+    both paths must agree."""
+    from ralf_spark.operators.dedup import GramIndex
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 1234).coalesce(1).write.parquet(p)
+    files = [
+        f for f in __import__("os").listdir(p) if f.endswith(".parquet")
+    ]
+    local = f"{p}/{files[0]}"
+    # bare local path (fast path)
+    assert GramIndex._footer_rows([local], spark) == 1234
+    # file:// scheme without spark -> local fast path still works
+    assert GramIndex._footer_rows([f"file://{local}"], spark) == 1234
+    # force the remote (seek-to-tail Hadoop stream) path directly
+    assert GramIndex._footer_rows_remote(spark, f"file://{local}") == 1234

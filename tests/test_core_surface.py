@@ -97,6 +97,7 @@ def test_per_key_slide_plan(spark):
     assert pos == {("a", 3), ("a", 4), ("a", 5), ("a", 6), ("b", 3), ("b", 5)}
 
 
+@pytest.mark.slow
 def test_sliding_window_strategies_identical(spark):
     """The explode (large-window) plan must produce byte-identical output
     to the rows-frame plan — same rows, same schema — including per-key

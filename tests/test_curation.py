@@ -385,6 +385,7 @@ def test_dsir_bucket_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_pipeline_oracles_honor_non_default_parameters(spark):
     """The ADVICE-r4 ignored-parameter bug class, applied to the two
     composition gates: rebuild BOTH pipelines at alternate knob settings

@@ -30,6 +30,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_minhash_index_maintain_preserves_rows_and_pairs(spark, tmp_path):
     path = str(tmp_path / "idx")
     twin = str(tmp_path / "twin")
@@ -61,6 +62,7 @@ def test_minhash_index_maintain_preserves_rows_and_pairs(spark, tmp_path):
     assert again["sigs"] is None or again["sigs"]["compacted_tags"] >= 2
 
 
+@pytest.mark.slow
 def test_ivf_index_maintain_preserves_query_results(spark, tmp_path):
     import numpy as np
 
@@ -153,6 +155,7 @@ def test_compaction_manifest_recovery(spark, tmp_path):
     assert _rows(idx._read(spark, "sigs")) == want  # ctag2 replaced b0
 
 
+@pytest.mark.slow
 def test_minhash_auto_maintain_cadence(spark, tmp_path):
     """r11 (VERDICT r10 #1): with auto_maintain=N, a feed loop with ZERO
     manual maintain() calls keeps the batch-partition count bounded at
@@ -192,6 +195,7 @@ def test_minhash_auto_maintain_cadence(spark, tmp_path):
     assert _rows(idx._read(spark, "sigs")) == _rows(ref._read(spark, "sigs"))
 
 
+@pytest.mark.slow
 def test_ivf_auto_maintain_cadence(spark, tmp_path):
     import numpy as np
 
@@ -253,6 +257,7 @@ def test_ivf_auto_maintain_cadence(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_append_log_auto_maintain_cadence(spark, tmp_path):
     """The sketch append log self-compacts past the threshold; estimates
     stay exact and the dir count stays bounded with zero manual calls."""
@@ -287,6 +292,7 @@ def test_append_log_auto_maintain_cadence(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_pairs_log_auto_maintain_and_replay_guard(spark, tmp_path):
     """r11: the streaming dedup sink's pairs log self-compacts past the
     threshold (plain concatenation — pair rows need no merge), folded
@@ -392,6 +398,7 @@ def test_tiered_compaction_sources_selection(spark, tmp_path):
     assert tiered_compaction_sources(spark, root) == comp + ["b1"]
 
 
+@pytest.mark.slow
 def test_minhash_tier2_full_fold(spark, tmp_path):
     """Driving maintain(tiered=True) repeatedly collapses to ONE
     compacted partition once the tier fills — the full fold really

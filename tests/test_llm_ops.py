@@ -151,6 +151,7 @@ def test_choose_broadcast_tristate():
     ) is False
 
 
+@pytest.mark.slow
 def test_minhash_index_add_spelling_knob_identical(spark, tmp_path):
     """r9: MinHashIndex.add under forced-broadcast, forced-shuffle and
     auto-with-zero-limit returns the same pair set as the default."""
@@ -440,6 +441,7 @@ def test_dedup_clusters_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
 
 
+@pytest.mark.slow
 def test_minhash_index_incremental_rounds(spark, tmp_path):
     """The index must accumulate: a doc added in round 1 is found as a
     near-dup of a doc added in round 2, and round 2 never re-hashes or
@@ -475,6 +477,7 @@ def test_minhash_index_incremental_rounds(spark, tmp_path):
     assert (1, 3) not in p2        # old-vs-old never re-emitted
 
 
+@pytest.mark.slow
 def test_minhash_index_add_replay_is_idempotent(spark, tmp_path):
     """Re-running add() with the same batch_tag (a micro-batch replay
     after failure) must REPLACE the batch's partition, not duplicate it:
@@ -749,6 +752,7 @@ def test_simhash_near_dup_pairs_pigeonhole_recall_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_simhash_block_tables_equal_default_banding(spark):
     """r8: the Manku block-combination generalization (``blocks`` knob)
     must produce IDENTICAL output to the minimum-band spelling for every
@@ -979,6 +983,7 @@ def test_ivf_index_add_replay_idempotent(spark, tmp_path):
     assert got == [(3, 1), (1, 2)]
 
 
+@pytest.mark.slow
 def test_ivf_index_readd_updated_vector_dedups_all_paths(spark, tmp_path):
     """ADVICE r7: an id re-added under a NEW batch_tag with an UPDATED
     vector exists in two _batch partitions with different values —
@@ -1269,6 +1274,7 @@ def test_ivf_pq_topk_matches_numpy_composition(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_exact_rerank_full_shortlist_equals_bruteforce(spark):
     """exact_rerank (r7): re-ranking a shortlist that contains EVERY
     candidate must reproduce the brute-force cosine top-k exactly
@@ -1307,6 +1313,7 @@ def test_exact_rerank_full_shortlist_equals_bruteforce(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ivf_index_pq_mode_adc_and_rerank(spark, tmp_path):
     """IVF-PQ persistent index (r7): codes stored next to the vectors,
     adc query equals the one-shot ivf_pq_topk, the adc scan READS ONLY
@@ -1386,6 +1393,7 @@ def test_ivf_index_pq_mode_adc_and_rerank(spark, tmp_path):
         plain.query(qdf, method="adc")
 
 
+@pytest.mark.slow
 def test_ivf_index_sq8_mode_query_add_rerank(spark, tmp_path):
     """IVF-SQ8 persistent index (r12): bounds frozen at build, sq8 query
     equals the one-shot ivf_sq8_topk, the sq8 scan reads only the code
@@ -1681,6 +1689,7 @@ def test_two_level_cells_restriction_is_deterministic_and_covering():
     assert a.query(v, 2, 1) == nearest_cells_driver(a.groups[g], v, 2)
 
 
+@pytest.mark.slow
 def test_ivf_index_query_two_level_matches_exact_on_clustered(spark, tmp_path):
     """End-to-end: IvfIndex.query(coarse_probe=...) — wide coarse_probe
     must return EXACTLY the default flat-scan results; coarse_probe=1 on
@@ -1724,6 +1733,7 @@ def test_ivf_index_query_two_level_matches_exact_on_clustered(spark, tmp_path):
     assert narrow == base  # well-separated: the true group is probed
 
 
+@pytest.mark.slow
 def test_ivf_index_query_auto_two_level_boundary(spark, tmp_path):
     """r10 (VERDICT r9 #2): coarse_probe='auto' (the new default) picks
     the exact flat scan below TWO_LEVEL_AUTO_MIN_K centroids and the
@@ -1799,6 +1809,7 @@ def test_ivf_index_query_auto_two_level_boundary(spark, tmp_path):
     assert not [w for w in rec if "coarse_probe" in str(w.message)]
 
 
+@pytest.mark.slow
 def test_ivf_index_rebuild_clears_two_level_cache(spark, tmp_path):
     """ADVICE r9: an equal-cardinality re-build with DIFFERENT centroids
     must not serve queries through the stale coarse grouping."""
@@ -1866,6 +1877,7 @@ def test_ivf_index_rebuild_clears_two_level_cache(spark, tmp_path):
     assert got == fresh and len(got) == 3
 
 
+@pytest.mark.slow
 def test_ivf_recall_clustered_gate_floor(spark):
     """r9 (VERDICT r8 #3): the clustered-recall evidence is now a gate,
     not a script artifact — assert the documented floor so a regression
@@ -1885,6 +1897,7 @@ def test_ivf_recall_clustered_gate_floor(spark):
     assert max(recalls) == 1.0  # well-inside-cluster queries are exact
 
 
+@pytest.mark.slow
 def test_kmeans_plusplus_seeding_lifts_recall(spark):
     """r12 (VERDICT r11 #4): k-means++ seeding must (a) spread seeds
     across the true clusters, (b) train a quantizer whose nprobe=1 IVF
@@ -1954,6 +1967,7 @@ def test_kmeans_plusplus_seeding_lifts_recall(spark):
     assert kpp_recall > bad_recall, (kpp_recall, bad_recall)
 
 
+@pytest.mark.slow
 def test_pq_rerank_recall_clustered_gate_floor(spark):
     """r9 companion to the IVF recall gate: PQ ADC top-50 + exact rerank
     top-10 on the clustered MoG corpus must keep mean recall@10 >= 0.9 —
@@ -2027,6 +2041,7 @@ def test_duplicate_spans_matches_bruteforce(spark):
     assert [r for r in got if r[0] == 1] and [r for r in got if r[0] == 2]
 
 
+@pytest.mark.slow
 def test_duplicate_spans_xxhash64_mode_identical(spark):
     from ralf_spark.operators.dedup import duplicate_span_ranges
 
@@ -2186,6 +2201,7 @@ def _gram_batches():
     return b1, b2, b3
 
 
+@pytest.mark.slow
 def test_gram_index_sequential_adds_match_batch_detector(spark, tmp_path):
     from ralf_spark.operators.dedup import GramIndex
 
@@ -2208,6 +2224,7 @@ def test_gram_index_sequential_adds_match_batch_detector(spark, tmp_path):
     assert any(r[0] == 4 for r in _brute_spans(seen, 8))
 
 
+@pytest.mark.slow
 def test_gram_index_add_replay_is_idempotent(spark, tmp_path):
     from ralf_spark.operators.dedup import GramIndex
 
@@ -2248,6 +2265,7 @@ def test_gram_index_config_pin_raises(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_gram_index_maintain_folds_distinct_membership(spark, tmp_path):
     from ralf_spark.operators.dedup import GramIndex
 
@@ -2275,6 +2293,7 @@ def test_gram_index_maintain_folds_distinct_membership(spark, tmp_path):
     assert got == want and got  # doc 5 duplicates doc 2's stored text
 
 
+@pytest.mark.slow
 def test_ivf_sq8_full_probe_equals_flat_adc(spark):
     """Probing every cell must reduce IVF-SQ8 to the flat SQ8 ADC search
     (cells partition the corpus; the union of all cells is the corpus)."""
@@ -2306,6 +2325,7 @@ def test_ivf_sq8_full_probe_equals_flat_adc(spark):
     assert ivf == flat and flat
 
 
+@pytest.mark.slow
 def test_gram_index_auto_maintain_cadence(spark, tmp_path):
     """add() self-compacts once more than auto_maintain batch partitions
     exist, and the compaction never changes what later adds see."""
@@ -2375,6 +2395,7 @@ def test_cross_corpus_duplicate_spans(spark):
     assert got == [(1, 3, 7, 5)]
 
 
+@pytest.mark.slow
 def test_gram_index_check_is_read_only_and_cross_corpus(spark, tmp_path):
     """r12: check() detects spans vs the STORE without folding the
     batch in — the store is byte-stable across checks, within-batch
@@ -2405,6 +2426,7 @@ def test_gram_index_check_is_read_only_and_cross_corpus(spark, tmp_path):
     assert with_self == added
 
 
+@pytest.mark.slow
 def test_gram_index_tokenizer_pin_and_readonly_meta(spark, tmp_path):
     """r12 review: (a) a store built under the pre-r12 single-space
     tokenizer (meta without the tokenizer column) must be REFUSED — its
@@ -2448,6 +2470,7 @@ def test_gram_index_tokenizer_pin_and_readonly_meta(spark, tmp_path):
         MinHashIndex(legacy2).add(docs)
 
 
+@pytest.mark.slow
 def test_gram_index_replay_of_folded_tag_raises(spark, tmp_path):
     """A batch_tag already folded by maintain() must be REFUSED loudly
     (r12): the fold renamed its digests into the compacted partition, so
@@ -2482,6 +2505,7 @@ def test_gram_index_replay_of_folded_tag_raises(spark, tmp_path):
     assert replay == before
 
 
+@pytest.mark.slow
 def test_gram_index_count_mode_retro_matches_batch_detector(spark, tmp_path):
     """count_mode (r12): build(A); add(B); retro() must equal the batch
     span detector over A ∪ B for ALL documents — including the earlier
@@ -2626,6 +2650,7 @@ def test_cdc_chunks_partition_and_edit_stability(spark):
     assert common >= max(1, len(h1) - 3), (len(h1), len(h2), common)
 
 
+@pytest.mark.slow
 def test_gram_index_rollback_unrecords_falsely_folded_tags(spark, tmp_path):
     """r13 (ADVICE r12): a maintain() crash BETWEEN the folded-tag record
     and the compaction's done marker rolls the fold back (source
@@ -2679,6 +2704,7 @@ def test_gram_index_rollback_unrecords_falsely_folded_tags(spark, tmp_path):
         idx.add(_docs(spark, list(b2.items())), batch_tag="t1")
 
 
+@pytest.mark.slow
 def test_sq8_query_vector_dim_guard_raises(spark, tmp_path):
     """r13 (ADVICE r12): the QUERY side of the SQ8 search is dim-guarded
     like the corpus side — a mis-dimensioned query vector raised loudly
@@ -2753,6 +2779,7 @@ def test_kmeans_plusplus_zero_norm_rows_never_truncate_seeds(spark):
     assert 99 not in {r.seed_id for r in seeds}
 
 
+@pytest.mark.slow
 def test_unicode_tokens_normalize_and_split(spark):
     """r13 (VERDICT r12 #2): token_mode='unicode' = NFC + simple
     lowercase + unicode-whitespace boundaries; the default ascii mode is
@@ -2787,6 +2814,7 @@ def test_unicode_tokens_normalize_and_split(spark):
     assert asc[1] == ["Hello World", "FOO"]  # NBSP is content in ascii
 
 
+@pytest.mark.slow
 def test_token_mode_pinned_in_index_meta(spark, tmp_path):
     """A store built under token_mode='unicode' refuses a default-mode
     handle loudly (and vice versa) — same pin discipline as the r12
@@ -2840,6 +2868,7 @@ def test_unicode_mode_collapses_case_nbsp_variants(spark):
     assert near_dup_pairs(t, num_perm=8, bands=4, threshold=0.5).count() == 0
 
 
+@pytest.mark.slow
 def test_gram_index_retro_delta_accumulates_to_full_retro(spark, tmp_path):
     """r13 (VERDICT r12 #3): retro_delta() emits the CURRENT spans of
     documents touched by data since the watermark; folding the per-add
@@ -2884,6 +2913,7 @@ def test_gram_index_retro_delta_accumulates_to_full_retro(spark, tmp_path):
     assert any(s[0] == 2 for s in got)
 
 
+@pytest.mark.slow
 def test_unicode_mode_span_removal_cuts_normalized_stream(spark):
     """r13: remove_duplicate_spans(token_mode='unicode') detects AND cuts
     in the same normalized token stream — an NBSP/uppercase copy of a
@@ -2949,6 +2979,7 @@ def test_retro_delta_scans_are_column_pruned(spark, tmp_path):
     assert len(digest_only) >= 3  # every probe scan pruned to the digest
 
 
+@pytest.mark.slow
 def test_retro_delta_fused_store_scan(spark, tmp_path):
     """r14 (VERDICT r13 #4): the default cadence persists ONE
     (_id, _pos, _dg) store projection and routes all four probe joins
@@ -3009,6 +3040,7 @@ def test_retro_delta_two_phase_watermark(spark, tmp_path):
     assert idx.commit_retro_delta(spark) == []  # idempotent no-op
 
 
+@pytest.mark.slow
 def test_retro_delta_at_call_and_output_path_modes(spark, tmp_path):
     """r14: durability='at_call' restores the advance-at-call behavior
     (documented at-most-once); output_path writes the spans durably and
@@ -3055,6 +3087,7 @@ def test_retro_delta_at_call_and_output_path_modes(spark, tmp_path):
         idx.retro_delta(spark, durability="bogus")
 
 
+@pytest.mark.slow
 def test_retro_delta_shuffle_join_degrade_matches_broadcast(spark, tmp_path):
     """retro_delta's broadcast tri-state: forcing the shuffle-join
     spelling (broadcast_digests=False — the past-the-bound degrade at
@@ -3126,6 +3159,7 @@ def test_minhash_index_check_is_read_only(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "virgin" / "_meta"))
 
 
+@pytest.mark.slow
 def test_maintain_reports_retro_watermark_coverage(spark, tmp_path):
     """r14 (ADVICE r13): maintain()'s summary says whether the compacted
     tag could be marked retro-covered — covered=False warns the operator
@@ -3155,3 +3189,39 @@ def test_maintain_reports_retro_watermark_coverage(spark, tmp_path):
     idx.commit_retro_delta(spark)
     out2 = idx.maintain(spark, keep_last=0, tiered=False)
     assert out2["retro_watermark"]["covered"] is True
+
+
+def test_sq8_bounds_fixed_width_agg_matches_grouped_spelling(spark):
+    """r16 (VERDICT r15 #4): sq8_bounds is now one fixed-width global
+    aggregate (no posexplode, no grouping exchange). min/max are exact
+    in IEEE doubles, so the values must be bit-identical to the old
+    posexplode + groupBy(dim) spelling, with and without an explicit
+    dim; an empty corpus yields [] like the grouped spelling did."""
+    from pyspark.sql import functions as F
+
+    from ralf_spark.operators.similarity import sq8_bounds
+
+    df = spark.createDataFrame(
+        [(i, [float(i) * 0.5 - 1.0, float((i * 7) % 5), -2.5 + i])
+         for i in range(9)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # old spelling, replayed inline as the reference
+    ref_rows = (
+        df.select(
+            F.posexplode(F.col("embedding").cast("array<double>"))
+            .alias("_d", "_x")
+        )
+        .groupBy("_d")
+        .agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
+        .collect()
+    )
+    ref = [
+        (float(r["_lo"]), float(r["_hi"]))
+        for r in sorted(ref_rows, key=lambda r: r["_d"])
+    ]
+    assert sq8_bounds(df) == ref                 # dim probed from a row
+    assert sq8_bounds(df, dim=3) == ref          # dim passed explicitly
+    empty = df.where(F.lit(False))
+    assert sq8_bounds(empty, dim=3) == []
+    assert sq8_bounds(empty) == []

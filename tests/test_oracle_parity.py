@@ -28,6 +28,7 @@ def con():
 @pytest.mark.parametrize(
     "name,q", _ORACLE_QUERIES, ids=[n for n, _ in _ORACLE_QUERIES]
 )
+@pytest.mark.slow
 def test_oracle_parity(spark, con, name, q):
     res = compare_query(spark, name, q.fn, q.oracle, SF_DIR, con)
     assert res.spark_rows == res.oracle_rows, (

@@ -174,6 +174,7 @@ def test_prefix_plan_smj_free(static_spark, name):
     assert "SortMergeJoin" not in ex, name
 
 
+@pytest.mark.slow
 def test_registry_wide_no_cartesian_no_rowwise_python(static_spark):
     """Global anti-pattern net over EVERY registry query's plan (the
     per-query budgets above pin only representatives): no CartesianProduct

@@ -240,6 +240,7 @@ def test_rel_zero_baseline_emits_on_any_change(spark):
     assert sorted(r.seq for r in pr.df.collect()) == [0, 2, 4, 6]
 
 
+@pytest.mark.slow
 def test_streaming_rel_zero_baseline_matches_batch(spark, tmp_path):
     """The stateful streaming policy shares the zero-baseline convention
     (emit on any change from 0.0) instead of raising ZeroDivisionError

@@ -15,6 +15,8 @@ tiny — the value is in the random shapes, not the row counts.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -51,6 +53,7 @@ def _ref_sliding(values, window, slide):
     slide=st.integers(1, 12),
     strategy=st.sampled_from(["frame", "explode"]),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_sliding_window_matches_reference_buffer_loop(
     spark, n, window, slide, strategy
@@ -86,6 +89,7 @@ def _ref_tumbling(values, size):
     return out
 
 
+@pytest.mark.slow
 @given(n=st.integers(0, 40), size=st.integers(1, 9))
 @settings(**_SETTINGS)
 def test_tumbling_window_matches_reference_buffer_loop(spark, n, size):
@@ -112,6 +116,7 @@ def test_tumbling_window_matches_reference_buffer_loop(spark, n, size):
     left_ts=st.lists(st.integers(0, 30), min_size=0, max_size=15),
     right_ts=st.lists(st.integers(0, 30), min_size=0, max_size=15),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
     """Single key, unique strictly-increasing seq per side; right payload =
@@ -168,6 +173,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
     left_ts=st.lists(st.integers(0, 30), min_size=0, max_size=15),
     right_ts=st.lists(st.integers(0, 30), min_size=0, max_size=15),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_asof_join_forward_matches_pandas_merge_asof(spark, left_ts, right_ts):
     """direction="forward": earliest right at-or-after each left row —
@@ -225,6 +231,7 @@ def _hash60(v) -> int:
     return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
 
 
+@pytest.mark.slow
 @given(values=st.lists(st.integers(0, 10_000), min_size=0, max_size=60))
 @settings(**_SETTINGS)
 def test_kmv_matches_pure_python_replay(spark, values):
@@ -255,6 +262,7 @@ def test_kmv_matches_pure_python_replay(spark, values):
         assert got == {"g": want}
 
 
+@pytest.mark.slow
 @given(values=st.lists(st.integers(0, 10_000), min_size=1, max_size=60))
 @settings(**_SETTINGS)
 def test_hll_matches_pure_python_replay(spark, values):
@@ -353,6 +361,7 @@ def test_last_emitted_mask_matches_reference_recurrence(
 )
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_domain_quota_cap_matches_reference_ranking(spark, rows, cap):
     """domain_quota_cap vs a pure-Python replay of the windowed-oracle
     semantics (rank by quality DESC, id ASC within EVERY domain group,
@@ -416,6 +425,7 @@ def _ref_ewma(xs, alpha):
 )
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_segmented_folds_equal_single_fold(spark, rows, segment_s, hl_s,
                                            alpha):
     """VERDICT r6 #1: the two-phase segmented spellings (per-key memory
@@ -541,6 +551,7 @@ def _ref_cross_spans(
     ),
     n=st.integers(2, 5),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_cross_corpus_spans_match_reference(spark, train, other, n):
     """r12 span-level decontamination vs an independent reference —
@@ -585,6 +596,7 @@ def test_cross_corpus_spans_match_reference(spark, train, other, n):
     ),
     n=st.integers(2, 5),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_duplicate_span_ranges_matches_reference(spark, data, n):
     from ralf_spark.operators.dedup import duplicate_span_ranges

@@ -98,6 +98,7 @@ def test_check_constraints_edges(spark):
         check_constraints(_df(spark), [Rule("weird", "id")])
 
 
+@pytest.mark.slow
 def test_psi_drift_contract(spark):
     """PSI: identical distributions score ~0; a shifted candidate scores
     high; grouped and ungrouped shapes agree; validation errors."""
@@ -131,6 +132,7 @@ def test_psi_drift_contract(spark):
         psi_drift(spark.createDataFrame([], "v double"), base, "v")
 
 
+@pytest.mark.slow
 def test_foreach_batch_quality_log(spark, tmp_path):
     """Streaming quality monitor: per-micro-batch constraint verdicts
     append under _batch partitions; a batch with a violation logs its

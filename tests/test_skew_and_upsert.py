@@ -3,6 +3,8 @@ and inverted-index Jaccard blocking."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from ralf_spark.connectors import upsert_into
@@ -138,6 +140,7 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(left, right, key="user_id", salt_on="event_id", how="full")
 
 
+@pytest.mark.slow
 def test_merge_plan_matches_parquet_upsert_branch(spark, tmp_path):
     """Both upsert_into branches implement merge_upsert_plan: folding the
     same batch sequence through the parquet branch and through the MERGE
@@ -300,6 +303,7 @@ def test_delta_merge_statement_pinned_to_plan_spec(spark):
     assert "s" in plan.split("SubqueryAlias")[1][:10]
 
 
+@pytest.mark.slow
 def test_salted_asof_join_equals_plain_asof(spark):
     """r9: the salted as-of spelling must be ROW-IDENTICAL to the plain
     one — hot-key fixture with ties at equal ts, tolerance, both
@@ -421,6 +425,7 @@ def test_salted_join_auto_equals_plain(spark):
     assert auto == plain and len(plain) == 200
 
 
+@pytest.mark.slow
 def test_salted_sliding_window_equals_plain(spark):
     """r10 (VERDICT r9 #7): the two-phase-ranked sliding window is
     row-identical to the plain explode spelling — hot key, ts ties,
@@ -479,6 +484,7 @@ def test_salted_sliding_window_equals_plain(spark):
     ))
 
 
+@pytest.mark.slow
 def test_salted_sliding_window_keeps_null_keys(spark):
     """r11 (ADVICE r10) + r12: NULL-keyed rows must survive the hot/rest
     split — `isin(hot)` and `~isin(hot)` are both NULL for a NULL key,

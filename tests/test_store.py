@@ -3,6 +3,8 @@ point/bulk query, SQL entry, and observe() counters (A4/X10)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 from pyspark.sql import Observation
 
@@ -78,6 +80,7 @@ def test_observed_counters(spark):
     assert obs.get["num_keys"] == 2
 
 
+@pytest.mark.slow
 def test_metrics_to_parquet_merges_observations(spark, tmp_path):
     """X10 closure: observation counters land in one long-format parquet
     metrics table with label columns, accumulating across runs — the

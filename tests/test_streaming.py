@@ -250,6 +250,7 @@ def test_kinesis_events_builds_plan_without_jar(spark):
         assert "aws-kinesis" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e)
 
 
+@pytest.mark.slow
 def test_foreach_batch_kv_upsert_serves_batch_latest(spark, events_dir, tmp_path):
     """The KV serving edge: after draining the stream, the in-memory KV
     store holds exactly the batch-computed latest-per-key state, point
@@ -315,6 +316,7 @@ def test_time_window_batch_tumbling_and_sliding(spark):
     assert {r.sv for r in agg if r.k == "a"} == {3.0, 1.0, 1.0}
 
 
+@pytest.mark.slow
 def test_streaming_time_window_watermark_drops_late_data(spark, tmp_path):
     """End-to-end streaming: with a watermark, a record arriving after its
     window was finalized is DROPPED (append mode emits each window once,
@@ -435,6 +437,7 @@ def test_streaming_sliding_window_equals_batch(spark, events_dir, tmp_path):
     assert len(got) > 0
 
 
+@pytest.mark.slow
 def test_session_window_batch_and_streaming(spark, tmp_path):
     """FeatureTable.session_window: batch sessions match the expected
     gaps-and-islands grouping; in streaming append mode with a watermark,
@@ -503,6 +506,7 @@ def test_session_window_batch_and_streaming(spark, tmp_path):
     assert (0, 19, 3) in emitted
 
 
+@pytest.mark.slow
 def test_foreach_batch_moments_upsert_incremental(spark, tmp_path):
     """Two micro-batches folded into the moments state equal a full
     recompute over all rows; a replayed batch id is skipped (no double
@@ -563,6 +567,7 @@ def test_foreach_batch_moments_upsert_incremental(spark, tmp_path):
     assert got2 == {k: v[0] for k, v in got.items()}
 
 
+@pytest.mark.slow
 def test_streaming_interval_join_equals_batch(spark, tmp_path):
     """Stream-stream interval join (watermarks on BOTH sides) drained with
     availableNow equals the same interval_join run in batch — the join
@@ -629,6 +634,7 @@ def test_streaming_interval_join_equals_batch(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_streaming_index_add_equals_one_shot_add(spark, tmp_path):
     """Micro-batched incremental dedup must be batching-invariant: the
     union of every micro-batch's pair output equals one add() of the whole
@@ -683,6 +689,7 @@ def test_streaming_index_add_equals_one_shot_add(spark, tmp_path):
     assert any(p[:2] == (1, 3) for p in streamed)  # cross-batch pair found
 
 
+@pytest.mark.slow
 def test_msgpack_lite_roundtrip_property():
     """Property: the fallback codec round-trips arbitrary nested wire
     objects (hypothesis-driven, no Spark)."""
@@ -714,6 +721,7 @@ def test_msgpack_lite_roundtrip_property():
     roundtrip()
 
 
+@pytest.mark.slow
 def test_streaming_change_detection_equals_batch_last_emitted(spark, tmp_path):
     """The stateful streaming policy must reproduce the batch
     last_emitted semantics across micro-batch boundaries: events arrive
@@ -767,6 +775,7 @@ def test_streaming_change_detection_equals_batch_last_emitted(spark, tmp_path):
     assert len(got) < n
 
 
+@pytest.mark.slow
 def test_streaming_ewma_state_equals_batch_fold(spark, tmp_path):
     """The seeded per-batch EWMA fold must equal the one-shot batch fold
     regardless of micro-batching (3 event-time-ordered chunks, one per
@@ -831,6 +840,7 @@ def test_streaming_ewma_state_equals_batch_fold(spark, tmp_path):
     assert again == got
 
 
+@pytest.mark.slow
 def test_streaming_pipeline_end2end_batching_invariant(spark, tmp_path):
     """The chained streaming pipeline (source -> stateful tumbling count
     window -> last-emitted change policy -> seeded EWMA state table) must
@@ -1018,6 +1028,7 @@ def test_run_bounded_rejects_unknown_state_store(spark):
         run_bounded(None, state_store="lmdb")
 
 
+@pytest.mark.slow
 def test_change_detection_idle_ttl_contract(spark, tmp_path):
     """idle_ttl state eviction (r6): the timeout branch removes state and
     emits nothing; a live batch re-arms the TTL (deterministic direct
@@ -1147,6 +1158,7 @@ def test_run_bounded_refuses_ttl_stream(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_streaming_decayed_sum_equals_batch_fold(spark, tmp_path):
     """The seeded per-batch continuous-time decay fold must equal the
     one-shot batch fold regardless of micro-batching (3 event-time
@@ -1204,6 +1216,7 @@ def test_streaming_decayed_sum_equals_batch_fold(spark, tmp_path):
     assert again == want
 
 
+@pytest.mark.slow
 def test_change_detection_event_time_ttl_deterministic(spark, tmp_path):
     """ttl_clock='event' (r6): eviction fires when the WATERMARK passes a
     key's last event time + TTL — deterministic given the data and valid
@@ -1256,6 +1269,7 @@ def test_change_detection_event_time_ttl_deterministic(spark, tmp_path):
     assert results["ttl"] == {1, 2, 5}
 
 
+@pytest.mark.slow
 def test_event_time_ttl_survives_late_data(spark, tmp_path):
     """ADVICE r6: a late-but-valid batch (event older than watermark −
     TTL, still inside the allowed watermark delay — Spark does NOT drop
@@ -1308,6 +1322,7 @@ def test_event_time_ttl_survives_late_data(spark, tmp_path):
     assert got == {1, 2, 5}
 
 
+@pytest.mark.slow
 def test_tumbling_window_event_time_ttl(spark, tmp_path):
     """VERDICT r6 #5: idle-key TTL for the streaming count windows — on
     unbounded key domains the window buffers are the state pressure, not
@@ -1393,6 +1408,7 @@ def test_window_ttl_validation_and_bounded_refusal(spark, tmp_path):
         run_bounded(write_memory(out, "nope3"), checkpoint=str(tmp_path / "ck"))
 
 
+@pytest.mark.slow
 def test_streaming_interval_join_batching_invariant(spark, tmp_path):
     """The watermarked stream-stream interval join (r7) must emit exactly
     the batch interval-join matches whether each side arrives as one
@@ -1469,6 +1485,7 @@ def test_streaming_interval_join_batching_invariant(spark, tmp_path):
         assert got == want, f"{label}: {len(got)} vs {len(want)} matches"
 
 
+@pytest.mark.slow
 def test_streaming_enrichment_join_dim_refresh(spark, tmp_path):
     """Stream-static enrichment (r7): the dimension is re-read when the
     stream restarts — a dim row updated between two bounded runs of the
@@ -1523,6 +1540,7 @@ def test_streaming_enrichment_join_dim_refresh(spark, tmp_path):
     assert (12, "platinum") in got2 and got1 <= got2
 
 
+@pytest.mark.slow
 def test_streaming_ivf_ingest_equals_batch_add(spark, tmp_path):
     """r7 streaming embedding ingest: draining vector micro-batches
     through foreach_batch_ivf_add leaves the IvfIndex identical to one
@@ -1582,6 +1600,7 @@ def test_streaming_ivf_ingest_equals_batch_add(spark, tmp_path):
     assert got == [4, 1, 2]  # cell-0 members, cosine order
 
 
+@pytest.mark.slow
 def test_streaming_hll_state_merge_and_replay(spark, tmp_path):
     """r7 HLL state sink: any micro-batching converges on the identical
     register table (merge = register-wise max, order/partition
@@ -1680,6 +1699,7 @@ def test_streaming_cms_state_merge_and_replay(spark, tmp_path):
     assert read_state() == want
 
 
+@pytest.mark.slow
 def test_streaming_kmv_state_merge_and_replay(spark, tmp_path):
     """r7 KMV state sink: min-k merge is idempotent by algebra — forced
     re-merge of already-seen values cannot change the k-smallest set —
@@ -1729,6 +1749,7 @@ def test_streaming_kmv_state_merge_and_replay(spark, tmp_path):
     assert estimate() == want
 
 
+@pytest.mark.slow
 def test_foreach_batch_enriched_write_dim_refresh_within_run(
     spark, tmp_path
 ):
@@ -1793,6 +1814,7 @@ def test_foreach_batch_enriched_write_dim_refresh_within_run(
         q.stop()
 
 
+@pytest.mark.slow
 def test_streaming_asof_enrich_batching_invariant(spark, tmp_path):
     """r7 per-record state join: the bounded replay must equal the batch
     as-of join whether events arrive in 1 chunk or 3 event-order chunks
@@ -1868,6 +1890,7 @@ def test_streaming_asof_enrich_batching_invariant(spark, tmp_path):
         assert got == want, label
 
 
+@pytest.mark.slow
 def test_streaming_asof_enrich_event_time_ttl(spark, tmp_path):
     """r7: idle-key TTL on the as-of state join — key 7's latest-right
     triple is evicted after a full event-time TTL of inactivity, so its
@@ -1927,6 +1950,7 @@ def test_streaming_asof_enrich_event_time_ttl(spark, tmp_path):
     assert results["ttl"] == {5: None}
 
 
+@pytest.mark.slow
 def test_streaming_asof_enrich_null_right_value(spark, tmp_path):
     """ADVICE r7: a right update whose value is NULL must store and emit
     NULL — not NaN via float() coercion — matching what the batch as-of
@@ -1974,6 +1998,7 @@ def test_streaming_asof_enrich_null_right_value(spark, tmp_path):
     assert all(v is None for v in got.values())
 
 
+@pytest.mark.slow
 def test_decayed_state_batch_backfill_handoff(spark, tmp_path):
     """r7 ops story: a state table BACKFILLED by the batch operator
     (time_decayed_sum over history, written as-is) seeds the streaming
@@ -2030,6 +2055,7 @@ def test_decayed_state_batch_backfill_handoff(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_sliding_window_event_time_ttl(spark, tmp_path):
     """Sliding-window idle TTL (r7): an evicted key loses its rolling
     buffer AND position counter, so its emit sequence restarts — the
@@ -2082,6 +2108,7 @@ def test_sliding_window_event_time_ttl(spark, tmp_path):
     assert results["ttl"] == {(8, 3, 6.0)}
 
 
+@pytest.mark.slow
 def test_streaming_asof_enrich_string_keys(spark, tmp_path):
     """r7 review: the output/state schemas derive the key and seq types
     from the input — a string-keyed stream (session ids) must work, not
@@ -2338,6 +2365,7 @@ def test_chained_window_change_spark_integration(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_streaming_gram_dedup_matches_sequential_contract(spark, tmp_path):
     """The spans log after a micro-batched run equals the per-step batch
     detector: each batch's spans over corpus-so-far restricted to that
@@ -2403,6 +2431,7 @@ def test_streaming_gram_dedup_matches_sequential_contract(spark, tmp_path):
     assert not any(r[0] in (1, 2) for r in got)
 
 
+@pytest.mark.slow
 def test_streaming_rq_state_merge_and_replay(spark, tmp_path):
     """r14 quantile-sketch state sink: the bottom-k merge is idempotent
     by algebra — forced re-merge of already-seen rows cannot change the

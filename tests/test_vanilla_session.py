@@ -17,6 +17,8 @@ stay green forever.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -68,6 +70,7 @@ print("RESULT:" + json.dumps(out))
 """
 
 
+@pytest.mark.slow
 def test_events_queries_pass_on_vanilla_session():
     sf_dir = os.environ.get(
         "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
