@@ -316,13 +316,23 @@ def near_dup_pairs(
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
-    hint = _choose_broadcast(
+    # r16 (VERDICT r15 #3): when footer metadata PROVES the corpus side
+    # broadcast-safe, skip the stats job (auto mode's only
+    # plan-construction job) and broadcast the docs side instead — the
+    # candidate stream stays un-broadcast, so the safety bound is
+    # corpus-proportional, not dup-structure-dependent. At 100 TB the
+    # gate refuses and the measured Σ c·(c−1)/2 auto spelling runs
+    # unchanged.
+    small = broadcast_candidates is None and _corpus_broadcastable(
+        table.df
+    )
+    hint = False if small else _choose_broadcast(
         broadcast_candidates,
         lambda: _pair_bound_from_buckets(buckets, "_band", "_key"),
     )
 
     verified = (
-        _verify_join(docs, cand, hint_broadcast=hint)
+        _verify_join(docs, cand, hint_broadcast=hint, broadcast_docs=small)
         .select(
             "id1",
             "id2",
@@ -350,6 +360,123 @@ def near_dup_pairs(
 #: near 10-30 M pairs; 5 M leaves driver-memory headroom for concurrent
 #: queries. Module attribute so probes/operators can tighten it.
 BROADCAST_CANDIDATE_LIMIT = 5_000_000
+
+
+#: Byte cap for the docs-broadcast verification spelling (r16, VERDICT
+#: r15 #3): when the PROJECTED in-memory size of the shingle table —
+#: parquet footer uncompressed bytes × :data:`_SHINGLE_EXPANSION` —
+#: stays under this, broadcasting the corpus side is trivially
+#: driver-safe and the Σ c·(c−1)/2 stats job is skipped entirely. Same
+#: bound class as ``GramIndex._SMALL_STORE_BYTES``: at 100 TB the gate
+#: never fires and the count-based auto spelling is unchanged.
+_SMALL_CORPUS_BYTES = 64 * 1024 * 1024
+
+#: Safety factor from footer uncompressed bytes to the broadcast
+#: relation: string shingles triplicate each token (3-gram windows) and
+#: UnsafeRow arrays add per-element overhead (~2×). xxhash64-mode bigint
+#: shingles are smaller; the string-mode factor covers both.
+_SHINGLE_EXPANSION = 6
+
+
+def _corpus_broadcastable(df: DataFrame) -> bool:
+    """Zero-job admission test for the docs-broadcast verification
+    spelling (r16, VERDICT r15 #3 — the near_dup stats-barrier fold):
+    ``df.inputFiles()`` (driver-side plan metadata, no job) names the
+    parquet files feeding the corpus; their FOOTERS bound rows and
+    uncompressed bytes. Filters/joins in the plan only OVER-count
+    (a subset of the files' rows reaches the operator), so admission is
+    conservative. Returns False — keep the measured stats job — for
+    non-parquet / in-memory sources, unreadable footers, or any bound
+    breach; at 100 TB the byte gate refuses and behavior is unchanged.
+    ``SPARK_GRAFT_SMALL_CORPUS=0`` disables the shortcut (deployments
+    that prefer the measured per-corpus stats decision everywhere)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SMALL_CORPUS", "1") == "0":
+        return False
+    try:
+        files = df.inputFiles()
+        if not files:
+            return False
+        rows = 0
+        unc = 0
+        for f in files:
+            meta = _footer_meta(f, df.sparkSession)
+            if meta is None:
+                return False
+            rows += meta.num_rows
+            unc += sum(
+                meta.row_group(i).column(j).total_uncompressed_size
+                for i in range(meta.num_row_groups)
+                for j in range(meta.num_columns)
+            )
+        return (
+            rows <= BROADCAST_CANDIDATE_LIMIT
+            and unc * _SHINGLE_EXPANSION <= _SMALL_CORPUS_BYTES
+        )
+    except Exception:
+        return False
+
+
+def _footer_meta(path: str, spark=None):
+    """pyarrow ``FileMetaData`` of one parquet file, read driver-side
+    (no Spark job): local paths open directly; remote schemes stream
+    just the footer tail through the Hadoop FS API (r16 — shared with
+    ``GramIndex._footer_rows``). Returns None when unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        scheme = path.split("://", 1)[0] if "://" in path else ""
+        if scheme in ("", "file"):
+            local = path[7:] if path.startswith("file://") else (
+                path[5:] if path.startswith("file:") else path
+            )
+            return pq.ParquetFile(local).metadata
+        if spark is None:
+            return None
+        return _footer_meta_remote(spark, path)
+    except Exception:
+        return None
+
+
+def _footer_meta_remote(spark, path: str):
+    """FileMetaData of one parquet file on a remote Hadoop filesystem,
+    from a seek-to-tail footer read (no full-file transfer): the parquet
+    trailer is ``<footer thrift> <4-byte LE footer_len> PAR1``; a
+    synthetic ``PAR1 + footer + trailer`` buffer satisfies
+    ``pq.read_metadata`` exactly (it never dereferences row-group byte
+    offsets)."""
+    import io
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from ralf_spark.connectors import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, path)
+    size = int(fs.getFileStatus(jpath).getLen())
+    if size < 12:
+        return None
+    io_utils = spark._jvm.org.apache.commons.io.IOUtils  # type: ignore[attr-defined]
+
+    def tail(n: int) -> bytes:
+        stream = fs.open(jpath)
+        try:
+            stream.seek(size - n)
+            return bytes(io_utils.toByteArray(stream))
+        finally:
+            stream.close()
+
+    t = tail(min(size, 64 * 1024))
+    if t[-4:] != b"PAR1":
+        return None
+    footer_len = struct.unpack("<I", t[-8:-4])[0]
+    if footer_len + 8 > size:
+        return None
+    if footer_len + 8 > len(t):
+        t = tail(footer_len + 8)
+    buf = b"PAR1" + t[-(footer_len + 8):]
+    return pq.read_metadata(io.BytesIO(buf))
 
 
 def _pair_bound_from_buckets(bucket_like: DataFrame, *group_cols: str) -> int:
@@ -385,7 +512,10 @@ def _choose_broadcast(choice: bool | None, bound_fn) -> bool:
 
 
 def _verify_join(
-    docs: DataFrame, cand: DataFrame, hint_broadcast: bool = True
+    docs: DataFrame,
+    cand: DataFrame,
+    hint_broadcast: bool = True,
+    broadcast_docs: bool = False,
 ) -> DataFrame:
     """Shuffle-free exact-verification join (scale probe r8, SCALEPROBE.md
     finding 1): pair each candidate (id1, id2) with BOTH documents'
@@ -429,8 +559,30 @@ def _verify_join(
     AQE reuses the identical shuffle stage at runtime). ``cand`` is
     referenced once in the tree and therefore executes once — no persist
     needed (and r8's A/B showed persisting it actively harms: frozen
-    size estimates flip the broadcast spelling to SMJ)."""
+    size estimates flip the broadcast spelling to SMJ)).
+
+    ``broadcast_docs=True`` (r16, VERDICT r15 #3): the THIRD spelling —
+    broadcast the (whole) shingle table into the candidate stream,
+    chosen only when :func:`_corpus_broadcastable` PROVED the corpus
+    side small from parquet footer metadata. Its safety bound is
+    corpus-proportional and data-independent (an adversarial
+    all-duplicates corpus inflates the candidate STREAM, never the
+    broadcast payload), which is what lets the caller skip the
+    Σ c·(c−1)/2 stats job entirely: zero jobs run at plan-construction
+    time. Both joins broadcast the identical subtree, so the exchange
+    builds once (ReusedExchange). Output identical to both other
+    spellings (inner equi-joins; pinned in tests)."""
     sh = docs.select(F.col("_id"), F.col("_sh"))
+    if broadcast_docs:
+        shb = F.broadcast(sh)
+        half = (
+            cand.join(shb, F.col("id1") == F.col("_id"))
+            .select("id1", "id2", F.col("_sh").alias("_sh1"))
+        )
+        return (
+            half.join(shb, F.col("id2") == F.col("_id"))
+            .select("id1", "id2", "_sh1", F.col("_sh").alias("_sh2"))
+        )
     c = F.broadcast(cand) if hint_broadcast else cand
     half = (
         c.join(sh, F.col("id1") == F.col("_id"))
@@ -505,12 +657,17 @@ def jaccard_pairs_inverted(
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
-    hint = _choose_broadcast(
+    # r16: footer-proved small corpus -> docs-broadcast spelling, no
+    # stats job (see near_dup_pairs)
+    small = broadcast_candidates is None and _corpus_broadcastable(
+        table.df
+    )
+    hint = False if small else _choose_broadcast(
         broadcast_candidates,
         lambda: _pair_bound_from_buckets(posting_r, "_s"),
     )
     out = (
-        _verify_join(docs, cand, hint_broadcast=hint)
+        _verify_join(docs, cand, hint_broadcast=hint, broadcast_docs=small)
         .select(
             "id1",
             "id2",
@@ -1088,12 +1245,17 @@ def containment_pairs(
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
-    hint = _choose_broadcast(
+    # r16: footer-proved small corpus -> docs-broadcast spelling, no
+    # stats job (see near_dup_pairs)
+    small = broadcast_candidates is None and _corpus_broadcastable(
+        table.df
+    )
+    hint = False if small else _choose_broadcast(
         broadcast_candidates,
         lambda: _pair_bound_from_buckets(posting_r, "_s"),
     )
     scored = (
-        _verify_join(docs, cand, hint_broadcast=hint)
+        _verify_join(docs, cand, hint_broadcast=hint, broadcast_docs=small)
         .select(
             "id1",
             "id2",
@@ -3204,66 +3366,15 @@ class GramIndex:
         shortcut off local disk). Only the last ``footer_len + 8`` bytes
         cross the wire, not the file."""
         try:
-            import pyarrow.parquet as pq
-
             total = 0
             for f in files:
-                scheme = f.split("://", 1)[0] if "://" in f else ""
-                if scheme in ("", "file"):
-                    local = f[7:] if f.startswith("file://") else (
-                        f[5:] if f.startswith("file:") else f
-                    )
-                    total += pq.ParquetFile(local).metadata.num_rows
-                else:
-                    if spark is None:
-                        return None
-                    n = GramIndex._footer_rows_remote(spark, f)
-                    if n is None:
-                        return None
-                    total += n
+                meta = _footer_meta(f, spark)
+                if meta is None:
+                    return None
+                total += meta.num_rows
             return total
         except Exception:
             return None
-
-    @staticmethod
-    def _footer_rows_remote(spark, path: str) -> int | None:
-        """num_rows of one parquet file on a remote Hadoop filesystem,
-        from a seek-to-tail footer read (no full-file transfer): the
-        parquet trailer is ``<footer thrift> <4-byte LE footer_len>
-        PAR1``; a synthetic ``PAR1 + footer + trailer`` buffer satisfies
-        ``pq.read_metadata`` exactly (it never dereferences row-group
-        byte offsets)."""
-        import io
-        import struct
-
-        import pyarrow.parquet as pq
-
-        from ralf_spark.connectors import _hadoop_fs
-
-        fs, jpath = _hadoop_fs(spark, path)
-        size = int(fs.getFileStatus(jpath).getLen())
-        if size < 12:
-            return None
-        io_utils = spark._jvm.org.apache.commons.io.IOUtils  # type: ignore[attr-defined]
-
-        def tail(n: int) -> bytes:
-            stream = fs.open(jpath)
-            try:
-                stream.seek(size - n)
-                return bytes(io_utils.toByteArray(stream))
-            finally:
-                stream.close()
-
-        t = tail(min(size, 64 * 1024))
-        if t[-4:] != b"PAR1":
-            return None
-        footer_len = struct.unpack("<I", t[-8:-4])[0]
-        if footer_len + 8 > size:
-            return None
-        if footer_len + 8 > len(t):
-            t = tail(footer_len + 8)
-        buf = b"PAR1" + t[-(footer_len + 8):]
-        return pq.read_metadata(io.BytesIO(buf)).num_rows
 
     @staticmethod
     def _tag_of(file_path: str) -> str:

@@ -427,4 +427,6 @@ def test_footer_rows_via_file_scheme_hadoop_path(spark, tmp_path):
     # file:// scheme without spark -> local fast path still works
     assert GramIndex._footer_rows([f"file://{local}"], spark) == 1234
     # force the remote (seek-to-tail Hadoop stream) path directly
-    assert GramIndex._footer_rows_remote(spark, f"file://{local}") == 1234
+    from ralf_spark.operators.dedup import _footer_meta_remote
+
+    assert _footer_meta_remote(spark, f"file://{local}").num_rows == 1234

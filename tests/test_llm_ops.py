@@ -134,6 +134,60 @@ def test_verify_spelling_knob_output_identical(spark, monkeypatch):
         assert forced_b == forced_s == auto and len(auto) > 0, op.__name__
 
 
+def test_small_corpus_docs_broadcast_spelling(spark, tmp_path):
+    """r16 (VERDICT r15 #3): a parquet-backed corpus whose footers prove
+    it broadcast-safe takes the docs-broadcast verification spelling
+    with ZERO plan-construction jobs, and emits pairs identical to both
+    forced spellings. In-memory tables (no input files) must refuse the
+    shortcut and keep the measured stats decision."""
+    import ralf_spark.operators.dedup as dd
+    from ralf_spark.operators.dedup import (
+        _corpus_broadcastable,
+        containment_pairs,
+        jaccard_pairs_inverted,
+    )
+    from ralf_spark.table import FeatureTable
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "completely different words about spark catalyst plans here"),
+        (4, "sphinx of black quartz judge my vow said the typist slowly"),
+        (5, "sphinx of black quartz judge my vow said the typist quickly"),
+    ]
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    mem.coalesce(1).write.parquet(p)
+    t = FeatureTable(spark.read.parquet(p), key="doc_id")
+
+    # admission: parquet-backed small corpus yes, in-memory no
+    assert _corpus_broadcastable(t.df) is True
+    assert _corpus_broadcastable(mem) is False
+
+    tracker = spark.sparkContext.statusTracker
+    for op in (near_dup_pairs, jaccard_pairs_inverted, containment_pairs):
+        j0 = len(tracker().getJobIdsForGroup(None))
+        auto = op(t, threshold=0.4)  # shortcut fires: no stats job
+        assert len(tracker().getJobIdsForGroup(None)) == j0, op.__name__
+        got = sorted(map(tuple, auto.collect()))
+        for bc in (True, False):
+            forced = sorted(
+                map(tuple, op(t, threshold=0.4,
+                              broadcast_candidates=bc).collect())
+            )
+            assert got == forced and len(got) > 0, op.__name__
+
+    # the env kill switch restores the stats-job path
+    import os
+
+    os.environ["SPARK_GRAFT_SMALL_CORPUS"] = "0"
+    try:
+        assert _corpus_broadcastable(t.df) is False
+    finally:
+        del os.environ["SPARK_GRAFT_SMALL_CORPUS"]
+
+
 def test_choose_broadcast_tristate():
     """Explicit True/False never runs the stats job; auto compares the
     bound against the module limit."""
