@@ -3324,16 +3324,48 @@ class GramIndex:
                 "count_mode=True for the retro pass."
             )
         self._check_or_write_meta(spark, write_if_missing=False)
-        store = self._read(spark)
-        if store is None:
+        from ralf_spark.connectors import _list_parquet_files_sized
+
+        sized = _list_parquet_files_sized(spark, f"{self.path}/grams")
+        if not sized:
             raise ValueError(f"GramIndex at {self.path} is empty")
-        dup = (
-            store.groupBy("_dg")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .where(F.col("_c") >= 2)
-            .select("_dg")
-        )
-        dup_pos = store.join(dup, "_dg").select("_id", "_pos")
+        files = [f for f, _ in sized]
+        store = spark.read.parquet(*files)
+        # r16 (VERDICT r15 #1 class): a store the listing + footers
+        # PROVE tiny takes the one-pass window spelling — the per-digest
+        # count rides a window instead of a groupBy + rejoin (no second
+        # store pass, no join exchange). Same gate and same reasoning as
+        # retro_delta's small-store cadence; at scale the groupBy's
+        # map-side partial aggregation shuffles distinct digests, far
+        # less than the window's full-row shuffle, so past the gate the
+        # join spelling stays.
+        small = sum(b for _, b in sized) <= self._SMALL_STORE_BYTES
+        if small:
+            footer_rows = self._footer_rows(files, spark)
+            small = (
+                footer_rows is not None
+                and footer_rows <= BROADCAST_CANDIDATE_LIMIT
+            )
+        if small:
+            dup_pos = (
+                store.select(
+                    "_id",
+                    "_pos",
+                    F.count(F.lit(1))
+                    .over(Window.partitionBy("_dg"))
+                    .alias("_c"),
+                )
+                .where(F.col("_c") >= 2)
+                .select("_id", "_pos")
+            )
+        else:
+            dup = (
+                store.groupBy("_dg")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .where(F.col("_c") >= 2)
+                .select("_dg")
+            )
+            dup_pos = store.join(dup, "_dg").select("_id", "_pos")
         return _positions_to_spans(dup_pos, self.min_tokens)
 
     # ------------------------------------------------- delta retro (r13)
@@ -3585,7 +3617,6 @@ class GramIndex:
         from ralf_spark.connectors import (
             _list_parquet_files_sized,
             acquire_writer_lease,
-            write_json_sidecar,
         )
 
         # writes the watermark sidecar, and must not interleave with a
@@ -3622,6 +3653,81 @@ class GramIndex:
             dup_pos = store.select("_id", "_pos").where(F.lit(False))
             return _positions_to_spans(dup_pos, self.min_tokens)
         cached: list = []
+        new_tags = {self._tag_of(f) for f in new_files}
+        is_new = F.split(
+            F.split(F.col("_metadata.file_path"), "/_batch=")
+            .getItem(1),
+            "/",
+        ).getItem(0).isin(*new_tags)
+
+        # r14 small-store shortcut (gate shared by both spellings below):
+        # every derived probe set is a subset of the store's rows, so the
+        # store's ON-DISK byte size — free metadata from the driver
+        # listing above, zero jobs — bounds all four stage decisions at
+        # once while it stays under _SMALL_STORE_BYTES (sized so even
+        # the whole store broadcast is driver-safe). r15 (ADVICE r14
+        # low): ALSO cap by the footer row count (driver-side metadata,
+        # still zero jobs) — delta/dictionary-encoded position logs
+        # compress far better than the ~4x the byte gate assumed.
+        all_small = broadcast_digests is None and (
+            store_bytes <= self._SMALL_STORE_BYTES
+        )
+        if all_small:
+            footer_rows = self._footer_rows(files, spark)
+            all_small = (
+                footer_rows is not None
+                and footer_rows <= BROADCAST_CANDIDATE_LIMIT
+            )
+
+        if all_small and fuse_store_scan:
+            # r16 (VERDICT r15 #1/#6 — the cadence's job count): a store
+            # the gate just PROVED tiny (<= 64 MB on disk, <= 5M rows)
+            # does not need the four-stage probe-broadcast protocol —
+            # the identical (_id, _pos) set falls out of ONE pass with
+            # two windows: per-digest corpus count + any-new flag
+            # (partition by _dg), then a per-document touched flag
+            # (partition by _id). changed == count >= 2 AND any-new;
+            # touched == doc holds a changed digest; emitted == touched
+            # docs' positions with count >= 2 — definitionally the
+            # probe-chain's output (oracle-replayed + fold gate). This
+            # removes ~10 broadcast builds and ~15 AQE stage jobs per
+            # cadence; the two window shuffles move <= 64 MB, trivially
+            # safe HERE and ONLY here — at scale the store must never
+            # shuffle, so past the gate the probe protocol below runs
+            # unchanged (windows would shuffle the full position log).
+            w_dg = Window.partitionBy("_dg")
+            w_id = Window.partitionBy("_id")
+            flagged = (
+                store.select(
+                    "_id", "_pos", "_dg", is_new.alias("_new")
+                )
+                .select(
+                    "_id",
+                    "_pos",
+                    F.count(F.lit(1)).over(w_dg).alias("_cnt"),
+                    F.max(F.col("_new").cast("int")).over(w_dg)
+                    .alias("_anynew"),
+                )
+                .select(
+                    "_id",
+                    "_pos",
+                    "_cnt",
+                    F.max(
+                        (
+                            (F.col("_cnt") >= 2)
+                            & (F.col("_anynew") == 1)
+                        ).cast("int")
+                    ).over(w_id).alias("_touched"),
+                )
+            )
+            dup_pos = flagged.where(
+                (F.col("_touched") == 1) & (F.col("_cnt") >= 2)
+            ).select("_id", "_pos")
+            return self._finish_retro_delta(
+                spark, dup_pos, cached, done, all_tags,
+                durability, output_path,
+            )
+
         new_src = None
         if fuse_store_scan:
             # one store read feeds all four probe joins; memory-and-disk
@@ -3633,12 +3739,6 @@ class GramIndex:
             # the store pass the cadence must do anyway covers both.
             from pyspark import StorageLevel
 
-            new_tags = {self._tag_of(f) for f in new_files}
-            is_new = F.split(
-                F.split(F.col("_metadata.file_path"), "/_batch=")
-                .getItem(1),
-                "/",
-            ).getItem(0).isin(*new_tags)
             # parallelize the CACHE, not just the scan (r16): the four
             # probe stages each re-read this projection, and a store
             # compacted into few files would pin every one of them to a
@@ -3673,29 +3773,9 @@ class GramIndex:
         # one count per stage (each probe is persisted and reused by the
         # final plan, so the stats pass materializes work the plan needs
         # anyway); True/False skip the counts and force one spelling.
-        # r14 small-store shortcut: every derived probe set is a subset
-        # of the store's rows, so the store's ON-DISK byte size — free
-        # metadata from the driver listing above, zero jobs — bounds
-        # all four stage hints at once while it stays under
-        # _SMALL_STORE_BYTES (sized so even the whole store broadcast
-        # is driver-safe). Past the bound (the 100 TB regime) each
-        # stage keeps its own count-based decision, where those count
-        # jobs are noise against the joins they protect.
-        # r15 (ADVICE r14 low): the byte gate alone can over-admit —
-        # delta/dictionary-encoded position logs compress far better
-        # than the ~4x the 64 MB bound assumed, so ALSO cap by the
-        # footer row count (driver-side metadata, still zero jobs)
-        # against the same bound the count-based path enforces.
-        all_small = broadcast_digests is None and (
-            store_bytes <= self._SMALL_STORE_BYTES
-        )
-        if all_small:
-            footer_rows = self._footer_rows(files, spark)
-            all_small = (
-                footer_rows is not None
-                and footer_rows <= BROADCAST_CANDIDATE_LIMIT
-            )
-
+        # (The fused small-store regime returned above via the window
+        # spelling; all_small still short-circuits the per-stage counts
+        # for the unfused spelling — the r14 shortcut.)
         def stage_hint(probe: DataFrame) -> bool:
             if all_small:
                 return True
@@ -3735,6 +3815,25 @@ class GramIndex:
             F.broadcast(dup_tdg) if hint_g else dup_tdg, "_dg"
         ).select("_id", "_pos")
         cached += [new_dg, changed_dg, touched, touched_pos, tdg]
+        return self._finish_retro_delta(
+            spark, dup_pos, cached, done, all_tags, durability, output_path
+        )
+
+    def _finish_retro_delta(
+        self,
+        spark,
+        dup_pos: DataFrame,
+        cached: list,
+        done: set,
+        all_tags: set,
+        durability: str,
+        output_path: str | None,
+    ) -> DataFrame:
+        """Shared tail of :meth:`retro_delta` — span merge, watermark
+        durability, root handoff (r16: factored out so the small-store
+        window spelling and the probe-chain spelling share it)."""
+        from ralf_spark.connectors import write_json_sidecar
+
         out = attach_cached(
             _positions_to_spans(dup_pos, self.min_tokens), cached
         )

@@ -3034,39 +3034,66 @@ def test_retro_delta_scans_are_column_pruned(spark, tmp_path):
 
 
 @pytest.mark.slow
-def test_retro_delta_fused_store_scan(spark, tmp_path):
-    """r14 (VERDICT r13 #4): the default cadence persists ONE
-    (_id, _pos, _dg) store projection and routes all four probe joins
-    through it — no per-stage store re-scan survives in the plan — and
-    returns the identical spans as the scan-per-stage spelling."""
+def test_retro_delta_fused_store_scan(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 #4) updated for r16 (VERDICT r15 #1): the
+    default cadence on a footer-proved small store is the ONE-PASS
+    window spelling — a single full-log scan, no probe joins, no
+    broadcasts, no cache; with the small-store gate refused (the 100 TB
+    regime) the fused probe chain persists ONE (_id, _pos, _dg) store
+    projection and routes all four probe joins through it. All three
+    spellings emit identical spans."""
     import re
 
+    import ralf_spark.operators.dedup as dd
     from ralf_spark.operators.dedup import GramIndex
     from ralf_spark.plans.explain import explain_str
 
     b1, b2, _ = _gram_batches()
     spans = {}
-    for mode, flag in (("fused", True), ("scans", False)):
+    for mode, flag in (("window", True), ("fused", True), ("scans", False)):
+        if mode == "fused":
+            # refuse the small-store gate -> probe-chain spelling
+            monkeypatch.setattr(GramIndex, "_SMALL_STORE_BYTES", 0)
+        else:
+            monkeypatch.setattr(
+                GramIndex, "_SMALL_STORE_BYTES", 64 * 1024 * 1024
+            )
         idx = GramIndex(
             str(tmp_path / mode), min_tokens=8, count_mode=True,
             auto_maintain=0,
         )
         idx.build(_docs(spark, list(b1.items())))
         idx.add(_docs(spark, list(b2.items()))).collect()
-        d = idx.retro_delta(spark, fuse_store_scan=flag)
-        if flag:
-            plan = explain_str(d)
-            schemas = re.findall(r"ReadSchema: (struct<[^\n]*>)", plan)
+        if mode == "scans":
+            d = idx.retro_delta(spark, fuse_store_scan=False)
+        else:
+            d = idx.retro_delta(spark)
+        plan = explain_str(d)
+        schemas = re.findall(r"ReadSchema: (struct<[^\n]*>)", plan)
+        if mode == "window":
+            # one-pass: a single scan pays the position log, and the
+            # plan carries no joins and no broadcasts at all
+            assert len([s for s in schemas if "_pos" in s]) == 1
+            assert "Join" not in plan and "Broadcast" not in plan
+        if mode == "fused":
             # the store is read through the cache: at most the one
             # fused projection scan pays the position column, and the
             # cadence plan carries cache nodes
             assert len([s for s in schemas if "_pos" in s]) <= 1
             assert "InMemory" in plan
         spans[mode] = sorted(tuple(r) for r in d.collect())
+        # retro() shares the gate (r16): window spelling under it,
+        # groupBy + rejoin past it — identical corpus-wide spans
+        spans[mode + "_retro"] = sorted(
+            tuple(r) for r in idx.retro(spark).collect()
+        )
         from ralf_spark.operators.util import unpersist_cached
 
         unpersist_cached(d)
-    assert spans["fused"] == spans["scans"] and spans["fused"]
+    assert spans["window"] == spans["fused"] == spans["scans"]
+    assert spans["window"]
+    assert spans["window_retro"] == spans["fused_retro"]
+    assert spans["window_retro"]
 
 
 def test_retro_delta_two_phase_watermark(spark, tmp_path):
