@@ -188,6 +188,49 @@ def test_small_corpus_docs_broadcast_spelling(spark, tmp_path):
         del os.environ["SPARK_GRAFT_SMALL_CORPUS"]
 
 
+def test_minhash_index_small_sides_scoring(spark, tmp_path):
+    """r16: MinHashIndex.add/check on a footer-proved small batch+store
+    take the sigs-broadcast scoring with ZERO plan-construction jobs
+    beyond the documented lifecycle actions, and emit pairs identical
+    to both forced spellings."""
+    from ralf_spark.operators.dedup import MinHashIndex
+    from ralf_spark.table import FeatureTable
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "completely different words about spark catalyst plans here"),
+        (4, "sphinx of black quartz judge my vow said the typist slowly"),
+        (5, "sphinx of black quartz judge my vow said the typist quickly"),
+    ]
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    mem.coalesce(1).write.parquet(p)
+    t = FeatureTable(spark.read.parquet(p), key="doc_id")
+    first = FeatureTable(t.df.where("doc_id <= 2"), key="doc_id")
+    second = FeatureTable(t.df.where("doc_id > 2"), key="doc_id")
+
+    outs = {}
+    for bc in (None, True, False):
+        idx = MinHashIndex(str(tmp_path / f"mh_{bc}"))
+        idx.build(first)
+        add_pairs = sorted(
+            map(tuple,
+                idx.add(second, threshold=0.4,
+                        broadcast_candidates=bc).collect())
+        )
+        chk_pairs = sorted(
+            map(tuple,
+                idx.check(second, threshold=0.4, within_batch=True,
+                          broadcast_candidates=bc).collect())
+        )
+        assert idx._small_serving_sides(spark, second) is True
+        outs[bc] = (add_pairs, chk_pairs)
+    assert outs[None] == outs[True] == outs[False]
+    assert outs[None][0]  # the sphinx pair crosses the batches
+
+
 def test_choose_broadcast_tristate():
     """Explicit True/False never runs the stats job; auto compares the
     bound against the module limit."""
