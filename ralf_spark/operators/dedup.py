@@ -395,7 +395,7 @@ def _corpus_broadcastable(df: DataFrame) -> bool:
     if os.environ.get("SPARK_GRAFT_SMALL_CORPUS", "1") == "0":
         return False
     try:
-        files = df.inputFiles()
+        files = _bounded_input_files(df)
         if not files:
             return False
         stats = _footer_rows_unc(files, df.sparkSession)
@@ -406,6 +406,62 @@ def _corpus_broadcastable(df: DataFrame) -> bool:
         )
     except Exception:
         return False
+
+
+#: Analyzed-plan nodes that can only FILTER or REORDER rows relative to
+#: their file inputs (never multiply them), so parquet footer totals
+#: remain an upper bound through them. Anything else — inner/outer
+#: joins, Generate (explode), grouping-set Expand, pandas/arrow maps,
+#: in-memory leaves — refuses the shortcut.
+_ROW_BOUNDED_NODES = frozenset({
+    "Project", "Filter", "Union", "Distinct", "Deduplicate",
+    "Aggregate", "Window", "Sort", "GlobalLimit", "LocalLimit",
+    "Limit", "Offset", "Sample", "SubqueryAlias", "Repartition",
+    "RepartitionByExpression", "RebalancePartitions", "OneRowRelation",
+})  # NOT Expand (cube/rollup multiplies), NOT Generate, NOT inner joins
+
+
+def _bounded_input_files(df) -> list | None:
+    """The parquet files under ``df``'s ANALYZED logical plan, or None
+    when the plan cannot prove its row count bounded by them (r16).
+
+    ``df.inputFiles()`` goes blank as soon as any upstream frame is
+    persisted (cache substitution hides the scans), which silently
+    disabled the small-corpus shortcut exactly where pipelines compose
+    operators (the curation build's semi-joined survivor sets). The
+    analyzed plan is PRE-substitution, so walking it recovers the file
+    relations — and the walk doubles as a soundness check the old
+    spelling lacked: only row-bounded nodes are admitted (a semi/anti
+    join keeps rows <= its left side; both sides' files only over-count
+    the bound), so a row-multiplying lineage (inner join, explode) can
+    never sneak an under-counted corpus past the byte gate."""
+    try:
+        out: list = []
+
+        def walk(p) -> bool:
+            cls = p.getClass().getSimpleName()
+            if cls == "LogicalRelation":
+                rel = p.relation()
+                if rel.getClass().getSimpleName() != "HadoopFsRelation":
+                    return False
+                out.extend(rel.location().inputFiles())
+                return True
+            if cls == "Join":
+                if p.joinType().toString() not in ("LeftSemi", "LeftAnti"):
+                    return False
+            elif cls not in _ROW_BOUNDED_NODES:
+                return False
+            it = p.children().iterator()
+            while it.hasNext():
+                if not walk(it.next()):
+                    return False
+            return True
+
+        if not walk(df._jdf.queryExecution().analyzed()):
+            return None
+        return out or None
+    except Exception:
+        return None
 
 
 def _footer_rows_unc(files: list, spark=None) -> tuple | None:

@@ -164,6 +164,22 @@ def test_small_corpus_docs_broadcast_spelling(spark, tmp_path):
     # admission: parquet-backed small corpus yes, in-memory no
     assert _corpus_broadcastable(t.df) is True
     assert _corpus_broadcastable(mem) is False
+    # r16: the analyzed-plan walk sees THROUGH persisted upstream frames
+    # (inputFiles() goes blank on them) and admits row-BOUNDED lineages
+    # (filters, semi joins) while refusing row-multiplying ones
+    import pyspark.sql.functions as SF
+
+    st = t.df.where("doc_id > 1").persist()
+    semi = st.join(st.select("doc_id"), "doc_id", "left_semi")
+    assert semi.inputFiles() == []  # the blind spot the walk fixes
+    assert _corpus_broadcastable(semi) is True
+    inner = t.df.join(t.df.select("doc_id"), "doc_id")
+    assert _corpus_broadcastable(inner) is False
+    expl = t.df.select(
+        "doc_id", SF.explode(SF.split("text", " ")).alias("text")
+    )
+    assert _corpus_broadcastable(expl) is False
+    st.unpersist()
 
     tracker = spark.sparkContext.statusTracker
     for op in (near_dup_pairs, jaccard_pairs_inverted, containment_pairs):
