@@ -50,9 +50,9 @@ def generate() -> None:
     spark.stop()
 
 
-def bench(cpus: int) -> dict:
+def bench(cpus: int, sf_dir: str = MRG_DIR) -> dict:
     env = dict(os.environ)
-    env["SPARK_GRAFT_SF_DIR"] = MRG_DIR
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True,
@@ -60,6 +60,56 @@ def bench(cpus: int) -> dict:
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
+
+
+BIG_DIR = "/tmp/sf01_big"
+BIG_FACTOR = 16
+
+
+def generate_big() -> None:
+    """Positive control: the mrg rewrite alone leaves every query
+    task-overhead-bound at sf0.1 volume (ratios < 1), so ALSO replicate
+    the TPC-H fact tables BIG_FACTOR x (timing-only — replicated keys
+    are fine for walls, not for oracles) to give scan-bound queries real
+    per-core work."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ralf_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ralf_spark_r16_big_gen",
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    os.makedirs(BIG_DIR, exist_ok=True)
+    for name in SPLITS:
+        src = f"{SRC_DIR}/{name}.parquet"
+        dst = f"{BIG_DIR}/{name}.parquet"
+        if name in ("lineitem", "orders"):
+            df = spark.read.parquet(src)
+            (
+                df.withColumn(
+                    "_rep",
+                    F.explode(
+                        F.array(*[F.lit(i) for i in range(BIG_FACTOR)])
+                    ),
+                )
+                .drop("_rep")
+                .repartition(16)
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+            print(f"wrote {name} x{BIG_FACTOR} replicated", flush=True)
+        else:
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(f"{MRG_DIR}/{name}.parquet"):
+                shutil.copytree(f"{MRG_DIR}/{name}.parquet", dst)
+            else:
+                shutil.copy(src, dst)
+    spark.stop()
 
 
 def main() -> None:
@@ -82,6 +132,23 @@ def main() -> None:
         "ratio_c8_over_c32": ratios,
         "total_c32": r32["value"],
         "total_c8": r8["value"],
+    }
+    if not os.path.exists(f"{BIG_DIR}/lineitem.parquet"):
+        generate_big()
+    b32 = bench(32, BIG_DIR)
+    b8 = bench(8, BIG_DIR)
+    rec["big"] = {
+        "what": (
+            f"same probe with lineitem/orders replicated {BIG_FACTOR}x "
+            "(timing-only): the volume at which scan-bound queries "
+            "should show core scaling"
+        ),
+        "c32": b32["queries"],
+        "c8": b8["queries"],
+        "ratio_c8_over_c32": {
+            q: round(b8["queries"][q] / b32["queries"][q], 2)
+            for q in b32["queries"]
+        },
     }
     with open("SCALEPROBE_r16_mrg.json", "w") as fh:
         json.dump(rec, fh, indent=1)
