@@ -1831,7 +1831,16 @@ class MinHashIndex:
         )
 
         acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
-        assert_no_concurrent_adds(spark, self.path)  # r14
+        # non-destructive pre-flight releases the root on refusal (r16,
+        # the r15 retro_delta pattern — found by the cross-process
+        # lifecycle test: a refused exclusive op otherwise blocks every
+        # FOREIGN-process adder for the full TTL; same-process reentry
+        # masked it)
+        try:
+            assert_no_concurrent_adds(spark, self.path)  # r14
+        except Exception:
+            self._handoff_root(spark)
+            raise
         fs, jpath = _hadoop_fs(spark, self.path)
         if fs.exists(jpath):
             fs.delete(jpath, True)
@@ -1893,9 +1902,14 @@ class MinHashIndex:
 
         # root lease first (r12 review): contend with add()/build() on
         # the store root, not only per-subtree inside the compaction;
-        # r14: refuse while tag-scoped adds are in flight
+        # r14: refuse while tag-scoped adds are in flight. r16: a
+        # refusal releases the root (see build()).
         acquire_writer_lease(spark, self.path)
-        assert_no_concurrent_adds(spark, self.path)
+        try:
+            assert_no_concurrent_adds(spark, self.path)
+        except Exception:
+            self._handoff_root(spark)
+            raise
         out = {}
         for sub in ("sigs", "buckets"):
             root = f"{self.path}/{sub}"
@@ -3048,8 +3062,13 @@ class GramIndex:
 
         acquire_writer_lease(spark, self.path)  # single-writer guard (r12)
         # a rebuild deletes every batch partition — refuse while foreign
-        # tag-scoped adds are in flight (r14)
-        assert_no_concurrent_adds(spark, self.path)
+        # tag-scoped adds are in flight (r14); a refusal releases the
+        # root (r16, see MinHashIndex.build)
+        try:
+            assert_no_concurrent_adds(spark, self.path)
+        except Exception:
+            self._handoff_root(spark)
+            raise
         fs, jpath = _hadoop_fs(spark, self.path)
         if fs.exists(jpath):
             fs.delete(jpath, True)
@@ -3144,7 +3163,12 @@ class GramIndex:
         # leases, and folding their partitions away mid-add would break
         # their frozen snapshots.
         acquire_writer_lease(spark, self.path)
-        assert_no_concurrent_adds(spark, self.path)
+        # r16: a refusal releases the root (see MinHashIndex.build)
+        try:
+            assert_no_concurrent_adds(spark, self.path)
+        except Exception:
+            self._handoff_root(spark)
+            raise
         root = f"{self.path}/grams"
         sources = (
             tiered_compaction_sources(spark, root, keep_last=keep_last)

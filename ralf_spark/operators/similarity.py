@@ -1079,9 +1079,14 @@ class IvfIndex:
         )
 
         # single-writer guard (r12) — before the first destructive write;
-        # r14: refuse while tag-scoped adds are in flight
+        # r14: refuse while tag-scoped adds are in flight; a refusal
+        # releases the root (r16, the retro_delta pre-flight pattern)
         acquire_writer_lease(table.df.sparkSession, self.path)
-        assert_no_concurrent_adds(table.df.sparkSession, self.path)
+        try:
+            assert_no_concurrent_adds(table.df.sparkSession, self.path)
+        except Exception:
+            self._handoff_root(table.df.sparkSession)
+            raise
         centroids.select(
             F.col("centroid_id").cast("long"),
             F.col("centroid_vec").cast("array<double>"),
@@ -1264,7 +1269,12 @@ class IvfIndex:
         # the store root, not only per-subtree inside the compaction;
         # r14: refuse while tag-scoped adds are in flight
         acquire_writer_lease(spark, self.path)
-        assert_no_concurrent_adds(spark, self.path)
+        # r16: a refusal releases the root (see IvfIndex.build)
+        try:
+            assert_no_concurrent_adds(spark, self.path)
+        except Exception:
+            self._handoff_root(spark)
+            raise
         root = f"{self.path}/cells"
         sources = (
             tiered_compaction_sources(spark, root, keep_last=keep_last)
