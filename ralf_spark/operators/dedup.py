@@ -378,7 +378,9 @@ _SMALL_CORPUS_BYTES = 64 * 1024 * 1024
 _SHINGLE_EXPANSION = 6
 
 
-def _corpus_broadcastable(df: DataFrame) -> bool:
+def _corpus_broadcastable(
+    df: DataFrame, expansion: int = _SHINGLE_EXPANSION
+) -> bool:
     """Zero-job admission test for the docs-broadcast verification
     spelling (r16, VERDICT r15 #3 — the near_dup stats-barrier fold):
     ``df.inputFiles()`` (driver-side plan metadata, no job) names the
@@ -402,7 +404,7 @@ def _corpus_broadcastable(df: DataFrame) -> bool:
         return (
             stats is not None
             and stats[0] <= BROADCAST_CANDIDATE_LIMIT
-            and stats[1] * _SHINGLE_EXPANSION <= _SMALL_CORPUS_BYTES
+            and stats[1] * expansion <= _SMALL_CORPUS_BYTES
         )
     except Exception:
         return False
@@ -2561,7 +2563,18 @@ def cross_corpus_duplicate_spans(
         # via the attach_cached convention.
         .persist()
     )
-    hint = _choose_broadcast(broadcast_other, lambda: eval_dg.count())
+    # r16 (the near_dup small-corpus class): when the EVAL side's parquet
+    # footers prove its digest set broadcast-safe, skip the count job.
+    # Expansion 12: one md5 digest string (~56 B framed) per token
+    # position, tokens <= uncompressed bytes / 6 — an upper bound BEFORE
+    # distinct shrinks it; xxhash64 digests are smaller still. Past the
+    # gate (or on unbounded lineages) the measured count decides.
+    small = broadcast_other is None and _corpus_broadcastable(
+        odf, expansion=12
+    )
+    hint = True if small else _choose_broadcast(
+        broadcast_other, lambda: eval_dg.count()
+    )
     probe = F.broadcast(eval_dg) if hint else eval_dg
     dup_pos = pos.join(probe, "_dg").select("_id", "_pos")
     return attach_cached(

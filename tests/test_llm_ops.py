@@ -134,6 +134,7 @@ def test_verify_spelling_knob_output_identical(spark, monkeypatch):
         assert forced_b == forced_s == auto and len(auto) > 0, op.__name__
 
 
+@pytest.mark.slow
 def test_small_corpus_docs_broadcast_spelling(spark, tmp_path):
     """r16 (VERDICT r15 #3): a parquet-backed corpus whose footers prove
     it broadcast-safe takes the docs-broadcast verification spelling
@@ -204,6 +205,7 @@ def test_small_corpus_docs_broadcast_spelling(spark, tmp_path):
         del os.environ["SPARK_GRAFT_SMALL_CORPUS"]
 
 
+@pytest.mark.slow
 def test_minhash_index_small_sides_scoring(spark, tmp_path):
     """r16: MinHashIndex.add/check on a footer-proved small batch+store
     take the sigs-broadcast scoring with ZERO plan-construction jobs
