@@ -44,6 +44,6 @@ out["_meta"] = {
     "note": "sec fields are single-sample on a >2x-drifting box; "
             "hang detection only — perf record is BENCH (medians)",
 }
-json.dump(out, open("/root/repo/sweep_r15.json","w"), indent=1)
+json.dump(out, open("/root/repo/sweep_r16.json","w"), indent=1)
 bad = [k for k, v in out.items() if k != "_meta" and not v["ok"]]
 print("TOTAL", len(out) - 1, "FAIL", len(bad), bad)
