@@ -400,7 +400,11 @@ def _corpus_broadcastable(
         files = _bounded_input_files(df)
         if not files:
             return False
-        stats = _footer_rows_unc(files, df.sparkSession)
+        stats = _footer_rows_unc(
+            files, df.sparkSession,
+            rows_cap=BROADCAST_CANDIDATE_LIMIT,
+            unc_cap=_SMALL_CORPUS_BYTES // expansion,
+        )
         return (
             stats is not None
             and stats[0] <= BROADCAST_CANDIDATE_LIMIT
@@ -418,9 +422,10 @@ def _corpus_broadcastable(
 _ROW_BOUNDED_NODES = frozenset({
     "Project", "Filter", "Union", "Distinct", "Deduplicate",
     "Aggregate", "Window", "Sort", "GlobalLimit", "LocalLimit",
-    "Limit", "Offset", "Sample", "SubqueryAlias", "Repartition",
+    "Limit", "Offset", "SubqueryAlias", "Repartition",
     "RepartitionByExpression", "RebalancePartitions", "OneRowRelation",
-})  # NOT Expand (cube/rollup multiplies), NOT Generate, NOT inner joins
+})  # NOT Expand (cube/rollup multiplies), NOT Generate, NOT inner
+# joins, NOT Sample (withReplacement + fraction > 1 multiplies rows)
 
 
 def _bounded_input_files(df) -> list | None:
@@ -446,6 +451,14 @@ def _bounded_input_files(df) -> list | None:
                 rel = p.relation()
                 if rel.getClass().getSimpleName() != "HadoopFsRelation":
                     return False
+                # pre-gate on the relation's ON-DISK size (already on
+                # the driver, no listing materialized): parquet
+                # compressed <= uncompressed, so past the byte cap the
+                # uncompressed bound fails a fortiori — refuse WITHOUT
+                # pulling a 100 TB table's file list through py4j or
+                # reading any footer (r16 review)
+                if int(rel.sizeInBytes()) > _SMALL_CORPUS_BYTES:
+                    return False
                 out.extend(rel.location().inputFiles())
                 return True
             if cls == "Join":
@@ -466,10 +479,21 @@ def _bounded_input_files(df) -> list | None:
         return None
 
 
-def _footer_rows_unc(files: list, spark=None) -> tuple | None:
+def _footer_rows_unc(
+    files: list,
+    spark=None,
+    rows_cap: int | None = None,
+    unc_cap: int | None = None,
+) -> tuple | None:
     """(total rows, total UNCOMPRESSED bytes) over parquet footers —
     driver-side metadata, no Spark job. None when any footer is
-    unreadable (callers keep their measured/count-based path)."""
+    unreadable (callers keep their measured/count-based path).
+
+    ``rows_cap``/``unc_cap`` (r16 review): admission callers only need
+    to know WHETHER a bound is exceeded — once the running sum passes a
+    cap, return immediately instead of paying a footer read per
+    remaining file (a large store would otherwise cost O(#files) serial
+    driver reads on the exact at-scale path the gates keep unchanged)."""
     try:
         rows = 0
         unc = 0
@@ -483,6 +507,10 @@ def _footer_rows_unc(files: list, spark=None) -> tuple | None:
                 for i in range(meta.num_row_groups)
                 for j in range(meta.num_columns)
             )
+            if (rows_cap is not None and rows > rows_cap) or (
+                unc_cap is not None and unc > unc_cap
+            ):
+                return rows, unc  # already past the bound: enough to refuse
         return rows, unc
     except Exception:
         return None
@@ -1549,18 +1577,42 @@ class MinHashIndex:
         """Zero-job admission test for the sigs-broadcast scoring
         spelling (r16, the near_dup small-corpus class): the batch must
         pass :func:`_corpus_broadcastable` (parquet-backed, footer-
-        bounded) AND the stored signature table's footers must bound its
-        broadcast payload — fixed-width 16-perm bigint arrays, so
-        uncompressed bytes × 2 (UnsafeRow overhead) is a faithful cap.
-        Past either bound the measured Σₖ nₖ·aₖ stats decision runs
-        unchanged (the 100 TB regime: the store side never broadcasts)."""
+        bounded) AND its ROW count must bound the payloads this path
+        actually broadcasts — the batch bucket table (rows × bands) and
+        the signature rows (rows × num_perm longs), which scale with
+        row count, not text bytes (r16 review: many tiny docs would
+        pass the text gate while inflating the bucket broadcast) — AND
+        the stored signature table's footers must bound its payload
+        (fixed-width sig arrays, so uncompressed × 2 covers UnsafeRow
+        overhead; on-disk bytes pre-gate the footer reads). Past any
+        bound the measured Σₖ nₖ·aₖ stats decision runs unchanged (the
+        100 TB regime: the store side never broadcasts)."""
         if not _corpus_broadcastable(table.df):
             return False
         try:
+            # batch row payloads: ~(num_perm*8 + 40) B per sig row and
+            # ~28 B per bucket row framed
+            files = _bounded_input_files(table.df)
+            stats = _footer_rows_unc(
+                files, spark, rows_cap=BROADCAST_CANDIDATE_LIMIT
+            )
+            if stats is None:
+                return False
+            per_row = max(
+                self.num_perm * 8 + 40, self.bands * 28
+            )
+            if stats[0] * per_row > _SMALL_CORPUS_BYTES:
+                return False
             from ralf_spark.connectors import _list_parquet_files_sized
 
             sized = _list_parquet_files_sized(spark, f"{self.path}/sigs")
-            stats = _footer_rows_unc([f for f, _ in sized], spark)
+            if sum(b for _, b in sized) * 2 > _SMALL_CORPUS_BYTES:
+                return False  # compressed <= uncompressed: refuse early
+            stats = _footer_rows_unc(
+                [f for f, _ in sized], spark,
+                rows_cap=BROADCAST_CANDIDATE_LIMIT,
+                unc_cap=_SMALL_CORPUS_BYTES // 2,
+            )
             return (
                 stats is not None
                 and stats[0] <= BROADCAST_CANDIDATE_LIMIT
@@ -2565,12 +2617,13 @@ def cross_corpus_duplicate_spans(
     )
     # r16 (the near_dup small-corpus class): when the EVAL side's parquet
     # footers prove its digest set broadcast-safe, skip the count job.
-    # Expansion 12: one md5 digest string (~56 B framed) per token
-    # position, tokens <= uncompressed bytes / 6 — an upper bound BEFORE
+    # Expansion 28: one md5 digest string (~56 B framed) per token
+    # position, and positions <= tokens <= uncompressed bytes / 2 (the
+    # 1-char-token worst case — r16 review) — an upper bound BEFORE
     # distinct shrinks it; xxhash64 digests are smaller still. Past the
     # gate (or on unbounded lineages) the measured count decides.
     small = broadcast_other is None and _corpus_broadcastable(
-        odf, expansion=12
+        odf, expansion=28
     )
     hint = True if small else _choose_broadcast(
         broadcast_other, lambda: eval_dg.count()
@@ -3486,14 +3539,7 @@ class GramIndex:
         # map-side partial aggregation shuffles distinct digests, far
         # less than the window's full-row shuffle, so past the gate the
         # join spelling stays.
-        small = sum(b for _, b in sized) <= self._SMALL_STORE_BYTES
-        if small:
-            footer_rows = self._footer_rows(files, spark)
-            small = (
-                footer_rows is not None
-                and footer_rows <= BROADCAST_CANDIDATE_LIMIT
-            )
-        if small:
+        if self._store_small(spark, sized):
             dup_pos = (
                 store.select(
                     "_id",
@@ -3524,6 +3570,19 @@ class GramIndex:
     #: the per-stage stats counts are skipped — the MB-scale cadence
     #: drops its fixed job overhead to near the full-retro floor.
     _SMALL_STORE_BYTES = 64 * 1024 * 1024
+
+    def _store_small(self, spark, sized: list) -> bool:
+        """The r14/r15 small-store gate, spelled once for retro() and
+        retro_delta(): on-disk bytes (free from the driver listing)
+        under :data:`_SMALL_STORE_BYTES`, then footer rows (driver-side
+        metadata, early-exit past the cap) under the broadcast bound."""
+        if sum(b for _, b in sized) > self._SMALL_STORE_BYTES:
+            return False
+        stats = _footer_rows_unc(
+            [f for f, _ in sized], spark,
+            rows_cap=BROADCAST_CANDIDATE_LIMIT,
+        )
+        return stats is not None and stats[0] <= BROADCAST_CANDIDATE_LIMIT
 
     @staticmethod
     def _footer_rows(files: list[str], spark=None) -> int | None:
@@ -3785,7 +3844,6 @@ class GramIndex:
             self._check_or_write_meta(spark, write_if_missing=False)
             sized = _list_parquet_files_sized(spark, f"{self.path}/grams")
             files = [f for f, _ in sized]
-            store_bytes = sum(b for _, b in sized)
             if not files:
                 raise ValueError(f"GramIndex at {self.path} is empty")
         except Exception:
@@ -3816,15 +3874,9 @@ class GramIndex:
         # low): ALSO cap by the footer row count (driver-side metadata,
         # still zero jobs) — delta/dictionary-encoded position logs
         # compress far better than the ~4x the byte gate assumed.
-        all_small = broadcast_digests is None and (
-            store_bytes <= self._SMALL_STORE_BYTES
+        all_small = broadcast_digests is None and self._store_small(
+            spark, sized
         )
-        if all_small:
-            footer_rows = self._footer_rows(files, spark)
-            all_small = (
-                footer_rows is not None
-                and footer_rows <= BROADCAST_CANDIDATE_LIMIT
-            )
 
         if all_small and fuse_store_scan:
             # r16 (VERDICT r15 #1/#6 — the cadence's job count): a store

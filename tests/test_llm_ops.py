@@ -135,13 +135,12 @@ def test_verify_spelling_knob_output_identical(spark, monkeypatch):
 
 
 @pytest.mark.slow
-def test_small_corpus_docs_broadcast_spelling(spark, tmp_path):
+def test_small_corpus_docs_broadcast_spelling(spark, tmp_path, monkeypatch):
     """r16 (VERDICT r15 #3): a parquet-backed corpus whose footers prove
     it broadcast-safe takes the docs-broadcast verification spelling
     with ZERO plan-construction jobs, and emits pairs identical to both
     forced spellings. In-memory tables (no input files) must refuse the
     shortcut and keep the measured stats decision."""
-    import ralf_spark.operators.dedup as dd
     from ralf_spark.operators.dedup import (
         _corpus_broadcastable,
         containment_pairs,
@@ -196,13 +195,8 @@ def test_small_corpus_docs_broadcast_spelling(spark, tmp_path):
             assert got == forced and len(got) > 0, op.__name__
 
     # the env kill switch restores the stats-job path
-    import os
-
-    os.environ["SPARK_GRAFT_SMALL_CORPUS"] = "0"
-    try:
-        assert _corpus_broadcastable(t.df) is False
-    finally:
-        del os.environ["SPARK_GRAFT_SMALL_CORPUS"]
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_CORPUS", "0")
+    assert _corpus_broadcastable(t.df) is False
 
 
 @pytest.mark.slow
@@ -3105,7 +3099,6 @@ def test_retro_delta_fused_store_scan(spark, tmp_path, monkeypatch):
     spellings emit identical spans."""
     import re
 
-    import ralf_spark.operators.dedup as dd
     from ralf_spark.operators.dedup import GramIndex
     from ralf_spark.plans.explain import explain_str
 
